@@ -1,0 +1,112 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Baseline relational queries over the TPC-H-ish tables.
+  *
+  * These exercise the scan → filter → shuffle-agg → join machinery the rest
+  * of the engine builds on, and give the bench a headline number. Scale
+  * notes (100 TB): every query below is a single shuffle (or none); small
+  * dimension tables (region/nation/supplier) are broadcast so the fact-table
+  * scan never shuffles for them; filters/projections sit directly on the
+  * parquet scan so pushdown + column pruning apply.
+  */
+object Relational {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // TPC-H Q1-style pricing summary: one pass over lineitem, map-side
+    // partial aggregation, 4-ish output groups. No join, one shuffle.
+    QueryDef(
+      "q1_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 4)                          AS sum_qty,
+        |       round(sum(l_extendedprice), 4)                     AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 4)  AS sum_disc_price,
+        |       round(avg(l_quantity), 4)                          AS avg_qty,
+        |       round(avg(l_discount), 4)                          AS avg_disc,
+        |       count(*)                                           AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 4).as("sum_qty"),
+          round(sum("l_extendedprice"), 4).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+            .as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // Revenue by customer market segment: fact-to-fact join on the shuffle
+    // key (orderkey), then re-agg by the small segment dimension carried
+    // through the join. customer is small relative to lineitem → broadcast.
+    QueryDef(
+      "q3_segment_revenue",
+      """SELECT c.c_mktsegment,
+        |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+        |       count(*) AS n_lines
+        |FROM lineitem l
+        |JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment""".stripMargin) { (s, dir) =>
+      val l = Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice", "l_discount")
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      val c = Tables.customer(s, dir).select("c_custkey", "c_mktsegment")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+            .as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    // Star join through two broadcast dimensions (supplier → nation →
+    // region): zero extra shuffles beyond the final aggregation.
+    QueryDef(
+      "q5_region_supplier_volume",
+      """SELECT r.r_name AS region, n.n_name AS nation,
+        |       round(sum(l.l_extendedprice), 4) AS volume,
+        |       count(*) AS n_lines
+        |FROM lineitem l
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        |JOIN region r   ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name, n.n_name""".stripMargin) { (s, dir) =>
+      val l = Tables.lineitem(s, dir).select("l_suppkey", "l_extendedprice")
+      val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+      val nat = Tables.nation(s, dir).select("n_nationkey", "n_regionkey", "n_name")
+      val reg = Tables.region(s, dir).select("r_regionkey", "r_name")
+      l.join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+        .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+        .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+        .agg(
+          round(sum("l_extendedprice"), 4).as("volume"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    // ORDER BY + LIMIT (reference P5 top-20 pattern, SURVEY §2.2): top
+    // customers by order spend. TakeOrdered physical op — no full sort.
+    // Ties on total are broken by key so the result is deterministic.
+    QueryDef(
+      "q_top10_customers",
+      """SELECT o_custkey, round(sum(o_totalprice), 4) AS total_spend,
+        |       count(*) AS n_orders
+        |FROM orders
+        |GROUP BY o_custkey
+        |ORDER BY total_spend DESC, o_custkey ASC
+        |LIMIT 10""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(
+          round(sum("o_totalprice"), 4).as("total_spend"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("total_spend").desc, col("o_custkey").asc)
+        .limit(10)
+    })
+}
