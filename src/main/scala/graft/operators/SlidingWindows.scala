@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** Event-anchored sliding-window aggregates (reference WindowStore semantics:
+  * `core/WindowStore.kt:55-147` — every query is a count/sum/avg over
+  * `[anchor - dur, anchor]`, bounds inclusive).
+  *
+  * The batch re-expression anchors the window at each event's own timestamp
+  * (replay semantics: when the event was processed, "now" was its event
+  * time) and uses a `RANGE BETWEEN` frame over epoch microseconds, so the
+  * whole computation is one shuffle on the key plus an in-partition sort —
+  * no self-join, no state. At 100 TB this scales linearly: each (key)
+  * partition is processed independently and the frame is maintained
+  * incrementally by the window exec operator.
+  */
+object SlidingWindows {
+
+  /** Frame over `[ts - seconds, ts]`, inclusive on both ends — matches the
+    * reference's `countInRange(start <= ts <= end)`.
+    */
+  def frame(keys: Seq[Column], tsMicros: Column, seconds: Long): WindowSpec =
+    Window.partitionBy(keys: _*).orderBy(tsMicros)
+      .rangeBetween(-seconds * 1000000L, 0L)
+
+  /** A1 ratePerMin: events per minute = count over the trailing 60 s. */
+  def ratePerMin(keys: Seq[Column], tsMicros: Column): Column =
+    count(lit(1)).over(frame(keys, tsMicros, 60)).cast("double")
+
+  /** A2 countIn. */
+  def countIn(keys: Seq[Column], tsMicros: Column, seconds: Long): Column =
+    count(lit(1)).over(frame(keys, tsMicros, seconds))
+
+  /** A3 sumIn (0 when empty, per reference). */
+  def sumIn(keys: Seq[Column], tsMicros: Column, value: Column, seconds: Long): Column =
+    coalesce(sum(value).over(frame(keys, tsMicros, seconds)), lit(0.0))
+
+  /** A4 avgOverLast = sumIn/countIn, 0.0 when the window is empty
+    * (`core/WindowStore.kt:137-147`).
+    */
+  def avgOverLast(keys: Seq[Column], tsMicros: Column, value: Column, seconds: Long): Column = {
+    val c = countIn(keys, tsMicros, seconds)
+    when(c === 0, lit(0.0)).otherwise(
+      sumIn(keys, tsMicros, value, seconds) / c.cast("double"))
+  }
+
+  /** Distinct values of `tag` in the trailing window — the real
+    * implementation of the reference's R3 geo/device conflict spec
+    * (`core/Rules.kt:98-154`, stubbed there; see `docs/TICKETS.md:146`).
+    */
+  def distinctInWindow(keys: Seq[Column], tsMicros: Column, tag: Column, seconds: Long): Column =
+    size(array_distinct(collect_list(tag).over(frame(keys, tsMicros, seconds))))
+
+  /** Convenience: standard entity-analytics columns appended to an event
+    * DataFrame. `keys` are the entity identity (e.g. user_id, event_type).
+    */
+  def withSlidingAggs(df: DataFrame, keys: Seq[Column], ts: Column, value: Column): DataFrame = {
+    val us = unix_micros(ts)
+    df.withColumn("rate_60s", ratePerMin(keys, us))
+      .withColumn("cnt_60s", countIn(keys, us, 60))
+      .withColumn("sum_30s", round(sumIn(keys, us, value, 30), 4))
+      .withColumn("sum_5m", round(sumIn(keys, us, value, 300), 4))
+      .withColumn("cnt_5m", countIn(keys, us, 300))
+      .withColumn("avg_5m", round(avgOverLast(keys, us, value, 300), 4))
+  }
+}
