@@ -41,9 +41,9 @@ object Rules {
         col("event_id"), col("user_id"), col("event_type"),
         lit("R1_VELOCITY_SPIKE").as("rule"),
         severity(col("rate_now"), col("threshold")).as("severity"),
-        round(col("rate_now"), 4).as("rate_now"),
-        round(col("avg_5m"), 4).as("avg_5m"),
-        round(col("threshold"), 4).as("threshold"))
+        Num.r4(col("rate_now")).as("rate_now"),
+        Num.r4(col("avg_5m")).as("avg_5m"),
+        Num.r4(col("threshold")).as("threshold"))
   }
 
   /** R2 value spike (`core/Rules.kt:65-93`): value > factor * EWMA (updated
@@ -63,9 +63,9 @@ object Rules {
         col("event_id"), col("user_id"), col("event_type"),
         lit("R2_VALUE_SPIKE").as("rule"),
         severity(col("value"), col("threshold")).as("severity"),
-        round(col("value"), 4).as("value_now"),
-        round(col("ewma"), 4).as("ewma"),
-        round(col("threshold"), 4).as("threshold"),
+        Num.r4(col("value")).as("value_now"),
+        Num.r4(col("ewma")).as("ewma"),
+        Num.r4(col("threshold")).as("threshold"),
         col("count_60s"))
   }
 
@@ -99,14 +99,14 @@ object Rules {
       .withColumn("sum_30s", SlidingWindows.sumIn(keys, us, col("value"), 30))
       .withColumn("avg_1h", SlidingWindows.avgOverLast(keys, us, col("value"), 3600))
       .withColumn("p95_threshold",
-        greatest(floor(col("avg_1h") * factorP95).cast("double"), lit(minThreshold)))
+        greatest(Num.floorB(col("avg_1h") * factorP95).cast("double"), lit(minThreshold)))
       .filter(col("sum_30s") > col("p95_threshold"))
       .select(
         col("event_id"), col("user_id"), col("event_type"),
         lit("R4_EXFIL").as("rule"),
         lit("HIGH").as("severity"),
-        round(col("sum_30s"), 4).as("sum_30s"),
-        round(col("p95_threshold"), 4).as("p95_threshold"),
-        round(col("value"), 4).as("current_value"))
+        Num.r4(col("sum_30s")).as("sum_30s"),
+        Num.r4(col("p95_threshold")).as("p95_threshold"),
+        Num.r4(col("value")).as("current_value"))
   }
 }

@@ -60,9 +60,9 @@ object SlidingWindows {
     val us = unix_micros(ts)
     df.withColumn("rate_60s", ratePerMin(keys, us))
       .withColumn("cnt_60s", countIn(keys, us, 60))
-      .withColumn("sum_30s", round(sumIn(keys, us, value, 30), 4))
-      .withColumn("sum_5m", round(sumIn(keys, us, value, 300), 4))
+      .withColumn("sum_30s", Num.r4(sumIn(keys, us, value, 30)))
+      .withColumn("sum_5m", Num.r4(sumIn(keys, us, value, 300)))
       .withColumn("cnt_5m", countIn(keys, us, 300))
-      .withColumn("avg_5m", round(avgOverLast(keys, us, value, 300), 4))
+      .withColumn("avg_5m", Num.r4(avgOverLast(keys, us, value, 300)))
   }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.operators.{Ewma, Rules, SlidingWindows}
+import graft.operators.{Ewma, Num, Rules, SlidingWindows}
 import org.apache.spark.sql.functions._
 
 /** Entity-analytics surface (SURVEY §2.3/§2.2: A1–A8, P3/P6, F2/F3, R1–R4)
@@ -28,19 +28,27 @@ object EntityAnalytics {
         s"RANGE BETWEEN ${sec * 1000000L} PRECEDING AND CURRENT ROW)"
     }.mkString("WINDOW ", ", ", "")
 
+  /** Sequential EWMA in DuckDB via recursive CTE — bit-identical to the
+    * Spark fold: both evaluate `0.1*x + 0.9*e_prev` in IEEE doubles (the
+    * Scala side's `1 - alpha` rounds to exactly double(0.9)), so rounding
+    * can never diverge. A closed-form `sum(alpha*(1-a)^(k-j)*x_j)` oracle
+    * differs in the last ulps and flips at decimal rounding boundaries.
+    */
   private val ewmaCte =
-    """WITH seq AS (
+    """WITH RECURSIVE seq AS (
       |  SELECT user_id, event_type, event_id, value,
       |         row_number() OVER (PARTITION BY user_id, event_type
       |                            ORDER BY epoch_us(ts), event_id) AS rn
       |  FROM events),
       |ewma AS (
-      |  SELECT a.user_id, a.event_type, a.event_id,
-      |         sum(CASE WHEN b.rn = 1 THEN power(0.9, a.rn - 1) * b.value
-      |                  ELSE 0.1 * power(0.9, a.rn - b.rn) * b.value END) AS ewma
-      |  FROM seq a JOIN seq b
-      |    ON a.user_id = b.user_id AND a.event_type = b.event_type AND b.rn <= a.rn
-      |  GROUP BY a.user_id, a.event_type, a.event_id)""".stripMargin
+      |  SELECT user_id, event_type, event_id, value AS ewma, rn
+      |  FROM seq WHERE rn = 1
+      |  UNION ALL
+      |  SELECT s.user_id, s.event_type, s.event_id,
+      |         0.1 * s.value + 0.9 * e.ewma, s.rn
+      |  FROM seq s JOIN ewma e
+      |    ON s.user_id = e.user_id AND s.event_type = e.event_type
+      |   AND s.rn = e.rn + 1)""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -51,10 +59,10 @@ object EntityAnalytics {
       s"""SELECT event_id, user_id, event_type,
          |       CAST(count(*) OVER w60 AS DOUBLE)            AS rate_60s,
          |       count(*) OVER w60                            AS cnt_60s,
-         |       round(sum(value) OVER w30, 4)                AS sum_30s,
-         |       round(sum(value) OVER w300, 4)               AS sum_5m,
+         |       round(sum(value) OVER w30 + 0.000001, 4)                AS sum_30s,
+         |       round(sum(value) OVER w300 + 0.000001, 4)               AS sum_5m,
          |       count(*) OVER w300                           AS cnt_5m,
-         |       round((sum(value) OVER w300) / (count(*) OVER w300), 4) AS avg_5m
+         |       round((sum(value) OVER w300) / (count(*) OVER w300) + 0.000001, 4) AS avg_5m
          |FROM events
          |${duckWindows("w60" -> 60, "w30" -> 30, "w300" -> 300)}""".stripMargin) { (s, dir) =>
       SlidingWindows.withSlidingAggs(
@@ -69,10 +77,10 @@ object EntityAnalytics {
     QueryDef(
       "q_ewma",
       s"""$ewmaCte
-         |SELECT user_id, event_type, event_id, round(ewma, 4) AS ewma
+         |SELECT user_id, event_type, event_id, round(ewma + 0.000001, 4) AS ewma
          |FROM ewma""".stripMargin) { (s, dir) =>
       Ewma.perEvent(s, Tables.events(s, dir), 0.1)
-        .toDF().withColumn("ewma", round(col("ewma"), 4))
+        .toDF().withColumn("ewma", Num.r4(col("ewma")))
     },
 
     // F2/A9 bucketing: tumbling 1-minute counts per key.
@@ -93,17 +101,17 @@ object EntityAnalytics {
     QueryDef(
       "q_percentile_by_type",
       """SELECT event_type,
-        |       round(quantile_cont(value, 0.50), 4) AS p50,
-        |       round(quantile_cont(value, 0.95), 4) AS p95,
-        |       round(greatest(floor(avg(value) * 10), 1000.0), 4) AS p95_fallback,
+        |       round(quantile_cont(value, 0.50) + 0.000001, 4) AS p50,
+        |       round(quantile_cont(value, 0.95) + 0.000001, 4) AS p95,
+        |       round(greatest(floor(avg(value) * 10 + 0.000001), 1000.0) + 0.000001, 4) AS p95_fallback,
         |       count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
       Tables.events(s, dir)
         .groupBy("event_type")
         .agg(
-          round(percentile(col("value"), lit(0.50)), 4).as("p50"),
-          round(percentile(col("value"), lit(0.95)), 4).as("p95"),
-          round(greatest(floor(avg(col("value")) * 10).cast("double"), lit(1000.0)), 4)
+          Num.r4(percentile(col("value"), lit(0.50))).as("p50"),
+          Num.r4(percentile(col("value"), lit(0.95))).as("p95"),
+          Num.r4(greatest(Num.floorB(avg(col("value")) * 10).cast("double"), lit(1000.0)))
             .as("p95_fallback"),
           count(lit(1)).as("n"))
     },
@@ -124,9 +132,9 @@ object EntityAnalytics {
          |            WHEN rate_now / (avg_5m * 0.01) >= 10 THEN 'HIGH'
          |            WHEN rate_now / (avg_5m * 0.01) >= 5 THEN 'MEDIUM'
          |            ELSE 'LOW' END AS severity,
-         |       round(rate_now, 4) AS rate_now,
-         |       round(avg_5m, 4) AS avg_5m,
-         |       round(avg_5m * 0.01, 4) AS threshold
+         |       round(rate_now + 0.000001, 4) AS rate_now,
+         |       round(avg_5m + 0.000001, 4) AS avg_5m,
+         |       round(avg_5m * 0.01 + 0.000001, 4) AS threshold
          |FROM a
          |WHERE rate_now > avg_5m * 0.01 AND rate_now >= 1.0""".stripMargin) { (s, dir) =>
       Rules.velocitySpike(Tables.events(s, dir), factor = 0.01, minRate = 1.0)
@@ -147,9 +155,9 @@ object EntityAnalytics {
          |            WHEN c.value / (e.ewma * 1.2) >= 10 THEN 'HIGH'
          |            WHEN c.value / (e.ewma * 1.2) >= 5 THEN 'MEDIUM'
          |            ELSE 'LOW' END AS severity,
-         |       round(c.value, 4) AS value_now,
-         |       round(e.ewma, 4) AS ewma,
-         |       round(e.ewma * 1.2, 4) AS threshold,
+         |       round(c.value + 0.000001, 4) AS value_now,
+         |       round(e.ewma + 0.000001, 4) AS ewma,
+         |       round(e.ewma * 1.2 + 0.000001, 4) AS threshold,
          |       c.count_60s
          |FROM c JOIN ewma e ON c.event_id = e.event_id
          |WHERE c.value > e.ewma * 1.2 AND c.count_60s >= 1""".stripMargin) { (s, dir) =>
@@ -187,11 +195,11 @@ object EntityAnalytics {
          |  ${duckWindows("w30" -> 30, "w3600" -> 3600)})
          |SELECT event_id, user_id, event_type,
          |       'R4_EXFIL' AS rule, 'HIGH' AS severity,
-         |       round(sum_30s, 4) AS sum_30s,
-         |       round(greatest(floor(avg_1h * 0.5), 50.0), 4) AS p95_threshold,
-         |       round(value, 4) AS current_value
+         |       round(sum_30s + 0.000001, 4) AS sum_30s,
+         |       round(greatest(floor(avg_1h * 0.5 + 0.000001), 50.0) + 0.000001, 4) AS p95_threshold,
+         |       round(value + 0.000001, 4) AS current_value
          |FROM a
-         |WHERE sum_30s > greatest(floor(avg_1h * 0.5), 50.0)""".stripMargin) { (s, dir) =>
+         |WHERE sum_30s > greatest(floor(avg_1h * 0.5 + 0.000001), 50.0)""".stripMargin) { (s, dir) =>
       Rules.exfil(Tables.events(s, dir), factorP95 = 0.5, minThreshold = 50.0)
     })
 }

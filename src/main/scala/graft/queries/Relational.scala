@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import graft.operators.Num
 import org.apache.spark.sql.functions._
 
 /** Baseline relational queries over the TPC-H-ish tables.
@@ -21,23 +22,23 @@ object Relational {
     QueryDef(
       "q1_pricing_summary",
       """SELECT l_returnflag, l_linestatus,
-        |       round(sum(l_quantity), 4)                          AS sum_qty,
-        |       round(sum(l_extendedprice), 4)                     AS sum_base_price,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 4)  AS sum_disc_price,
-        |       round(avg(l_quantity), 4)                          AS avg_qty,
-        |       round(avg(l_discount), 4)                          AS avg_disc,
+        |       round(sum(l_quantity) + 0.000001, 4)                          AS sum_qty,
+        |       round(sum(l_extendedprice) + 0.000001, 4)                     AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)) + 0.000001, 4)  AS sum_disc_price,
+        |       round(avg(l_quantity) + 0.000001, 4)                          AS avg_qty,
+        |       round(avg(l_discount) + 0.000001, 4)                          AS avg_disc,
         |       count(*)                                           AS count_order
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          round(sum("l_quantity"), 4).as("sum_qty"),
-          round(sum("l_extendedprice"), 4).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          Num.r4(sum("l_quantity")).as("sum_qty"),
+          Num.r4(sum("l_extendedprice")).as("sum_base_price"),
+          Num.r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
             .as("sum_disc_price"),
-          round(avg("l_quantity"), 4).as("avg_qty"),
-          round(avg("l_discount"), 4).as("avg_disc"),
+          Num.r4(avg("l_quantity")).as("avg_qty"),
+          Num.r4(avg("l_discount")).as("avg_disc"),
           count(lit(1)).as("count_order"))
     },
 
@@ -47,7 +48,7 @@ object Relational {
     QueryDef(
       "q3_segment_revenue",
       """SELECT c.c_mktsegment,
-        |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+        |       round(sum(l.l_extendedprice * (1 - l.l_discount)) + 0.000001, 4) AS revenue,
         |       count(*) AS n_lines
         |FROM lineitem l
         |JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -60,7 +61,7 @@ object Relational {
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          Num.r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
             .as("revenue"),
           count(lit(1)).as("n_lines"))
     },
@@ -70,7 +71,7 @@ object Relational {
     QueryDef(
       "q5_region_supplier_volume",
       """SELECT r.r_name AS region, n.n_name AS nation,
-        |       round(sum(l.l_extendedprice), 4) AS volume,
+        |       round(sum(l.l_extendedprice) + 0.000001, 4) AS volume,
         |       count(*) AS n_lines
         |FROM lineitem l
         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -86,7 +87,7 @@ object Relational {
         .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
         .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
         .agg(
-          round(sum("l_extendedprice"), 4).as("volume"),
+          Num.r4(sum("l_extendedprice")).as("volume"),
           count(lit(1)).as("n_lines"))
     },
 
@@ -95,7 +96,7 @@ object Relational {
     // Ties on total are broken by key so the result is deterministic.
     QueryDef(
       "q_top10_customers",
-      """SELECT o_custkey, round(sum(o_totalprice), 4) AS total_spend,
+      """SELECT o_custkey, round(sum(o_totalprice) + 0.000001, 4) AS total_spend,
         |       count(*) AS n_orders
         |FROM orders
         |GROUP BY o_custkey
@@ -104,7 +105,7 @@ object Relational {
       Tables.orders(s, dir)
         .groupBy("o_custkey")
         .agg(
-          round(sum("o_totalprice"), 4).as("total_spend"),
+          Num.r4(sum("o_totalprice")).as("total_spend"),
           count(lit(1)).as("n_orders"))
         .orderBy(col("total_spend").desc, col("o_custkey").asc)
         .limit(10)
