@@ -15,7 +15,9 @@ object SparkEntry {
   /** All registered query definitions, grouped by module. */
   def allDefs: Seq[QueryDef] =
     graft.queries.Relational.defs ++
-      graft.queries.EntityAnalytics.defs
+      graft.queries.EntityAnalytics.defs ++
+      graft.queries.TextAnalytics.defs ++
+      graft.queries.DedupQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

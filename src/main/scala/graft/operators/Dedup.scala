@@ -1,0 +1,236 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators for a training-data pipeline: exact
+  * (hash-groupBy), MinHash+LSH banding, n-gram Jaccard (inverted-index
+  * join), and SimHash with chunk blocking.
+  *
+  * Scale design (the point of each shape):
+  *  - exact: one shuffle on md5(text) with partial aggregation — the
+  *    canonical 100 TB dedup; never collects, never compares texts pairwise.
+  *  - MinHash/LSH: shingle explode → one shuffle to build per-doc
+  *    signatures → band bucket self-join. Candidate generation cost is
+  *    bounded by bucket sizes (collision probability), NOT n²; the exact
+  *    Jaccard verify runs only on candidates.
+  *  - n-gram Jaccard: the inverted-index equijoin on shingle hash — pairs
+  *    that share no shingle are never materialized.
+  *  - SimHash: 60-bit signature from one groupBy; pair generation via
+  *    4×15-bit chunk blocking (pigeonhole: hamming ≤ 3 ⇒ some chunk equal),
+  *    so the join is an equijoin, again never n².
+  *
+  * All hashing is md5-prefix based (TextOps.hash64) so the DuckDB oracle
+  * replays the identical integers; the `*Sql` builders emit that oracle
+  * from the same constants.
+  */
+object Dedup {
+
+  /** MinHash parameters: 12 permutations = 6 bands x 2 rows. LSH s-curve
+    * threshold (1/bands)^(1/rows) = (1/6)^(1/2) ~= 0.41.
+    */
+  val P: Long = 2147483647L
+  val NumHashes = 12
+  val Bands = 6
+  val RowsPerBand = 2
+  def hashA(i: Int): Long = 101L + 37L * i
+  def hashB(i: Int): Long = 1234567L + 999331L * i
+
+  /** SimHash: 60 bits (hash64 is 60-bit), 4 chunks x 15 bits. */
+  val SimBits = 60
+  val SimChunks = 4
+  val ChunkBits = 15
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup: group by content hash, keep the smallest id.
+    * Input: (id, text). Output: (text_hash, keep_id, n_copies).
+    */
+  def exact(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.groupBy(md5(text).as("text_hash"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  // -------------------------------------------------------------- minhash
+
+  /** Distinct (id, shingle-hash mod P) pairs — the input to signatures and
+    * to the exact-Jaccard verify.
+    */
+  def shingleHashes(docs: DataFrame, id: Column, text: Column, n: Int): DataFrame =
+    docs.select(id.as("id"),
+        explode(TextOps.shingles(TextOps.words(text), n)).as("sh"))
+      .select(col("id"), (TextOps.hash64(col("sh")) % P).as("h"))
+      .distinct()
+
+  /** Per-id MinHash signature columns m0..m{NumHashes-1}; one shuffle with
+    * map-side partial min.
+    */
+  def minhashSignatures(sh: DataFrame): DataFrame = {
+    val aggs = (0 until NumHashes).map { i =>
+      min((col("h") * hashA(i) + hashB(i)) % P).as(s"m$i")
+    }
+    sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** (id, band, key) — one row per band, key = concat of that band's rows. */
+  def bandKeys(sig: DataFrame): DataFrame = {
+    val bandRows = (0 until Bands).map { b =>
+      val cols = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"),
+        concat_ws("_", cols: _*).as("key"))
+    }
+    sig.select(col("id"), explode(array(bandRows: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Distinct candidate pairs (a < b) sharing at least one band bucket. */
+  def candidatePairs(bands: DataFrame): DataFrame = {
+    val l = bands.as("l"); val r = bands.as("r")
+    l.join(r,
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard for given pairs, from the shingle-hash sets. */
+  def jaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(sh.as("x"), col("a") === col("x.id"))
+      .join(sh.as("y"), col("b") === col("y.id") && col("x.h") === col("y.h"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq("a", "b"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), "a")
+      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"), "b")
+      .withColumn("jaccard",
+        col("inter") * 1.0 / (col("sza") + col("szb") - col("inter")))
+  }
+
+  // ---------------------------------------------------- minhash oracle SQL
+
+  /** DuckDB CTE `sh(id, h)`: distinct shingle hashes of `(id, text)` rows
+    * provided by `baseCte` (a CTE named `base`).
+    */
+  def shingleSql(n: Int): String = {
+    val ws = TextOps.wordsSql("text")
+    s"""sh AS (
+       |  SELECT DISTINCT id, ${TextOps.hash64Sql("s")} % $P AS h
+       |  FROM (SELECT id, unnest(${TextOps.shinglesSql("ws", n)}) AS s
+       |        FROM (SELECT id, $ws AS ws FROM base)))""".stripMargin
+  }
+
+  def signatureSql: String = {
+    val mins = (0 until NumHashes)
+      .map(i => s"min((h * ${hashA(i)} + ${hashB(i)}) % $P) AS m$i")
+      .mkString(",\n       |         ")
+    s"""sig AS (
+       |  SELECT id,
+       |         $mins
+       |  FROM sh GROUP BY id)""".stripMargin
+  }
+
+  def bandsSql: String = {
+    val rows = (0 until Bands).map { b =>
+      val key = (0 until RowsPerBand).map(r => s"m${b * RowsPerBand + r}")
+        .mkString("concat_ws('_', ", ", ", ")")
+      s"SELECT id, $b AS band, $key AS key FROM sig"
+    }.mkString("\n       |  UNION ALL ")
+    s"""bands AS (
+       |  $rows)""".stripMargin
+  }
+
+  val candidateSql: String =
+    """cand AS (
+      |  SELECT DISTINCT l.id AS a, r.id AS b
+      |  FROM bands l JOIN bands r
+      |    ON l.band = r.band AND l.key = r.key AND l.id < r.id)""".stripMargin
+
+  val jaccardSql: String =
+    """sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+      |inter AS (
+      |  SELECT c.a, c.b, count(*) AS inter
+      |  FROM cand c
+      |  JOIN sh x ON x.id = c.a
+      |  JOIN sh y ON y.id = c.b AND y.h = x.h
+      |  GROUP BY c.a, c.b),
+      |jac AS (
+      |  SELECT c.a, c.b,
+      |         coalesce(i.inter, 0) * 1.0 /
+      |           (sa.sz + sb.sz - coalesce(i.inter, 0)) AS jaccard
+      |  FROM cand c
+      |  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+      |  JOIN sizes sa ON sa.id = c.a
+      |  JOIN sizes sb ON sb.id = c.b)""".stripMargin
+
+  // -------------------------------------------------------------- simhash
+
+  /** Per-id 60-bit SimHash from word multiset; one explode + one groupBy
+    * (60 sum aggregates, map-side combined).
+    */
+  def simhash(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val wordRows = docs.select(id.as("id"),
+        explode(TextOps.words(text)).as("w"))
+      .select(col("id"), TextOps.hash64(col("w")).as("h"))
+    val sums = (0 until SimBits).map { j =>
+      sum(shiftright(col("h"), j).bitwiseAND(1) * 2 - 1).as(s"s$j")
+    }
+    val sig = (0 until SimBits).map { j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    wordRows.groupBy(col("id")).agg(sums.head, sums.tail: _*)
+      .select(col("id"), sig.as("simhash"))
+  }
+
+  def simhashSql: String = {
+    val sums = (0 until SimBits)
+      .map(j => s"sum(((h >> $j) & 1) * 2 - 1) AS s$j")
+      .mkString(",\n       |         ")
+    val sig = (0 until SimBits)
+      .map(j => s"CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END")
+      .mkString(" + ")
+    s"""wr AS (
+       |  SELECT id, ${TextOps.hash64Sql("w")} AS h
+       |  FROM (SELECT id, unnest(${TextOps.wordsSql("text")}) AS w FROM base)),
+       |ss AS (
+       |  SELECT id,
+       |         $sums
+       |  FROM wr GROUP BY id),
+       |sim AS (SELECT id, $sig AS simhash FROM ss)""".stripMargin
+  }
+
+  /** Pairs with hamming distance <= maxHam via chunk blocking: any pair
+    * with ham <= SimChunks-1 must agree on >= 1 chunk (pigeonhole), so an
+    * equijoin on (chunk_idx, chunk_value) finds all of them without n².
+    */
+  def simhashPairs(sim: DataFrame, maxHam: Int): DataFrame = {
+    require(maxHam <= SimChunks - 1, "chunk blocking only complete for ham <= chunks-1")
+    val chunks = sim.select(col("id"), col("simhash"),
+        explode(array((0 until SimChunks).map { c =>
+          struct(lit(c).as("c"),
+            shiftright(col("simhash"), c * ChunkBits).bitwiseAND((1 << ChunkBits) - 1).as("v"))
+        }: _*)).as("ck"))
+      .select(col("id"), col("simhash"), col("ck.c").as("c"), col("ck.v").as("v"))
+    val l = chunks.as("l"); val r = chunks.as("r")
+    l.join(r, col("l.c") === col("r.c") && col("l.v") === col("r.v") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"),
+        bit_count(expr("l.simhash ^ r.simhash")).cast("long").as("ham"))
+      .distinct()
+      .filter(col("ham") <= maxHam)
+  }
+
+  def simhashPairsSql(maxHam: Int): String = {
+    val chunkRows = (0 until SimChunks)
+      .map(c => s"SELECT id, simhash, $c AS c, (simhash >> ${c * ChunkBits}) & ${(1 << ChunkBits) - 1} AS v FROM sim")
+      .mkString("\n       |  UNION ALL ")
+    s"""chunks AS (
+       |  $chunkRows),
+       |simpairs AS (
+       |  SELECT DISTINCT l.id AS a, r.id AS b,
+       |         CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS ham
+       |  FROM chunks l JOIN chunks r
+       |    ON l.c = r.c AND l.v = r.v AND l.id < r.id)""".stripMargin
+  }
+}

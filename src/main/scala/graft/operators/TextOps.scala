@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives shared by the dedup / fingerprint / quality operators.
+  *
+  * Every function here has an exact DuckDB twin (the `*Sql` variants) so the
+  * correctness oracle can replay the identical computation: hashing is
+  * md5-prefix based (both engines produce identical lowercase-hex md5),
+  * tokenization is the same `\s+` regex split, and all arithmetic stays in
+  * 64-bit integer space (no engine-specific hash functions, no floats).
+  *
+  * Scale notes: all of these are codegen'd built-in expressions (no UDFs),
+  * so they fuse into whole-stage codegen and run columnar at 100 TB; the
+  * only shuffles are the explicit groupBys in the operators that use them.
+  */
+object TextOps {
+
+  /** 60-bit deterministic hash: first 15 hex chars of md5, parsed base-16.
+    * 15 hex digits < 2^60, so the value is a non-negative Long in both
+    * engines (Spark `conv` and DuckDB hex-literal cast).
+    */
+  def hash64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  def hash64Sql(expr: String): String =
+    s"CAST(('0x' || substr(md5($expr), 1, 15)) AS BIGINT)"
+
+  /** Whitespace tokenization (identical regex semantics in Java and RE2). */
+  def words(text: Column): Column = split(trim(text), "\\s+")
+
+  def wordsSql(expr: String): String = s"string_split_regex(trim($expr), '\\s+')"
+
+  /** Word n-gram shingles: positions 1..len-n+1, space-joined (1-based
+    * element_at in both engines).
+    */
+  def shingles(ws: Column, n: Int): Column =
+    transform(
+      sequence(lit(1), greatest(size(ws) - (n - 1), lit(1))),
+      i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + lit(j))): _*))
+
+  def shinglesSql(wsExpr: String, n: Int): String = {
+    val parts = (0 until n).map(j => s"$wsExpr[i + $j]").mkString(", ")
+    s"list_transform(range(1, greatest(len($wsExpr) - ${n - 1}, 1) + 1), " +
+      s"i -> concat_ws(' ', $parts))"
+  }
+
+  /** Char n-grams: positions 1..len-n+1 (1-based substr in both engines). */
+  def shinglesChars(text: Column, n: Int): Column =
+    transform(
+      sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+      i => text.substr(i, lit(n)))
+
+  /** BPE-ish token pattern: letter runs, digit runs, single punctuation.
+    * Works identically under Java regex (Spark) and RE2 (DuckDB).
+    */
+  val TokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+}

@@ -1,0 +1,151 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.{Dedup, Num, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dedup query surface over `documents`. The corpus is fully distinct, so
+  * each query derives a deterministic variant input from the table itself
+  * (same derivation in the oracle SQL):
+  *  - exact:  + verbatim copies of every 10th doc (id + 100000)
+  *  - near:   + first-half-words truncations of every 5th doc (Jaccard vs
+  *            the original ~0.5, far above random-pair overlap ~0)
+  *  - light:  + first-word-replaced copies of every 5th doc (SimHash
+  *            hamming distance small)
+  */
+object DedupQueries {
+
+  private val IdOffset = 100000L
+
+  // ----- variant inputs (Spark) -----
+
+  private def base(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id").as("id"), col("text"))
+
+  private def withExactCopies(s: SparkSession, dir: String): DataFrame =
+    base(s, dir).unionAll(
+      base(s, dir).filter(col("id") % 10 === 0)
+        .select((col("id") + IdOffset).as("id"), col("text")))
+
+  private def withTruncatedCopies(s: SparkSession, dir: String): DataFrame = {
+    val ws = TextOps.words(col("text"))
+    base(s, dir).unionAll(
+      base(s, dir).filter(col("id") % 5 === 0)
+        .select((col("id") + IdOffset).as("id"),
+          concat_ws(" ",
+            slice(ws, lit(1), ceil(size(ws) / 2.0).cast("int"))).as("text")))
+  }
+
+  private def withFirstWordReplaced(s: SparkSession, dir: String): DataFrame = {
+    val ws = TextOps.words(col("text"))
+    base(s, dir).unionAll(
+      base(s, dir).filter(col("id") % 5 === 0)
+        .select((col("id") + IdOffset).as("id"),
+          concat_ws(" ",
+            concat(array(lit("zzzz")), slice(ws, lit(2), size(ws) - 1))).as("text")))
+  }
+
+  // ----- variant inputs (DuckDB CTE `base(id, text)`) -----
+
+  private val wsSql = TextOps.wordsSql("text")
+
+  private val exactBaseSql =
+    s"""base AS (
+       |  SELECT doc_id AS id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $IdOffset, text FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+
+  private val truncatedBaseSql =
+    s"""base AS (
+       |  SELECT doc_id AS id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $IdOffset,
+       |         array_to_string(ws[1:CAST(ceil(len(ws) / 2.0) AS INT)], ' ')
+       |  FROM (SELECT doc_id, $wsSql AS ws FROM documents WHERE doc_id % 5 = 0))""".stripMargin
+
+  private val firstWordBaseSql =
+    s"""base AS (
+       |  SELECT doc_id AS id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $IdOffset,
+       |         array_to_string(list_concat(['zzzz'], ws[2:len(ws)]), ' ')
+       |  FROM (SELECT doc_id, $wsSql AS ws FROM documents WHERE doc_id % 5 = 0))""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Exact dedup: hash-groupBy, min id wins.
+    QueryDef(
+      "q_dedup_exact",
+      s"""WITH $exactBaseSql
+         |SELECT md5(text) AS text_hash, min(id) AS keep_id, count(*) AS n_copies
+         |FROM base GROUP BY md5(text)""".stripMargin) { (s, dir) =>
+      Dedup.exact(withExactCopies(s, dir), col("id"), col("text"))
+    },
+
+    // MinHash signatures (checked directly: 12 min-hash values per doc).
+    QueryDef(
+      "q_minhash_signatures",
+      s"""WITH $truncatedBaseSql,
+         |${Dedup.shingleSql(3)},
+         |${Dedup.signatureSql}
+         |SELECT * FROM sig""".stripMargin) { (s, dir) =>
+      Dedup.minhashSignatures(
+        Dedup.shingleHashes(withTruncatedCopies(s, dir), col("id"), col("text"), 3))
+    },
+
+    // MinHash + LSH banding + exact-Jaccard verify: the scalable near-dup
+    // pipeline end-to-end. Emits verified pairs with Jaccard >= 0.35.
+    QueryDef(
+      "q_dedup_minhash_lsh",
+      s"""WITH $truncatedBaseSql,
+         |${Dedup.shingleSql(3)},
+         |${Dedup.signatureSql},
+         |${Dedup.bandsSql},
+         |${Dedup.candidateSql},
+         |${Dedup.jaccardSql}
+         |SELECT a, b, round(jaccard + 0.000001, 4) AS jaccard
+         |FROM jac WHERE jaccard >= 0.35""".stripMargin) { (s, dir) =>
+      val sh = Dedup.shingleHashes(withTruncatedCopies(s, dir), col("id"), col("text"), 3)
+      val cand = Dedup.candidatePairs(Dedup.bandKeys(Dedup.minhashSignatures(sh)))
+      Dedup.jaccard(cand, sh)
+        .filter(col("jaccard") >= 0.35)
+        .select(col("a"), col("b"), Num.r4(col("jaccard")).as("jaccard"))
+    },
+
+    // n-gram Jaccard via inverted-index join: candidate pairs = docs
+    // sharing >= 2 shingles (no LSH), then exact Jaccard >= 0.3.
+    QueryDef(
+      "q_dedup_ngram_jaccard",
+      s"""WITH $truncatedBaseSql,
+         |${Dedup.shingleSql(3)},
+         |cand AS (
+         |  SELECT x.id AS a, y.id AS b
+         |  FROM sh x JOIN sh y ON x.h = y.h AND x.id < y.id
+         |  GROUP BY x.id, y.id HAVING count(*) >= 2),
+         |${Dedup.jaccardSql}
+         |SELECT a, b, round(jaccard + 0.000001, 4) AS jaccard
+         |FROM jac WHERE jaccard >= 0.3""".stripMargin) { (s, dir) =>
+      val sh = Dedup.shingleHashes(withTruncatedCopies(s, dir), col("id"), col("text"), 3)
+      val cand = sh.as("x")
+        .join(sh.as("y"), col("x.h") === col("y.h") && col("x.id") < col("y.id"))
+        .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+        .agg(count(lit(1)).as("nsh")).filter(col("nsh") >= 2)
+        .select(col("a"), col("b"))
+      Dedup.jaccard(cand, sh)
+        .filter(col("jaccard") >= 0.3)
+        .select(col("a"), col("b"), Num.r4(col("jaccard")).as("jaccard"))
+    },
+
+    // SimHash signatures + chunk-blocked near-identical pairs (ham <= 3).
+    QueryDef(
+      "q_dedup_simhash",
+      s"""WITH $firstWordBaseSql,
+         |${Dedup.simhashSql},
+         |${Dedup.simhashPairsSql(3)}
+         |SELECT a, b, ham FROM simpairs WHERE ham <= 3""".stripMargin) { (s, dir) =>
+      Dedup.simhashPairs(
+        Dedup.simhash(withFirstWordReplaced(s, dir), col("id"), col("text")),
+        maxHam = 3)
+    })
+}
