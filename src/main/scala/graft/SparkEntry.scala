@@ -17,7 +17,8 @@ object SparkEntry {
     graft.queries.Relational.defs ++
       graft.queries.EntityAnalytics.defs ++
       graft.queries.TextAnalytics.defs ++
-      graft.queries.DedupQueries.defs
+      graft.queries.DedupQueries.defs ++
+      graft.queries.SimilarityQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

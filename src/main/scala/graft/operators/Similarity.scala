@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over an `array<float>` column.
+  *
+  * Shapes:
+  *  - brute-force cosine: broadcast one side, zip_with/aggregate dot in
+  *    whole-stage codegen — the exact baseline, O(n·m) but shuffle-free
+  *    when one side is small (the kNN query set, a dedup candidate list).
+  *  - hyperplane LSH: 16 deterministic random hyperplanes (md5-derived, so
+  *    the oracle replays them) → 16-bit bucket per vector → equality join
+  *    on bucket replaces the n² pair space; the 100 TB path.
+  *
+  * All dots are computed in double (float inputs upcast exactly), folded
+  * left-to-right by `aggregate`, matching DuckDB's list_dot_product on
+  * DOUBLE[] to within ulps (absorbed by Num.r4's bias).
+  */
+object Similarity {
+
+  val NumPlanes = 16
+  val Dim = 64
+
+  /** embedding column cast to array<double>. */
+  def asDouble(c: Column): Column = c.cast("array<double>")
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
+
+  /** (vec_id, e: array<double>, nrm) — the normalized working set. */
+  def prepared(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"),
+        asDouble(col("embedding")).as("e"))
+      .withColumn("nrm", norm(col("e")))
+
+  /** Deterministic hyperplane weights: w(p, d) in [-1, 1] derived from
+    * md5("hp<p>_<d>") — reproducible in any engine, no RNG state.
+    */
+  def planes(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.range(NumPlanes).toDF("p")
+      .select(col("p").cast("int").as("p"),
+        transform(sequence(lit(0), lit(Dim - 1)),
+          d => (TextOps.hash64(concat(lit("hp"), col("p"), lit("_"), d)) % 2001 - 1000) / 1000.0)
+          .as("w"))
+
+  def planesSql: String =
+    s"""planes AS (
+       |  SELECT CAST(p AS INT) AS p,
+       |         list_transform(range(0, $Dim),
+       |           d -> (${TextOps.hash64Sql("concat('hp', p, '_', d)")} % 2001 - 1000) / 1000.0) AS w
+       |  FROM (SELECT unnest(range($NumPlanes)) AS p))""".stripMargin
+
+  /** (vec_id, bucket): 16-bit sign bucket from the hyperplane dots. The
+    * planes side is 16 rows — broadcast; one groupBy on vec_id.
+    */
+  def lshBuckets(prep: DataFrame, planesDf: DataFrame): DataFrame =
+    prep.crossJoin(broadcast(planesDf))
+      .select(col("vec_id"), col("p"),
+        when(dot(col("e"), col("w")) >= 0, expr("shiftleft(CAST(1 AS BIGINT), p)")).otherwise(0L).as("bit"))
+      .groupBy(col("vec_id")).agg(sum(col("bit")).as("bucket"))
+}

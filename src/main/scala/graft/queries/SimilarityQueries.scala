@@ -1,0 +1,97 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.{Num, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Similarity-search surface over the `embeddings` table (64-dim float
+  * vectors): brute-force cosine pairs, top-k kNN for a query set, and
+  * hyperplane-LSH bucketing (the ANN scale path).
+  */
+object SimilarityQueries {
+
+  /** DuckDB working set: (vec_id, e DOUBLE[], nrm). */
+  private val prepSql =
+    """prep AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+      |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                               CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Brute-force cosine near-dup pairs (threshold 0.4). Baseline for the
+    // LSH variant; at scale one side must be small/broadcast.
+    QueryDef(
+      "q_embed_cosine_pairs",
+      s"""WITH $prepSql
+         |SELECT a.vec_id AS a, b.vec_id AS b,
+         |       round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm) + 0.000001, 4) AS cos
+         |FROM prep a JOIN prep b ON a.vec_id < b.vec_id
+         |WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.4""".stripMargin) { (s, dir) =>
+      val prep = Similarity.prepared(Tables.embeddings(s, dir))
+      val l = prep.as("l"); val r = prep.as("r")
+      l.join(broadcast(r), col("l.vec_id") < col("r.vec_id"))
+        .withColumn("cosv",
+          Similarity.cosine(col("l.e"), col("r.e"), col("l.nrm"), col("r.nrm")))
+        .filter(col("cosv") >= 0.4)
+        .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"),
+          Num.r4(col("cosv")).as("cos"))
+    },
+
+    // Top-5 cosine neighbors for each query vector (vec_id < 20):
+    // broadcast the query side, rank with a window — the standard
+    // distributed exact-kNN shape. Rank on the rounded cosine with id
+    // tie-break so ordering is engine-independent.
+    QueryDef(
+      "q_knn_topk",
+      s"""WITH $prepSql
+         |SELECT q, rank, b, cos FROM (
+         |  SELECT a.vec_id AS q, b.vec_id AS b,
+         |         round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm) + 0.000001, 4) AS cos,
+         |         CAST(row_number() OVER (
+         |           PARTITION BY a.vec_id
+         |           ORDER BY round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm) + 0.000001, 4) DESC,
+         |                    b.vec_id) AS INT) AS rank
+         |  FROM prep a JOIN prep b ON b.vec_id != a.vec_id
+         |  WHERE a.vec_id < 20)
+         |WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val prep = Similarity.prepared(Tables.embeddings(s, dir))
+      val q = prep.filter(col("vec_id") < 20).as("q")
+      val b = prep.as("b")
+      broadcast(q.select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn")))
+        .join(b, col("b.vec_id") =!= col("qid"))
+        .select(col("qid").as("q"), col("b.vec_id").as("b"),
+          Num.r4(Similarity.cosine(col("qe"), col("b.e"), col("qn"), col("b.nrm"))).as("cos"))
+        .withColumn("rank",
+          row_number().over(Window.partitionBy(col("q"))
+            .orderBy(col("cos").desc, col("b"))))
+        .filter(col("rank") <= 5)
+        .select("q", "rank", "b", "cos")
+    },
+
+    // Hyperplane-LSH bucketing: 16 md5-derived hyperplanes → 16-bit sign
+    // bucket per vector + same-bucket population (the ANN candidate-set
+    // size). At 100 TB the ANN join is an equijoin on bucket.
+    QueryDef(
+      "q_ann_lsh_buckets",
+      s"""WITH $prepSql,
+         |${Similarity.planesSql},
+         |bits AS (
+         |  SELECT prep.vec_id, planes.p,
+         |         CASE WHEN list_dot_product(prep.e, planes.w) >= 0
+         |              THEN CAST(1 AS BIGINT) << planes.p ELSE 0 END AS bit
+         |  FROM prep CROSS JOIN planes),
+         |buckets AS (
+         |  SELECT vec_id, sum(bit) AS bucket FROM bits GROUP BY vec_id)
+         |SELECT vec_id, CAST(bucket AS BIGINT) AS bucket,
+         |       count(*) OVER (PARTITION BY bucket) AS n_bucket
+         |FROM buckets""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val prep = Similarity.prepared(Tables.embeddings(s, dir))
+      Similarity.lshBuckets(prep, Similarity.planes(s))
+        .select(col("vec_id"), col("bucket").cast("long").as("bucket"))
+        .withColumn("n_bucket", count(lit(1)).over(Window.partitionBy(col("bucket"))))
+    })
+}
