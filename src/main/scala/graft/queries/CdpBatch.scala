@@ -1,0 +1,200 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.{Identity, Num}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CDP batch surface (SURVEY §2.4–2.6 re-expressed on the event log):
+  * identity resolution (J2), LWW merge (O2), rolling counters (A9),
+  * profile snapshot (O1/A13/A14/P4), and segment ENTER/EXIT diff (O4/O5).
+  *
+  * The events table plays the CDP role: every event is a TRACK, the
+  * props-`k` tag is the trait, identity edges are (user, k) pairs seen
+  * >= 5 times (confidence-weighted edges — raw pairs are too dense to be
+  * identities).
+  */
+object CdpBatch {
+
+  private val kTag = regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
+  private val kTagSql = """regexp_extract(props, '"k":\s*(\d+)', 1)"""
+
+  /** Identity edges both sides: u:<user> — k:<tag> with support >= 5. */
+  private def edges(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(concat(lit("u:"), col("user_id")).as("src"),
+        concat(lit("k:"), kTag).as("dst"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 5)
+      .select("src", "dst")
+
+  private val edgesSql =
+    s"""edges AS (
+       |  SELECT 'u:' || user_id AS src, 'k:' || $kTagSql AS dst
+       |  FROM events
+       |  GROUP BY 1, 2 HAVING count(*) >= 5)""".stripMargin
+
+  /** Latest row per (user_id, event_type) by (ts, event_id) — the LWW
+    * arrival order: equal timestamps resolved by the monotonic event id
+    * (reference `ProfileStore.kt:85-122`; ties keep the later arrival).
+    */
+  private def lwwWindow = Window
+    .partitionBy(col("user_id"), col("event_type"))
+    .orderBy(col("ts").desc, col("event_id").desc)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // J2: connected components, canonical = lexicographically smallest
+    // node. Oracle: recursive transitive closure (components are small by
+    // construction; Spark side is the scalable propagation loop).
+    QueryDef(
+      "q_identity_components",
+      s"""WITH RECURSIVE $edgesSql,
+         |sym AS (SELECT src, dst FROM edges
+         |        UNION SELECT dst, src FROM edges),
+         |reach AS (
+         |  SELECT src AS node, dst AS other FROM sym
+         |  UNION
+         |  SELECT r.node, s.dst FROM reach r JOIN sym s ON r.other = s.src)
+         |SELECT node, least(node, min(other)) AS component
+         |FROM reach GROUP BY node""".stripMargin) { (s, dir) =>
+      Identity.connectedComponents(edges(s, dir))
+    },
+
+    // O2: LWW trait merge — latest (value, k-tag) per (user, type), ties
+    // by arrival order (event_id).
+    QueryDef(
+      "q_lww_latest",
+      s"""SELECT user_id, event_type,
+         |       round(value + 0.000001, 4) AS last_value,
+         |       kk AS last_k
+         |FROM (
+         |  SELECT user_id, event_type, value, $kTagSql AS kk,
+         |         row_number() OVER (PARTITION BY user_id, event_type
+         |                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         |  FROM events)
+         |WHERE rn = 1""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(lwwWindow))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"),
+          Num.r4(col("value")).as("last_value"), kTag.as("last_k"))
+    },
+
+    // A9: rolling counter — 1-minute buckets, trailing-24h sum per bucket
+    // (reference RollingCounter: sum of buckets >= bucket(now-24h)).
+    QueryDef(
+      "q_rolling_counter_24h",
+      """WITH b AS (
+        |  SELECT user_id, event_type,
+        |         CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS bucket_s,
+        |         count(*) AS cnt
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT user_id, event_type, bucket_s, cnt,
+        |       sum(cnt) OVER (PARTITION BY user_id, event_type ORDER BY bucket_s
+        |                      RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS cnt_24h
+        |FROM b""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"),
+          unix_timestamp(date_trunc("minute", col("ts"))).as("bucket_s"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cnt_24h",
+          sum(col("cnt")).over(
+            Window.partitionBy(col("user_id"), col("event_type"))
+              .orderBy(col("bucket_s")).rangeBetween(-86400, 0)))
+    },
+
+    // O1/A13/A14/P4: per-user profile snapshot — lastSeen, counters, and
+    // segment predicates evaluated against the corpus max event time.
+    QueryDef(
+      "q_profile_snapshot",
+      """WITH mx AS (SELECT max(ts) AS m FROM events),
+        |last_type AS (
+        |  SELECT user_id, event_type AS latest_type FROM (
+        |    SELECT user_id, event_type,
+        |           row_number() OVER (PARTITION BY user_id
+        |                              ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |    FROM events) WHERE rn = 1)
+        |SELECT e.user_id,
+        |       CAST(epoch_us(max(e.ts)) AS BIGINT) AS last_seen_us,
+        |       count(*) AS n_events,
+        |       count(*) FILTER (WHERE e.ts >= mx.m - INTERVAL 24 HOUR) AS n_24h,
+        |       (count(*) FILTER (WHERE e.ts >= mx.m - INTERVAL 24 HOUR)) >= 3 AS power_user,
+        |       max(e.ts) < max(mx.m) - INTERVAL 48 HOUR AS reengage,
+        |       max(lt.latest_type) = 'purchase' AS pro_plan
+        |FROM events e CROSS JOIN mx
+        |JOIN last_type lt ON lt.user_id = e.user_id
+        |GROUP BY e.user_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val mx = ev.agg(max(col("ts")).as("m"))
+      val lastType = ev
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("latest_type"))
+      ev.crossJoin(broadcast(mx))
+        .join(broadcast(lastType), "user_id")
+        .groupBy(col("user_id"))
+        .agg(
+          unix_micros(max(col("ts"))).as("last_seen_us"),
+          count(lit(1)).as("n_events"),
+          count(when(col("ts") >= col("m") - expr("INTERVAL 24 HOURS"), 1)).as("n_24h"),
+          (count(when(col("ts") >= col("m") - expr("INTERVAL 24 HOURS"), 1)) >= 3).as("power_user"),
+          (max(col("ts")) < max(col("m")) - expr("INTERVAL 48 HOURS")).as("reengage"),
+          (max(col("latest_type")) === "purchase").as("pro_plan"))
+    },
+
+    // O4/O5: segment ENTER/EXIT diff between the mid-month snapshot and
+    // the full snapshot — the batch replay of SegmentEngine's stateful
+    // diff (`cdp/segments/SegmentEngine.kt:79-119`).
+    QueryDef(
+      "q_segment_diff",
+      """WITH snap AS (
+        |  SELECT t.cutoff,
+        |         e.user_id,
+        |         count(*) FILTER (WHERE e.ts >= t.anchor - INTERVAL 24 HOUR) >= 3 AS power_user,
+        |         max(e.ts) < max(t.anchor) - INTERVAL 48 HOUR AS reengage
+        |  FROM (SELECT 'mid' AS cutoff, TIMESTAMP '2024-01-16 00:00:00' AS anchor
+        |        UNION ALL SELECT 'end', TIMESTAMP '2024-01-31 00:00:00') t
+        |  JOIN events e ON e.ts < t.anchor
+        |  GROUP BY 1, 2),
+        |wide AS (
+        |  SELECT user_id,
+        |         bool_or(CASE WHEN cutoff = 'mid' THEN power_user END) AS pu_mid,
+        |         bool_or(CASE WHEN cutoff = 'end' THEN power_user END) AS pu_end,
+        |         bool_or(CASE WHEN cutoff = 'mid' THEN reengage END) AS re_mid,
+        |         bool_or(CASE WHEN cutoff = 'end' THEN reengage END) AS re_end
+        |  FROM snap GROUP BY user_id)
+        |SELECT user_id, 'power_user' AS segment,
+        |       CASE WHEN coalesce(pu_end, false) THEN 'ENTER' ELSE 'EXIT' END AS action
+        |FROM wide WHERE coalesce(pu_mid, false) != coalesce(pu_end, false)
+        |UNION ALL
+        |SELECT user_id, 'reengage',
+        |       CASE WHEN coalesce(re_end, false) THEN 'ENTER' ELSE 'EXIT' END
+        |FROM wide WHERE coalesce(re_mid, false) != coalesce(re_end, false)""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val anchors = Seq(("mid", "2024-01-16 00:00:00"), ("end", "2024-01-31 00:00:00"))
+      val snaps = anchors.map { case (cutoff, anchor) =>
+        val a = to_timestamp(lit(anchor))
+        ev.filter(col("ts") < a)
+          .groupBy(col("user_id"))
+          .agg(
+            (count(when(col("ts") >= a - expr("INTERVAL 24 HOURS"), 1)) >= 3).as(s"pu_$cutoff"),
+            (max(col("ts")) < a - expr("INTERVAL 48 HOURS")).as(s"re_$cutoff"))
+      }
+      val wide = snaps.head.join(snaps(1), Seq("user_id"), "full")
+        .select(col("user_id"),
+          coalesce(col("pu_mid"), lit(false)).as("pu_mid"),
+          coalesce(col("pu_end"), lit(false)).as("pu_end"),
+          coalesce(col("re_mid"), lit(false)).as("re_mid"),
+          coalesce(col("re_end"), lit(false)).as("re_end"))
+      val pu = wide.filter(col("pu_mid") =!= col("pu_end"))
+        .select(col("user_id"), lit("power_user").as("segment"),
+          when(col("pu_end"), "ENTER").otherwise("EXIT").as("action"))
+      val re = wide.filter(col("re_mid") =!= col("re_end"))
+        .select(col("user_id"), lit("reengage").as("segment"),
+          when(col("re_end"), "ENTER").otherwise("EXIT").as("action"))
+      pu.unionAll(re)
+    })
+}
