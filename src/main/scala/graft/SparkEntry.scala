@@ -19,7 +19,8 @@ object SparkEntry {
       graft.queries.TextAnalytics.defs ++
       graft.queries.DedupQueries.defs ++
       graft.queries.SimilarityQueries.defs ++
-      graft.queries.CdpBatch.defs
+      graft.queries.CdpBatch.defs ++
+      graft.queries.MultimodalQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
