@@ -1,0 +1,138 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming CDP pipeline (SURVEY §3.2): dedup → profile merge (grow-only
+  * identifiers, LWW traits, lastSeen, rolling 24 h track counter) →
+  * segment evaluation → ENTER/EXIT emission.
+  *
+  * The per-event transition is a pure function (`applyEvent`), used by both
+  * the streaming operator (`segmentEvents`, flatMapGroupsWithState) and the
+  * batch replay (`profileSnapshots`, mapGroups) — so batch results are the
+  * replayed fixpoint of the stream, which is how correctness is tested.
+  *
+  * Reference semantics preserved:
+  *  - dedup per (profile, eventId), independent across profiles
+  *    (`CdpEventProcessor.kt:182-186`, pinned by its test)
+  *  - LWW accepts equal-timestamp updates (later arrival wins,
+  *    `ProfileStore.kt:85-122`)
+  *  - per-profile events applied in (ts, eventId) order (W3)
+  *  - power_user: 24 h TRACK count >= 5; pro_plan: traits("plan") == "pro"
+  *    (`SegmentEngine.kt:125-151`); segment events carry the triggering
+  *    event time (deterministic replay; the reference stamps wall-clock)
+  *  - rolling counter: 1-minute buckets, trailing 24 h
+  *    (`RollingCounter.kt:39-168`)
+  */
+object CdpPipeline {
+
+  val PowerUserThreshold = 5
+  private val DayMs = 86400000L
+  private val BucketMs = 60000L
+  private val DedupCap = 10000
+
+  case class ProfileState(
+      userIds: Set[String],
+      emails: Set[String],
+      anonymousIds: Set[String],
+      traits: Map[String, (String, Long)], // value, ts-millis of last write
+      lastSeenMs: Long,
+      buckets: Map[Long, Long], // minute bucket -> TRACK count
+      segments: Set[String],
+      seenEventIds: Set[String])
+
+  object ProfileState {
+    val empty: ProfileState =
+      ProfileState(Set.empty, Set.empty, Set.empty, Map.empty, 0L,
+        Map.empty, Set.empty, Set.empty)
+  }
+
+  /** The reference's routing key (`CdpEvent.kt:28-30`). */
+  def profileId(e: CdpEvent): String =
+    e.userId.map("user:" + _)
+      .orElse(e.anonymousId.map("anon:" + _))
+      .getOrElse("event:" + e.eventId)
+
+  /** Pure per-event transition: returns the next state and emitted segment
+    * events. Caller must feed events in (ts, eventId) order per profile.
+    */
+  def applyEvent(pid: String, st: ProfileState, e: CdpEvent): (ProfileState, Seq[SegmentEvent]) = {
+    if (st.seenEventIds.contains(e.eventId)) return (st, Nil)
+    val t = e.ts.getTime
+    val userIds = st.userIds ++ e.userId
+    val emails = st.emails ++ e.email.map(_.trim.toLowerCase)
+    val anons = st.anonymousIds ++ e.anonymousId
+    // LWW per trait key: apply iff ts >= last write's ts (tie: later arrival)
+    val traits = e.traits.foldLeft(st.traits) { case (acc, (k, v)) =>
+      acc.get(k) match {
+        case Some((_, prevTs)) if t < prevTs => acc
+        case _ => acc.updated(k, (v, t))
+      }
+    }
+    val lastSeen = math.max(st.lastSeenMs, t)
+    val buckets0 =
+      if (e.eventType == "TRACK") {
+        val b = (t / BucketMs) * BucketMs
+        st.buckets.updated(b, st.buckets.getOrElse(b, 0L) + 1L)
+      } else st.buckets
+    // prune buckets outside the trailing 24 h of the newest event seen
+    val horizon = ((lastSeen - DayMs) / BucketMs) * BucketMs
+    val buckets = buckets0.filter(_._1 >= horizon)
+    val track24h = buckets.valuesIterator.sum
+    val segs = Set.newBuilder[String]
+    if (track24h >= PowerUserThreshold) segs += "power_user"
+    if (traits.get("plan").exists(_._1 == "pro")) segs += "pro_plan"
+    val newSegs = segs.result()
+    val emits =
+      (newSegs -- st.segments).toSeq.sorted.map(SegmentEvent(pid, _, "ENTER", e.ts)) ++
+        (st.segments -- newSegs).toSeq.sorted.map(SegmentEvent(pid, _, "EXIT", e.ts))
+    val seen =
+      if (st.seenEventIds.size >= DedupCap) st.seenEventIds // cap, like the 10k cache
+      else st.seenEventIds + e.eventId
+    (ProfileState(userIds, emails, anons, traits, lastSeen, buckets, newSegs, seen),
+      emits)
+  }
+
+  private def orderedFold(pid: String, st0: ProfileState, rows: Iterator[CdpEvent])
+  : (ProfileState, Seq[SegmentEvent]) = {
+    val ordered = rows.toSeq.sortBy(e => (e.ts.getTime, e.eventId))
+    ordered.foldLeft((st0, Seq.empty[SegmentEvent])) { case ((st, acc), e) =>
+      val (next, emits) = applyEvent(pid, st, e)
+      (next, acc ++ emits)
+    }
+  }
+
+  /** Streaming: segment ENTER/EXIT events. */
+  def segmentEvents(spark: SparkSession, events: Dataset[CdpEvent]): Dataset[SegmentEvent] = {
+    import spark.implicits._
+    events
+      .groupByKey(profileId)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (pid: String, rows: Iterator[CdpEvent], state: GroupState[ProfileState]) =>
+          val (next, emits) =
+            orderedFold(pid, state.getOption.getOrElse(ProfileState.empty), rows)
+          state.update(next)
+          emits.iterator
+      }
+  }
+
+  /** Batch replay: final profile snapshots after folding the whole log. */
+  def profileSnapshots(spark: SparkSession, events: Dataset[CdpEvent]): Dataset[ProfileSnapshot] = {
+    import spark.implicits._
+    events
+      .groupByKey(profileId)
+      .mapGroups { (pid, rows) =>
+        val (st, _) = orderedFold(pid, ProfileState.empty, rows)
+        ProfileSnapshot(pid,
+          st.userIds.toSeq.sorted, st.emails.toSeq.sorted,
+          st.anonymousIds.toSeq.sorted,
+          st.traits.map { case (k, (v, _)) => k -> v },
+          st.buckets.valuesIterator.sum,
+          new Timestamp(st.lastSeenMs),
+          st.segments.toSeq.sorted)
+      }
+  }
+}

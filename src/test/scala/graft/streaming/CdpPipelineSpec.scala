@@ -1,0 +1,104 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** CDP pipeline: reference-pinned semantics — power_user ENTER after 5
+  * TRACKs, LWW equal-ts tie keeps later arrival, dedup per profile but
+  * independent across profiles, EXIT when the 24h window rolls off.
+  */
+class CdpPipelineSpec extends SparkSpec {
+  import CdpPipeline._
+
+  private def track(id: String, t: String, user: String,
+                    traits: Map[String, String] = Map.empty) =
+    CdpEvent(id, ts(t), "TRACK", Some(user), None, None, Some("feature_used"), traits)
+
+  private def identify(id: String, t: String, user: String,
+                       traits: Map[String, String]) =
+    CdpEvent(id, ts(t), "IDENTIFY", Some(user), None, None, None, traits)
+
+  test("power_user ENTER emitted on the 5th TRACK within 24h") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[CdpEvent]
+    val query = segmentEvents(spark, input.toDS())
+      .writeStream.format("memory").queryName("segs_pu")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1 to 5).map(i =>
+        track(s"e$i", f"2024-01-01T00:0$i:00Z", "u1")): _*)
+      query.processAllAvailable()
+      val out = spark.table("segs_pu").as[SegmentEvent].collect()
+      assert(out.count(e => e.segment == "power_user" && e.action == "ENTER") == 1)
+      assert(out.head.profileId == "user:u1")
+      assert(out.head.ts == ts("2024-01-01T00:05:00Z")) // the 5th track
+    } finally query.stop()
+  }
+
+  test("LWW: equal-timestamp trait updates keep the later arrival") {
+    import spark.implicits._
+    val events = Seq(
+      identify("e1", "2024-01-01T00:00:00Z", "u1", Map("plan" -> "free")),
+      // same ts, later event id -> must win (ProfileStoreTest.kt:120-134)
+      identify("e2", "2024-01-01T00:00:00Z", "u1", Map("plan" -> "pro")))
+    val snap = profileSnapshots(spark, spark.createDataset(events)).collect()
+    assert(snap.length == 1)
+    assert(snap.head.traits("plan") == "pro")
+    assert(snap.head.segments.contains("pro_plan"))
+  }
+
+  test("older trait update does not overwrite newer one") {
+    import spark.implicits._
+    val events = Seq(
+      identify("e2", "2024-01-01T01:00:00Z", "u1", Map("plan" -> "pro")),
+      identify("e1", "2024-01-01T00:00:00Z", "u1", Map("plan" -> "free")))
+    val snap = profileSnapshots(spark, spark.createDataset(events)).collect()
+    assert(snap.head.traits("plan") == "pro")
+  }
+
+  test("dedup drops repeated eventId within a profile, not across profiles") {
+    import spark.implicits._
+    val events = Seq(
+      track("dup", "2024-01-01T00:00:00Z", "u1"),
+      track("dup", "2024-01-01T00:01:00Z", "u1"), // dropped
+      track("dup", "2024-01-01T00:00:00Z", "u2")) // different profile: kept
+    val snaps = profileSnapshots(spark, spark.createDataset(events)).collect()
+      .map(s => s.profileId -> s.trackCount24h).toMap
+    assert(snaps("user:u1") == 1)
+    assert(snaps("user:u2") == 1)
+  }
+
+  test("24h roll-off: EXIT power_user when old tracks age out") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[CdpEvent]
+    val query = segmentEvents(spark, input.toDS())
+      .writeStream.format("memory").queryName("segs_exit")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1 to 5).map(i =>
+        track(s"e$i", f"2024-01-01T00:0$i:00Z", "u1")): _*)
+      query.processAllAvailable()
+      input.addData(track("late", "2024-01-03T00:00:00Z", "u1"))
+      query.processAllAvailable()
+      val out = spark.table("segs_exit").as[SegmentEvent].collect()
+      assert(out.exists(e => e.segment == "power_user" && e.action == "ENTER"))
+      assert(out.exists(e => e.segment == "power_user" && e.action == "EXIT" &&
+        e.ts == ts("2024-01-03T00:00:00Z")))
+    } finally query.stop()
+  }
+
+  test("identifier merge is grow-only; emails normalized lowercase") {
+    import spark.implicits._
+    val events = Seq(
+      CdpEvent("e1", ts("2024-01-01T00:00:00Z"), "IDENTIFY", Some("u1"), Some("a1"),
+        Some("Bob@Example.COM"), None, Map.empty),
+      CdpEvent("e2", ts("2024-01-01T00:01:00Z"), "IDENTIFY", Some("u1"), Some("a2"),
+        Some("bob@example.com"), None, Map.empty))
+    val snap = profileSnapshots(spark, spark.createDataset(events)).collect().head
+    assert(snap.anonymousIds == Seq("a1", "a2"))
+    assert(snap.emails == Seq("bob@example.com"))
+  }
+}
