@@ -54,12 +54,24 @@ object Dedup {
 
   /** Distinct (id, shingle-hash mod P) pairs — the input to signatures and
     * to the exact-Jaccard verify.
+    *
+    * Formulation: posexplode words, then build each n-gram with `lead()`
+    * over (id, pos) — one window exec, fully codegen'd. (The obvious
+    * `explode(transform(sequence...element_at...))` evaluates the lambda
+    * interpreted per element and measured ~10x slower.) Docs with < n
+    * words yield no shingles (the lead guard), mirrored in shinglesSql.
     */
-  def shingleHashes(docs: DataFrame, id: Column, text: Column, n: Int): DataFrame =
-    docs.select(id.as("id"),
-        explode(TextOps.shingles(TextOps.words(text), n)).as("sh"))
+  def shingleHashes(docs: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy("id").orderBy("pos")
+    val parts = (0 until n).map(j => if (j == 0) col("w") else lead("w", j).over(win))
+    docs.select(id.as("id"), posexplode(TextOps.words(text)).as(Seq("pos", "w")))
+      .select(col("id"), concat_ws(" ", parts: _*).as("sh"),
+        lead("w", n - 1).over(win).as("g"))
+      .filter(col("g").isNotNull)
       .select(col("id"), (TextOps.hash64(col("sh")) % P).as("h"))
       .distinct()
+  }
 
   /** Per-id MinHash signature columns m0..m{NumHashes-1}; one shuffle with
     * map-side partial min.

@@ -32,25 +32,14 @@ object TextOps {
 
   def wordsSql(expr: String): String = s"string_split_regex(trim($expr), '\\s+')"
 
-  /** Word n-gram shingles: positions 1..len-n+1, space-joined (1-based
-    * element_at in both engines).
+  /** Full shingles only: docs with < n words yield none (matches the
+    * lead-guard in Dedup.shingleHashes).
     */
-  def shingles(ws: Column, n: Int): Column =
-    transform(
-      sequence(lit(1), greatest(size(ws) - (n - 1), lit(1))),
-      i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + lit(j))): _*))
-
   def shinglesSql(wsExpr: String, n: Int): String = {
     val parts = (0 until n).map(j => s"$wsExpr[i + $j]").mkString(", ")
-    s"list_transform(range(1, greatest(len($wsExpr) - ${n - 1}, 1) + 1), " +
+    s"list_transform(range(1, greatest(len($wsExpr) - ${n - 1}, 0) + 1), " +
       s"i -> concat_ws(' ', $parts))"
   }
-
-  /** Char n-grams: positions 1..len-n+1 (1-based substr in both engines). */
-  def shinglesChars(text: Column, n: Int): Column =
-    transform(
-      sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
-      i => text.substr(i, lit(n)))
 
   /** BPE-ish token pattern: letter runs, digit runs, single punctuation.
     * Works identically under Java regex (Spark) and RE2 (DuckDB).

@@ -18,6 +18,13 @@ object DedupQueries {
 
   private val IdOffset = 100000L
 
+  /** Shingle width. 5 words: with the corpus's ~30-word vocabulary,
+    * 3-word shingles collide across unrelated docs (the inverted index
+    * degenerates toward n^2 candidates); 5-word shingles make random
+    * collisions rare while truncated near-dups keep Jaccard ~0.5.
+    */
+  private val ShingleN = 5
+
   // ----- variant inputs (Spark) -----
 
   private def base(s: SparkSession, dir: String): DataFrame =
@@ -87,11 +94,11 @@ object DedupQueries {
     QueryDef(
       "q_minhash_signatures",
       s"""WITH $truncatedBaseSql,
-         |${Dedup.shingleSql(3)},
+         |${Dedup.shingleSql(ShingleN)},
          |${Dedup.signatureSql}
          |SELECT * FROM sig""".stripMargin) { (s, dir) =>
       Dedup.minhashSignatures(
-        Dedup.shingleHashes(withTruncatedCopies(s, dir), col("id"), col("text"), 3))
+        Dedup.shingleHashes(withTruncatedCopies(s, dir), col("id"), col("text"), ShingleN))
     },
 
     // MinHash + LSH banding + exact-Jaccard verify: the scalable near-dup
@@ -99,15 +106,19 @@ object DedupQueries {
     QueryDef(
       "q_dedup_minhash_lsh",
       s"""WITH $truncatedBaseSql,
-         |${Dedup.shingleSql(3)},
+         |${Dedup.shingleSql(ShingleN)},
          |${Dedup.signatureSql},
          |${Dedup.bandsSql},
          |${Dedup.candidateSql},
          |${Dedup.jaccardSql}
          |SELECT a, b, round(jaccard + 0.000001, 4) AS jaccard
          |FROM jac WHERE jaccard >= 0.35""".stripMargin) { (s, dir) =>
-      val sh = Dedup.shingleHashes(withTruncatedCopies(s, dir), col("id"), col("text"), 3)
+      // sh feeds signatures AND both sides of the Jaccard verify — cache it
+      // (at cluster scale: persist the shingle table once per dedup run)
+      val sh = Dedup.shingleHashes(withTruncatedCopies(s, dir), col("id"), col("text"), ShingleN)
+        .cache()
       val cand = Dedup.candidatePairs(Dedup.bandKeys(Dedup.minhashSignatures(sh)))
+        .cache()
       Dedup.jaccard(cand, sh)
         .filter(col("jaccard") >= 0.35)
         .select(col("a"), col("b"), Num.r4(col("jaccard")).as("jaccard"))
@@ -118,7 +129,7 @@ object DedupQueries {
     QueryDef(
       "q_dedup_ngram_jaccard",
       s"""WITH $truncatedBaseSql,
-         |${Dedup.shingleSql(3)},
+         |${Dedup.shingleSql(ShingleN)},
          |cand AS (
          |  SELECT x.id AS a, y.id AS b
          |  FROM sh x JOIN sh y ON x.h = y.h AND x.id < y.id
@@ -126,7 +137,8 @@ object DedupQueries {
          |${Dedup.jaccardSql}
          |SELECT a, b, round(jaccard + 0.000001, 4) AS jaccard
          |FROM jac WHERE jaccard >= 0.3""".stripMargin) { (s, dir) =>
-      val sh = Dedup.shingleHashes(withTruncatedCopies(s, dir), col("id"), col("text"), 3)
+      val sh = Dedup.shingleHashes(withTruncatedCopies(s, dir), col("id"), col("text"), ShingleN)
+        .cache()
       val cand = sh.as("x")
         .join(sh.as("y"), col("x.h") === col("y.h") && col("x.id") < col("y.id"))
         .groupBy(col("x.id").as("a"), col("y.id").as("b"))

@@ -30,13 +30,8 @@ object SimilarityQueries {
          |FROM prep a JOIN prep b ON a.vec_id < b.vec_id
          |WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.4""".stripMargin) { (s, dir) =>
       val prep = Similarity.prepared(Tables.embeddings(s, dir))
-      val l = prep.as("l"); val r = prep.as("r")
-      l.join(broadcast(r), col("l.vec_id") < col("r.vec_id"))
-        .withColumn("cosv",
-          Similarity.cosine(col("l.e"), col("r.e"), col("l.nrm"), col("r.nrm")))
-        .filter(col("cosv") >= 0.4)
-        .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"),
-          Num.r4(col("cosv")).as("cos"))
+      Similarity.bruteForcePairs(s, prep, threshold = 0.4)
+        .select(col("a"), col("b"), Num.r4(col("cosv")).as("cos"))
     },
 
     // Top-5 cosine neighbors for each query vector (vec_id < 20):

@@ -143,10 +143,13 @@ object TextAnalytics {
          |  FROM h)
          |SELECT DISTINCT doc_id, fp FROM w""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
+      // explode a plain int sequence, then slice/hash in a codegen'd
+      // projection — keeps the string work out of interpreted HOF lambdas
       Tables.documents(s, dir)
-        .select(col("doc_id"),
-          posexplode(TextOps.shinglesChars(col("text"), 8)).as(Seq("pos0", "gram")))
-        .select(col("doc_id"), (col("pos0") + 1).as("pos"), TextOps.hash64(col("gram")).as("kh"))
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), greatest(length(col("text")) - 7, lit(1)))).as("pos"))
+        .select(col("doc_id"), col("pos"),
+          TextOps.hash64(col("text").substr(col("pos"), lit(8))).as("kh"))
         .select(col("doc_id"),
           min(col("kh")).over(
             Window.partitionBy(col("doc_id")).orderBy(col("pos"))
