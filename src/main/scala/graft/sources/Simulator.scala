@@ -1,0 +1,61 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S8: deterministic synthetic event generator, reproducing the
+  * reference simulator's distributions (`ingest/Simulator.kt:85-407`) as a
+  * pure column program over `spark.range` — no RNG state, every value a
+  * hash of (seed, index), so any two runs (or engines) agree row-for-row.
+  *
+  * Distributions mirrored:
+  *  - SASE: CONN_OPEN 50% / CONN_BYTES 30% / LOGIN 20% (10% failed logins)
+  *  - IGAMING: BET_PLACED 60% / CASHIN 20% / LOGIN 20%
+  *  - inter-arrival jitter x0.5–1.5 around 1/rps
+  *  - event-time jitter ±latenessSec
+  *  - ~5% duplicated eventIds (re-use of the previous id)
+  *
+  * For a live stream, apply the same columns over `format("rate")`.
+  */
+object Simulator {
+
+  private def u(seed: Long, idx: org.apache.spark.sql.Column, salt: String) =
+    (abs(xxhash64(lit(seed), idx, lit(salt))) % 1000000L) / 1000000.0
+
+  def entityEvents(spark: SparkSession, n: Long, seed: Long = 42L,
+                   rps: Double = 10.0, latenessSec: Int = 90,
+                   profile: String = "SASE",
+                   startEpochMs: Long = 1704067200000L): DataFrame = {
+    val idx = col("id")
+    val mix = u(seed, idx, "mix")
+    val eventType = profile match {
+      case "SASE" =>
+        when(mix < 0.5, "CONN_OPEN").when(mix < 0.8, "CONN_BYTES").otherwise("LOGIN")
+      case _ =>
+        when(mix < 0.6, "BET_PLACED").when(mix < 0.8, "CASHIN").otherwise("LOGIN")
+    }
+    // jittered inter-arrival: mean 1000/rps ms, x0.5..1.5
+    val gapMs = (lit(1000.0 / rps) * (u(seed, idx, "gap") + 0.5)).cast("long")
+    val baseMs = lit(startEpochMs) +
+      sum(gapMs).over(org.apache.spark.sql.expressions.Window.orderBy(idx)
+        .rowsBetween(Long.MinValue, 0))
+    val jitterMs = ((u(seed, idx, "late") - 0.5) * 2 * latenessSec * 1000).cast("long")
+    val dup = u(seed, idx, "dup") < 0.05 && idx > 0
+    spark.range(n).toDF("id")
+      .select(
+        when(dup, concat(lit("ev-"), idx - 1)).otherwise(concat(lit("ev-"), idx))
+          .as("eventId"),
+        timestamp_millis(baseMs + jitterMs).as("ts"),
+        concat(lit("entity-"), (abs(xxhash64(lit(seed), idx, lit("ent"))) % 50)).as("entityId"),
+        lit(profile).as("profile"),
+        eventType.as("eventType"),
+        when(eventType === "CONN_BYTES",
+          (abs(xxhash64(lit(seed), idx, lit("val"))) % 100000L))
+          .when(eventType === "BET_PLACED",
+            (abs(xxhash64(lit(seed), idx, lit("val"))) % 500L))
+          .otherwise(lit(1L)).as("value"),
+        map(lit("status"),
+          when(eventType === "LOGIN" && u(seed, idx, "fail") < 0.1, "FAILED")
+            .otherwise("OK")).as("tags"))
+  }
+}
