@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session builders with the engine's recommended configuration.
+  *
+  * `batch` mirrors what Verify/Bench use; `streaming` adds the stateful-
+  * pipeline settings: RocksDB state store (bounded heap at 100 TB state),
+  * a 1 s micro-batch (the reference's ticker cadence) is set per-query via
+  * Trigger, and checkpointing is per-query. AQE (on by default in Spark 4)
+  * handles skewed shuffle partitions at scale; shuffle partitions default
+  * to the local core count here and should be ~2-3x total executor cores
+  * on a cluster.
+  */
+object Sessions {
+
+  def batch(name: String, cores: Int): SparkSession =
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(name)
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+
+  def streaming(name: String, cores: Int): SparkSession =
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(name)
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+      .getOrCreate()
+}

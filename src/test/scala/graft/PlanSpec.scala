@@ -1,0 +1,47 @@
+package graft
+
+/** Physical-plan regression guards: the properties that make these queries
+  * scale (column pruning, filter pushdown, broadcast dimension joins) are
+  * asserted, not assumed — a refactor that reintroduces a full-table scan
+  * or flips a broadcast join to sort-merge fails here.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q5: dimension joins broadcast; lineitem scan pruned to 2 columns") {
+    val p = plan("q5_region_supplier_volume")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    val lineitemScan = p.split("\n").find(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem")).get
+    assert(lineitemScan.contains("l_suppkey") && lineitemScan.contains("l_extendedprice"))
+    assert(!lineitemScan.contains("l_comment") && !lineitemScan.contains("l_quantity"))
+  }
+
+  test("q_knn_topk: query-set filter pushed into the scan, query side broadcast") {
+    val p = plan("q_knn_topk")
+    assert(p.contains("(vec_id") && p.contains("< 20)"),
+      "vec_id < 20 must reach the scan as a data filter")
+    assert(p.contains("BroadcastExchange"))
+  }
+
+  test("q_lang_id: documents scan pruned to needed columns only") {
+    val p = plan("q_lang_id")
+    val scan = p.split("\n").find(_.contains("FileScan parquet")).get
+    assert(scan.contains("doc_id") && scan.contains("text") && scan.contains("lang"))
+    assert(!scan.contains("source") && !scan.contains("n_chars"))
+  }
+
+  test("q1: aggregation is partial (map-side combine before the exchange)") {
+    val p = plan("q1_pricing_summary")
+    val firstAgg = p.indexOf("HashAggregate")
+    val exchange = p.indexOf("Exchange")
+    assert(firstAgg >= 0 && exchange >= 0)
+    // final agg above the exchange AND partial agg below it
+    assert(p.indexOf("HashAggregate", exchange) > 0)
+  }
+}
