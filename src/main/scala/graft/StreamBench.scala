@@ -1,0 +1,55 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.{CdpEvent, CdpPipeline}
+
+/** Streaming throughput benchmark against the reference's stated design
+  * target of 10k+ events/sec (`BASELINE.md`): pumps synthetic CDP events
+  * through the full stateful pipeline (dedup -> profile merge -> segment
+  * diff) via MemoryStream and reports events/sec.
+  *
+  * `runMain graft.StreamBench [nEvents] [cores]` — prints one JSON line.
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toInt else 200000
+    val cores = if (args.length > 1) args(1).toInt else 8
+    val spark = Sessions.batch("stream-bench", cores)
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[CdpEvent]
+    val query = CdpPipeline.segmentEvents(spark, input.toDS())
+      .writeStream.format("memory").queryName("sb_segments")
+      .outputMode(OutputMode.Append()).start()
+
+    // deterministic workload: 2k profiles, 5% duplicate ids, monotone ts
+    val events = (0 until n).map { i =>
+      val user = s"u${i % 2000}"
+      val dup = i % 20 == 19
+      CdpEvent(
+        eventId = if (dup) s"e${i - 1}" else s"e$i",
+        ts = new Timestamp(1704067200000L + i.toLong * 10),
+        eventType = if (i % 10 == 0) "IDENTIFY" else "TRACK",
+        userId = Some(user), anonymousId = None, email = None,
+        name = Some("feature_used"),
+        traits = if (i % 10 == 0) Map("plan" -> (if (i % 20 == 0) "pro" else "free"))
+                 else Map.empty)
+    }
+    val t0 = System.nanoTime()
+    val batchSize = 20000
+    events.grouped(batchSize).foreach { b =>
+      input.addData(b)
+      query.processAllAvailable()
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    val emitted = spark.table("sb_segments").count()
+    println(f"""{"metric":"cdp_stream_throughput","events":$n,"seconds":${secs}%.2f,"events_per_sec":${n / secs}%.0f,"segment_events":$emitted,"batch_size":$batchSize}""")
+    query.stop()
+    spark.stop()
+  }
+}
