@@ -67,7 +67,7 @@ object CdpBatch {
     QueryDef(
       "q_lww_latest",
       s"""SELECT user_id, event_type,
-         |       round(value + 0.000001, 4) AS last_value,
+         |       round(value + 0.00000025, 4) AS last_value,
          |       kk AS last_k
          |FROM (
          |  SELECT user_id, event_type, value, $kTagSql AS kk,

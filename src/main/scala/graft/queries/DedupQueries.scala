@@ -111,7 +111,7 @@ object DedupQueries {
          |${Dedup.bandsSql},
          |${Dedup.candidateSql},
          |${Dedup.jaccardSql}
-         |SELECT a, b, round(jaccard + 0.000001, 4) AS jaccard
+         |SELECT a, b, round(jaccard + 0.00000025, 4) AS jaccard
          |FROM jac WHERE jaccard >= 0.35""".stripMargin) { (s, dir) =>
       // sh feeds signatures AND both sides of the Jaccard verify — cache it
       // (at cluster scale: persist the shingle table once per dedup run)
@@ -135,7 +135,7 @@ object DedupQueries {
          |  FROM sh x JOIN sh y ON x.h = y.h AND x.id < y.id
          |  GROUP BY x.id, y.id HAVING count(*) >= 2),
          |${Dedup.jaccardSql}
-         |SELECT a, b, round(jaccard + 0.000001, 4) AS jaccard
+         |SELECT a, b, round(jaccard + 0.00000025, 4) AS jaccard
          |FROM jac WHERE jaccard >= 0.3""".stripMargin) { (s, dir) =>
       val sh = Dedup.shingleHashes(withTruncatedCopies(s, dir), col("id"), col("text"), ShingleN)
         .cache()

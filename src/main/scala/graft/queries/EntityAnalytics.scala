@@ -59,10 +59,10 @@ object EntityAnalytics {
       s"""SELECT event_id, user_id, event_type,
          |       CAST(count(*) OVER w60 AS DOUBLE)            AS rate_60s,
          |       count(*) OVER w60                            AS cnt_60s,
-         |       round(sum(value) OVER w30 + 0.000001, 4)                AS sum_30s,
-         |       round(sum(value) OVER w300 + 0.000001, 4)               AS sum_5m,
+         |       round(sum(value) OVER w30 + 0.00000025, 4)                AS sum_30s,
+         |       round(sum(value) OVER w300 + 0.00000025, 4)               AS sum_5m,
          |       count(*) OVER w300                           AS cnt_5m,
-         |       round((sum(value) OVER w300) / (count(*) OVER w300) + 0.000001, 4) AS avg_5m
+         |       round((sum(value) OVER w300) / (count(*) OVER w300) + 0.00000025, 4) AS avg_5m
          |FROM events
          |${duckWindows("w60" -> 60, "w30" -> 30, "w300" -> 300)}""".stripMargin) { (s, dir) =>
       SlidingWindows.withSlidingAggs(
@@ -77,7 +77,7 @@ object EntityAnalytics {
     QueryDef(
       "q_ewma",
       s"""$ewmaCte
-         |SELECT user_id, event_type, event_id, round(ewma + 0.000001, 4) AS ewma
+         |SELECT user_id, event_type, event_id, round(ewma + 0.00000025, 4) AS ewma
          |FROM ewma""".stripMargin) { (s, dir) =>
       Ewma.perEvent(s, Tables.events(s, dir), 0.1)
         .toDF().withColumn("ewma", Num.r4(col("ewma")))
@@ -101,9 +101,9 @@ object EntityAnalytics {
     QueryDef(
       "q_percentile_by_type",
       """SELECT event_type,
-        |       round(quantile_cont(value, 0.50) + 0.000001, 4) AS p50,
-        |       round(quantile_cont(value, 0.95) + 0.000001, 4) AS p95,
-        |       round(greatest(floor(avg(value) * 10 + 0.000001), 1000.0) + 0.000001, 4) AS p95_fallback,
+        |       round(quantile_cont(value, 0.50) + 0.00000025, 4) AS p50,
+        |       round(quantile_cont(value, 0.95) + 0.00000025, 4) AS p95,
+        |       round(greatest(floor(avg(value) * 10 + 0.00000025), 1000.0) + 0.00000025, 4) AS p95_fallback,
         |       count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
       Tables.events(s, dir)
@@ -132,9 +132,9 @@ object EntityAnalytics {
          |            WHEN rate_now / (avg_5m * 0.01) >= 10 THEN 'HIGH'
          |            WHEN rate_now / (avg_5m * 0.01) >= 5 THEN 'MEDIUM'
          |            ELSE 'LOW' END AS severity,
-         |       round(rate_now + 0.000001, 4) AS rate_now,
-         |       round(avg_5m + 0.000001, 4) AS avg_5m,
-         |       round(avg_5m * 0.01 + 0.000001, 4) AS threshold
+         |       round(rate_now + 0.00000025, 4) AS rate_now,
+         |       round(avg_5m + 0.00000025, 4) AS avg_5m,
+         |       round(avg_5m * 0.01 + 0.00000025, 4) AS threshold
          |FROM a
          |WHERE rate_now > avg_5m * 0.01 AND rate_now >= 1.0""".stripMargin) { (s, dir) =>
       Rules.velocitySpike(Tables.events(s, dir), factor = 0.01, minRate = 1.0)
@@ -155,9 +155,9 @@ object EntityAnalytics {
          |            WHEN c.value / (e.ewma * 1.2) >= 10 THEN 'HIGH'
          |            WHEN c.value / (e.ewma * 1.2) >= 5 THEN 'MEDIUM'
          |            ELSE 'LOW' END AS severity,
-         |       round(c.value + 0.000001, 4) AS value_now,
-         |       round(e.ewma + 0.000001, 4) AS ewma,
-         |       round(e.ewma * 1.2 + 0.000001, 4) AS threshold,
+         |       round(c.value + 0.00000025, 4) AS value_now,
+         |       round(e.ewma + 0.00000025, 4) AS ewma,
+         |       round(e.ewma * 1.2 + 0.00000025, 4) AS threshold,
          |       c.count_60s
          |FROM c JOIN ewma e ON c.event_id = e.event_id
          |WHERE c.value > e.ewma * 1.2 AND c.count_60s >= 1""".stripMargin) { (s, dir) =>
@@ -195,11 +195,11 @@ object EntityAnalytics {
          |  ${duckWindows("w30" -> 30, "w3600" -> 3600)})
          |SELECT event_id, user_id, event_type,
          |       'R4_EXFIL' AS rule, 'HIGH' AS severity,
-         |       round(sum_30s + 0.000001, 4) AS sum_30s,
-         |       round(greatest(floor(avg_1h * 0.5 + 0.000001), 50.0) + 0.000001, 4) AS p95_threshold,
-         |       round(value + 0.000001, 4) AS current_value
+         |       round(sum_30s + 0.00000025, 4) AS sum_30s,
+         |       round(greatest(floor(avg_1h * 0.5 + 0.00000025), 50.0) + 0.00000025, 4) AS p95_threshold,
+         |       round(value + 0.00000025, 4) AS current_value
          |FROM a
-         |WHERE sum_30s > greatest(floor(avg_1h * 0.5 + 0.000001), 50.0)""".stripMargin) { (s, dir) =>
+         |WHERE sum_30s > greatest(floor(avg_1h * 0.5 + 0.00000025), 50.0)""".stripMargin) { (s, dir) =>
       Rules.exfil(Tables.events(s, dir), factorP95 = 0.5, minThreshold = 50.0)
     })
 }

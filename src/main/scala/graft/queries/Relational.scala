@@ -22,11 +22,11 @@ object Relational {
     QueryDef(
       "q1_pricing_summary",
       """SELECT l_returnflag, l_linestatus,
-        |       round(sum(l_quantity) + 0.000001, 4)                          AS sum_qty,
-        |       round(sum(l_extendedprice) + 0.000001, 4)                     AS sum_base_price,
-        |       round(sum(l_extendedprice * (1 - l_discount)) + 0.000001, 4)  AS sum_disc_price,
-        |       round(avg(l_quantity) + 0.000001, 4)                          AS avg_qty,
-        |       round(avg(l_discount) + 0.000001, 4)                          AS avg_disc,
+        |       round(sum(l_quantity) + 0.00000025, 4)                          AS sum_qty,
+        |       round(sum(l_extendedprice) + 0.00000025, 4)                     AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)) + 0.00000025, 4)  AS sum_disc_price,
+        |       round(avg(l_quantity) + 0.00000025, 4)                          AS avg_qty,
+        |       round(avg(l_discount) + 0.00000025, 4)                          AS avg_disc,
         |       count(*)                                           AS count_order
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
@@ -48,7 +48,7 @@ object Relational {
     QueryDef(
       "q3_segment_revenue",
       """SELECT c.c_mktsegment,
-        |       round(sum(l.l_extendedprice * (1 - l.l_discount)) + 0.000001, 4) AS revenue,
+        |       round(sum(l.l_extendedprice * (1 - l.l_discount)) + 0.00000025, 4) AS revenue,
         |       count(*) AS n_lines
         |FROM lineitem l
         |JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -71,7 +71,7 @@ object Relational {
     QueryDef(
       "q5_region_supplier_volume",
       """SELECT r.r_name AS region, n.n_name AS nation,
-        |       round(sum(l.l_extendedprice) + 0.000001, 4) AS volume,
+        |       round(sum(l.l_extendedprice) + 0.00000025, 4) AS volume,
         |       count(*) AS n_lines
         |FROM lineitem l
         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -96,7 +96,7 @@ object Relational {
     // Ties on total are broken by key so the result is deterministic.
     QueryDef(
       "q_top10_customers",
-      """SELECT o_custkey, round(sum(o_totalprice) + 0.000001, 4) AS total_spend,
+      """SELECT o_custkey, round(sum(o_totalprice) + 0.00000025, 4) AS total_spend,
         |       count(*) AS n_orders
         |FROM orders
         |GROUP BY o_custkey

@@ -41,7 +41,7 @@ object Serving {
         |       CAST(epoch(time_bucket(INTERVAL 5 MINUTE, ts)) AS BIGINT) AS bucket_s,
         |       count(DISTINCT user_id) AS uniq_users,
         |       count(*) AS cnt,
-        |       round(count(*) / 5.0 + 0.000001, 4) AS rate_per_min
+        |       round(count(*) / 5.0 + 0.00000025, 4) AS rate_per_min
         |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
       Tables.events(s, dir)
         .groupBy(col("event_type"),

@@ -26,7 +26,7 @@ object SimilarityQueries {
       "q_embed_cosine_pairs",
       s"""WITH $prepSql
          |SELECT a.vec_id AS a, b.vec_id AS b,
-         |       round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm) + 0.000001, 4) AS cos
+         |       round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm) + 0.00000025, 4) AS cos
          |FROM prep a JOIN prep b ON a.vec_id < b.vec_id
          |WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.4""".stripMargin) { (s, dir) =>
       val prep = Similarity.prepared(Tables.embeddings(s, dir))
@@ -43,10 +43,10 @@ object SimilarityQueries {
       s"""WITH $prepSql
          |SELECT q, rank, b, cos FROM (
          |  SELECT a.vec_id AS q, b.vec_id AS b,
-         |         round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm) + 0.000001, 4) AS cos,
+         |         round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm) + 0.00000025, 4) AS cos,
          |         CAST(row_number() OVER (
          |           PARTITION BY a.vec_id
-         |           ORDER BY round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm) + 0.000001, 4) DESC,
+         |           ORDER BY round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm) + 0.00000025, 4) DESC,
          |                    b.vec_id) AS INT) AS rank
          |  FROM prep a JOIN prep b ON b.vec_id != a.vec_id
          |  WHERE a.vec_id < 20)

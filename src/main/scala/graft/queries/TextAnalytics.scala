@@ -78,12 +78,12 @@ object TextAnalytics {
          |             w -> w IN ('the', 'a', 'of', 'and', 'data', 'value'))) AS n_stop
          |  FROM documents)
          |SELECT doc_id, n_words,
-         |       round((n_chars2 * 1.0) / n_words + 0.000001, 4) AS avg_word_len,
-         |       round((n_punct * 1.0) / n_chars2 + 0.000001, 4) AS punct_ratio,
-         |       round((n_stop * 1.0) / n_words + 0.000001, 4) AS stop_ratio,
+         |       round((n_chars2 * 1.0) / n_words + 0.00000025, 4) AS avg_word_len,
+         |       round((n_punct * 1.0) / n_chars2 + 0.00000025, 4) AS punct_ratio,
+         |       round((n_stop * 1.0) / n_words + 0.00000025, 4) AS stop_ratio,
          |       round(0.4 * least(n_words / 50.0, 1.0)
          |           + 0.3 * ((n_stop * 1.0) / n_words)
-         |           + 0.3 * (1.0 - (n_punct * 1.0) / n_chars2) + 0.000001, 4) AS quality
+         |           + 0.3 * (1.0 - (n_punct * 1.0) / n_chars2) + 0.00000025, 4) AS quality
          |FROM t""".stripMargin) { (s, dir) =>
       val stop = Seq("the", "a", "of", "and", "data", "value")
       Tables.documents(s, dir)
@@ -110,7 +110,7 @@ object TextAnalytics {
          |       len(${TextOps.wordsSql("text")}) AS ws_tokens,
          |       len(regexp_extract_all(text, '${TextOps.TokenPattern}')) AS bpe_tokens,
          |       round(length(text) * 1.0 /
-         |             len(regexp_extract_all(text, '${TextOps.TokenPattern}')) + 0.000001, 4)
+         |             len(regexp_extract_all(text, '${TextOps.TokenPattern}')) + 0.00000025, 4)
          |         AS chars_per_token
          |FROM documents""".stripMargin) { (s, dir) =>
       Tables.documents(s, dir)
