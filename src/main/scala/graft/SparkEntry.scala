@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.SimilarityQueries.defs ++
       graft.queries.CdpBatch.defs ++
       graft.queries.MultimodalQueries.defs ++
-      graft.queries.Serving.defs
+      graft.queries.Serving.defs ++
+      graft.queries.EventAnalytics.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,110 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-analytics operators every CDP/product-analytics engine ships:
+  * gap-based sessionization, ordered funnels, and retention cohorts —
+  * all single-shuffle window/groupBy programs over the event log.
+  */
+object EventAnalytics {
+
+  private val GapMin = 30L // session gap
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Sessionization: a new session starts when the gap since the user's
+    // previous event exceeds 30 min. Classic lag + running-sum window —
+    // one shuffle on user_id, frames maintained incrementally.
+    QueryDef(
+      "q_sessionization",
+      s"""WITH g AS (
+         |  SELECT user_id, event_id, ts,
+         |         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+         |              WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+         |                   > ${GapMin * 60L * 1000000L} THEN 1
+         |              ELSE 0 END AS is_start
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+         |s AS (
+         |  SELECT user_id, event_id, ts,
+         |         sum(is_start) OVER (PARTITION BY user_id
+         |                             ORDER BY epoch_us(ts), event_id) AS session_idx
+         |  FROM g)
+         |SELECT user_id, session_idx, count(*) AS n_events,
+         |       CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,
+         |       (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_s
+         |FROM s GROUP BY user_id, session_idx""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("is_start",
+          when(lag(col("ts"), 1).over(w).isNull, 1)
+            .when(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+              > GapMin * 60L * 1000000L, 1)
+            .otherwise(0))
+        .withColumn("session_idx", sum(col("is_start")).over(w))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          unix_micros(min(col("ts"))).as("start_us"),
+          expr("(unix_micros(max(ts)) - unix_micros(min(ts))) div 1000000")
+            .as("duration_s"))
+    },
+
+    // Funnel: signup -> purchase conversion within 7 days of the user's
+    // FIRST signup. Conditional aggregation — one shuffle, no self-join.
+    QueryDef(
+      "q_funnel_signup_purchase",
+      """WITH f AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+        |         min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT
+        |  count(*) AS n_users,
+        |  count(first_signup) AS n_signed_up,
+        |  count(CASE WHEN first_purchase IS NOT NULL AND first_signup IS NOT NULL
+        |             AND first_purchase > first_signup THEN 1 END) AS n_converted_ever,
+        |  count(CASE WHEN first_purchase IS NOT NULL AND first_signup IS NOT NULL
+        |             AND first_purchase > first_signup
+        |             AND first_purchase <= first_signup + INTERVAL 7 DAY
+        |        THEN 1 END) AS n_converted_7d
+        |FROM f""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "signup", col("ts"))).as("first_signup"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
+        .agg(
+          count(lit(1)).as("n_users"),
+          count(col("first_signup")).as("n_signed_up"),
+          count(when(col("first_purchase").isNotNull && col("first_signup").isNotNull
+            && col("first_purchase") > col("first_signup"), 1)).as("n_converted_ever"),
+          count(when(col("first_purchase").isNotNull && col("first_signup").isNotNull
+            && col("first_purchase") > col("first_signup")
+            && col("first_purchase") <= col("first_signup") + expr("INTERVAL 7 DAYS"), 1))
+            .as("n_converted_7d"))
+    },
+
+    // Retention cohorts: users grouped by first-seen day, activity counted
+    // per day-offset — the triangle retention matrix.
+    QueryDef(
+      "q_retention_cohorts",
+      """WITH first_seen AS (
+        |  SELECT user_id, min(epoch_us(ts)) // 86400000000 AS cohort_day
+        |  FROM events GROUP BY user_id)
+        |SELECT f.cohort_day,
+        |       epoch_us(e.ts) // 86400000000 - f.cohort_day AS day_offset,
+        |       count(DISTINCT e.user_id) AS active_users
+        |FROM events e JOIN first_seen f ON e.user_id = f.user_id
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val firstSeen = ev.groupBy(col("user_id"))
+        .agg(expr("min(unix_micros(ts)) div 86400000000").as("cohort_day"))
+      ev.join(broadcast(firstSeen), "user_id")
+        .groupBy(col("cohort_day"),
+          (expr("unix_micros(ts) div 86400000000") - col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+    })
+}
