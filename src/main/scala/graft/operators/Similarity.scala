@@ -25,8 +25,11 @@ object Similarity {
   /** embedding column cast to array<double>. */
   def asDouble(c: Column): Column = c.cast("array<double>")
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Native codegen'd dot (graft.functions.ArrayMath) — same left-to-right
+    * double fold as the HOF `aggregate(zip_with(...))` formulation and
+    * DuckDB's list_dot_product, ~10x faster than the interpreted lambdas.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.ArrayMath.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
