@@ -7,7 +7,9 @@ import org.apache.spark.sql.functions._
   *
   * Every function here has an exact DuckDB twin (the `*Sql` variants) so the
   * correctness oracle can replay the identical computation: hashing is
-  * md5-prefix based (both engines produce identical lowercase-hex md5),
+  * md5-prefix based (the native Md5Prefix64 expression equals
+  * `conv(substring(md5(c),1,15),16,10)` bit-for-bit, and both engines
+  * produce identical md5),
   * tokenization is the same `\s+` regex split, and all arithmetic stays in
   * 64-bit integer space (no engine-specific hash functions, no floats).
   *
@@ -22,7 +24,7 @@ object TextOps {
     * engines (Spark `conv` and DuckDB hex-literal cast).
     */
   def hash64(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    org.apache.spark.sql.graft.ArrayExpressions.md5Prefix64(c)
 
   def hash64Sql(expr: String): String =
     s"CAST(('0x' || substr(md5($expr), 1, 15)) AS BIGINT)"

@@ -67,4 +67,7 @@ object ArrayExpressions {
   def dot(a: Column, b: Column): Column =
     ExpressionUtils.column(
       DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def md5Prefix64(c: Column): Column =
+    ExpressionUtils.column(Md5Prefix64(ExpressionUtils.expression(c)))
 }

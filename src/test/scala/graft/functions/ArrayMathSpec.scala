@@ -34,6 +34,17 @@ class ArrayMathSpec extends SparkSpec {
     assert(df.collect().map(_.getDouble(0)).sorted.toSeq == Seq(8.0, 11.0, 14.0, 17.0))
   }
 
+  test("md5_prefix64 equals conv(substring(md5)) bit-for-bit") {
+    import spark.implicits._
+    val strs = (0 until 2000).map(i => s"probe-$i-${"x" * (i % 17)}")
+    val df = strs.toDF("s")
+    val out = df.select(
+      graft.operators.TextOps.hash64(col("s")).as("native"),
+      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("ref"))
+      .collect()
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("null array yields null") {
     import spark.implicits._
     val df = Seq((Some(Seq(1.0)), Option.empty[Seq[Double]])).toDF("a", "b")
