@@ -88,5 +88,41 @@ object SimilarityQueries {
       Similarity.lshBuckets(prep, Similarity.planes(s))
         .select(col("vec_id"), col("bucket").cast("long").as("bucket"))
         .withColumn("n_bucket", count(lit(1)).over(Window.partitionBy(col("bucket"))))
+    },
+
+    // ANN end-to-end: candidate pairs sharing the coarse 8-bit bucket
+    // prefix (the multi-probe knob: fewer prefix bits = more recall, more
+    // candidates), verified by exact cosine. At 100 TB: equijoin on the
+    // prefix, exact dot only on candidates.
+    QueryDef(
+      "q_ann_lsh_pairs",
+      s"""WITH $prepSql,
+         |${Similarity.planesSql},
+         |bits AS (
+         |  SELECT prep.vec_id, planes.p,
+         |         CASE WHEN list_dot_product(prep.e, planes.w) >= 0
+         |              THEN CAST(1 AS BIGINT) << planes.p ELSE 0 END AS bit
+         |  FROM prep CROSS JOIN planes),
+         |buckets AS (
+         |  SELECT vec_id, sum(bit) AS bucket FROM bits GROUP BY vec_id)
+         |SELECT x.vec_id AS a, y.vec_id AS b,
+         |       round(list_dot_product(pa.e, pb.e) / (pa.nrm * pb.nrm) + 0.00000025, 4) AS cos
+         |FROM buckets x
+         |JOIN buckets y ON x.bucket >> 8 = y.bucket >> 8 AND x.vec_id < y.vec_id
+         |JOIN prep pa ON pa.vec_id = x.vec_id
+         |JOIN prep pb ON pb.vec_id = y.vec_id
+         |WHERE list_dot_product(pa.e, pb.e) / (pa.nrm * pb.nrm) >= 0.15""".stripMargin) { (s, dir) =>
+      val prep = Similarity.prepared(Tables.embeddings(s, dir)).cache()
+      val buckets = Similarity.lshBuckets(prep, Similarity.planes(s))
+      val cand = buckets.as("x")
+        .join(buckets.as("y"),
+          expr("x.bucket >> 8") === expr("y.bucket >> 8") && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      cand
+        .join(prep.select(col("vec_id").as("a"), col("e").as("ea"), col("nrm").as("na")), "a")
+        .join(prep.select(col("vec_id").as("b"), col("e").as("eb"), col("nrm").as("nb")), "b")
+        .withColumn("cosv", Similarity.cosine(col("ea"), col("eb"), col("na"), col("nb")))
+        .filter(col("cosv") >= 0.15)
+        .select(col("a"), col("b"), Num.r4(col("cosv")).as("cos"))
     })
 }

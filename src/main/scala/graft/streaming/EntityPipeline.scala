@@ -23,15 +23,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EntityPipeline {
 
-  case class WindowState(points: List[(Long, Double)], ewma: Option[Double])
+  /** points carry (ts, value, geo, device) so R3 can scan the trailing
+    * conflict window without separate state.
+    */
+  case class WindowState(
+      points: List[(Long, Double, Option[String], Option[String])],
+      ewma: Option[Double])
 
   case class RuleConfig(
-      horizonMs: Long = 300000L,
+      horizonMs: Long = 3600000L, // 1 h: R4's avg window dominates
       r1Factor: Double = 3.0,
       r1MinRate: Double = 20.0,
       r2Alpha: Double = 0.1,
       r2Factor: Double = 4.0,
-      r2MinCount: Long = 5)
+      r2MinCount: Long = 5,
+      r3WindowMs: Long = 120000L,
+      r4FactorP95: Double = 10.0,
+      r4MinThreshold: Double = 1000.0)
 
   def severity(value: Double, threshold: Double): String =
     if (threshold <= 0) "HIGH"
@@ -59,13 +67,17 @@ object EntityPipeline {
     ordered.foreach { e =>
       val t = e.ts.getTime
       val v = e.value.map(_.toDouble).getOrElse(1.0) // Processor.kt:134-139
-      val pts = ((t, v) :: st.points).filter(_._1 >= t - cfg.horizonMs)
+      val pts = ((t, v, e.geo, e.device) :: st.points)
+        .filter(_._1 >= t - cfg.horizonMs)
       // inclusive-bound window aggregates anchored at the event ts
       def cnt(ms: Long) = pts.count(p => p._1 >= t - ms).toDouble
       def sum(ms: Long) = pts.filter(p => p._1 >= t - ms).map(_._2).sum
       val rateNow = cnt(60000L)
       val cnt5m = cnt(300000L)
       val avg5m = if (cnt5m == 0) 0.0 else sum(300000L) / cnt5m
+      val cnt1h = cnt(cfg.horizonMs)
+      val avg1h = if (cnt1h == 0) 0.0 else sum(cfg.horizonMs) / cnt1h
+      val sum30s = sum(30000L)
       // R2 updates EWMA with the current value before comparing
       val ewma = st.ewma match {
         case None => v
@@ -80,6 +92,19 @@ object EntityPipeline {
       if (v > thr2 && rateNow >= cfg.r2MinCount)
         out += Alert(e.ts, "R2_VALUE_SPIKE", entityId,
           severity(v, thr2), v, thr2)
+      // R3: conflicting geo/device tags in the trailing window — the real
+      // implementation of the reference's stubbed spec (Rules.kt:98-154)
+      val recent = pts.filter(p => p._1 >= t - cfg.r3WindowMs)
+      val geos = recent.flatMap(_._3).distinct
+      val devs = recent.flatMap(_._4).distinct
+      if (geos.length > 1 || devs.length > 1)
+        out += Alert(e.ts, "R3_TAG_MISMATCH", entityId, "MEDIUM",
+          math.max(geos.length, devs.length).toDouble, 1.0)
+      // R4: exfil — sum(30 s) above the P95 fallback
+      // max(floor(factor * avg1h), min) (Rules.kt:159-200)
+      val thr4 = math.max(math.floor(avg1h * cfg.r4FactorP95), cfg.r4MinThreshold)
+      if (sum30s > thr4)
+        out += Alert(e.ts, "R4_EXFIL", entityId, "HIGH", sum30s, thr4)
     }
     state.update(st)
     out.result().iterator

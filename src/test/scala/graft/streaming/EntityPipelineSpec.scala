@@ -61,6 +61,50 @@ class EntityPipelineSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("R3 fires on conflicting geo tags within the 2-minute window") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EntityEvent]
+    val cfg = RuleConfig(r1MinRate = 1e9, r2Factor = 1e18, r4MinThreshold = 1e18)
+    val query = alerts(spark, input.toDS(), cfg)
+      .writeStream.format("memory").queryName("alerts_r3")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        EntityEvent("e1", ts("2024-01-01T00:00:00Z"), "a", "t", Some(1), Some("US"), Some("ios")),
+        EntityEvent("e2", ts("2024-01-01T00:01:00Z"), "a", "t", Some(1), Some("RU"), Some("ios")),
+        EntityEvent("e3", ts("2024-01-01T00:10:00Z"), "a", "t", Some(1), Some("DE"), Some("ios")))
+      query.processAllAvailable()
+      val out = spark.table("alerts_r3").as[Alert].collect().filter(_.rule == "R3_TAG_MISMATCH")
+      assert(out.length == 1) // e2 conflicts with e1; e3 is outside the 2m window
+      assert(out.head.ts == ts("2024-01-01T00:01:00Z"))
+      assert(out.head.severity == "MEDIUM")
+    } finally query.stop()
+  }
+
+  test("R4 fires when the 30s sum exceeds the P95 fallback threshold") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EntityEvent]
+    // factor 0 disables the adaptive part: threshold = minThreshold = 100
+    val cfg = RuleConfig(r1MinRate = 1e9, r2Factor = 1e18,
+      r4FactorP95 = 0.0, r4MinThreshold = 100.0)
+    val query = alerts(spark, input.toDS(), cfg)
+      .writeStream.format("memory").queryName("alerts_r4")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        ev("e1", "2024-01-01T00:00:00Z", "a", "t", 30),   // sum30s=30 <= 100
+        ev("e2", "2024-01-01T00:00:10Z", "a", "t", 90))   // sum30s=120 > 100
+      query.processAllAvailable()
+      val out = spark.table("alerts_r4").as[Alert].collect().filter(_.rule == "R4_EXFIL")
+      assert(out.length == 1)
+      assert(out.head.rateNow == 120.0) // the offending 30s sum
+      assert(out.head.severity == "HIGH")
+      assert(out.head.ts == ts("2024-01-01T00:00:10Z"))
+    } finally query.stop()
+  }
+
   test("severity ladder: >=10x HIGH, >=5x MEDIUM, else LOW; threshold<=0 HIGH") {
     assert(severity(100, 10) == "HIGH")
     assert(severity(50, 10) == "MEDIUM")
