@@ -109,5 +109,54 @@ object Relational {
           count(lit(1)).as("n_orders"))
         .orderBy(col("total_spend").desc, col("o_custkey").asc)
         .limit(10)
+    },
+
+    // Analytic window: top-3 parts by revenue within each brand
+    // (dense_rank) — partitioned ranking, one shuffle on the group key.
+    QueryDef(
+      "q_top_parts_per_brand",
+      """SELECT p_brand, p_partkey, revenue, rnk FROM (
+        |  SELECT p.p_brand, p.p_partkey,
+        |         round(sum(l.l_extendedprice * (1 - l.l_discount)) + 0.00000025, 4) AS revenue,
+        |         CAST(dense_rank() OVER (
+        |           PARTITION BY p.p_brand
+        |           ORDER BY round(sum(l.l_extendedprice * (1 - l.l_discount)) + 0.00000025, 4) DESC,
+        |                    p.p_partkey) AS INT) AS rnk
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY p.p_brand, p.p_partkey)
+        |WHERE rnk <= 3""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val l = Tables.lineitem(s, dir).select("l_partkey", "l_extendedprice", "l_discount")
+      val pt = Tables.part(s, dir).select("p_partkey", "p_brand")
+      l.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_partkey"))
+        .agg(Num.r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
+        .withColumn("rnk", dense_rank().over(
+          Window.partitionBy(col("p_brand"))
+            .orderBy(col("revenue").desc, col("p_partkey"))))
+        .filter(col("rnk") <= 3)
+        .select("p_brand", "p_partkey", "revenue", "rnk")
+    },
+
+    // Moving aggregate: trailing 7-day order-count/avg-spend per customer
+    // — RANGE frame over day numbers, incremental frame maintenance.
+    QueryDef(
+      "q_moving_avg_orders",
+      """SELECT o_custkey,
+        |       epoch(o_orderdate) // 86400 AS day_n,
+        |       CAST(count(*) OVER w AS BIGINT) AS orders_7d,
+        |       round(avg(o_totalprice) OVER w + 0.00000025, 4) AS avg_spend_7d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate) // 86400
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val dayN = expr("unix_timestamp(o_orderdate) div 86400")
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("day_n"))
+        .rangeBetween(-6, 0)
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), dayN.as("day_n"), col("o_totalprice"))
+        .select(col("o_custkey"), col("day_n"),
+          count(lit(1)).over(w).as("orders_7d"),
+          Num.r4(avg(col("o_totalprice")).over(w)).as("avg_spend_7d"))
     })
 }
