@@ -34,15 +34,6 @@ object TextOps {
 
   def wordsSql(expr: String): String = s"string_split_regex(trim($expr), '\\s+')"
 
-  /** Full shingles only: docs with < n words yield none (matches the
-    * lead-guard in Dedup.shingleHashes).
-    */
-  def shinglesSql(wsExpr: String, n: Int): String = {
-    val parts = (0 until n).map(j => s"$wsExpr[i + $j]").mkString(", ")
-    s"list_transform(range(1, greatest(len($wsExpr) - ${n - 1}, 0) + 1), " +
-      s"i -> concat_ws(' ', $parts))"
-  }
-
   /** BPE-ish token pattern: letter runs, digit runs, single punctuation.
     * Works identically under Java regex (Spark) and RE2 (DuckDB).
     */
