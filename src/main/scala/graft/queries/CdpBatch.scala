@@ -133,8 +133,11 @@ object CdpBatch {
           Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)))
         .filter(col("rn") === 1)
         .select(col("user_id"), col("event_type").as("latest_type"))
+      // mx is 1 row — broadcast; lastType is user-cardinality, so the
+      // join strategy is left to the planner (broadcast locally, shuffle
+      // at 1e9-user scale)
       ev.crossJoin(broadcast(mx))
-        .join(broadcast(lastType), "user_id")
+        .join(lastType, "user_id")
         .groupBy(col("user_id"))
         .agg(
           unix_micros(max(col("ts"))).as("last_seen_us"),

@@ -102,7 +102,9 @@ object EventAnalytics {
       val ev = Tables.events(s, dir)
       val firstSeen = ev.groupBy(col("user_id"))
         .agg(expr("min(unix_micros(ts)) div 86400000000").as("cohort_day"))
-      ev.join(broadcast(firstSeen), "user_id")
+      // firstSeen is user-cardinality: no broadcast hint — fine locally,
+      // shuffle-join at cluster scale
+      ev.join(firstSeen, "user_id")
         .groupBy(col("cohort_day"),
           (expr("unix_micros(ts) div 86400000000") - col("cohort_day")).as("day_offset"))
         .agg(countDistinct(col("user_id")).as("active_users"))

@@ -1,0 +1,45 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The built-in streaming path for A1–A4-style aggregates: event-time
+  * tumbling windows + watermark in append mode — windows emit once final,
+  * and data older than the watermark is dropped.
+  */
+class WindowedAggSpec extends SparkSpec {
+
+  test("watermarked tumbling window: finalized windows emit; late data beyond watermark is dropped") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val agg = input.toDF().toDF("key", "ts", "v")
+      .withWatermark("ts", "1 minute")
+      .groupBy(col("key"), window(col("ts"), "1 minute"))
+      .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sum"))
+      .select(col("key"), unix_timestamp(col("window.start")).as("w_start"),
+        col("cnt"), col("sum"))
+    val query = agg.writeStream.format("memory").queryName("win_agg")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        ("a", ts("2024-01-01T00:00:10Z"), 1L),
+        ("a", ts("2024-01-01T00:00:40Z"), 2L))
+      query.processAllAvailable()
+      // advance the watermark far past the first window
+      input.addData(("a", ts("2024-01-01T00:10:00Z"), 5L))
+      query.processAllAvailable()
+      // this event is older than watermark (00:09:00) -> dropped
+      input.addData(("a", ts("2024-01-01T00:00:50Z"), 100L))
+      query.processAllAvailable()
+      input.addData(("a", ts("2024-01-01T00:20:00Z"), 7L)) // finalize 00:10
+      query.processAllAvailable()
+      val rows = spark.table("win_agg").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      // first window: cnt 2 sum 3 (late v=100 NOT included); 00:10 window: 1/5
+      assert(rows.contains((ts("2024-01-01T00:00:00Z").getTime / 1000, 2L, 3L)))
+      assert(rows.contains((ts("2024-01-01T00:10:00Z").getTime / 1000, 1L, 5L)))
+    } finally query.stop()
+  }
+}
