@@ -77,6 +77,11 @@ object Similarity {
     * so results are bit-identical to the oracle. ~100x faster than the
     * interpreted HOF fold on the pair space.
     */
+  /** Hard cap on the collected side: ~1M x 64-dim doubles ~ 0.5 GB on the
+    * driver. Beyond that, brute force is the wrong tool — use lshBuckets.
+    */
+  val MaxBroadcastVectors = 1000000
+
   def bruteForcePairs(spark: org.apache.spark.sql.SparkSession,
                       prep: DataFrame, threshold: Double): DataFrame = {
     import spark.implicits._
@@ -85,6 +90,9 @@ object Similarity {
         .as[(Long, Seq[Double], Double)]
         .collect().sortBy(_._1)
         .map { case (id, e, n) => (id, e.toArray, n) }
+    require(side.length <= MaxBroadcastVectors,
+      s"bruteForcePairs collected ${side.length} vectors (> $MaxBroadcastVectors); " +
+        "use lshBuckets + bucket-join for corpora this large")
     val bc = spark.sparkContext.broadcast(side)
     prep.select(col("vec_id"), col("e"), col("nrm"))
       .as[(Long, Seq[Double], Double)]
