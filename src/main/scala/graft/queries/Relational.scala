@@ -158,5 +158,20 @@ object Relational {
         .select(col("o_custkey"), col("day_n"),
           count(lit(1)).over(w).as("orders_7d"),
           Num.r4(avg(col("o_totalprice")).over(w)).as("avg_spend_7d"))
+    },
+
+    // Anti join: customers with no high-value order (LEFT ANTI — no row
+    // materialization for matches; filter pushed below the join).
+    QueryDef(
+      "q_customers_without_big_orders",
+      """SELECT c.c_custkey, c.c_mktsegment
+        |FROM customer c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir).select("c_custkey", "c_mktsegment")
+        .join(Tables.orders(s, dir).select(col("o_custkey"), col("o_totalprice"))
+            .filter(col("o_totalprice") > 300000).select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
     })
 }

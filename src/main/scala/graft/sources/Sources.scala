@@ -95,4 +95,16 @@ object Sources {
 
   def cdpKafkaKey: org.apache.spark.sql.Column =
     coalesce(col("userId"), col("anonymousId"), col("eventId"))
+
+  /** S6 transport toggle (`transport.mode = memory|kafka|file`): one
+    * factory, config-selected, same downstream pipeline either way.
+    */
+  def entityStream(spark: SparkSession, mode: String,
+                   brokersOrPath: String, topic: String = "entity-events"): DataFrame =
+    mode match {
+      case "kafka" => kafkaStream(spark, brokersOrPath, topic, entityEventWireSchema)
+      case "file"  => fileStream(spark, brokersOrPath, entityEventWireSchema)
+      case other   => throw new IllegalArgumentException(
+        s"transport.mode=$other (memory mode uses MemoryStream directly in tests)")
+    }
 }
