@@ -33,6 +33,7 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             Left("error")
           }
+          finally spark.catalog.clearCache() // no cross-query cache pinning
         name -> r
       }
     val qs = results.map {

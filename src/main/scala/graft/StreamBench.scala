@@ -29,8 +29,10 @@ object StreamBench {
 
     // deterministic workload: 2k profiles, 5% duplicate ids, monotone ts
     val events = (0 until n).map { i =>
-      val user = s"u${i % 2000}"
       val dup = i % 20 == 19
+      // a duplicate re-delivers the PREVIOUS event's id to the previous
+      // event's profile, so the dedup hit path is actually exercised
+      val user = if (dup) s"u${(i - 1) % 2000}" else s"u${i % 2000}"
       CdpEvent(
         eventId = if (dup) s"e${i - 1}" else s"e$i",
         ts = new Timestamp(1704067200000L + i.toLong * 10),

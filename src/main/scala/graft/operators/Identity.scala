@@ -48,6 +48,9 @@ object Identity {
       converged = changed == 0
       i += 1
     }
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds — component " +
+        "diameter exceeds the bound; raise maxIter")
     labels.withColumnRenamed("comp", "component")
   }
 }

@@ -32,7 +32,8 @@ object CdpReplay {
          |  SELECT user_id, plan_trait AS plan FROM (
          |    SELECT user_id, plan_trait,
          |           row_number() OVER (PARTITION BY user_id
-         |                              ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         |                              ORDER BY epoch_us(ts) DESC,
+         |                                       lpad(CAST(event_id AS VARCHAR), 12, '0') DESC) AS rn
          |    FROM e WHERE plan_trait IS NOT NULL) WHERE rn = 1),
          |cnt AS (
          |  SELECT e.user_id, count(*) AS track_24h
@@ -53,7 +54,7 @@ object CdpReplay {
       val kTag = regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
       val cdpEvents = Tables.events(s, dir)
         .select(
-          col("event_id").cast("string").as("eventId"), col("ts"),
+          lpad(col("event_id").cast("string"), 12, "0").as("eventId"), col("ts"),
           col("event_type"),
           col("user_id").cast("string").as("userId"),
           when(col("event_type") === "signup",

@@ -21,7 +21,7 @@ object Serving {
         |FROM (
         |  SELECT user_id, max(ts) AS last_seen, count(*) AS n_events
         |  FROM events GROUP BY user_id)
-        |ORDER BY last_seen DESC, user_id LIMIT 20""".stripMargin) { (s, dir) =>
+        |ORDER BY epoch_us(last_seen) DESC, user_id LIMIT 20""".stripMargin) { (s, dir) =>
       Tables.events(s, dir)
         .groupBy(col("user_id"))
         .agg(max(col("ts")).as("last_seen"), count(lit(1)).as("n_events"))

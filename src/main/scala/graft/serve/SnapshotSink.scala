@@ -28,8 +28,11 @@ object SnapshotSink {
 
     def emitCount: Long = emitted
 
-    /** Returns true if the snapshot changed and was emitted. */
-    def push(snapshot: Seq[T]): Boolean = {
+    /** Returns true if the snapshot changed and was emitted. Synchronized:
+      * concurrent pushes must not lose emit counts or deliver snapshots to
+      * listeners out of order.
+      */
+    def push(snapshot: Seq[T]): Boolean = synchronized {
       val prev = last.getAndSet(Some(snapshot))
       val changed = !prev.contains(snapshot)
       if (changed) {

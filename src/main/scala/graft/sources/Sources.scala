@@ -71,8 +71,9 @@ object Sources {
   def validateCdp(df: DataFrame): (DataFrame, DataFrame) = {
     val reason =
       when(trim(coalesce(col("eventId"), lit(""))) === "", "blank_event_id")
-        .when(coalesce(col("anonymousId"), col("userId"), col("email")).isNull,
-          "no_identifier")
+        .when(coalesce(nullif(trim(col("anonymousId")), lit("")),
+          nullif(trim(col("userId")), lit("")),
+          nullif(trim(col("email")), lit(""))).isNull, "no_identifier")
         .when(col("type") === "TRACK" &&
           trim(coalesce(col("name"), lit(""))) === "", "track_without_name")
     val tagged = df.withColumn("invalid_reason", reason)

@@ -31,22 +31,30 @@ object CdpPipeline {
   val PowerUserThreshold = 5
   private val DayMs = 86400000L
   private val BucketMs = 60000L
-  private val DedupCap = 10000
+  private val DedupTtlMs = 600000L // reference dedup-ttl: 10 m
+  private val DedupPruneAt = 10000 // amortize the TTL sweep
+
+  /** Event-time microseconds (getTime() is ms-truncated; sub-ms lives in
+    * getNanos) — LWW and ordering must see the full µs precision the
+    * batch/oracle side uses.
+    */
+  def micros(ts: Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000L
 
   case class ProfileState(
       userIds: Set[String],
       emails: Set[String],
       anonymousIds: Set[String],
-      traits: Map[String, (String, Long)], // value, ts-millis of last write
-      lastSeenMs: Long,
+      traits: Map[String, (String, Long)], // value, ts-micros of last write
+      lastSeenUs: Long, // event-time microseconds
       buckets: Map[Long, Long], // minute bucket -> TRACK count
       segments: Set[String],
-      seenEventIds: Set[String])
+      seenEventIds: Map[String, Long]) // eventId -> ts-micros (recency cache)
 
   object ProfileState {
     val empty: ProfileState =
       ProfileState(Set.empty, Set.empty, Set.empty, Map.empty, 0L,
-        Map.empty, Set.empty, Set.empty)
+        Map.empty, Set.empty, Map.empty)
   }
 
   /** The reference's routing key (`CdpEvent.kt:28-30`). */
@@ -60,7 +68,7 @@ object CdpPipeline {
     */
   def applyEvent(pid: String, st: ProfileState, e: CdpEvent): (ProfileState, Seq[SegmentEvent]) = {
     if (st.seenEventIds.contains(e.eventId)) return (st, Nil)
-    val t = e.ts.getTime
+    val t = micros(e.ts)
     val userIds = st.userIds ++ e.userId
     val emails = st.emails ++ e.email.map(_.trim.toLowerCase)
     val anons = st.anonymousIds ++ e.anonymousId
@@ -71,14 +79,15 @@ object CdpPipeline {
         case _ => acc.updated(k, (v, t))
       }
     }
-    val lastSeen = math.max(st.lastSeenMs, t)
+    val lastSeen = math.max(st.lastSeenUs, t)
+    val tMs = t / 1000L
     val buckets0 =
       if (e.eventType == "TRACK") {
-        val b = (t / BucketMs) * BucketMs
+        val b = (tMs / BucketMs) * BucketMs
         st.buckets.updated(b, st.buckets.getOrElse(b, 0L) + 1L)
       } else st.buckets
     // prune buckets outside the trailing 24 h of the newest event seen
-    val horizon = ((lastSeen - DayMs) / BucketMs) * BucketMs
+    val horizon = ((lastSeen / 1000L - DayMs) / BucketMs) * BucketMs
     val buckets = buckets0.filter(_._1 >= horizon)
     val track24h = buckets.valuesIterator.sum
     val segs = Set.newBuilder[String]
@@ -88,16 +97,19 @@ object CdpPipeline {
     val emits =
       (newSegs -- st.segments).toSeq.sorted.map(SegmentEvent(pid, _, "ENTER", e.ts)) ++
         (st.segments -- newSegs).toSeq.sorted.map(SegmentEvent(pid, _, "EXIT", e.ts))
+    // recency cache with event-time TTL (reference: Caffeine 10 m TTL) —
+    // recent ids are ALWAYS tracked; old ones age out. Sweep amortized.
+    val seen0 = st.seenEventIds.updated(e.eventId, t)
     val seen =
-      if (st.seenEventIds.size >= DedupCap) st.seenEventIds // cap, like the 10k cache
-      else st.seenEventIds + e.eventId
+      if (seen0.size > DedupPruneAt) seen0.filter(_._2 >= t - DedupTtlMs * 1000L)
+      else seen0
     (ProfileState(userIds, emails, anons, traits, lastSeen, buckets, newSegs, seen),
       emits)
   }
 
   private def orderedFold(pid: String, st0: ProfileState, rows: Iterator[CdpEvent])
   : (ProfileState, Seq[SegmentEvent]) = {
-    val ordered = rows.toSeq.sortBy(e => (e.ts.getTime, e.eventId))
+    val ordered = rows.toSeq.sortBy(e => (micros(e.ts), e.eventId))
     ordered.foldLeft((st0, Seq.empty[SegmentEvent])) { case ((st, acc), e) =>
       val (next, emits) = applyEvent(pid, st, e)
       (next, acc ++ emits)
@@ -131,7 +143,7 @@ object CdpPipeline {
           st.anonymousIds.toSeq.sorted,
           st.traits.map { case (k, (v, _)) => k -> v },
           st.buckets.valuesIterator.sum,
-          new Timestamp(st.lastSeenMs),
+          new Timestamp(st.lastSeenUs / 1000L),
           st.segments.toSeq.sorted)
       }
   }

@@ -69,9 +69,11 @@ object EntityPipeline {
       val v = e.value.map(_.toDouble).getOrElse(1.0) // Processor.kt:134-139
       val pts = ((t, v, e.geo, e.device) :: st.points)
         .filter(_._1 >= t - cfg.horizonMs)
-      // inclusive-bound window aggregates anchored at the event ts
-      def cnt(ms: Long) = pts.count(p => p._1 >= t - ms).toDouble
-      def sum(ms: Long) = pts.filter(p => p._1 >= t - ms).map(_._2).sum
+      // inclusive-bound window aggregates anchored at the event ts; the
+      // upper bound matters for late events whose state already holds
+      // points with LATER timestamps (batch RANGE frames exclude them too)
+      def cnt(ms: Long) = pts.count(p => p._1 >= t - ms && p._1 <= t).toDouble
+      def sum(ms: Long) = pts.filter(p => p._1 >= t - ms && p._1 <= t).map(_._2).sum
       val rateNow = cnt(60000L)
       val cnt5m = cnt(300000L)
       val avg5m = if (cnt5m == 0) 0.0 else sum(300000L) / cnt5m
