@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale probe: replicates the sf0.1 tables k-fold in-memory (ids offset
+  * per replica so keys multiply, not collide) and times the heaviest
+  * operators — a cheap check that their cost curves stay near-linear
+  * before anyone runs them on a real cluster.
+  *
+  * `runMain graft.ScaleProbe [k] [cores]`
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val k = if (args.length > 0) args(0).toInt else 10
+    val cores = if (args.length > 1) args(1).toInt else 16
+    val spark = Sessions.batch("graft-scale-probe", cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.1"
+
+    def replicate(df: DataFrame, idCols: Seq[String]): DataFrame =
+      (0 until k).map { i =>
+        idCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i.toLong * 10000000L)))
+      }.reduce(_ unionAll _)
+
+    val events = replicate(Tables.events(spark, dir), Seq("event_id", "user_id")).cache()
+    val docs = replicate(Tables.documents(spark, dir), Seq("doc_id")).cache()
+    println(s"events=${events.count()} docs=${docs.count()} (k=$k)")
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$name%-24s rows=$n%-10d ${(System.nanoTime() - t0) / 1e9}%6.2fs")
+      spark.catalog.clearCache()
+      events.cache().count(); docs.cache().count() // keep inputs resident
+    }
+
+    time("sliding_window_aggs") {
+      graft.operators.SlidingWindows.withSlidingAggs(events,
+        Seq(col("user_id"), col("event_type")), col("ts"), col("value")).count()
+    }
+    time("ewma") {
+      graft.operators.Ewma.perEvent(spark, events, 0.1).count()
+    }
+    time("minhash_lsh") {
+      val sh = graft.operators.Dedup.shingleHashes(
+        docs.select(col("doc_id").as("id"), col("text")), col("id"), col("text"), 5).cache()
+      val cand = graft.operators.Dedup.candidatePairs(
+        graft.operators.Dedup.bandKeys(graft.operators.Dedup.minhashSignatures(sh)))
+      graft.operators.Dedup.jaccard(cand, sh).filter(col("jaccard") >= 0.35).count()
+    }
+    time("simhash_pairs") {
+      graft.operators.Dedup.simhashPairs(
+        graft.operators.Dedup.simhash(
+          docs.select(col("doc_id").as("id"), col("text")), col("id"), col("text")), 3).count()
+    }
+    time("rolling_counter") {
+      events.groupBy(col("user_id"), col("event_type"),
+          unix_timestamp(date_trunc("minute", col("ts"))).as("bucket_s"))
+        .agg(count(lit(1)).as("cnt")).count()
+    }
+    time("sessionization") {
+      SparkEntry.queries("q_sessionization")(spark, dir).count() // 1x baseline
+    }
+    spark.stop()
+  }
+}
