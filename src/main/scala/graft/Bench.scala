@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 
 /** Bench main: runs every registered query on SPARK_GRAFT_SF_DIR and prints
   * ONE JSON line `{"metric":"total","value":N,"unit":"sec","queries":{...}}`.
@@ -10,13 +9,8 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val spark = Sessions.batch("graft-bench", cpus)
     spark.sparkContext.setLogLevel("WARN")
     // warm up codegen/parquet/shuffle paths so the first query's timing
     // reflects the query, not session initialization

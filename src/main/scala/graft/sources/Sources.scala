@@ -97,8 +97,9 @@ object Sources {
   def cdpKafkaKey: org.apache.spark.sql.Column =
     coalesce(col("userId"), col("anonymousId"), col("eventId"))
 
-  /** S6 transport toggle (`transport.mode = memory|kafka|file`): one
-    * factory, config-selected, same downstream pipeline either way.
+  /** S6 transport toggle: kafka|file are factory-constructible here;
+    * memory mode wires a MemoryStream directly (tests own its lifecycle),
+    * so requesting it raises with that instruction.
     */
   def entityStream(spark: SparkSession, mode: String,
                    brokersOrPath: String, topic: String = "entity-events"): DataFrame =

@@ -98,11 +98,18 @@ object CdpPipeline {
       (newSegs -- st.segments).toSeq.sorted.map(SegmentEvent(pid, _, "ENTER", e.ts)) ++
         (st.segments -- newSegs).toSeq.sorted.map(SegmentEvent(pid, _, "EXIT", e.ts))
     // recency cache with event-time TTL (reference: Caffeine 10 m TTL) —
-    // recent ids are ALWAYS tracked; old ones age out. Sweep amortized.
+    // recent ids are ALWAYS tracked; old ones age out. When the TTL sweep
+    // reclaims nothing (a hot profile emitting > cap ids per TTL), trim to
+    // the most recent half-cap so the sweep is amortized O(1)/event and
+    // state stays bounded (the reference cache also evicts under pressure).
     val seen0 = st.seenEventIds.updated(e.eventId, t)
     val seen =
-      if (seen0.size > DedupPruneAt) seen0.filter(_._2 >= t - DedupTtlMs * 1000L)
-      else seen0
+      if (seen0.size <= DedupPruneAt) seen0
+      else {
+        val ttlPruned = seen0.filter(_._2 >= t - DedupTtlMs * 1000L)
+        if (ttlPruned.size <= DedupPruneAt) ttlPruned
+        else ttlPruned.toSeq.sortBy(-_._2).take(DedupPruneAt / 2).toMap
+      }
     (ProfileState(userIds, emails, anons, traits, lastSeen, buckets, newSegs, seen),
       emits)
   }

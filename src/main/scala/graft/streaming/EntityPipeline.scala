@@ -96,7 +96,7 @@ object EntityPipeline {
           severity(v, thr2), v, thr2)
       // R3: conflicting geo/device tags in the trailing window — the real
       // implementation of the reference's stubbed spec (Rules.kt:98-154)
-      val recent = pts.filter(p => p._1 >= t - cfg.r3WindowMs)
+      val recent = pts.filter(p => p._1 >= t - cfg.r3WindowMs && p._1 <= t)
       val geos = recent.flatMap(_._3).distinct
       val devs = recent.flatMap(_._4).distinct
       if (geos.length > 1 || devs.length > 1)

@@ -38,7 +38,8 @@ object IdentityStream {
   /** Wire the resolver onto a stream of (src, dst) identifier edges.
     * Returns the writer (caller starts it) and the live mapping handle.
     */
-  def resolver(spark: SparkSession, edges: DataFrame, edgeStateDir: String)
+  def resolver(spark: SparkSession, edges: DataFrame, edgeStateDir: String,
+               maxIter: Int = 100)
   : (DataStreamWriter[org.apache.spark.sql.Row], MappingRef) = {
     val mapping = new MappingRef
     val writer = edges.writeStream
@@ -49,8 +50,15 @@ object IdentityStream {
         // accumulate edge state (append; CC dedups via distinct)
         newEdges.write.mode("append").parquet(edgeStateDir)
         val allEdges = spark.read.parquet(edgeStateDir).distinct()
-        val cc = Identity.connectedComponents(allEdges)
-        mapping.set(cc.collect().map(r => r.getString(0) -> r.getString(1)).toMap)
+        // keep the previous (monotone-safe) mapping if a pathological
+        // component exceeds the iteration bound — never kill the stream
+        try {
+          val cc = Identity.connectedComponents(allEdges, maxIter)
+          mapping.set(cc.collect().map(r => r.getString(0) -> r.getString(1)).toMap)
+        } catch {
+          case e: IllegalArgumentException =>
+            System.err.println(s"[identity] keeping previous mapping: ${e.getMessage}")
+        }
         ()
       }
     (writer, mapping)

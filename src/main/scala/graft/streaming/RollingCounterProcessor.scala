@@ -31,21 +31,28 @@ class RollingCounterProcessor
       key: String,
       inputRows: Iterator[(String, Timestamp)],
       timerValues: TimerValues): Iterator[(String, Long, Long, Long)] = {
+    // read state ONCE per call, fold in memory, write back the diff —
+    // per-row MapState scans would be O(rows x live-buckets) RocksDB reads
+    var live = collection.mutable.Map.empty[Long, Long]
+    buckets.iterator().foreach { case (b, c) => live.update(b, c) }
+    val removed = Seq.newBuilder[Long]
     val out = Seq.newBuilder[(String, Long, Long, Long)]
     inputRows.toSeq.sortBy(_._2.getTime).foreach { case (_, ts) =>
       val t = ts.getTime
       val b = (t / BucketMs) * BucketMs
-      val cnt = (if (buckets.containsKey(b)) buckets.getValue(b) else 0L) + 1L
-      buckets.updateValue(b, cnt)
-      // prune buckets outside the trailing 24 h and total the remainder
+      val cnt = live.getOrElse(b, 0L) + 1L
+      live.update(b, cnt)
       val horizon = ((t - DayMs) / BucketMs) * BucketMs
-      var total = 0L
-      buckets.iterator().foreach { case (bucket, count) =>
-        if (bucket < horizon) buckets.removeKey(bucket)
-        else total += count
+      live.keysIterator.filter(_ < horizon).toList.foreach { k =>
+        live.remove(k); removed += k
       }
+      // total bounded BOTH ways: a late event must not count buckets after
+      // its own (mirrors the batch RANGE ... AND CURRENT ROW frame)
+      val total = live.iterator.collect { case (k, c) if k <= b => c }.sum
       out += ((key, b, cnt, total))
     }
+    removed.result().distinct.foreach(buckets.removeKey)
+    live.foreach { case (b, c) => buckets.updateValue(b, c) }
     out.result().iterator
   }
 }
