@@ -54,6 +54,18 @@ object Multimodal {
     }
   }
 
+  /** Per-frame fan-out: one row per sampled frame, ready for per-frame
+    * featurization (the map side of a frame-level pipeline). Partitioning
+    * by asset keeps a video's frames co-located for stateful codecs.
+    */
+  def explodeFrames(features: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    features.select(
+      org.apache.spark.sql.functions.col("asset_id"),
+      org.apache.spark.sql.functions.col("media_type"),
+      org.apache.spark.sql.functions.posexplode(
+        org.apache.spark.sql.functions.col("sampled_frames"))
+        .as(Seq("sample_idx", "frame_idx")))
+
   /** Partition-local batch decode: one decoder per partition, rows
     * streamed. The repartition bound keeps each decode batch within
     * executor memory no matter the table size.

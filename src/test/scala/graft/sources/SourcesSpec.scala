@@ -72,6 +72,33 @@ class SourcesSpec extends SparkSpec {
     assert(dupRate > 0.03 && dupRate < 0.07)
   }
 
+  test("file stream source parses the wire envelope end-to-end") {
+    val dir = java.nio.file.Files.createTempDirectory("wire").toString
+    java.nio.file.Files.writeString(java.nio.file.Path.of(dir, "a.json"),
+      """{"eventId":"e1","ts":"2024-01-01T00:00:05Z","payload":{"entityId":"ent1","profile":"SASE","type":"LOGIN","value":7,"tags":{"status":"OK"}}}\n""")
+    val stream = Sources.entityStream(spark, "file", dir)
+    val query = stream.writeStream.format("memory").queryName("wire_file")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val row = spark.table("wire_file").collect().head
+      assert(row.getAs[String]("eventId") == "e1")
+      assert(row.getAs[String]("entityId") == "ent1")
+      assert(row.getAs[Long]("value") == 7L)
+    } finally query.stop()
+  }
+
+  test("multimodal frame fan-out: one row per sampled frame") {
+    import spark.implicits._
+    val assets = Seq((1L, "video payload", "video")).toDF("asset_id", "text", "media_type")
+      .select(col("asset_id"), encode(col("text"), "UTF-8").as("payload"), col("media_type"))
+    val feats = graft.operators.Multimodal.decodeFeatures(spark, assets)
+    val frames = graft.operators.Multimodal.explodeFrames(feats).collect()
+    val n = feats.collect().head.getAs[Seq[Int]]("sampled_frames").length
+    assert(frames.length == n && n >= 1)
+    assert(frames.map(_.getAs[Int]("sample_idx")).toSeq == (0 until n))
+  }
+
   test("watermarked dedup drops repeats within the grace window") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
