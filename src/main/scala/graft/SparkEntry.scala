@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.MultimodalQueries.defs ++
       graft.queries.Serving.defs ++
       graft.queries.EventAnalytics.defs ++
-      graft.queries.CdpReplay.defs
+      graft.queries.CdpReplay.defs ++
+      graft.queries.AsofQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
