@@ -24,7 +24,8 @@ object SparkEntry {
       graft.queries.Serving.defs ++
       graft.queries.EventAnalytics.defs ++
       graft.queries.CdpReplay.defs ++
-      graft.queries.AsofQueries.defs
+      graft.queries.AsofQueries.defs ++
+      graft.queries.IvfQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
