@@ -55,9 +55,14 @@ object ScaleProbe {
           docs.select(col("doc_id").as("id"), col("text")), col("id"), col("text")), 3).count()
     }
     time("rolling_counter") {
+      import org.apache.spark.sql.expressions.Window
       events.groupBy(col("user_id"), col("event_type"),
           unix_timestamp(date_trunc("minute", col("ts"))).as("bucket_s"))
-        .agg(count(lit(1)).as("cnt")).count()
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cnt_24h", sum(col("cnt")).over(
+          Window.partitionBy(col("user_id"), col("event_type"))
+            .orderBy(col("bucket_s")).rangeBetween(-86400, 0)))
+        .count()
     }
     time("sessionization") {
       SparkEntry.queries("q_sessionization")(spark, dir).count() // 1x baseline

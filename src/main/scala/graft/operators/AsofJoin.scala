@@ -12,17 +12,24 @@ import org.apache.spark.sql.functions._
   * Implementation is the scalable union trick, not a join: tag both
   * sides, union them, sort within key by (ts, side) with right rows
   * ordered BEFORE left rows at equal ts (so an exactly-simultaneous right
-  * row is visible), and propagate the last-seen right payload with
-  * `last(_, ignoreNulls = true)` over an unbounded-preceding row frame.
-  * One shuffle on the key, one in-partition sort, zero row explosion —
-  * immune to the skew/cardinality blowups of a range self-join, which is
-  * why it survives 100 TB while `l JOIN r ON l.ts >= r.ts` (then
-  * row_number) does not.
+  * row is visible), and propagate the last-seen right row as ONE struct
+  * with `last(_, ignoreNulls = true)` — a single struct, not per-column
+  * propagation, so a right row with a NULL payload field still wins as a
+  * whole (per-column `last` would stitch the ts from one row and the
+  * payload from an older one). One shuffle on the key, one in-partition
+  * sort, zero row explosion — immune to the skew/cardinality blowups of a
+  * range self-join (`l JOIN r ON l.ts >= r.ts` + row_number), which is
+  * why it survives 100 TB.
+  *
+  * Right rows tying on (key, ts) are resolved deterministically by the
+  * packed struct's ordering (largest payload struct wins).
   */
 object AsofJoin {
 
+  private val Reserved = Seq("_side", "_ats", "_pk", "asof_ts")
+
   /** left/right: any DataFrames. keyCols: equi-join keys present in both.
-    * rightPayload: columns of `right` to carry (renamed as given).
+    * rightPayload: columns of `right` to carry, as (inputName -> outputName).
     * toleranceSec: if >= 0, matches older than leftTs - tolerance become
     * null (no match), mirroring merge_asof's tolerance.
     */
@@ -30,48 +37,40 @@ object AsofJoin {
                leftTs: String, rightTs: String,
                rightPayload: Map[String, String],
                toleranceSec: Long = -1L): DataFrame = {
-    val l = left.withColumn("_side", lit(1))
+    val outNames = rightPayload.values.toSeq
+    require(Reserved.intersect(left.columns).isEmpty,
+      s"left side uses reserved column names: ${Reserved.intersect(left.columns).mkString(",")}")
+    require(outNames.intersect(left.columns).isEmpty,
+      s"payload output names collide with left columns: ${outNames.intersect(left.columns).mkString(",")}")
+
+    // pack the matched right row into one struct (ts first, then payloads)
+    val packed = struct(
+      (col(rightTs).as("ts") +:
+        rightPayload.toSeq.map { case (in, out) => col(in).as(out) }): _*)
+    val rSlim = right
+      .select((keyCols.map(col) :+ col(rightTs).as("_ats") :+ packed.as("_pk")): _*)
+      .withColumn("_side", lit(0))
+    val lSlim = left
+      .withColumn("_side", lit(1))
       .withColumn("_ats", col(leftTs))
-      .withColumn("_rts", lit(null).cast("timestamp"))
-    val payloadNulls = rightPayload.values.foldLeft(l) { (df, out) =>
-      df.withColumn(s"_p_$out", lit(null).cast(
-        right.schema(rightPayload.find(_._2 == out).get._1).dataType))
-    }
-    var r = right.withColumn("_side", lit(0))
-      .withColumn("_ats", col(rightTs))
-      .withColumn("_rts", col(rightTs))
-    rightPayload.foreach { case (in, out) => r = r.withColumn(s"_p_$out", col(in)) }
-    val rSlim = r.select((keyCols ++ Seq("_side", "_ats", "_rts") ++
-      rightPayload.values.map(v => s"_p_$v")).map(col): _*)
-    val lCols = payloadNulls.columns
-    val lSlim = payloadNulls.select(lCols.map(col): _*)
+      .withColumn("_pk", lit(null).cast(rSlim.schema("_pk").dataType))
 
     val unioned = lSlim.unionByName(rSlim, allowMissingColumns = true)
-    // right rows sort before left rows at the same ts => inclusive match
+    // right rows sort before left rows at equal ts => inclusive match;
+    // right-vs-right ties resolved by the struct itself (deterministic)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("_ats").asc, col("_side").asc)
+      .orderBy(col("_ats").asc, col("_side").asc, col("_pk").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = rightPayload.values.foldLeft(
-      unioned.withColumn("_m_ts", last(col("_rts"), ignoreNulls = true).over(w))) {
-      (df, out) => df.withColumn(s"_m_$out", last(col(s"_p_$out"), ignoreNulls = true).over(w))
-    }
-    val matched = filled.filter(col("_side") === 1)
+    val matched = unioned
+      .withColumn("_m", last(col("_pk"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
     val withTol =
       if (toleranceSec < 0) matched
-      else {
-        // materialize the staleness flag FIRST — nulling _m_ts and then
-        // re-deriving staleness from it would keep stale payloads
-        val flagged = matched.withColumn("_stale",
-          col("_m_ts") < col(leftTs) - expr(s"INTERVAL $toleranceSec SECONDS"))
-        (Seq("_m_ts") ++ rightPayload.values.map(v => s"_m_$v"))
-          .foldLeft(flagged) { (df, c) =>
-            df.withColumn(c, when(col("_stale"), lit(null)).otherwise(col(c)))
-          }
-          .drop("_stale")
-      }
-    val cleanup = withTol.withColumnRenamed("_m_ts", "asof_ts")
-    rightPayload.values.foldLeft(cleanup) { (df, out) =>
-      df.withColumnRenamed(s"_m_$out", out)
-    }.drop("_side", "_ats", "_rts").drop(rightPayload.values.toSeq.map(v => s"_p_$v"): _*)
+      else matched.withColumn("_m",
+        when(col("_m.ts") < col(leftTs) - expr(s"INTERVAL $toleranceSec SECONDS"),
+          lit(null)).otherwise(col("_m")))
+    outNames.foldLeft(withTol.withColumn("asof_ts", col("_m.ts"))) {
+      (df, out) => df.withColumn(out, col(s"_m.$out"))
+    }.drop("_side", "_ats", "_pk", "_m")
   }
 }

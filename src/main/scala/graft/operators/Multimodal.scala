@@ -58,13 +58,9 @@ object Multimodal {
     * featurization (the map side of a frame-level pipeline). Partitioning
     * by asset keeps a video's frames co-located for stateful codecs.
     */
-  def explodeFrames(features: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    features.select(
-      org.apache.spark.sql.functions.col("asset_id"),
-      org.apache.spark.sql.functions.col("media_type"),
-      org.apache.spark.sql.functions.posexplode(
-        org.apache.spark.sql.functions.col("sampled_frames"))
-        .as(Seq("sample_idx", "frame_idx")))
+  def explodeFrames(features: DataFrame): DataFrame =
+    features.select(col("asset_id"), col("media_type"),
+      posexplode(col("sampled_frames")).as(Seq("sample_idx", "frame_idx")))
 
   /** Partition-local batch decode: one decoder per partition, rows
     * streamed. The repartition bound keeps each decode batch within

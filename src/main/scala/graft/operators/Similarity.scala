@@ -85,17 +85,17 @@ object Similarity {
   def bruteForcePairs(spark: org.apache.spark.sql.SparkSession,
                       prep: DataFrame, threshold: Double): DataFrame = {
     import spark.implicits._
-    // bound BEFORE collecting — the guard exists to prevent the driver
-    // materialization, so it cannot run after it
-    val n = prep.limit(MaxBroadcastVectors + 1).count()
-    require(n <= MaxBroadcastVectors,
+    // one bounded collect: limit(N+1) caps driver memory at N+1 rows AND
+    // detects overflow, without a separate count job re-evaluating prep
+    val collected = prep.select(col("vec_id"), col("e"), col("nrm"))
+      .as[(Long, Seq[Double], Double)]
+      .limit(MaxBroadcastVectors + 1)
+      .collect()
+    require(collected.length <= MaxBroadcastVectors,
       s"bruteForcePairs input exceeds $MaxBroadcastVectors vectors; " +
         "use lshBuckets + bucket-join for corpora this large")
     val side: Array[(Long, Array[Double], Double)] =
-      prep.select(col("vec_id"), col("e"), col("nrm"))
-        .as[(Long, Seq[Double], Double)]
-        .collect().sortBy(_._1)
-        .map { case (id, e, n) => (id, e.toArray, n) }
+      collected.sortBy(_._1).map { case (id, e, n) => (id, e.toArray, n) }
     val bc = spark.sparkContext.broadcast(side)
     prep.select(col("vec_id"), col("e"), col("nrm"))
       .as[(Long, Seq[Double], Double)]

@@ -97,11 +97,12 @@ object CdpPipeline {
     val emits =
       (newSegs -- st.segments).toSeq.sorted.map(SegmentEvent(pid, _, "ENTER", e.ts)) ++
         (st.segments -- newSegs).toSeq.sorted.map(SegmentEvent(pid, _, "EXIT", e.ts))
-    // recency cache with event-time TTL (reference: Caffeine 10 m TTL) —
-    // recent ids are ALWAYS tracked; old ones age out. When the TTL sweep
-    // reclaims nothing (a hot profile emitting > cap ids per TTL), trim to
-    // the most recent half-cap so the sweep is amortized O(1)/event and
-    // state stays bounded (the reference cache also evicts under pressure).
+    // recency cache mirroring the reference's Caffeine config (10 m TTL,
+    // maximumSize 10k — `CdpEventProcessor.kt:344-351`): recent ids are
+    // ALWAYS tracked; old ones age out; a hot profile exceeding the size
+    // cap within the TTL gets size-evicted (keep most-recent half-cap),
+    // exactly as Caffeine's maximumSize would — bounded state, amortized
+    // O(1)/event sweep, dedup exact within TTL up to the size cap.
     val seen0 = st.seenEventIds.updated(e.eventId, t)
     val seen =
       if (seen0.size <= DedupPruneAt) seen0

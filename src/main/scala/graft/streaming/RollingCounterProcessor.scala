@@ -31,28 +31,35 @@ class RollingCounterProcessor
       key: String,
       inputRows: Iterator[(String, Timestamp)],
       timerValues: TimerValues): Iterator[(String, Long, Long, Long)] = {
-    // read state ONCE per call, fold in memory, write back the diff —
-    // per-row MapState scans would be O(rows x live-buckets) RocksDB reads
+    // read state ONCE per call, fold in memory, write back only the
+    // touched keys — per-row MapState scans would be O(rows x buckets)
+    // RocksDB reads, and rewriting untouched buckets would be O(buckets)
+    // changelog writes per batch
     var live = collection.mutable.Map.empty[Long, Long]
     buckets.iterator().foreach { case (b, c) => live.update(b, c) }
-    val removed = Seq.newBuilder[Long]
+    val removed = collection.mutable.Set.empty[Long]
+    val updated = collection.mutable.Set.empty[Long]
     val out = Seq.newBuilder[(String, Long, Long, Long)]
     inputRows.toSeq.sortBy(_._2.getTime).foreach { case (_, ts) =>
       val t = ts.getTime
       val b = (t / BucketMs) * BucketMs
       val cnt = live.getOrElse(b, 0L) + 1L
       live.update(b, cnt)
+      updated += b
       val horizon = ((t - DayMs) / BucketMs) * BucketMs
       live.keysIterator.filter(_ < horizon).toList.foreach { k =>
-        live.remove(k); removed += k
+        live.remove(k); removed += k; updated -= k
       }
       // total bounded BOTH ways: a late event must not count buckets after
-      // its own (mirrors the batch RANGE ... AND CURRENT ROW frame)
+      // its own (mirrors the batch RANGE ... AND CURRENT ROW frame). A
+      // late event older than (max-seen - 24h) sees already-pruned state
+      // and undercounts — inherent to bounded state, same as the
+      // reference's bucket eviction.
       val total = live.iterator.collect { case (k, c) if k <= b => c }.sum
       out += ((key, b, cnt, total))
     }
-    removed.result().distinct.foreach(buckets.removeKey)
-    live.foreach { case (b, c) => buckets.updateValue(b, c) }
+    removed.foreach(buckets.removeKey)
+    updated.foreach(k => buckets.updateValue(k, live(k)))
     out.result().iterator
   }
 }

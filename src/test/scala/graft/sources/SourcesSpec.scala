@@ -75,7 +75,7 @@ class SourcesSpec extends SparkSpec {
   test("file stream source parses the wire envelope end-to-end") {
     val dir = java.nio.file.Files.createTempDirectory("wire").toString
     java.nio.file.Files.writeString(java.nio.file.Path.of(dir, "a.json"),
-      """{"eventId":"e1","ts":"2024-01-01T00:00:05Z","payload":{"entityId":"ent1","profile":"SASE","type":"LOGIN","value":7,"tags":{"status":"OK"}}}\n""")
+      """{"eventId":"e1","ts":"2024-01-01T00:00:05Z","payload":{"entityId":"ent1","profile":"SASE","type":"LOGIN","value":7,"tags":{"status":"OK"}}}""")
     val stream = Sources.entityStream(spark, "file", dir)
     val query = stream.writeStream.format("memory").queryName("wire_file")
       .outputMode("append").start()
