@@ -108,5 +108,49 @@ object EventAnalytics {
         .groupBy(col("cohort_day"),
           (expr("unix_micros(ts) div 86400000000") - col("cohort_day")).as("day_offset"))
         .agg(countDistinct(col("user_id")).as("active_users"))
+    },
+
+    // Ordered 3-step sequence (MATCH_RECOGNIZE shape): first signup, then
+    // first purchase AFTER it, then first error AFTER that — two chained
+    // first-after-anchor aggregations, no self-joins.
+    QueryDef(
+      "q_sequence_3step",
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN s1 ON s1.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s1.t1
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN s2 ON s2.user_id = e.user_id
+        |  WHERE e.event_type = 'error' AND e.ts > s2.t2
+        |  GROUP BY e.user_id)
+        |SELECT s1.user_id,
+        |       CAST(epoch_us(s1.t1) AS BIGINT) AS t1_us,
+        |       CAST(epoch_us(s2.t2) AS BIGINT) AS t2_us,
+        |       CAST(epoch_us(s3.t3) AS BIGINT) AS t3_us,
+        |       (epoch_us(s3.t3) - epoch_us(s1.t1)) // 1000000 AS span_s
+        |FROM s1 JOIN s2 ON s2.user_id = s1.user_id
+        |JOIN s3 ON s3.user_id = s1.user_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      def firstAfter(anchor: org.apache.spark.sql.DataFrame, anchorTs: String,
+                     typ: String, out: String) =
+        ev.filter(col("event_type") === typ)
+          .join(anchor, "user_id")
+          .filter(col("ts") > col(anchorTs))
+          .groupBy(col("user_id")).agg(min(col("ts")).as(out))
+          .join(anchor, "user_id")
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val s2 = firstAfter(s1, "t1", "purchase", "t2")
+      val s3 = firstAfter(s2, "t2", "error", "t3")
+      s3.select(col("user_id"),
+        unix_micros(col("t1")).as("t1_us"),
+        unix_micros(col("t2")).as("t2_us"),
+        unix_micros(col("t3")).as("t3_us"),
+        expr("(unix_micros(t3) - unix_micros(t1)) div 1000000").as("span_s"))
     })
 }
