@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) ANN index: a deterministic k-means-style coarse
+  * quantizer — init centroids = the first K vectors (deterministic
+  * seeding), one Lloyd iteration (assign by cosine, recompute centroids as
+  * element-wise means), final cell assignment — plus the search path:
+  * probe the nProbe nearest cells per query and rank candidates by exact
+  * cosine inside them.
+  *
+  * Scale shape: the centroid table is K rows (broadcast everywhere); cell
+  * assignment is a broadcast cross-join + per-vector argmax (one narrow
+  * pass over the corpus, no shuffle beyond the posexplode mean); search is
+  * a broadcast equijoin probe→cell, so the per-query cost is the probed
+  * cells' population, never the corpus. At 100 TB the assignment table is
+  * written bucketed by cell so the probe join prunes to the probed cells'
+  * files only.
+  *
+  * All rankings are on the 4-decimal-rounded cosine with id tie-breaks, so
+  * the argmax/top-k are engine-independent despite float-sum ordering in
+  * the centroid means (see Num).
+  */
+object Ivf {
+
+  /** Assign each vector to its nearest centroid by rounded cosine,
+    * centroid-id tie-break. cents: (cid, ce, cn), broadcast.
+    */
+  def assign(prep: DataFrame, cents: DataFrame): DataFrame =
+    prep.crossJoin(broadcast(cents))
+      .withColumn("cosr",
+        Num.r4(Similarity.cosine(col("e"), col("ce"), col("nrm"), col("cn"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cosr").desc, col("cid"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"))
+
+  /** One-Lloyd-iteration centroids: (cid, ce: array<double>, cn). */
+  def centroids(prep: DataFrame, k: Int): DataFrame = {
+    val cent0 = prep.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
+    val assign0 = assign(prep, cent0)
+    // element-wise mean per cell: posexplode -> avg -> rebuild ordered array
+    prep.join(assign0, "vec_id")
+      .select(col("cid"), posexplode(col("e")).as(Seq("pos", "x")))
+      .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("xavg"))
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("xavg")))),
+        s => s.getField("xavg")).as("ce"))
+      .withColumn("cn", Similarity.norm(col("ce")))
+  }
+
+  /** Top-k candidates per query vector via nProbe-cell probing.
+    * queries: (q, qe, qn). Output: (q, rank, b, cos), rank 1..k by rounded
+    * cosine desc, candidate-id tie-break; the query's own vector is
+    * excluded.
+    */
+  def search(queries: DataFrame, prep: DataFrame, cents: DataFrame,
+             assigned: DataFrame, nProbe: Int, k: Int): DataFrame = {
+    val probe = queries.crossJoin(broadcast(cents))
+      .withColumn("cosr",
+        Num.r4(Similarity.cosine(col("qe"), col("ce"), col("qn"), col("cn"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q")).orderBy(col("cosr").desc, col("cid"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("q"), col("qe"), col("qn"), col("cid"))
+    broadcast(probe)
+      .join(assigned.withColumnRenamed("vec_id", "b"), "cid")
+      .filter(col("b") =!= col("q"))
+      .join(prep.select(col("vec_id").as("b"), col("e").as("be"), col("nrm").as("bn")), "b")
+      .withColumn("cos",
+        Num.r4(Similarity.cosine(col("qe"), col("be"), col("qn"), col("bn"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q")).orderBy(col("cos").desc, col("b"))).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("q"), col("rank"), col("b"), col("cos"))
+  }
+
+  // ------------------------------------------------------------ oracle SQL
+
+  /** CTE chain prep → cent0 → assign0 → dims → cent1 → assign1(vec_id,
+    * cell) — the quantizer, identical arithmetic to the Scala path.
+    */
+  def cellsSql(k: Int): String =
+    s"""prep AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+       |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                               CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |cent0 AS (
+       |  SELECT vec_id AS cid, e AS ce, nrm AS cn FROM prep WHERE vec_id < $k),
+       |assign0 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT p.vec_id, c.cid,
+       |           row_number() OVER (
+       |             PARTITION BY p.vec_id
+       |             ORDER BY round(list_dot_product(p.e, c.ce) / (p.nrm * c.cn) + 0.00000025, 4) DESC,
+       |                      c.cid) AS rn
+       |    FROM prep p CROSS JOIN cent0 c) WHERE rn = 1),
+       |dims AS (
+       |  SELECT a.cid, unnest(range(1, ${Similarity.Dim + 1})) AS pos, unnest(p.e) AS x
+       |  FROM prep p JOIN assign0 a ON a.vec_id = p.vec_id),
+       |cent1 AS (
+       |  SELECT cid, list(xavg ORDER BY pos) AS ce,
+       |         sqrt(list_dot_product(list(xavg ORDER BY pos), list(xavg ORDER BY pos))) AS cn
+       |  FROM (SELECT cid, pos, avg(x) AS xavg FROM dims GROUP BY cid, pos)
+       |  GROUP BY cid),
+       |assign1 AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT p.vec_id, c.cid,
+       |           row_number() OVER (
+       |             PARTITION BY p.vec_id
+       |             ORDER BY round(list_dot_product(p.e, c.ce) / (p.nrm * c.cn) + 0.00000025, 4) DESC,
+       |                      c.cid) AS rn
+       |    FROM prep p CROSS JOIN cent1 c) WHERE rn = 1)""".stripMargin
+
+  /** CTE chain qs → probe → scored(q, rank, b, cos) on top of cellsSql's
+    * prep/cent1/assign1.
+    */
+  def searchSql(maxQueryId: Int, nProbe: Int, k: Int): String =
+    s"""qs AS (
+       |  SELECT vec_id AS q, e AS qe, nrm AS qn FROM prep WHERE vec_id < $maxQueryId),
+       |probe AS (
+       |  SELECT q, qe, qn, cid FROM (
+       |    SELECT qs.q, qs.qe, qs.qn, c.cid,
+       |           row_number() OVER (
+       |             PARTITION BY qs.q
+       |             ORDER BY round(list_dot_product(qs.qe, c.ce) / (qs.qn * c.cn) + 0.00000025, 4) DESC,
+       |                      c.cid) AS rn
+       |    FROM qs CROSS JOIN cent1 c) WHERE rn <= $nProbe),
+       |scored AS (
+       |  SELECT q, rank, b, cos FROM (
+       |    SELECT p.q, a.vec_id AS b,
+       |           round(list_dot_product(p.qe, bp.e) / (p.qn * bp.nrm) + 0.00000025, 4) AS cos,
+       |           CAST(row_number() OVER (
+       |             PARTITION BY p.q
+       |             ORDER BY round(list_dot_product(p.qe, bp.e) / (p.qn * bp.nrm) + 0.00000025, 4) DESC,
+       |                      a.vec_id) AS INT) AS rank
+       |    FROM probe p
+       |    JOIN assign1 a ON a.cell = p.cid AND a.vec_id != p.q
+       |    JOIN prep bp ON bp.vec_id = a.vec_id)
+       |  WHERE rank <= $k)""".stripMargin
+}

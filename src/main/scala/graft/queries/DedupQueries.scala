@@ -149,6 +149,44 @@ object DedupQueries {
         .select(col("a"), col("b"), Num.r4(col("jaccard")).as("jaccard"))
     },
 
+    // Dedup clustering: connected components over the verified MinHash
+    // near-dup pairs — the step that turns pairwise evidence into "keep
+    // one doc per cluster" (cluster = numerically-smallest member id).
+    // Oracle: recursive min-label propagation; Spark: the same iterative
+    // propagation operator the CDP identity graph uses (Identity.scala).
+    QueryDef(
+      "q_dedup_clusters",
+      s"""WITH RECURSIVE $truncatedBaseSql,
+         |${Dedup.shingleSql(ShingleN)},
+         |${Dedup.signatureSql},
+         |${Dedup.bandsSql},
+         |${Dedup.candidateSql},
+         |${Dedup.jaccardSql},
+         |vpairs AS (SELECT a, b FROM jac WHERE jaccard >= 0.35),
+         |reach AS (
+         |  SELECT id, id AS r FROM (
+         |    SELECT a AS id FROM vpairs UNION SELECT b FROM vpairs)
+         |  UNION
+         |  SELECT e.b AS id, reach.r
+         |  FROM reach JOIN (
+         |    SELECT a, b FROM vpairs
+         |    UNION SELECT b AS a, a AS b FROM vpairs) e ON e.a = reach.id),
+         |clusters AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+         |SELECT id, cluster, count(*) OVER (PARTITION BY cluster) AS n_cluster
+         |FROM clusters""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val sh = Dedup.shingleHashes(withTruncatedCopies(s, dir), col("id"), col("text"), ShingleN)
+        .cache()
+      val cand = Dedup.candidatePairs(Dedup.bandKeys(Dedup.minhashSignatures(sh)))
+        .cache()
+      val verified = Dedup.jaccard(cand, sh)
+        .filter(col("jaccard") >= 0.35)
+        .select(col("a").as("src"), col("b").as("dst"))
+      graft.operators.Identity.connectedComponents(verified)
+        .select(col("node").as("id"), col("component").as("cluster"))
+        .withColumn("n_cluster", count(lit(1)).over(Window.partitionBy(col("cluster"))))
+    },
+
     // SimHash signatures + chunk-blocked near-identical pairs (ham <= 3).
     QueryDef(
       "q_dedup_simhash",

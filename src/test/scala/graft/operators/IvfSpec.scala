@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** IVF quantizer + search semantics on a corpus with planted structure:
+  * three well-separated direction clusters in 8 dims, ids interleaved so
+  * the deterministic first-K seeding covers every cluster (cluster of a
+  * vector = vec_id % 3).
+  */
+class IvfSpec extends SparkSpec {
+
+  private def corpus = {
+    import spark.implicits._
+    // cluster c (0..2): base direction e_{2c} + small deterministic noise
+    // on the next axis — cosine within a cluster ~1, across clusters 0
+    val rows = for {
+      c <- 0 until 3
+      m <- 0 until 20
+    } yield {
+      val v = Array.fill(8)(0.0)
+      v(2 * c) = 1.0
+      v(2 * c + 1) = 0.01 * (m % 5)
+      (m.toLong * 3 + c, v.toSeq)
+    }
+    rows.toDF("vec_id", "e")
+      .select(col("vec_id"), col("e").cast("array<double>").as("e"))
+      .withColumn("nrm", Similarity.norm(col("e")))
+  }
+
+  test("one-Lloyd centroids separate planted direction clusters") {
+    val cents = Ivf.centroids(corpus, k = 3)
+    val assigned = Ivf.assign(corpus, cents)
+    val byCluster = assigned
+      .withColumn("cluster", col("vec_id") % 3)
+      .groupBy("cluster").agg(countDistinct("cid").as("nc"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every planted cluster maps to exactly one cell...
+    assert(byCluster.values.forall(_ == 1L), s"split clusters: $byCluster")
+    // ...and the three clusters use three distinct cells
+    val distinctCells = assigned
+      .withColumn("cluster", col("vec_id") % 3)
+      .select("cluster", "cid").distinct().select("cid").distinct().count()
+    assert(distinctCells == 3)
+  }
+
+  test("IVF search with nProbe=1 returns same-cluster neighbors only, ranked") {
+    val cents = Ivf.centroids(corpus, k = 3)
+    val assigned = Ivf.assign(corpus, cents)
+    val res = Ivf.search(
+        corpus.filter(col("vec_id") === 0)
+          .select(col("vec_id").as("q"), col("e").as("qe"), col("nrm").as("qn")),
+        corpus, cents, assigned, nProbe = 1, k = 5)
+      .orderBy("rank").collect()
+    assert(res.length == 5)
+    // all hits come from planted cluster 0 (vec_id % 3 == 0), never the query
+    assert(res.forall(r => r.getAs[Long]("b") % 3 == 0 && r.getAs[Long]("b") != 0))
+    // ranks are 1..5 and cosine is non-increasing
+    assert(res.map(_.getAs[Int]("rank")).toSeq == (1 to 5))
+    val cosSeq = res.map(_.getAs[Double]("cos")).toSeq
+    assert(cosSeq.zip(cosSeq.tail).forall { case (x, y) => x >= y })
+  }
+}
