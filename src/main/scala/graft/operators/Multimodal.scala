@@ -62,6 +62,21 @@ object Multimodal {
     features.select(col("asset_id"), col("media_type"),
       posexplode(col("sampled_frames")).as(Seq("sample_idx", "frame_idx")))
 
+  /** Resize plan: target bounding box `maxDim` preserving aspect ratio.
+    * Pure integer arithmetic ((dim * maxDim) div longest side) so the plan
+    * is engine-exact; a real implementation feeds these dims to the codec.
+    * Output adds (out_width, out_height).
+    */
+  def resizePlan(features: DataFrame, maxDim: Int): DataFrame = {
+    val longest = greatest(col("width"), col("height"))
+    features.withColumn("out_width",
+        when(longest <= maxDim, col("width"))
+          .otherwise(expr(s"CAST(width * $maxDim AS BIGINT) div greatest(width, height)").cast("int")))
+      .withColumn("out_height",
+        when(longest <= maxDim, col("height"))
+          .otherwise(expr(s"CAST(height * $maxDim AS BIGINT) div greatest(width, height)").cast("int")))
+  }
+
   /** Partition-local batch decode: one decoder per partition, rows
     * streamed. The repartition bound keeps each decode batch within
     * executor memory no matter the table size.

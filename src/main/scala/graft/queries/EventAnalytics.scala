@@ -110,6 +110,56 @@ object EventAnalytics {
         .agg(countDistinct(col("user_id")).as("active_users"))
     },
 
+    // Next-event transition matrix (Markov step counts): per user, pair
+    // each event with its successor in (ts, event_id) order; count and
+    // normalize per source type. One window shuffle + one groupBy.
+    QueryDef(
+      "q_event_transitions",
+      s"""WITH seq AS (
+         |  SELECT event_type,
+         |         lead(event_type) OVER (
+         |           PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_type
+         |  FROM events)
+         |SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n,
+         |       round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY event_type)
+         |             + 0.00000025, 4) AS p
+         |FROM seq WHERE next_type IS NOT NULL
+         |GROUP BY event_type, next_type""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", graft.operators.Num.r4(
+          col("n") * 1.0 / sum(col("n")).over(Window.partitionBy(col("event_type")))))
+    },
+
+    // Time-to-convert histogram: hours from first signup to first
+    // subsequent purchase, bucketed. Reuses the funnel's conditional-agg
+    // shape — one shuffle, integer bucket arithmetic.
+    QueryDef(
+      "q_time_to_convert",
+      """WITH f AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'signup' THEN ts END) AS t1,
+        |         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+        |  FROM events GROUP BY user_id)
+        |SELECT (epoch_us(t2) - epoch_us(t1)) // 3600000000 AS hours_bucket,
+        |       count(*) AS n_users
+        |FROM f WHERE t1 IS NOT NULL AND t2 IS NOT NULL AND t2 > t1
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "signup", col("ts"))).as("t1"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t2"))
+        .filter(col("t1").isNotNull && col("t2").isNotNull && col("t2") > col("t1"))
+        .groupBy(expr("(unix_micros(t2) - unix_micros(t1)) div 3600000000")
+          .as("hours_bucket"))
+        .agg(count(lit(1)).as("n_users"))
+    },
+
     // Ordered 3-step sequence (MATCH_RECOGNIZE shape): first signup, then
     // first purchase AFTER it, then first error AFTER that — two chained
     // first-after-anchor aggregations, no self-joins.

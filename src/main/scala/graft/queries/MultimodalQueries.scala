@@ -12,36 +12,79 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalQueries {
 
+  /** Shared oracle CTE chain a → h → f: the stub decode replayed from the
+    * source text (texts are ASCII, so md5(text) == md5(payload bytes)).
+    */
+  private val decodeSql =
+    """a AS (
+      |  SELECT doc_id AS asset_id, text,
+      |         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |              ELSE 'video' END AS media_type
+      |  FROM documents),
+      |h AS (
+      |  SELECT asset_id, CAST(strlen(text) AS INT) AS n_bytes, media_type,
+      |         CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+      |  FROM a),
+      |f AS (
+      |  SELECT asset_id, n_bytes, media_type,
+      |         CAST(64 + h % 1856 AS INT) AS width,
+      |         CAST(64 + (h // 1856) % 1016 AS INT) AS height,
+      |         CAST(CASE WHEN media_type = 'video' THEN 1 + h % 120
+      |              ELSE 1 END AS INT) AS n_frames
+      |  FROM h)""".stripMargin
+
+  private def assets(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.documents(s, dir).select(
+      col("doc_id").as("asset_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("media_type"))
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef(
       "q_multimodal_decode",
-      """WITH a AS (
-        |  SELECT doc_id AS asset_id, text,
-        |         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-        |              ELSE 'video' END AS media_type
-        |  FROM documents),
-        |h AS (
-        |  SELECT asset_id, CAST(strlen(text) AS INT) AS n_bytes, media_type,
-        |         CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
-        |  FROM a),
-        |f AS (
-        |  SELECT asset_id, n_bytes, media_type,
-        |         CAST(64 + h % 1856 AS INT) AS width,
-        |         CAST(64 + (h // 1856) % 1016 AS INT) AS height,
-        |         CAST(CASE WHEN media_type = 'video' THEN 1 + h % 120
-        |              ELSE 1 END AS INT) AS n_frames
-        |  FROM h)
-        |SELECT asset_id, n_bytes, media_type, width, height, n_frames,
-        |       range(0, n_frames, greatest(n_frames // 4, 1))[1:8] AS sampled_frames
-        |FROM f""".stripMargin) { (s, dir) =>
-      val assets = Tables.documents(s, dir).select(
-        col("doc_id").as("asset_id"),
-        encode(col("text"), "UTF-8").as("payload"),
-        when(col("doc_id") % 3 === 0, "image")
-          .when(col("doc_id") % 3 === 1, "audio")
-          .otherwise("video").as("media_type"))
-      Multimodal.decodeFeatures(s, assets)
+      s"""WITH $decodeSql
+         |SELECT asset_id, n_bytes, media_type, width, height, n_frames,
+         |       range(0, n_frames, greatest(n_frames // 4, 1))[1:8] AS sampled_frames
+         |FROM f""".stripMargin) { (s, dir) =>
+      Multimodal.decodeFeatures(s, assets(s, dir))
         .withColumn("sampled_frames", col("sampled_frames").cast("array<long>"))
+    },
+
+    // Frame fan-out: one row per sampled frame (the map side of a
+    // per-frame featurization pipeline). Parallel unnest in DuckDB zips
+    // position and value like posexplode.
+    QueryDef(
+      "q_multimodal_frames",
+      s"""WITH $decodeSql,
+         |sf AS (
+         |  SELECT asset_id, media_type,
+         |         range(0, n_frames, greatest(n_frames // 4, 1))[1:8] AS frames
+         |  FROM f)
+         |SELECT asset_id, media_type,
+         |       CAST(unnest(range(1, len(frames) + 1)) - 1 AS INT) AS sample_idx,
+         |       CAST(unnest(frames) AS BIGINT) AS frame_idx
+         |FROM sf""".stripMargin) { (s, dir) =>
+      Multimodal.explodeFrames(Multimodal.decodeFeatures(s, assets(s, dir)))
+        .select(col("asset_id"), col("media_type"),
+          col("sample_idx").cast("int").as("sample_idx"),
+          col("frame_idx").cast("long").as("frame_idx"))
+    },
+
+    // Resize plan: bounding-box 224 preserving aspect ratio, integer
+    // arithmetic only — the dims a real codec would be handed.
+    QueryDef(
+      "q_multimodal_resize",
+      s"""WITH $decodeSql
+         |SELECT asset_id, width, height,
+         |       CAST(CASE WHEN greatest(width, height) <= 224 THEN width
+         |            ELSE (width * 224) // greatest(width, height) END AS INT) AS out_width,
+         |       CAST(CASE WHEN greatest(width, height) <= 224 THEN height
+         |            ELSE (height * 224) // greatest(width, height) END AS INT) AS out_height
+         |FROM f""".stripMargin) { (s, dir) =>
+      Multimodal.resizePlan(Multimodal.decodeFeatures(s, assets(s, dir)), maxDim = 224)
+        .select("asset_id", "width", "height", "out_width", "out_height")
     })
 }
