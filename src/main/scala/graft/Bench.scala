@@ -10,6 +10,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // optional args: substring filters — bench only matching queries
+    val filters = args.toSeq
     val spark = Sessions.batch("graft-bench", cpus)
     spark.sparkContext.setLogLevel("WARN")
     // warm up codegen/parquet/shuffle paths so the first query's timing
@@ -18,7 +20,11 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).count()
     var failed = 0
     val results: Seq[(String, Either[String, Double])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) =>
+          filters.isEmpty || filters.exists(name.contains)
+        }
+        .map { case (name, fn) =>
         val t0 = System.nanoTime()
         val r =
           try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }

@@ -22,31 +22,43 @@ object Identity {
     * (node, component).
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
-      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // materialize the input ONCE before symmetrizing: the union references
+    // the edge subplan twice and Spark does not share common subplans, so
+    // an expensive upstream (e.g. a near-dup verify) would execute twice
+    val e0 = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val sym = e0
+      .unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(true)
 
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("comp", col("node"))
       .localCheckpoint(true)
+    val compType = labels.schema("comp").dataType
 
     var converged = false
     var i = 0
+    val dbg = sys.env.contains("GRAFT_CC_DEBUG")
+    var tPrev = System.nanoTime()
+    if (dbg) println(f"[cc] init done")
     while (!converged && i < maxIter) {
+      if (dbg) { println(f"[cc] round $i start +${(System.nanoTime()-tPrev)/1e9}%.2fs"); tPrev = System.nanoTime() }
       val neighborComp = sym
         .join(labels.withColumnRenamed("node", "dst"), "dst")
         .select(col("src").as("node"), col("comp"))
-      val next = neighborComp.unionAll(labels)
-        .groupBy("node").agg(min("comp").as("comp"))
+      // carry the previous label through the same aggregation (`own` is
+      // non-null exactly on the self row), so convergence detection is a
+      // checkpointed-scan filter — no per-round compare join
+      val next = neighborComp
+        .withColumn("own", lit(null).cast(compType))
+        .unionAll(labels.withColumn("own", col("comp")))
+        .groupBy("node").agg(min("comp").as("comp"), max("own").as("own"))
         .localCheckpoint(true)
-      val changed = next.as("n")
-        .join(labels.as("o"), "node")
-        .filter(col("n.comp") =!= col("o.comp"))
-        .limit(1).count()
-      labels = next
+      val changed = next.filter(col("comp") =!= col("own")).limit(1).count()
+      labels = next.select("node", "comp")
       converged = changed == 0
       i += 1
+      if (dbg) { println(f"[cc] round ${i-1} end +${(System.nanoTime()-tPrev)/1e9}%.2fs changed=${changed > 0}"); tPrev = System.nanoTime() }
     }
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds — component " +
