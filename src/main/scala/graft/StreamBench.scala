@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.streaming.OutputMode
 
-import graft.streaming.{CdpEvent, CdpPipeline}
+import graft.streaming.{CdpEvent, CdpPipeline, EntityEvent, EntityPipeline}
 
 /** Streaming throughput benchmark against the reference's stated design
   * target of 10k+ events/sec (`BASELINE.md`): pumps synthetic CDP events
@@ -67,8 +67,33 @@ object StreamBench {
     }
     val secs = (System.nanoTime() - t0) / 1e9
     val emitted = spark.table("sb_segments").count()
-    println(f"""{"metric":"cdp_stream_throughput","events":$n,"seconds":${secs}%.2f,"events_per_sec":${n / secs}%.0f,"segment_events":$emitted,"batch_size":$batchSize}""")
     query.stop()
+
+    // entity pipeline: per-(entity,type) sliding-window rules engine
+    val einput = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EntityEvent]
+    val equery = EntityPipeline.alerts(spark, einput.toDS())
+      .writeStream.format("memory").queryName("sb_alerts")
+      .outputMode(OutputMode.Append()).start()
+    val eevents = (0 until n).map { i =>
+      EntityEvent(
+        eventId = s"e$i",
+        ts = new Timestamp(1704067200000L + i.toLong * 10),
+        entityId = s"ent${i % 2000}",
+        eventType = if (i % 2 == 0) "CONN_BYTES" else "LOGIN",
+        value = if (i % 2 == 0) Some(100L + (i % 37) * 40L) else None,
+        geo = Some(if (i % 97 == 0) "DE" else "US"),
+        device = None)
+    }
+    val t1 = System.nanoTime()
+    eevents.grouped(batchSize).foreach { b =>
+      einput.addData(b)
+      equery.processAllAvailable()
+    }
+    val esecs = (System.nanoTime() - t1) / 1e9
+    val alerts = spark.table("sb_alerts").count()
+    equery.stop()
+
+    println(f"""{"metric":"stream_throughput","events":$n,"batch_size":$batchSize,"cdp_seconds":${secs}%.2f,"cdp_events_per_sec":${n / secs}%.0f,"segment_events":$emitted,"entity_seconds":${esecs}%.2f,"entity_events_per_sec":${n / esecs}%.0f,"alerts":$alerts}""")
     spark.stop()
   }
 }
