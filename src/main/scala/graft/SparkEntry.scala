@@ -25,7 +25,8 @@ object SparkEntry {
       graft.queries.EventAnalytics.defs ++
       graft.queries.CdpReplay.defs ++
       graft.queries.AsofQueries.defs ++
-      graft.queries.IvfQueries.defs
+      graft.queries.IvfQueries.defs ++
+      graft.queries.CurationQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -36,6 +36,29 @@ class PlanSpec extends SparkSpec {
     assert(!scan.contains("source") && !scan.contains("n_chars"))
   }
 
+  test("q_ann_ivf_search: centroid/probe sides broadcast, never sort-merge") {
+    val p = plan("q_ann_ivf_search")
+    assert(p.contains("BroadcastExchange"))
+    assert(!p.contains("SortMergeJoin"),
+      "the probe-to-cell join must stay broadcast — the probe side is bounded")
+  }
+
+  test("q_event_transitions: single shuffle feeds both lead window and agg") {
+    val p = plan("q_event_transitions")
+    val eventsScan = p.split("\n").find(l =>
+      l.contains("FileScan parquet") && l.contains("events")).get
+    assert(eventsScan.contains("user_id") && eventsScan.contains("event_type"))
+    assert(!eventsScan.contains("payload") && !eventsScan.contains("session_id"),
+      "transition matrix reads only (user_id, event_type, ts, event_id)")
+  }
+
+  test("q_multimodal_resize: documents scan pruned to (doc_id, text)") {
+    val p = plan("q_multimodal_resize")
+    val scan = p.split("\n").find(_.contains("FileScan parquet")).get
+    assert(scan.contains("doc_id") && scan.contains("text"))
+    assert(!scan.contains("lang") && !scan.contains("source"))
+  }
+
   test("q1: aggregation is partial (map-side combine before the exchange)") {
     val p = plan("q1_pricing_summary")
     val firstAgg = p.indexOf("HashAggregate")
