@@ -67,6 +67,26 @@ object ScaleProbe {
     time("sessionization") {
       SparkEntry.queries("q_sessionization")(spark, dir).count() // 1x baseline
     }
+    val embeddings = replicate(Tables.embeddings(spark, dir), Seq("vec_id")).cache()
+    println(s"embeddings=${embeddings.count()} (k=$k)")
+    time("ivf_build_search") {
+      val prep = graft.operators.Similarity.prepared(embeddings).cache()
+      val cents = graft.operators.Ivf.centroids(prep, 64).cache()
+      val assigned = graft.operators.Ivf.assign(prep, cents)
+      val queries = prep.filter(col("vec_id") % 10000000L < 20)
+        .select(col("vec_id").as("q"), col("e").as("qe"), col("nrm").as("qn"))
+      graft.operators.Ivf.search(queries, prep, cents, assigned, 4, 5).count()
+    }
+    time("dedup_clusters") {
+      val sh = graft.operators.Dedup.shingleHashes(
+        docs.select(col("doc_id").as("id"), col("text")), col("id"), col("text"), 5).cache()
+      val cand = graft.operators.Dedup.candidatePairs(
+        graft.operators.Dedup.bandKeys(graft.operators.Dedup.minhashSignatures(sh)))
+      val verified = graft.operators.Dedup.jaccard(cand, sh)
+        .filter(col("jaccard") >= 0.35)
+        .select(col("a").as("src"), col("b").as("dst"))
+      graft.operators.Identity.connectedComponents(verified).count()
+    }
     spark.stop()
   }
 }
