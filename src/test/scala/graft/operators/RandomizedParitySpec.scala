@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.streaming.{CdpEvent, CdpPipeline}
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Randomized differential tests: the distributed operators against tiny
+  * exact in-memory oracles, across many seeded random inputs — the shapes
+  * (graph topology, arrival order) that hand-picked fixtures miss.
+  */
+class RandomizedParitySpec extends SparkSpec {
+
+  test("connected components == union-find oracle on 25 random graphs") {
+    import spark.implicits._
+    for (seed <- 0 until 25) {
+      val rnd = new Random(seed)
+      val n = 2 + rnd.nextInt(30)
+      val edges = Seq.fill(1 + rnd.nextInt(40))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        // oracle: path-compressing union-find, min-root canonicalization
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val want = parent.keys.map(x => x -> find(x)).toMap
+        val got = Identity.connectedComponents(edges.toDF("src", "dst"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == want, s"seed=$seed edges=$edges")
+      }
+    }
+  }
+
+  test("CDP fold is arrival-order independent for unique (ts, eventId)") {
+    for (seed <- 0 until 10) {
+      val rnd = new Random(1000 + seed)
+      val events = (0 until 30).map { i =>
+        CdpEvent(
+          eventId = s"e$i",
+          ts = new java.sql.Timestamp(1704067200000L + rnd.nextInt(600000)),
+          eventType = if (rnd.nextBoolean()) "TRACK" else "IDENTIFY",
+          userId = Some("u1"), anonymousId = None, email = None,
+          name = Some("feature_used"),
+          traits = if (rnd.nextBoolean()) Map("plan" -> (if (rnd.nextBoolean()) "pro" else "free"))
+                   else Map.empty)
+      }
+      def fold(evs: Seq[CdpEvent]) = {
+        val ordered = evs.sortBy(e => (CdpPipeline.micros(e.ts), e.eventId))
+        ordered.foldLeft(CdpPipeline.ProfileState.empty) { (st, e) =>
+          CdpPipeline.applyEvent("user:u1", st, e)._1
+        }
+      }
+      val a = fold(events)
+      val b = fold(rnd.shuffle(events))
+      assert(a == b, s"seed=$seed")
+    }
+  }
+
+  test("hash split fractions are stable and partitioning-independent") {
+    import spark.implicits._
+    val ids = (0 until 5000).map(_.toLong).toDF("doc_id")
+    def splitCounts(df: org.apache.spark.sql.DataFrame) = {
+      val h = TextOps.hash64(concat(lit("spl"), col("doc_id"))) % 100
+      df.select(when(h < 80, "train").when(h < 90, "valid").otherwise("test").as("s"))
+        .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val c1 = splitCounts(ids.repartition(1))
+    val c32 = splitCounts(ids.repartition(32))
+    assert(c1 == c32)
+    // fractions are near 80/10/10 (hash uniformity)
+    assert(math.abs(c1("train") - 4000L) < 200, c1.toString)
+    assert(math.abs(c1("valid") - 500L) < 100, c1.toString)
+  }
+}
