@@ -33,6 +33,62 @@ object CurationQueries {
           .select(col("doc_id"), col("lang"))
     },
 
+    // End-to-end curation manifest — the composed pass a pre-training data
+    // pipeline runs: exact dedup (keep min id per content hash) → quality
+    // filter (the q_text_quality score, cut at 0.5 on the rounded value so
+    // the boundary is engine-exact) → salted hash split → per-(lang,
+    // split) doc/token counts. Map-only except the dedup shuffle and the
+    // final small agg.
+    QueryDef(
+      "q_corpus_curation",
+      s"""WITH keep AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |d AS (
+         |  SELECT doc_id, lang, text FROM documents
+         |  WHERE doc_id IN (SELECT doc_id FROM keep)),
+         |q AS (
+         |  SELECT doc_id, lang, text,
+         |         len(${TextOps.wordsSql("text")}) AS n_tokens
+         |  FROM d
+         |  WHERE round(0.4 * least(len(${TextOps.wordsSql("text")}) / 50.0, 1.0)
+         |      + 0.3 * (len(list_filter(${TextOps.wordsSql("text")},
+         |                w -> w IN ('the', 'a', 'of', 'and', 'data', 'value'))) * 1.0
+         |               / len(${TextOps.wordsSql("text")}))
+         |      + 0.3 * (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0
+         |               / length(text)) + 0.00000025, 4) >= 0.5),
+         |a AS (
+         |  SELECT lang, n_tokens,
+         |         CASE WHEN ${TextOps.hash64Sql(s"concat('$SplitSalt', doc_id)")} % 100 < 80 THEN 'train'
+         |              WHEN ${TextOps.hash64Sql(s"concat('$SplitSalt', doc_id)")} % 100 < 90 THEN 'valid'
+         |              ELSE 'test' END AS split
+         |  FROM q)
+         |SELECT lang, split, count(*) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         |FROM a GROUP BY lang, split""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val stop = Seq("the", "a", "of", "and", "data", "value")
+      val ws = TextOps.words(col("text"))
+      val deduped = Tables.documents(s, dir)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1) // == min(doc_id) per content hash
+      val quality = graft.operators.Num.r4(
+        lit(0.4) * least(size(ws) / 50.0, lit(1.0))
+          + lit(0.3) * (size(filter(ws,
+              w => stop.foldLeft(lit(false))((acc, v) => acc || (w === v)))) * 1.0 / size(ws))
+          + lit(0.3) * (lit(1.0) -
+              size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))) * 1.0
+                / length(col("text"))))
+      val h = TextOps.hash64(concat(lit(SplitSalt), col("doc_id"))) % 100
+      deduped
+        .filter(quality >= 0.5)
+        .select(col("lang"),
+          size(ws).cast("long").as("n_tokens"),
+          when(h < 80, "train").when(h < 90, "valid").otherwise("test").as("split"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+    },
+
     // Train/valid/test split 80/10/10 with per-split doc and token counts
     // (token = whitespace word) — the split manifest a training run reads.
     QueryDef(
