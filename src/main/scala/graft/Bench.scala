@@ -15,9 +15,17 @@ object Bench {
     val spark = Sessions.batch("graft-bench", cpus)
     spark.sparkContext.setLogLevel("WARN")
     // warm up codegen/parquet/shuffle paths so the first query's timing
-    // reflects the query, not session initialization
+    // reflects the query, not session initialization or JIT: aggregation,
+    // parquet scan, md5 hashing, window functions, explode — the hot
+    // expression paths the query set compiles
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).count()
+    spark.range(100000)
+      .selectExpr("id % 97 AS k", "md5(CAST(id AS STRING)) AS h",
+        "explode(sequence(0, 2)) AS e")
+      .selectExpr("k", "h", "e",
+        "lead(h, 1) OVER (PARTITION BY k ORDER BY e, h) AS nh")
+      .groupBy("k").count().collect()
     var failed = 0
     val results: Seq[(String, Either[String, Double])] =
       SparkEntry.queries.toSeq.sortBy(_._1)
