@@ -66,6 +66,38 @@ object SimilarityQueries {
         .select("q", "rank", "b", "cos")
     },
 
+    // Multi-signal near-dup verification: embedding-cosine candidate pairs
+    // (vec_id == doc_id in the testdata) cross-checked against the TEXT
+    // Jaccard of the same documents — the "semantic candidates, lexical
+    // verify" composition a curation pipeline uses to separate paraphrases
+    // from copies. At scale the candidate side comes from LSH/IVF instead
+    // of brute force; the verify join shape is unchanged.
+    QueryDef(
+      "q_multisignal_dedup",
+      s"""WITH $prepSql,
+         |base AS (SELECT doc_id AS id, text FROM documents),
+         |${graft.operators.Dedup.shingleSql(5)},
+         |cand AS (
+         |  SELECT a.vec_id AS a, b.vec_id AS b
+         |  FROM prep a JOIN prep b ON a.vec_id < b.vec_id
+         |  WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.4),
+         |${graft.operators.Dedup.jaccardSql}
+         |SELECT j.a, j.b,
+         |       round(list_dot_product(pa.e, pb.e) / (pa.nrm * pb.nrm) + 0.00000025, 4) AS cos,
+         |       round(j.jaccard + 0.00000025, 4) AS jaccard
+         |FROM jac j
+         |JOIN prep pa ON pa.vec_id = j.a
+         |JOIN prep pb ON pb.vec_id = j.b""".stripMargin) { (s, dir) =>
+      val prep = Similarity.prepared(Tables.embeddings(s, dir))
+      val pairs = Similarity.bruteForcePairs(s, prep, threshold = 0.4)
+      val sh = graft.operators.Dedup.shingleHashes(
+        Tables.documents(s, dir).select(col("doc_id").as("id"), col("text")),
+        col("id"), col("text"), 5)
+      graft.operators.Dedup.jaccard(pairs, sh)
+        .select(col("a"), col("b"),
+          Num.r4(col("cosv")).as("cos"), Num.r4(col("jaccard")).as("jaccard"))
+    },
+
     // Hyperplane-LSH bucketing: 16 md5-derived hyperplanes → 16-bit sign
     // bucket per vector + same-bucket population (the ANN candidate-set
     // size). At 100 TB the ANN join is an equijoin on bucket.
