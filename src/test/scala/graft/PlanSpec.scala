@@ -43,13 +43,17 @@ class PlanSpec extends SparkSpec {
       "the probe-to-cell join must stay broadcast — the probe side is bounded")
   }
 
-  test("q_event_transitions: single shuffle feeds both lead window and agg") {
+  test("q_event_transitions: events scan pruned; shuffle count bounded") {
     val p = plan("q_event_transitions")
     val eventsScan = p.split("\n").find(l =>
       l.contains("FileScan parquet") && l.contains("events")).get
     assert(eventsScan.contains("user_id") && eventsScan.contains("event_type"))
     assert(!eventsScan.contains("payload") && !eventsScan.contains("session_id"),
       "transition matrix reads only (user_id, event_type, ts, event_id)")
+    // lead window (user_id), count agg (event_type, next_type), and the
+    // normalization window (event_type): at most 3 exchanges, ever
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 3, s"expected <= 3 shuffles, got $exchanges:\n$p")
   }
 
   test("q_multimodal_resize: documents scan pruned to (doc_id, text)") {

@@ -39,7 +39,13 @@ class RandomizedParitySpec extends SparkSpec {
     }
   }
 
-  test("CDP fold is arrival-order independent for unique (ts, eventId)") {
+  test("CDP state is sufficient: incremental batch folds == one-shot fold") {
+    // the streaming pipeline folds each micro-batch separately, carrying
+    // only ProfileState between batches — so the final state must not
+    // depend on where batch boundaries fall in the (ts, eventId)-ordered
+    // stream. This fails if applyEvent ever needs history beyond its
+    // state (e.g. a dedup or bucket-prune decision that looks across the
+    // whole log).
     for (seed <- 0 until 10) {
       val rnd = new Random(1000 + seed)
       val events = (0 until 30).map { i =>
@@ -51,16 +57,17 @@ class RandomizedParitySpec extends SparkSpec {
           name = Some("feature_used"),
           traits = if (rnd.nextBoolean()) Map("plan" -> (if (rnd.nextBoolean()) "pro" else "free"))
                    else Map.empty)
+      }.sortBy(e => (CdpPipeline.micros(e.ts), e.eventId))
+      def foldFrom(st0: CdpPipeline.ProfileState, evs: Seq[CdpEvent]) =
+        evs.foldLeft(st0)((st, e) => CdpPipeline.applyEvent("user:u1", st, e)._1)
+      val oneShot = foldFrom(CdpPipeline.ProfileState.empty, events)
+      // random consecutive batch boundaries
+      val cuts = (Seq(0, events.length) ++ Seq.fill(3)(rnd.nextInt(events.length)))
+        .distinct.sorted
+      val incremental = cuts.zip(cuts.tail).foldLeft(CdpPipeline.ProfileState.empty) {
+        case (st, (from, until)) => foldFrom(st, events.slice(from, until))
       }
-      def fold(evs: Seq[CdpEvent]) = {
-        val ordered = evs.sortBy(e => (CdpPipeline.micros(e.ts), e.eventId))
-        ordered.foldLeft(CdpPipeline.ProfileState.empty) { (st, e) =>
-          CdpPipeline.applyEvent("user:u1", st, e)._1
-        }
-      }
-      val a = fold(events)
-      val b = fold(rnd.shuffle(events))
-      assert(a == b, s"seed=$seed")
+      assert(incremental == oneShot, s"seed=$seed cuts=$cuts")
     }
   }
 
