@@ -46,5 +46,50 @@ object IvfQueries {
       val queries = prep.filter(col("vec_id") < MaxQueryId)
         .select(col("vec_id").as("q"), col("e").as("qe"), col("nrm").as("qn"))
       Ivf.search(queries, prep, cents, Ivf.assign(prep, cents), NProbe, TopK)
+    },
+
+    // Index quality: recall@5 of the IVF search against the exact top-5 —
+    // the metric an ANN deployment tunes nProbe by. Per-query recall =
+    // |IVF top5 ∩ exact top5| / 5.
+    QueryDef(
+      "q_ann_ivf_recall",
+      s"""WITH ${Ivf.cellsSql(K)},
+         |${Ivf.searchSql(MaxQueryId, NProbe, TopK)},
+         |exact AS (
+         |  SELECT q, b FROM (
+         |    SELECT a.vec_id AS q, b.vec_id AS b,
+         |           row_number() OVER (
+         |             PARTITION BY a.vec_id
+         |             ORDER BY round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm) + 0.00000025, 4) DESC,
+         |                      b.vec_id) AS rank
+         |    FROM prep a JOIN prep b ON b.vec_id != a.vec_id
+         |    WHERE a.vec_id < $MaxQueryId)
+         |  WHERE rank <= $TopK)
+         |SELECT e.q, round(count(s.b) / $TopK.0 + 0.00000025, 4) AS recall
+         |FROM exact e
+         |LEFT JOIN scored s ON s.q = e.q AND s.b = e.b
+         |GROUP BY e.q""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val (prep0, cents0) = quantizer(s, dir)
+      val prep = prep0
+      val cents = cents0.cache()
+      val queries = prep.filter(col("vec_id") < MaxQueryId)
+        .select(col("vec_id").as("q"), col("e").as("qe"), col("nrm").as("qn"))
+      val ivf = Ivf.search(queries, prep, cents, Ivf.assign(prep, cents), NProbe, TopK)
+        .select(col("q"), col("b"))
+      val exact = broadcast(queries)
+        .join(prep.as("b"), col("b.vec_id") =!= col("q"))
+        .select(col("q"), col("b.vec_id").as("b"),
+          graft.operators.Num.r4(
+            Similarity.cosine(col("qe"), col("b.e"), col("qn"), col("b.nrm"))).as("cosr"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("q")).orderBy(col("cosr").desc, col("b"))))
+        .filter(col("rank") <= TopK)
+        .select(col("q"), col("b"))
+      exact
+        .join(ivf.withColumnRenamed("b", "sb").withColumnRenamed("q", "sq"),
+          col("sq") === col("q") && col("sb") === col("b"), "left")
+        .groupBy(col("q"))
+        .agg(graft.operators.Num.r4(count(col("sb")) / TopK.toDouble).as("recall"))
     })
 }
