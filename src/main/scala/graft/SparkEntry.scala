@@ -26,7 +26,8 @@ object SparkEntry {
       graft.queries.CdpReplay.defs ++
       graft.queries.AsofQueries.defs ++
       graft.queries.IvfQueries.defs ++
-      graft.queries.CurationQueries.defs
+      graft.queries.CurationQueries.defs ++
+      graft.queries.ObservabilityQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
