@@ -42,4 +42,27 @@ class WindowedAggSpec extends SparkSpec {
       assert(rows.contains((ts("2024-01-01T00:10:00Z").getTime / 1000, 1L, 5L)))
     } finally query.stop()
   }
+
+  test("streaming windowed P95 sketch (A8): percentile_approx in append mode") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val agg = input.toDF().toDF("key", "ts", "v")
+      .withWatermark("ts", "1 minute")
+      .groupBy(col("key"), window(col("ts"), "1 minute"))
+      .agg(percentile_approx(col("v"), lit(0.95), lit(10000)).as("p95"),
+        max(col("v")).as("mx"))
+      .select(col("key"), col("p95"), col("mx"))
+    val query = agg.writeStream.format("memory").queryName("win_p95")
+      .outputMode("append").start()
+    try {
+      input.addData((1L to 100L).map(i => ("a", ts("2024-01-01T00:00:30Z"), i)): _*)
+      query.processAllAvailable()
+      input.addData(("a", ts("2024-01-01T00:10:00Z"), 1L)) // finalize window
+      query.processAllAvailable()
+      val r = spark.table("win_p95").collect().head
+      assert(r.getLong(1) == 95L, s"p95 of 1..100 should be 95, got ${r.getLong(1)}")
+      assert(r.getLong(2) == 100L)
+    } finally query.stop()
+  }
 }
