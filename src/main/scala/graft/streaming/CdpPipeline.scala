@@ -139,6 +139,52 @@ object CdpPipeline {
       }
   }
 
+  /** Streaming reengage segment (`SegmentEngine.kt:147-151`): a profile
+    * ENTERs `reengage` when idle longer than `idleMs` — a segment change
+    * with NO new events, which is why it needs timers, not per-event
+    * evaluation (SURVEY §7.4 item 5). Event-time timeouts make it
+    * deterministic in replay: the timer fires when the WATERMARK passes
+    * lastSeen + idle (the reference uses wall-clock `now`); the ENTER is
+    * stamped with the logical instant lastSeen + idle. A new event while
+    * in reengage emits EXIT stamped with that event's time.
+    *
+    * `events` must carry a watermark on `ts` (the caller picks the
+    * lateness bound); state per profile is two registers.
+    */
+  case class ReengageState(lastSeenUs: Long, inReengage: Boolean)
+
+  def reengageEvents(spark: SparkSession, events: Dataset[CdpEvent],
+                     idleMs: Long): Dataset[SegmentEvent] = {
+    import spark.implicits._
+    events
+      .groupByKey(profileId)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (pid: String, rows: Iterator[CdpEvent], state: GroupState[ReengageState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.update(st.copy(inReengage = true))
+            Iterator.single(SegmentEvent(pid, "reengage", "ENTER",
+              new Timestamp(st.lastSeenUs / 1000L + idleMs)))
+          } else {
+            val st0 = state.getOption.getOrElse(ReengageState(0L, inReengage = false))
+            val batch = rows.toSeq
+            val newest = batch.maxBy(e => (micros(e.ts), e.eventId))
+            val lastSeen = math.max(st0.lastSeenUs, micros(newest.ts))
+            val exits =
+              if (st0.inReengage)
+                Seq(SegmentEvent(pid, "reengage", "EXIT", newest.ts))
+              else Nil
+            state.update(ReengageState(lastSeen, inReengage = false))
+            // fire when the watermark passes lastSeen + idle; the timeout
+            // must be set beyond the current watermark
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs() + 1L, lastSeen / 1000L + idleMs))
+            exits.iterator
+          }
+      }
+  }
+
   /** Batch replay: final profile snapshots after folding the whole log. */
   def profileSnapshots(spark: SparkSession, events: Dataset[CdpEvent]): Dataset[ProfileSnapshot] = {
     import spark.implicits._
