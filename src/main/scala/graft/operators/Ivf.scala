@@ -37,6 +37,47 @@ object Ivf {
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("cid"))
 
+  /** Streaming-capable assignment: the window-rank argmax of `assign`
+    * is not available under streaming, so the centroid table (inherently
+    * bounded — it IS the index) is collected, broadcast, and each row
+    * picks its cell in a tight partition-local loop. Identical results to
+    * `assign` (same rounded-cosine + smallest-cid tie-break, reproduced
+    * with BigDecimal HALF_UP like Spark's round). Use for continuous
+    * ingestion: new vectors join the index without a shuffle.
+    */
+  def assignBroadcast(spark: SparkSession, prep: DataFrame,
+                      cents: DataFrame): DataFrame = {
+    import spark.implicits._
+    val side: Array[(Long, Array[Double], Double)] = cents
+      .select(col("cid").cast("long"), col("ce"), col("cn"))
+      .as[(Long, Seq[Double], Double)]
+      .collect().sortBy(_._1).map { case (c, e, n) => (c, e.toArray, n) }
+    require(side.nonEmpty, "empty centroid table")
+    val bc = spark.sparkContext.broadcast(side)
+    def r4(x: Double): Double =
+      BigDecimal.valueOf(x + Num.Eps).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    prep.select(col("vec_id"), col("e"), col("nrm"))
+      .as[(Long, Seq[Double], Double)]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, e0, nrm) =>
+          val e = e0.toArray
+          var bestCid = cs(0)._1
+          var bestCos = Double.NegativeInfinity
+          cs.foreach { case (cid, ce, cn) =>
+            var s = 0.0
+            var i = 0
+            while (i < e.length) { s += e(i) * ce(i); i += 1 }
+            val cos = r4(s / (nrm * cn))
+            // strict > keeps the smallest cid on ties (cs is cid-sorted)
+            if (cos > bestCos) { bestCos = cos; bestCid = cid }
+          }
+          (id, bestCid)
+        }
+      }
+      .toDF("vec_id", "cid")
+  }
+
   /** One-Lloyd-iteration centroids: (cid, ce: array<double>, cn). */
   def centroids(prep: DataFrame, k: Int): DataFrame = {
     val cent0 = prep.filter(col("vec_id") < k)

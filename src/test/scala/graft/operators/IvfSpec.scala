@@ -44,6 +44,40 @@ class IvfSpec extends SparkSpec {
     assert(distinctCells == 3)
   }
 
+  test("broadcast assignment == window-rank assignment (batch parity)") {
+    val cents = Ivf.centroids(corpus, k = 3)
+    val viaWindow = Ivf.assign(corpus, cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaBroadcast = Ivf.assignBroadcast(spark, corpus, cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaBroadcast == viaWindow)
+  }
+
+  test("broadcast assignment runs on a stream (continuous index ingestion)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val cents = Ivf.centroids(corpus, k = 3)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Double])]
+    val prepStream = input.toDF().toDF("vec_id", "e")
+      .select(col("vec_id"), col("e").cast("array<double>").as("e"))
+      .withColumn("nrm", Similarity.norm(col("e")))
+    val query = Ivf.assignBroadcast(spark, prepStream, cents)
+      .writeStream.format("memory").queryName("ivf_stream")
+      .outputMode("append").start()
+    try {
+      val v = Array.fill(8)(0.0); v(2) = 1.0 // planted cluster 1 direction
+      input.addData((1000L, v.toSeq))
+      query.processAllAvailable()
+      val got = spark.table("ivf_stream").collect().map(r => r.getLong(0) -> r.getLong(1))
+      assert(got.length == 1 && got.head._1 == 1000L)
+      // lands in the same cell as the batch-assigned members of cluster 1
+      val cellOfCluster1 = Ivf.assign(corpus, cents)
+        .filter(col("vec_id") % 3 === 1).select("cid").distinct()
+        .collect().map(_.getLong(0)).toSeq
+      assert(cellOfCluster1.length == 1 && got.head._2 == cellOfCluster1.head)
+    } finally query.stop()
+  }
+
   test("IVF search with nProbe=1 returns same-cluster neighbors only, ranked") {
     val cents = Ivf.centroids(corpus, k = 3)
     val assigned = Ivf.assign(corpus, cents)
