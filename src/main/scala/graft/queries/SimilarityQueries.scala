@@ -66,6 +66,64 @@ object SimilarityQueries {
         .select("q", "rank", "b", "cos")
     },
 
+    // kNN label accuracy: leave-one-out 5-NN majority vote on the labeled
+    // embeddings (ties -> smallest label), scored against the true label
+    // per class — the standard embedding-quality eval. Same broadcast+rank
+    // shape as q_knn_topk, then a count aggregation.
+    QueryDef(
+      "q_knn_label_accuracy",
+      s"""WITH $prepSql,
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |nn AS (
+         |  SELECT q, b FROM (
+         |    SELECT a.vec_id AS q, b.vec_id AS b,
+         |           row_number() OVER (
+         |             PARTITION BY a.vec_id
+         |             ORDER BY round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm) + 0.00000025, 4) DESC,
+         |                      b.vec_id) AS rank
+         |    FROM prep a JOIN prep b ON b.vec_id != a.vec_id)
+         |  WHERE rank <= 5),
+         |votes AS (
+         |  SELECT nn.q, lb.label, count(*) AS n
+         |  FROM nn JOIN lab lb ON lb.vec_id = nn.b
+         |  GROUP BY nn.q, lb.label),
+         |pred AS (
+         |  SELECT q, label AS pred_label FROM (
+         |    SELECT q, label,
+         |           row_number() OVER (PARTITION BY q ORDER BY n DESC, label) AS r
+         |    FROM votes) WHERE r = 1)
+         |SELECT la.label, count(*) AS n_vecs,
+         |       CAST(sum(CASE WHEN p.pred_label = la.label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+         |FROM pred p JOIN lab la ON la.vec_id = p.q
+         |GROUP BY la.label""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir)
+      val prep = Similarity.prepared(emb).cache()
+      val lab = emb.select(col("vec_id"), col("label"))
+      // leave-one-out: every vector is a query ranked against all others
+      val pairs = prep.select(col("vec_id").as("q"), col("e").as("qe"), col("nrm").as("qn"))
+        .join(prep.select(col("vec_id").as("b"), col("e").as("be"), col("nrm").as("bn")),
+          col("b") =!= col("q"))
+        .withColumn("cosr", graft.operators.Num.r4(
+          Similarity.cosine(col("qe"), col("be"), col("qn"), col("bn"))))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("q")).orderBy(col("cosr").desc, col("b"))))
+        .filter(col("rank") <= 5)
+        .select(col("q"), col("b"))
+      val pred = pairs
+        .join(lab.select(col("vec_id").as("b"), col("label")), "b")
+        .groupBy(col("q"), col("label")).agg(count(lit(1)).as("n"))
+        .withColumn("r", row_number().over(
+          Window.partitionBy(col("q")).orderBy(col("n").desc, col("label"))))
+        .filter(col("r") === 1)
+        .select(col("q"), col("label").as("pred_label"))
+      pred
+        .join(lab.select(col("vec_id").as("q"), col("label")), "q")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("pred_label") === col("label"), 1L).otherwise(0L)).as("n_correct"))
+    },
+
     // Multi-signal near-dup verification: embedding-cosine candidate pairs
     // (vec_id == doc_id in the testdata) cross-checked against the TEXT
     // Jaccard of the same documents — the "semantic candidates, lexical
