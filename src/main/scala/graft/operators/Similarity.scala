@@ -82,6 +82,60 @@ object Similarity {
     */
   val MaxBroadcastVectors = 1000000
 
+  /** Exact top-k neighbors for EVERY row of `prep` against the broadcast
+    * corpus `corpus` (leave-one-out: a row never matches itself), ranked
+    * by (rounded cosine desc, neighbor id asc) — the same total order the
+    * declarative window-rank path uses, but computed partition-locally
+    * with a bounded selection, so there is NO pair-space shuffle (the
+    * window formulation shuffles |queries|x|corpus| rows). Output:
+    * (q, rank, b, cosr). At 100 TB the corpus side comes from IVF probing
+    * instead of a full broadcast.
+    */
+  def knnTopK(spark: org.apache.spark.sql.SparkSession,
+              prep: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
+    val collected = corpus.select(col("vec_id"), col("e"), col("nrm"))
+      .as[(Long, Seq[Double], Double)]
+      .limit(MaxBroadcastVectors + 1)
+      .collect()
+    require(collected.length <= MaxBroadcastVectors,
+      s"knnTopK corpus exceeds $MaxBroadcastVectors vectors; use IVF probing")
+    val side: Array[(Long, Array[Double], Double)] =
+      collected.sortBy(_._1).map { case (id, e, n) => (id, e.toArray, n) }
+    val bc = spark.sparkContext.broadcast(side)
+    prep.select(col("vec_id"), col("e"), col("nrm"))
+      .as[(Long, Seq[Double], Double)]
+      .mapPartitions { it =>
+        val all = bc.value
+        it.flatMap { case (qid, qe0, qn) =>
+          val qe = qe0.toArray
+          // selection of top-k under (cosr desc, b asc): candidates arrive
+          // in ascending b, so on equal cosr the earlier (smaller) b wins
+          val top = new java.util.ArrayList[(Double, Long)](k + 1)
+          all.foreach { case (bid, be, bn) =>
+            if (bid != qid) {
+              var s = 0.0
+              var i = 0
+              while (i < qe.length) { s += qe(i) * be(i); i += 1 }
+              val cosr = BigDecimal.valueOf(s / (qn * bn) + Num.Eps)
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+              if (top.size < k || cosr > top.get(top.size - 1)._1) {
+                var pos = top.size
+                while (pos > 0 && cosr > top.get(pos - 1)._1) pos -= 1
+                top.add(pos, (cosr, bid))
+                if (top.size > k) top.remove(k)
+              }
+            }
+          }
+          (0 until top.size).map { r =>
+            val (cosr, bid) = top.get(r)
+            (qid, r + 1, bid, cosr)
+          }
+        }
+      }
+      .toDF("q", "rank", "b", "cosr")
+  }
+
   def bruteForcePairs(spark: org.apache.spark.sql.SparkSession,
                       prep: DataFrame, threshold: Double): DataFrame = {
     import spark.implicits._

@@ -100,16 +100,10 @@ object SimilarityQueries {
       val emb = Tables.embeddings(s, dir)
       val prep = Similarity.prepared(emb).cache()
       val lab = emb.select(col("vec_id"), col("label"))
-      // leave-one-out: every vector is a query ranked against all others
-      val pairs = prep.select(col("vec_id").as("q"), col("e").as("qe"), col("nrm").as("qn"))
-        .join(prep.select(col("vec_id").as("b"), col("e").as("be"), col("nrm").as("bn")),
-          col("b") =!= col("q"))
-        .withColumn("cosr", graft.operators.Num.r4(
-          Similarity.cosine(col("qe"), col("be"), col("qn"), col("bn"))))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy(col("q")).orderBy(col("cosr").desc, col("b"))))
-        .filter(col("rank") <= 5)
-        .select(col("q"), col("b"))
+      // leave-one-out top-5 via the broadcast selection kernel — same
+      // (rounded cos desc, b asc) order as the window-rank formulation,
+      // but without shuffling the |corpus|^2 pair space
+      val pairs = Similarity.knnTopK(s, prep, prep, 5).select(col("q"), col("b"))
       val pred = pairs
         .join(lab.select(col("vec_id").as("b"), col("label")), "b")
         .groupBy(col("q"), col("label")).agg(count(lit(1)).as("n"))
