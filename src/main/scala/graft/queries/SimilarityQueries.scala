@@ -174,6 +174,59 @@ object SimilarityQueries {
         .withColumn("n_bucket", count(lit(1)).over(Window.partitionBy(col("bucket"))))
     },
 
+    // Multi-probe LSH: candidates = pairs whose 16-bit buckets differ in
+    // at most ONE bit — each vector probes its own bucket plus the 16
+    // one-bit-flip neighbors, joined against the others' EXACT buckets
+    // (an equijoin; matches are unique because exactly one probe can hit
+    // a given bucket, so no dedup pass). The standard recall knob when
+    // widening the prefix (q_ann_lsh_pairs) is too coarse. Exact-cosine
+    // verify on candidates only.
+    QueryDef(
+      "q_ann_lsh_multiprobe",
+      s"""WITH $prepSql,
+         |${Similarity.planesSql},
+         |bits AS (
+         |  SELECT prep.vec_id, planes.p,
+         |         CASE WHEN list_dot_product(prep.e, planes.w) >= 0
+         |              THEN CAST(1 AS BIGINT) << planes.p ELSE 0 END AS bit
+         |  FROM prep CROSS JOIN planes),
+         |buckets AS (
+         |  SELECT vec_id, sum(bit) AS bucket FROM bits GROUP BY vec_id),
+         |probes AS (
+         |  SELECT vec_id, bucket AS pb FROM buckets
+         |  UNION ALL
+         |  SELECT b.vec_id, xor(b.bucket, CAST(1 AS BIGINT) << f.p) AS pb
+         |  FROM buckets b CROSS JOIN (SELECT unnest(range(16)) AS p) f),
+         |cand AS (
+         |  SELECT x.vec_id AS a, y.vec_id AS b
+         |  FROM probes x JOIN buckets y
+         |    ON y.bucket = x.pb AND x.vec_id < y.vec_id)
+         |SELECT c.a, c.b,
+         |       round(list_dot_product(pa.e, pb.e) / (pa.nrm * pb.nrm) + 0.00000025, 4) AS cos
+         |FROM cand c
+         |JOIN prep pa ON pa.vec_id = c.a
+         |JOIN prep pb ON pb.vec_id = c.b
+         |WHERE list_dot_product(pa.e, pb.e) / (pa.nrm * pb.nrm) >= 0.15""".stripMargin) {
+      (s, dir) =>
+        val prep = Similarity.prepared(Tables.embeddings(s, dir)).cache()
+        val buckets = Similarity.lshBuckets(prep, Similarity.planes(s)).cache()
+        val flips = buckets.select(col("vec_id"),
+          explode(array((0 until Similarity.NumPlanes).map(p =>
+            col("bucket").bitwiseXOR(lit(1L << p))): _*)).as("pb"))
+        val probes = buckets.select(col("vec_id"), col("bucket").as("pb"))
+          .unionAll(flips)
+        val cand = probes.as("x")
+          .join(buckets.as("y"),
+            col("y.bucket") === col("x.pb") && col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+        cand
+          .join(prep.select(col("vec_id").as("a"), col("e").as("ea"), col("nrm").as("na")), "a")
+          .join(prep.select(col("vec_id").as("b"), col("e").as("eb"), col("nrm").as("nb")), "b")
+          .withColumn("cosv", Similarity.cosine(col("ea"), col("eb"), col("na"), col("nb")))
+          .filter(col("cosv") >= 0.15)
+          .select(col("a"), col("b"), Num.r4(col("cosv")).as("cos"))
+    },
+
     // ANN end-to-end: candidate pairs sharing the coarse 8-bit bucket
     // prefix (the multi-probe knob: fewer prefix bits = more recall, more
     // candidates), verified by exact cosine. At 100 TB: equijoin on the
