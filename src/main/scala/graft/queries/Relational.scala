@@ -173,5 +173,48 @@ object Relational {
         .join(Tables.orders(s, dir).select(col("o_custkey"), col("o_totalprice"))
             .filter(col("o_totalprice") > 300000).select("o_custkey"),
           col("c_custkey") === col("o_custkey"), "left_anti")
+    },
+
+    // TPC-H Q4 shape — correlated EXISTS as a left-semi join: orders with
+    // at least one line item shipped > 60 days after the order date,
+    // counted per priority. The semi join never duplicates orders, so no
+    // distinct pass; lineitem is pruned to two columns at the scan.
+    QueryDef(
+      "q4_late_ship_priority",
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate"),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+    },
+
+    // TPC-H Q6 shape — pure filter + global aggregate: every predicate
+    // sits on the scan (shipdate range, discount band, quantity cap), so
+    // at 100 TB this reads only row groups whose min/max stats overlap.
+    QueryDef(
+      "q6_forecast_revenue",
+      """SELECT round(sum(l_extendedprice * l_discount) + 0.00000025, 4) AS revenue,
+        |       count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+          && col("l_discount").between(0.05, 0.07)
+          && col("l_quantity") < 24)
+        .agg(Num.r4(sum(col("l_extendedprice") * col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_lines"))
     })
 }
