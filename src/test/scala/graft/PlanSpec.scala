@@ -63,6 +63,14 @@ class PlanSpec extends SparkSpec {
     assert(!scan.contains("lang") && !scan.contains("source"))
   }
 
+  test("q6: every predicate pushed to the parquet scan") {
+    val p = plan("q6_forecast_revenue")
+    val scan = p.split("\n").find(_.contains("FileScan parquet")).get
+    assert(scan.contains("PushedFilters") &&
+      scan.contains("l_shipdate") && scan.contains("l_discount"),
+      s"q6 predicates must reach PushedFilters:\n$scan")
+  }
+
   test("q1: aggregation is partial (map-side combine before the exchange)") {
     val p = plan("q1_pricing_summary")
     val firstAgg = p.indexOf("HashAggregate")
