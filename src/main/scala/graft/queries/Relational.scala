@@ -197,6 +197,38 @@ object Relational {
         .agg(count(lit(1)).as("n_orders"))
     },
 
+    // TPC-H Q11 shape — group aggregate compared against a scalar global
+    // total: nations holding >= 3% of worldwide order revenue. The global
+    // total is a 1-row broadcast (Spark: cross join of the global agg;
+    // DuckDB: scalar subquery) — no second scan of the fact table thanks
+    // to a shared shuffle-free re-aggregation of the per-nation sums.
+    QueryDef(
+      "q_nation_revenue_share",
+      """WITH nr AS (
+        |  SELECT n.n_name, sum(o.o_totalprice) AS revenue
+        |  FROM orders o
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |  GROUP BY n.n_name)
+        |SELECT n_name, round(revenue + 0.00000025, 4) AS revenue,
+        |       round(revenue / (SELECT sum(revenue) FROM nr) + 0.00000025, 4) AS share
+        |FROM nr
+        |WHERE revenue / (SELECT sum(revenue) FROM nr) >= 0.03""".stripMargin) { (s, dir) =>
+      val nr = Tables.orders(s, dir).select("o_custkey", "o_totalprice")
+        .join(Tables.customer(s, dir).select("c_custkey", "c_nationkey"),
+          col("c_custkey") === col("o_custkey"))
+        .join(broadcast(Tables.nation(s, dir).select("n_nationkey", "n_name")),
+          col("n_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("o_totalprice")).as("revenue"))
+        .cache()
+      val total = nr.agg(sum(col("revenue")).as("total"))
+      nr.crossJoin(broadcast(total))
+        .filter(col("revenue") / col("total") >= 0.03)
+        .select(col("n_name"), Num.r4(col("revenue")).as("revenue"),
+          Num.r4(col("revenue") / col("total")).as("share"))
+    },
+
     // TPC-H Q6 shape — pure filter + global aggregate: every predicate
     // sits on the scan (shipdate range, discount band, quantity cap), so
     // at 100 TB this reads only row groups whose min/max stats overlap.
