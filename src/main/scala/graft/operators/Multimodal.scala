@@ -68,13 +68,15 @@ object Multimodal {
     * Output adds (out_width, out_height).
     */
   def resizePlan(features: DataFrame, maxDim: Int): DataFrame = {
+    // widen BEFORE multiplying: width * maxDim in 32-bit wraps silently
+    // for width > Int.MaxValue/maxDim — cast the operand, not the product
     val longest = greatest(col("width"), col("height"))
     features.withColumn("out_width",
         when(longest <= maxDim, col("width"))
-          .otherwise(expr(s"CAST(width * $maxDim AS BIGINT) div greatest(width, height)").cast("int")))
+          .otherwise(expr(s"CAST(width AS BIGINT) * $maxDim div greatest(width, height)").cast("int")))
       .withColumn("out_height",
         when(longest <= maxDim, col("height"))
-          .otherwise(expr(s"CAST(height * $maxDim AS BIGINT) div greatest(width, height)").cast("int")))
+          .otherwise(expr(s"CAST(height AS BIGINT) * $maxDim div greatest(width, height)").cast("int")))
   }
 
   /** Partition-local batch decode: one decoder per partition, rows

@@ -94,12 +94,15 @@ object Similarity {
   def knnTopK(spark: org.apache.spark.sql.SparkSession,
               prep: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     import spark.implicits._
+    // size-guard with a column-pruned count BEFORE collecting: an oversized
+    // corpus must fail without first shipping ~0.5 GB of vectors to the
+    // driver (limit(N+1)+collect materializes the vectors just to count them)
+    val n = corpus.select(col("vec_id")).count()
+    require(n <= MaxBroadcastVectors,
+      s"knnTopK corpus has $n vectors > $MaxBroadcastVectors; use IVF probing")
     val collected = corpus.select(col("vec_id"), col("e"), col("nrm"))
       .as[(Long, Seq[Double], Double)]
-      .limit(MaxBroadcastVectors + 1)
       .collect()
-    require(collected.length <= MaxBroadcastVectors,
-      s"knnTopK corpus exceeds $MaxBroadcastVectors vectors; use IVF probing")
     val side: Array[(Long, Array[Double], Double)] =
       collected.sortBy(_._1).map { case (id, e, n) => (id, e.toArray, n) }
     val bc = spark.sparkContext.broadcast(side)
@@ -139,15 +142,15 @@ object Similarity {
   def bruteForcePairs(spark: org.apache.spark.sql.SparkSession,
                       prep: DataFrame, threshold: Double): DataFrame = {
     import spark.implicits._
-    // one bounded collect: limit(N+1) caps driver memory at N+1 rows AND
-    // detects overflow, without a separate count job re-evaluating prep
+    // same pre-collect guard as knnTopK: the count is column-pruned to
+    // vec_id, so overflow is detected before any vector reaches the driver
+    val n = prep.select(col("vec_id")).count()
+    require(n <= MaxBroadcastVectors,
+      s"bruteForcePairs input has $n vectors > $MaxBroadcastVectors; " +
+        "use lshBuckets + bucket-join for corpora this large")
     val collected = prep.select(col("vec_id"), col("e"), col("nrm"))
       .as[(Long, Seq[Double], Double)]
-      .limit(MaxBroadcastVectors + 1)
       .collect()
-    require(collected.length <= MaxBroadcastVectors,
-      s"bruteForcePairs input exceeds $MaxBroadcastVectors vectors; " +
-        "use lshBuckets + bucket-join for corpora this large")
     val side: Array[(Long, Array[Double], Double)] =
       collected.sortBy(_._1).map { case (id, e, n) => (id, e.toArray, n) }
     val bc = spark.sparkContext.broadcast(side)

@@ -92,8 +92,9 @@ object CdpBatch {
         |         count(*) AS cnt
         |  FROM events GROUP BY 1, 2, 3)
         |SELECT user_id, event_type, bucket_s, cnt,
-        |       sum(cnt) OVER (PARTITION BY user_id, event_type ORDER BY bucket_s
-        |                      RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS cnt_24h
+        |       CAST(sum(cnt) OVER (PARTITION BY user_id, event_type ORDER BY bucket_s
+        |                           RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+        |            AS BIGINT) AS cnt_24h
         |FROM b""".stripMargin) { (s, dir) =>
       Tables.events(s, dir)
         .groupBy(col("user_id"), col("event_type"),

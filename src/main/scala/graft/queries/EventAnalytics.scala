@@ -29,8 +29,9 @@ object EventAnalytics {
          |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
          |s AS (
          |  SELECT user_id, event_id, ts,
-         |         sum(is_start) OVER (PARTITION BY user_id
-         |                             ORDER BY epoch_us(ts), event_id) AS session_idx
+         |         CAST(sum(is_start) OVER (PARTITION BY user_id
+         |                                  ORDER BY epoch_us(ts), event_id)
+         |              AS BIGINT) AS session_idx
          |  FROM g)
          |SELECT user_id, session_idx, count(*) AS n_events,
          |       CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,

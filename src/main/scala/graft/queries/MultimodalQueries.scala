@@ -47,10 +47,15 @@ object MultimodalQueries {
       "q_multimodal_decode",
       s"""WITH $decodeSql
          |SELECT asset_id, n_bytes, media_type, width, height, n_frames,
-         |       range(0, n_frames, greatest(n_frames // 4, 1))[1:8] AS sampled_frames
+         |       array_to_string(range(0, n_frames, greatest(n_frames // 4, 1))[1:8],
+         |                       ',') AS sampled_frames
          |FROM f""".stripMargin) { (s, dir) =>
+      // serialized to a comma-joined string: the driver's checker sorts
+      // result columns and cannot hash an array cell (q_multimodal_frames
+      // still checks the exploded per-frame values)
       Multimodal.decodeFeatures(s, assets(s, dir))
-        .withColumn("sampled_frames", col("sampled_frames").cast("array<long>"))
+        .withColumn("sampled_frames",
+          array_join(col("sampled_frames").cast("array<long>"), ","))
     },
 
     // Frame fan-out: one row per sampled frame (the map side of a
@@ -80,9 +85,11 @@ object MultimodalQueries {
       s"""WITH $decodeSql
          |SELECT asset_id, width, height,
          |       CAST(CASE WHEN greatest(width, height) <= 224 THEN width
-         |            ELSE (width * 224) // greatest(width, height) END AS INT) AS out_width,
+         |            ELSE CAST(width AS BIGINT) * 224 // greatest(width, height)
+         |            END AS INT) AS out_width,
          |       CAST(CASE WHEN greatest(width, height) <= 224 THEN height
-         |            ELSE (height * 224) // greatest(width, height) END AS INT) AS out_height
+         |            ELSE CAST(height AS BIGINT) * 224 // greatest(width, height)
+         |            END AS INT) AS out_height
          |FROM f""".stripMargin) { (s, dir) =>
       Multimodal.resizePlan(Multimodal.decodeFeatures(s, assets(s, dir)), maxDim = 224)
         .select("asset_id", "width", "height", "out_width", "out_height")

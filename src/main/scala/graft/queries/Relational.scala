@@ -143,11 +143,12 @@ object Relational {
     QueryDef(
       "q_moving_avg_orders",
       """SELECT o_custkey,
-        |       epoch(o_orderdate) // 86400 AS day_n,
+        |       CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS day_n,
         |       CAST(count(*) OVER w AS BIGINT) AS orders_7d,
         |       round(avg(o_totalprice) OVER w + 0.00000025, 4) AS avg_spend_7d
         |FROM orders
-        |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate) // 86400
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY CAST(epoch(o_orderdate) AS BIGINT) // 86400
         |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val dayN = expr("unix_timestamp(o_orderdate) div 86400")
@@ -213,7 +214,8 @@ object Relational {
         |SELECT n_name, round(revenue + 0.00000025, 4) AS revenue,
         |       round(revenue / (SELECT sum(revenue) FROM nr) + 0.00000025, 4) AS share
         |FROM nr
-        |WHERE revenue / (SELECT sum(revenue) FROM nr) >= 0.03""".stripMargin) { (s, dir) =>
+        |WHERE round(revenue / (SELECT sum(revenue) FROM nr) + 0.00000025, 4)
+        |      >= 0.03""".stripMargin) { (s, dir) =>
       val nr = Tables.orders(s, dir).select("o_custkey", "o_totalprice")
         .join(Tables.customer(s, dir).select("c_custkey", "c_nationkey"),
           col("c_custkey") === col("o_custkey"))
@@ -223,8 +225,11 @@ object Relational {
         .agg(sum(col("o_totalprice")).as("revenue"))
         .cache()
       val total = nr.agg(sum(col("revenue")).as("total"))
+      // the >= 0.03 cut is on the ROUNDED share: float sums accumulate in
+      // different orders across engines, so a share within ulps of the
+      // threshold must be snapped to the comparison grid first
       nr.crossJoin(broadcast(total))
-        .filter(col("revenue") / col("total") >= 0.03)
+        .filter(Num.r4(col("revenue") / col("total")) >= 0.03)
         .select(col("n_name"), Num.r4(col("revenue")).as("revenue"),
           Num.r4(col("revenue") / col("total")).as("share"))
     },

@@ -150,8 +150,17 @@ object CdpPipeline {
     *
     * `events` must carry a watermark on `ts` (the caller picks the
     * lateness bound); state per profile is two registers.
+    *
+    * Bounded state: a profile that ENTERs reengage and never returns must
+    * not pin its two registers forever. After the ENTER fires, a second
+    * timeout at `idleMs * ReengageCleanupFactor` past lastSeen removes the
+    * state entirely — an EXIT for a return beyond that horizon is lost
+    * (the profile re-folds from empty), the same bounded-state trade
+    * `Dedup.exactStream` documents for its TTL.
     */
   case class ReengageState(lastSeenUs: Long, inReengage: Boolean)
+
+  val ReengageCleanupFactor = 10L
 
   def reengageEvents(spark: SparkSession, events: Dataset[CdpEvent],
                      idleMs: Long): Dataset[SegmentEvent] = {
@@ -163,9 +172,19 @@ object CdpPipeline {
         (pid: String, rows: Iterator[CdpEvent], state: GroupState[ReengageState]) =>
           if (state.hasTimedOut) {
             val st = state.get
-            state.update(st.copy(inReengage = true))
-            Iterator.single(SegmentEvent(pid, "reengage", "ENTER",
-              new Timestamp(st.lastSeenUs / 1000L + idleMs)))
+            if (st.inReengage) {
+              // second (cleanup) timer: the profile stayed idle for the
+              // whole cleanup horizon — drop its state
+              state.remove()
+              Iterator.empty
+            } else {
+              state.update(st.copy(inReengage = true))
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs() + 1L,
+                  st.lastSeenUs / 1000L + idleMs * ReengageCleanupFactor))
+              Iterator.single(SegmentEvent(pid, "reengage", "ENTER",
+                new Timestamp(st.lastSeenUs / 1000L + idleMs)))
+            }
           } else {
             val st0 = state.getOption.getOrElse(ReengageState(0L, inReengage = false))
             val batch = rows.toSeq
