@@ -2,7 +2,9 @@ package graft.streaming
 
 import java.util.concurrent.atomic.AtomicReference
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 
@@ -15,52 +17,168 @@ import graft.operators.Identity
   * existing components re-keys only FUTURE events — the mapping table is
   * updated, historical per-profile state is not migrated (orphaned
   * profiles are accepted). That makes streaming resolution feasible: the
-  * mapping is a monotone join of components.
+  * mapping is a monotone join of components (labels only ever decrease
+  * toward the lexicographic min).
   *
-  * Mechanics: `foreachBatch` accumulates the distinct edge set (checkpoint
-  * parquet dir — at cluster scale a Delta/iceberg table) and recomputes
-  * connected components over it per batch with the deterministic
-  * lexicographically-smallest-root rule. Component recompute is
-  * incremental-friendly because edges only accumulate; for graphs where
-  * full recompute is too heavy, seed the propagation with the previous
-  * mapping (labels only ever decrease).
+  * INCREMENTAL mechanics (no per-batch full recompute, no driver-side
+  * mapping): the persisted node→canonical label table IS the state. Each
+  * new edge (a, b) connects the COMPONENTS of a and b, so per batch we
+  *  1. map the batch's edge endpoints through the label table (one scan,
+  *     endpoints side broadcast-small; unseen nodes are their own label),
+  *  2. run connected components on the CONTRACTED graph only — its size is
+  *     proportional to the batch's edges, never the accumulated graph,
+  *  3. re-label members of merged components with one broadcast join
+  *     (output proportional to members of components that actually merged)
+  *     and append the changed rows as an LSM-style delta, versioned by
+  *     batchId (idempotent on retry), compacted every `CompactEvery`
+  *     batches.
+  * Because each stored label is the lexicographic min of its component,
+  * the min over contracted labels equals the min over the merged
+  * component's nodes — the canonical-id rule survives contraction.
+  *
+  * The mapping is served as a DataFrame for join-based canonicalization;
+  * nothing is ever collected to the driver (a point lookup reads one
+  * filtered row). At cluster scale the label table becomes a Delta/Iceberg
+  * table MERGEd by `comp` (partition-pruned upsert) instead of the
+  * parquet base+delta emulation here; the per-batch shape is identical.
+  * A batch whose contracted graph exceeds `maxIter` rounds fails the
+  * batch, and the streaming checkpoint replays it (delta writes are
+  * idempotent by batchId) — merges are never silently dropped.
   */
 object IdentityStream {
 
-  /** Latest id -> canonicalId mapping, swapped atomically per batch. */
-  final class MappingRef {
-    private val ref = new AtomicReference[Map[String, String]](Map.empty)
-    def get: Map[String, String] = ref.get
-    def canonical(id: String): String = ref.get.getOrElse(id, id)
-    private[IdentityStream] def set(m: Map[String, String]): Unit = ref.set(m)
+  val CompactEvery = 8
+
+  /** Per-batch instrumentation: proof the CC input is the contracted
+    * graph (proportional to the batch), not the accumulated edge set.
+    */
+  final case class BatchStats(batchId: Long, newEdges: Long,
+                              contractedEdges: Long, deltaRows: Long)
+
+  /** Join-based handle on the id → canonicalId mapping. The mapping lives
+    * in `stateDir` as versioned parquet (base + deltas, last-writer-wins
+    * by version); this class never holds it in driver memory.
+    */
+  final class MappingHandle private[IdentityStream] (spark: SparkSession,
+                                                     stateDir: String) {
+    private val statsRef =
+      new AtomicReference[Vector[BatchStats]](Vector.empty)
+
+    def stats: Vector[BatchStats] = statsRef.get
+    private[IdentityStream] def addStats(s: BatchStats): Unit =
+      statsRef.updateAndGet(_ :+ s)
+
+    private[IdentityStream] def versionDirs(): Seq[Path] = {
+      val p = new Path(stateDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).toSeq.map(_.getPath)
+        .filter(d => d.getName.startsWith("base_") || d.getName.startsWith("delta_"))
+    }
+
+    /** Current (node, comp) mapping — nodes whose canonical id is
+      * themselves may be absent (identity is the default).
+      */
+    def df: DataFrame = {
+      import spark.implicits._
+      val dirs = versionDirs()
+      if (dirs.isEmpty) Seq.empty[(String, String)].toDF("node", "comp")
+      else spark.read.parquet(dirs.map(_.toString): _*)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("node")).orderBy(col("ver").desc)))
+        .filter(col("rn") === 1)
+        .select("node", "comp")
+    }
+
+    /** Point lookup (a 1-row filtered read, not a driver map). Pipelines
+      * canonicalize in bulk by joining `df` instead.
+      */
+    def canonical(id: String): String = {
+      val r = df.filter(col("node") === lit(id)).select("comp").collect()
+      if (r.isEmpty) id else r(0).getString(0)
+    }
   }
 
   /** Wire the resolver onto a stream of (src, dst) identifier edges.
-    * Returns the writer (caller starts it) and the live mapping handle.
+    * Returns the writer (caller starts it) and the mapping handle.
     */
-  def resolver(spark: SparkSession, edges: DataFrame, edgeStateDir: String,
+  def resolver(spark: SparkSession, edges: DataFrame, stateDir: String,
                maxIter: Int = 100)
-  : (DataStreamWriter[org.apache.spark.sql.Row], MappingRef) = {
-    val mapping = new MappingRef
+  : (DataStreamWriter[org.apache.spark.sql.Row], MappingHandle) = {
+    val handle = new MappingHandle(spark, stateDir)
     val writer = edges.writeStream
       .trigger(Trigger.ProcessingTime("1 second"))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val newEdges = batch.select("src", "dst").distinct()
-        // accumulate edge state (append; CC dedups via distinct)
-        newEdges.write.mode("append").parquet(edgeStateDir)
-        val allEdges = spark.read.parquet(edgeStateDir).distinct()
-        // keep the previous (monotone-safe) mapping if a pathological
-        // component exceeds the iteration bound — never kill the stream
-        try {
-          val cc = Identity.connectedComponents(allEdges, maxIter)
-          mapping.set(cc.collect().map(r => r.getString(0) -> r.getString(1)).toMap)
-        } catch {
-          case e: IllegalArgumentException =>
-            System.err.println(s"[identity] keeping previous mapping: ${e.getMessage}")
+        val newEdges = batch.select("src", "dst")
+          .filter(col("src").isNotNull && col("dst").isNotNull
+            && col("src") =!= col("dst"))
+          .distinct()
+          .localCheckpoint(true)
+        val nNew = newEdges.count()
+        if (nNew == 0) handle.addStats(BatchStats(batchId, 0L, 0L, 0L))
+        else {
+          val prev = handle.df
+          // endpoints with their current label (absent row = own label);
+          // small per batch, so both joins against it broadcast
+          val endpoints = newEdges.select(col("src").as("id"))
+            .unionAll(newEdges.select(col("dst").as("id"))).distinct()
+          val epComp = endpoints
+            .join(prev.withColumnRenamed("node", "id"), Seq("id"), "left")
+            .select(col("id"), coalesce(col("comp"), col("id")).as("c0"),
+              col("comp").isNotNull.as("stored"))
+            .localCheckpoint(true)
+          // contract each edge to the component level; edges inside one
+          // existing component vanish here
+          val contracted = newEdges
+            .join(broadcast(epComp.select(col("id").as("src"), col("c0").as("ca"))), Seq("src"))
+            .join(broadcast(epComp.select(col("id").as("dst"), col("c0").as("cb"))), Seq("dst"))
+            .select(col("ca").as("src"), col("cb").as("dst"))
+            .filter(col("src") =!= col("dst"))
+            .distinct()
+            .localCheckpoint(true)
+          val nContracted = contracted.count()
+          val deltas =
+            if (nContracted == 0) spark.emptyDataFrame
+            else {
+              // CC over the contracted graph only — size ∝ this batch
+              val merge = Identity.connectedComponents(contracted, maxIter)
+                .toDF("c0", "newc").localCheckpoint(true)
+              val changed = merge.filter(col("c0") =!= col("newc"))
+              // members of merged components: one scan of the label table
+              // with the tiny merge map broadcast — output ∝ changed members
+              val relabeledStored = prev
+                .join(broadcast(changed.withColumnRenamed("c0", "comp")), Seq("comp"))
+                .select(col("node"), col("newc").as("comp"))
+              // endpoints with no stored row (new ids and current
+              // canonicals — the `stored` flag from the epComp lookup, so
+              // no second pass over the label table) whose merged label
+              // differs from themselves
+              val relabeledEndpoints = epComp.filter(!col("stored"))
+                .join(broadcast(merge), Seq("c0"), "left")
+                .select(col("id").as("node"),
+                  coalesce(col("newc"), col("c0")).as("comp"))
+                .filter(col("node") =!= col("comp"))
+              relabeledStored.unionAll(relabeledEndpoints)
+            }
+          val nDelta = if (nContracted == 0) 0L else deltas.count()
+          if (nDelta > 0)
+            deltas.withColumn("ver", lit(batchId))
+              .write.mode("overwrite").parquet(s"$stateDir/delta_$batchId")
+          handle.addStats(BatchStats(batchId, nNew, nContracted, nDelta))
+          // LSM compaction: fold deltas into a fresh base so mapping reads
+          // stay O(1) files; amortized cost one table rewrite / CompactEvery
+          if (handle.versionDirs().size >= CompactEvery) {
+            val old = handle.versionDirs()
+            handle.df.withColumn("ver", lit(batchId))
+              .write.mode("overwrite").parquet(s"$stateDir/base_$batchId")
+            val fs = new Path(stateDir)
+              .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            old.foreach(d => fs.delete(d, true))
+          }
         }
         ()
       }
-    (writer, mapping)
+    (writer, handle)
   }
 }

@@ -6,7 +6,9 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 /** Streaming identity resolution: components grow across batches; a late
   * ALIAS merges two components (future routing only — the reference's
   * no-state-migration contract); canonical id stays lexicographically
-  * smallest.
+  * smallest. Incremental contract: per-batch CC runs on the CONTRACTED
+  * graph (size ∝ the batch's edges, not the accumulated edge set) and the
+  * mapping is served as a DataFrame, never a driver-side map.
   */
 class IdentityStreamSpec extends SparkSpec {
 
@@ -16,7 +18,7 @@ class IdentityStreamSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("idstream").toString
     val input = MemoryStream[(String, String)]
     val (writer, mapping) = IdentityStream.resolver(
-      spark, input.toDF().toDF("src", "dst"), s"$dir/edges")
+      spark, input.toDF().toDF("src", "dst"), s"$dir/labels")
     val query = writer.start()
     try {
       // batch 1: two separate components {user:a, anon:x} {user:b, email:c}
@@ -30,6 +32,39 @@ class IdentityStreamSpec extends SparkSpec {
       query.processAllAvailable()
       val all = Seq("user:a", "anon:x", "user:b", "email:c").map(mapping.canonical)
       assert(all.toSet == Set("anon:x")) // "anon:x" < "email:c" < "user:a"
+
+      // incremental contract: batch 2's CC saw ONE contracted edge, even
+      // though the accumulated graph has three — per-batch work ∝ new edges
+      val s2 = mapping.stats.filter(_.newEdges > 0).last
+      assert(s2.newEdges == 1 && s2.contractedEdges == 1)
+
+      // the mapping is join-served: canonical ids default to identity, so
+      // the stored table has one row per NON-canonical node only
+      val rows = mapping.df.as[(String, String)].collect().toMap
+      assert(rows == Map(
+        "user:a" -> "anon:x", "user:b" -> "anon:x", "email:c" -> "anon:x"))
+    } finally query.stop()
+  }
+
+  test("edges inside one component contract away; batches are cheap no-ops") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("idstream2").toString
+    val input = MemoryStream[(String, String)]
+    val (writer, mapping) = IdentityStream.resolver(
+      spark, input.toDF().toDF("src", "dst"), s"$dir/labels")
+    val query = writer.start()
+    try {
+      input.addData(("b", "a"), ("c", "b"))
+      query.processAllAvailable()
+      assert(Seq("a", "b", "c").map(mapping.canonical) == Seq("a", "a", "a"))
+      // an edge between two already-connected nodes contracts to a
+      // self-loop and vanishes before CC: zero contracted edges, no delta
+      input.addData(("c", "a"))
+      query.processAllAvailable()
+      val s = mapping.stats.last
+      assert(s.newEdges == 1 && s.contractedEdges == 0 && s.deltaRows == 0)
+      assert(mapping.canonical("c") == "a")
     } finally query.stop()
   }
 }
