@@ -30,12 +30,13 @@ object Identity {
       .unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(true)
+    val compType = sym.schema("src").dataType
 
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("comp", col("node"))
-      .localCheckpoint(true)
-    val compType = labels.schema("comp").dataType
-
+    // round 0 is fused with label init: with identity labels the neighbor
+    // lookup IS sym itself, so the first round needs no join and the
+    // separate distinct-nodes materialization disappears (two fewer
+    // shuffles + one fewer eager checkpoint of fixed per-call overhead)
+    var labels: DataFrame = null
     var converged = false
     var i = 0
     val dbg = sys.env.contains("GRAFT_CC_DEBUG")
@@ -43,15 +44,21 @@ object Identity {
     if (dbg) println(f"[cc] init done")
     while (!converged && i < maxIter) {
       if (dbg) { println(f"[cc] round $i start +${(System.nanoTime()-tPrev)/1e9}%.2fs"); tPrev = System.nanoTime() }
-      val neighborComp = sym
-        .join(labels.withColumnRenamed("node", "dst"), "dst")
-        .select(col("src").as("node"), col("comp"))
+      val neighborComp =
+        if (labels == null) sym.select(col("src").as("node"), col("dst").as("comp"))
+        else sym
+          .join(labels.withColumnRenamed("node", "dst"), "dst")
+          .select(col("src").as("node"), col("comp"))
+      val self =
+        if (labels == null)
+          sym.select(col("src").as("node"), col("src").as("comp"), col("src").as("own"))
+        else labels.withColumn("own", col("comp"))
       // carry the previous label through the same aggregation (`own` is
       // non-null exactly on the self row), so convergence detection is a
       // checkpointed-scan filter — no per-round compare join
       val next = neighborComp
         .withColumn("own", lit(null).cast(compType))
-        .unionAll(labels.withColumn("own", col("comp")))
+        .unionAll(self)
         .groupBy("node").agg(min("comp").as("comp"), max("own").as("own"))
         .localCheckpoint(true)
       val changed = next.filter(col("comp") =!= col("own")).limit(1).count()
