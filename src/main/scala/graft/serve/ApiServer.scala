@@ -1,0 +1,182 @@
+package graft.serve
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.time.Instant
+import java.util.concurrent.Executors
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+/** HTTP/SSE binding for the serving contracts — the layer the reference
+  * exposes via Spring controllers, here on the JDK's built-in server (no
+  * extra dependency; swap for any servlet container in production).
+  *
+  * Endpoints (reference counterparts):
+  *  - GET  /health                → `api/HealthController.kt:8-12`
+  *  - GET  /stats/overview        → `api/StatsController.kt:12-20`
+  *  - POST /sim/start|stop, GET /sim/status → `api/SimulatorController.kt:39-119`
+  *  - GET  /sse/alerts            → `api/AlertController.kt:29-95`
+  *  - GET  /sse/cdp/segments      → `cdp/api/CdpController.kt:39-103`
+  *  - GET  /sse/cdp/profiles      → `cdp/api/CdpController.kt:52-146`
+  *
+  * SSE framing mirrors the reference: every payload is a JSON envelope
+  * `{"type":...,"data"/...}` sent as one `data:` frame; a `connection`
+  * frame opens each stream; `heartbeat` frames every `heartbeatMs` keep
+  * proxies from closing idle streams (disable with heartbeatMs = 0 in
+  * tests, like the reference's `enableHeartbeat` switch).
+  */
+final class ApiServer(
+    alertsHub: EventHub,
+    segmentsHub: EventHub,
+    profilesHub: EventHub,
+    stats: StatsService,
+    sim: SimControl,
+    port: Int = 0,
+    heartbeatMs: Long = 10000L) {
+
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  private val pool = Executors.newCachedThreadPool()
+  @volatile private var running = true
+
+  def boundPort: Int = server.getAddress.getPort
+
+  private def respond(ex: HttpExchange, status: Int, body: String,
+                      contentType: String = "application/json"): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.sendResponseHeaders(status, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getQuery).map(_.split("&").toSeq
+      .flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => Some(k -> java.net.URLDecoder.decode(v, "UTF-8"))
+          case Array(k) => Some(k -> "")
+          case _ => None
+        }
+      }.toMap).getOrElse(Map.empty)
+
+  /** One SSE connection: connection frame, then hub frames interleaved
+    * with heartbeats, until the client disconnects or the server stops.
+    */
+  private def sse(ex: HttpExchange, hub: EventHub, streamName: String): Unit = {
+    ex.getResponseHeaders.set("Content-Type", "text/event-stream")
+    ex.getResponseHeaders.set("Cache-Control", "no-cache")
+    ex.sendResponseHeaders(200, 0) // chunked
+    val out = ex.getResponseBody
+    def frame(json: String): Unit = {
+      out.write(s"data: $json\n\n".getBytes(StandardCharsets.UTF_8))
+      out.flush()
+    }
+    val sub = hub.subscribe()
+    try {
+      frame(Json.obj(
+        "type" -> "connection",
+        "message" -> s"Connected to $streamName stream",
+        "timestamp" -> Instant.now()))
+      while (running) {
+        val pollMs = if (heartbeatMs > 0) heartbeatMs else 250L
+        val msg = sub.poll(pollMs)
+        if (msg != null) frame(msg)
+        else if (heartbeatMs > 0)
+          frame(Json.obj("type" -> "heartbeat", "timestamp" -> Instant.now()))
+      }
+    } catch {
+      case _: java.io.IOException => // client closed
+    } finally {
+      sub.cancel()
+      ex.close()
+    }
+  }
+
+  server.createContext("/health", (ex: HttpExchange) =>
+    respond(ex, 200, Json.obj("status" -> "UP")))
+
+  server.createContext("/stats/overview", (ex: HttpExchange) =>
+    respond(ex, 200, Json.obj(
+      "eventsPerMin" -> stats.eventsPerMin,
+      "alertsPerMin" -> stats.alertsPerMin,
+      "uptimeSec" -> stats.uptimeSec)))
+
+  server.createContext("/sim/start", (ex: HttpExchange) => {
+    if (ex.getRequestMethod != "POST") respond(ex, 405, Json.obj("status" -> "error", "message" -> "POST required"))
+    else {
+      val p = queryParams(ex)
+      val profile = p.get("profile").map(_.toUpperCase)
+      if (profile.exists(pr => !SimControl.ValidProfiles.contains(pr)))
+        respond(ex, 200, Json.obj(
+          "status" -> "error",
+          "message" -> s"Invalid profile: ${p("profile")}. Valid values: ${SimControl.ValidProfiles.mkString(", ")}"))
+      else {
+        val rps = p.get("rps").flatMap(_.toDoubleOption).getOrElse(10.0)
+        val latenessSec = p.get("latenessSec").flatMap(_.toLongOption).getOrElse(90L)
+        val started = sim.start(profile, rps, latenessSec)
+        respond(ex, 200, Json.obj(
+          "status" -> (if (started) "started" else "already_running"),
+          "message" -> (if (started) "Simulator started successfully"
+                        else "Simulator is already running"),
+          "profile" -> sim.currentProfile,
+          "rps" -> sim.rps,
+          "latenessSec" -> sim.latenessSec))
+      }
+    }
+  })
+
+  server.createContext("/sim/stop", (ex: HttpExchange) => {
+    if (ex.getRequestMethod != "POST") respond(ex, 405, Json.obj("status" -> "error", "message" -> "POST required"))
+    else {
+      val stopped = sim.stop()
+      respond(ex, 200, Json.obj(
+        "status" -> (if (stopped) "stopped" else "already_stopped"),
+        "message" -> (if (stopped) "Simulator stopped successfully"
+                      else "Simulator is not running"),
+        "profile" -> sim.currentProfile))
+    }
+  })
+
+  server.createContext("/sim/status", (ex: HttpExchange) =>
+    respond(ex, 200, Json.obj(
+      "running" -> sim.isRunning,
+      "profile" -> sim.currentProfile,
+      "status" -> (if (sim.isRunning) "running" else "stopped"))))
+
+  server.createContext("/sse/alerts", (ex: HttpExchange) => sse(ex, alertsHub, "alerts"))
+  server.createContext("/sse/cdp/segments", (ex: HttpExchange) => sse(ex, segmentsHub, "segments"))
+  server.createContext("/sse/cdp/profiles", (ex: HttpExchange) => sse(ex, profilesHub, "profiles"))
+
+  def start(): ApiServer = {
+    server.setExecutor(pool)
+    server.start()
+    this
+  }
+
+  def stop(): Unit = {
+    running = false
+    server.stop(0)
+    pool.shutdownNow()
+    ()
+  }
+}
+
+/** Simulator control surface behind the `/sim` endpoints (reference
+  * `api/SimulatorController.kt:39-119` semantics: start is idempotent-ish
+  * — a second start reports already_running; stop on a stopped simulator
+  * reports already_stopped).
+  */
+trait SimControl {
+  /** true if started now, false if it was already running. */
+  def start(profile: Option[String], rps: Double, latenessSec: Long): Boolean
+  /** true if stopped now, false if it was not running. */
+  def stop(): Boolean
+  def isRunning: Boolean
+  def currentProfile: String
+  def rps: Double
+  def latenessSec: Long
+}
+
+object SimControl {
+  val ValidProfiles: Seq[String] = Seq("SASE", "IGAMING", "CDP")
+}

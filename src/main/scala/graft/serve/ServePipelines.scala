@@ -1,0 +1,141 @@
+package graft.serve
+
+import java.util.concurrent.atomic.AtomicReference
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.sources.Simulator
+import graft.streaming.{Alert, EntityEvent, EntityPipeline, ProfileSnapshot, SegmentEvent}
+
+/** Bridges between the streaming pipelines and the HTTP/SSE hubs: the
+  * JSON envelopes the reference emits, and the Spark-backed simulator
+  * behind the `/sim` endpoints.
+  */
+object ServePipelines {
+
+  // ---- envelopes (`AlertController.kt:83-95`, `CdpController.kt:183-220`)
+
+  def alertEnvelope(a: Alert): String =
+    Json.obj("type" -> "alert", "data" -> scala.collection.immutable.ListMap(
+      "ts" -> a.ts, "rule" -> a.rule, "entityId" -> a.entityId,
+      "severity" -> a.severity, "rateNow" -> a.rateNow,
+      "threshold" -> a.threshold))
+
+  def segmentEnvelope(e: SegmentEvent): String =
+    Json.obj("type" -> "segment_event", "data" -> scala.collection.immutable.ListMap(
+      "profileId" -> e.profileId, "segment" -> e.segment,
+      "action" -> e.action, "ts" -> e.ts))
+
+  /** The reference's ProfileSummary projection (`CdpController.kt:148-181`):
+    * top-20 by lastSeen, identifier prefixes stripped, plan/country pulled
+    * from traits, the 24 h TRACK counter as featureUsedCount.
+    */
+  def profileSummariesEnvelope(snapshots: Seq[ProfileSnapshot]): String = {
+    val top = snapshots.sortBy(p => (-p.lastSeen.getTime, p.profileId)).take(20)
+    Json.obj("type" -> "profile_summaries", "data" -> top.map { p =>
+      scala.collection.immutable.ListMap(
+        "profileId" -> p.profileId,
+        "plan" -> p.traits.get("plan"),
+        "country" -> p.traits.get("country"),
+        "lastSeen" -> p.lastSeen,
+        "identifiers" -> scala.collection.immutable.ListMap(
+          "userIds" -> p.userIds.map(_.stripPrefix("user:")),
+          "emails" -> p.emails.map(_.stripPrefix("email:")),
+          "anonymousIds" -> p.anonymousIds.map(_.stripPrefix("anon:"))),
+        "featureUsedCount" -> p.trackCount24h)
+    })
+  }
+
+  /** Publish a micro-batch of alerts into the hub + stats. Collect is
+    * bounded: alerts are the RESULT of the pipeline (rule hits), orders of
+    * magnitude sparser than events; the SSE layer is inherently a
+    * single-node fan-out point.
+    */
+  def publishAlerts(hub: EventHub, stats: StatsService)(
+      batch: Dataset[Alert], batchId: Long): Unit = {
+    val alerts = batch.collect()
+    if (alerts.nonEmpty) {
+      stats.recordAlerts(alerts.length.toLong)
+      alerts.sortBy(a => (a.ts.getTime, a.entityId, a.rule))
+        .foreach(a => hub.publish(alertEnvelope(a)))
+    }
+  }
+
+  def publishSegments(hub: EventHub)(
+      batch: Dataset[SegmentEvent], batchId: Long): Unit = {
+    val evs = batch.collect()
+    evs.sortBy(e => (e.ts.getTime, e.profileId, e.segment))
+      .foreach(e => hub.publish(segmentEnvelope(e)))
+  }
+
+  /** Changed-only profile publication (W7): the hub-side dedup reuses
+    * SnapshotSink.ChangedOnlyHub so an unchanged top-20 emits nothing.
+    */
+  def profilePublisher(hub: EventHub): SnapshotSink.ChangedOnlyHub[ProfileSnapshot] = {
+    val changed = new SnapshotSink.ChangedOnlyHub[ProfileSnapshot]
+    changed.subscribe(snap => hub.publish(profileSummariesEnvelope(snap)))
+    changed
+  }
+
+  /** the `/sim` endpoints backed by a real Structured Streaming query: rate source →
+    * Simulator's deterministic columns → EntityPipeline rules → alerts
+    * hub. Event counts reach stats via observe() on the source (A10 — no
+    * extra action; read from each progress's observedMetrics).
+    */
+  final class SparkSim(spark: SparkSession, alertsHub: EventHub,
+                       stats: StatsService, seed: Long = 42L) extends SimControl {
+    private val state = new AtomicReference[Option[StreamingQuery]](None)
+    @volatile private var profileName = "SASE"
+    @volatile private var rps0 = 10.0
+    @volatile private var lateness0 = 90L
+
+    private val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+        val om = e.progress.observedMetrics
+        if (om.containsKey("sim_events")) {
+          val n = om.get("sim_events").getLong(0)
+          if (n > 0) stats.recordEvents(n)
+        }
+      }
+    }
+    spark.streams.addListener(listener)
+
+    override def start(profile: Option[String], rps: Double, latenessSec: Long): Boolean =
+      synchronized {
+        profile.foreach(profileName = _)
+        rps0 = rps
+        lateness0 = latenessSec
+        if (state.get.exists(_.isActive)) false
+        else {
+          import spark.implicits._
+          val events = Simulator
+            .entityEventStream(spark, rps, latenessSec.toInt, profileName, seed)
+            .observe("sim_events", count(lit(1)).as("rows"))
+            .as[EntityEvent]
+          val q = EntityPipeline.alerts(spark, events)
+            .writeStream
+            .outputMode("append")
+            .foreachBatch(publishAlerts(alertsHub, stats) _)
+            .start()
+          state.set(Some(q))
+          true
+        }
+      }
+
+    override def stop(): Boolean = synchronized {
+      state.getAndSet(None) match {
+        case Some(q) if q.isActive => q.stop(); true
+        case _ => false
+      }
+    }
+
+    override def isRunning: Boolean = state.get.exists(_.isActive)
+    override def currentProfile: String = profileName
+    override def rps: Double = rps0
+    override def latenessSec: Long = lateness0
+  }
+}

@@ -1,0 +1,190 @@
+package graft.serve
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable.ArrayBuffer
+
+import graft.SparkSpec
+import graft.streaming.{CdpEvent, CdpPipeline, EntityEvent, EntityPipeline, ProfileSnapshot}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** End-to-end serving layer: real HTTP server, real streaming queries.
+  * REST surface matches `api/SimulatorController.kt` / `StatsController` /
+  * `HealthController`; SSE framing matches `api/AlertController.kt` and
+  * `cdp/api/CdpController.kt` ({type,data} envelopes, connection frame
+  * first, heartbeat merging).
+  */
+class ApiServerSpec extends SparkSpec {
+
+  private def http(method: String, url: String): (Int, String) = {
+    val conn = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod(method)
+    conn.setConnectTimeout(5000)
+    conn.setReadTimeout(10000)
+    val code = conn.getResponseCode
+    val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val body = new String(is.readAllBytes(), StandardCharsets.UTF_8)
+    conn.disconnect()
+    (code, body)
+  }
+
+  /** Read SSE data frames until `want` of them match `p` or the deadline
+    * passes; returns all frames seen.
+    */
+  private def sseFrames(url: String, want: Int, p: String => Boolean,
+                        timeoutMs: Long = 20000): Seq[String] = {
+    val conn = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setConnectTimeout(5000)
+    conn.setReadTimeout(timeoutMs.toInt)
+    val reader = new BufferedReader(new InputStreamReader(conn.getInputStream, StandardCharsets.UTF_8))
+    val frames = ArrayBuffer.empty[String]
+    val deadline = System.currentTimeMillis() + timeoutMs
+    try {
+      var line: String = null
+      while (frames.count(p) < want && System.currentTimeMillis() < deadline
+        && { line = reader.readLine(); line != null }) {
+        if (line.startsWith("data: ")) frames += line.stripPrefix("data: ")
+      }
+    } finally {
+      reader.close()
+      conn.disconnect()
+    }
+    frames.toSeq
+  }
+
+  test("REST surface: health, stats, sim lifecycle over a real rate-source stream") {
+    val alertsHub = new EventHub
+    val stats = new StatsService
+    val sim = new ServePipelines.SparkSim(spark, alertsHub, stats)
+    val server = new ApiServer(alertsHub, new EventHub, new EventHub,
+      stats, sim, port = 0, heartbeatMs = 0L).start()
+    val base = s"http://localhost:${server.boundPort}"
+    try {
+      assert(http("GET", s"$base/health") == (200, """{"status":"UP"}"""))
+
+      val (c0, s0) = http("GET", s"$base/sim/status")
+      assert(c0 == 200 && s0.contains("\"running\":false") && s0.contains("\"status\":\"stopped\""))
+
+      val (_, bad) = http("POST", s"$base/sim/start?profile=NOPE")
+      assert(bad.contains("\"status\":\"error\"") && bad.contains("Invalid profile: NOPE"))
+
+      val (c1, s1) = http("POST", s"$base/sim/start?profile=IGAMING&rps=200&latenessSec=5")
+      assert(c1 == 200 && s1.contains("\"status\":\"started\"")
+        && s1.contains("\"profile\":\"IGAMING\"") && s1.contains("\"rps\":200"))
+      val (_, s2) = http("POST", s"$base/sim/start")
+      assert(s2.contains("\"status\":\"already_running\""))
+      assert(http("GET", s"$base/sim/status")._2.contains("\"running\":true"))
+
+      // the rate stream must reach /stats/overview via observe() metrics
+      val deadline = System.currentTimeMillis() + 30000
+      var events = 0L
+      while (events == 0 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(500)
+        val (_, ov) = http("GET", s"$base/stats/overview")
+        events = "\"eventsPerMin\":(\\d+)".r.findFirstMatchIn(ov).map(_.group(1).toLong).getOrElse(0L)
+      }
+      assert(events > 0, "simulated events never reached /stats/overview")
+
+      val (_, s3) = http("POST", s"$base/sim/stop")
+      assert(s3.contains("\"status\":\"stopped\""))
+      val (_, s4) = http("POST", s"$base/sim/stop")
+      assert(s4.contains("\"status\":\"already_stopped\""))
+    } finally {
+      sim.stop()
+      server.stop()
+    }
+  }
+
+  test("SSE: alert, segment, and profile frames from real pipelines; GET is non-destructive") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val alertsHub = new EventHub
+    val segmentsHub = new EventHub
+    val profilesHub = new EventHub
+    val stats = new StatsService
+    val sim = new ServePipelines.SparkSim(spark, alertsHub, stats)
+    val server = new ApiServer(alertsHub, segmentsHub, profilesHub,
+      stats, sim, port = 0, heartbeatMs = 200L).start()
+    val base = s"http://localhost:${server.boundPort}"
+
+    val entityIn = MemoryStream[EntityEvent]
+    val cdpIn = MemoryStream[CdpEvent]
+    val alertQuery = EntityPipeline.alerts(spark, entityIn.toDS(),
+        EntityPipeline.RuleConfig(r1MinRate = 1000.0, r2Factor = 2.0, r2MinCount = 1))
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch(ServePipelines.publishAlerts(alertsHub, stats) _)
+      .start()
+    val segmentQuery = CdpPipeline.segmentEvents(spark, cdpIn.toDS())
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch(ServePipelines.publishSegments(segmentsHub) _)
+      .start()
+    val profileChanged = ServePipelines.profilePublisher(profilesHub)
+    try {
+      // subscribe FIRST (hub frames are not replayed), then drive the data
+      val alertF = scala.concurrent.Future {
+        sseFrames(s"$base/sse/alerts", 1, _.contains("\"type\":\"alert\""))
+      }(scala.concurrent.ExecutionContext.global)
+      val segF = scala.concurrent.Future {
+        sseFrames(s"$base/sse/cdp/segments", 1, _.contains("\"type\":\"segment_event\""))
+      }(scala.concurrent.ExecutionContext.global)
+      val profF = scala.concurrent.Future {
+        sseFrames(s"$base/sse/cdp/profiles", 1, _.contains("\"type\":\"profile_summaries\""))
+      }(scala.concurrent.ExecutionContext.global)
+      Thread.sleep(1000) // let the SSE connections attach
+
+      // R2 alert: ewma seeds at 10, second value 100 > 2x post-update ewma
+      entityIn.addData(
+        EntityEvent("e1", ts("2024-01-01T00:00:00Z"), "a", "t", Some(10), None, None),
+        EntityEvent("e2", ts("2024-01-01T00:00:10Z"), "a", "t", Some(100), None, None))
+      alertQuery.processAllAvailable()
+      // pro_plan ENTER: IDENTIFY with plan=pro
+      cdpIn.addData(CdpEvent("c1", ts("2024-01-01T00:00:00Z"), "IDENTIFY",
+        Some("u1"), None, None, None, Map("plan" -> "pro")))
+      segmentQuery.processAllAvailable()
+      // changed-only profile snapshot push (W7 hub in front of the SSE hub)
+      profileChanged.push(Seq(ProfileSnapshot("user:u1", Seq("user:u1"), Nil, Nil,
+        Map("plan" -> "pro"), 3L, ts("2024-01-01T00:00:00Z"), Seq("pro_plan"))))
+
+      import scala.concurrent.Await
+      import scala.concurrent.duration._
+      val alertFrames = Await.result(alertF, 25.seconds)
+      val segFrames = Await.result(segF, 25.seconds)
+      val profFrames = Await.result(profF, 25.seconds)
+
+      // every stream opens with a connection frame (reference onStart)
+      assert(alertFrames.head.contains("\"type\":\"connection\""))
+      assert(alertFrames.head.contains("Connected to alerts stream"))
+      assert(segFrames.head.contains("Connected to segments stream"))
+      assert(profFrames.head.contains("Connected to profiles stream"))
+
+      val alert = alertFrames.find(_.contains("\"type\":\"alert\"")).get
+      assert(alert.contains("\"rule\":\"R2_VALUE_SPIKE\"") && alert.contains("\"entityId\":\"a\""))
+
+      val seg = segFrames.find(_.contains("\"type\":\"segment_event\"")).get
+      assert(seg.contains("\"profileId\":\"user:u1\"") && seg.contains("\"segment\":\"pro_plan\"")
+        && seg.contains("\"action\":\"ENTER\""))
+
+      val prof = profFrames.find(_.contains("\"type\":\"profile_summaries\"")).get
+      // identifier prefixes stripped; trackCount24h surfaces as featureUsedCount
+      assert(prof.contains("\"userIds\":[\"u1\"]") && prof.contains("\"featureUsedCount\":3")
+        && prof.contains("\"plan\":\"pro\""))
+
+      // heartbeats flow on idle streams (heartbeatMs = 200 here)
+      val hb = sseFrames(s"$base/sse/alerts", 1, _.contains("\"type\":\"heartbeat\""), 5000)
+      assert(hb.exists(_.contains("\"type\":\"heartbeat\"")))
+
+      // an unchanged push emits nothing (W7 changed-only contract)
+      val before = profilesHub.subscriberCount
+      profileChanged.push(Seq(ProfileSnapshot("user:u1", Seq("user:u1"), Nil, Nil,
+        Map("plan" -> "pro"), 3L, ts("2024-01-01T00:00:00Z"), Seq("pro_plan"))))
+      assert(profileChanged.emitCount == 1L && before >= 0)
+    } finally {
+      alertQuery.stop()
+      segmentQuery.stop()
+      server.stop()
+    }
+  }
+}
