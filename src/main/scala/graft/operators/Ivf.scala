@@ -93,21 +93,24 @@ object Ivf {
       .withColumn("cn", Similarity.norm(col("ce")))
   }
 
-  /** Top-k candidates per query vector via nProbe-cell probing.
-    * queries: (q, qe, qn). Output: (q, rank, b, cos), rank 1..k by rounded
-    * cosine desc, candidate-id tie-break; the query's own vector is
-    * excluded.
+  /** Per-query probed cells: the nProbe nearest centroids by rounded
+    * cosine, cid tie-break. Output: (q, qe, qn, cid).
     */
-  def search(queries: DataFrame, prep: DataFrame, cents: DataFrame,
-             assigned: DataFrame, nProbe: Int, k: Int): DataFrame = {
-    val probe = queries.crossJoin(broadcast(cents))
+  def probe(queries: DataFrame, cents: DataFrame, nProbe: Int): DataFrame =
+    queries.crossJoin(broadcast(cents))
       .withColumn("cosr",
         Num.r4(Similarity.cosine(col("qe"), col("ce"), col("qn"), col("cn"))))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("q")).orderBy(col("cosr").desc, col("cid"))))
       .filter(col("rn") <= nProbe)
       .select(col("q"), col("qe"), col("qn"), col("cid"))
-    broadcast(probe)
+
+  /** Rank the probed cells' population by exact cosine; the query's own
+    * vector is excluded. Output: (q, rank, b, cos), rank 1..k.
+    */
+  def searchRank(probed: DataFrame, prep: DataFrame,
+                 assigned: DataFrame, k: Int): DataFrame =
+    broadcast(probed)
       .join(assigned.withColumnRenamed("vec_id", "b"), "cid")
       .filter(col("b") =!= col("q"))
       .join(prep.select(col("vec_id").as("b"), col("e").as("be"), col("nrm").as("bn")), "b")
@@ -117,7 +120,38 @@ object Ivf {
         Window.partitionBy(col("q")).orderBy(col("cos").desc, col("b"))).cast("int"))
       .filter(col("rank") <= k)
       .select(col("q"), col("rank"), col("b"), col("cos"))
-  }
+
+  /** Top-k candidates per query vector via nProbe-cell probing.
+    * queries: (q, qe, qn). Output: (q, rank, b, cos), rank 1..k by rounded
+    * cosine desc, candidate-id tie-break; the query's own vector is
+    * excluded.
+    */
+  def search(queries: DataFrame, prep: DataFrame, cents: DataFrame,
+             assigned: DataFrame, nProbe: Int, k: Int): DataFrame =
+    searchRank(probe(queries, cents, nProbe), prep, assigned, k)
+
+  // ------------------------------------------- cell-partitioned index layout
+
+  /** Persist the assignment table laid out BY CELL (one partition dir per
+    * cid) — the on-disk shape that makes probing prune at the FILE level:
+    * a probe touching nProbe of K cells reads nProbe/K of the index, and
+    * the other files are never opened. At 100 TB this is the difference
+    * between an index scan and an index lookup.
+    */
+  def writeAssignedByCell(assigned: DataFrame, path: String): Unit =
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(path)
+
+  /** Read ONLY the probed cells' partitions. `cells` is bounded by K (it
+    * is a set of centroid ids), so the IN filter is a literal partition
+    * predicate — Catalyst prunes non-probed directories at planning time,
+    * before any file is listed into the scan.
+    */
+  def readAssignedCells(spark: SparkSession, path: String,
+                        cells: Seq[Long]): DataFrame =
+    spark.read.parquet(path).filter(col("cid").isin(cells: _*))
+      // partition-dir values infer as int; restore the long cid AFTER the
+      // filter so the partition predicate stays prunable
+      .withColumn("cid", col("cid").cast("long"))
 
   // ------------------------------------------------------------ oracle SQL
 
