@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.operators.TextOps
+import graft.operators.{Num, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Dataset-curation operators for a training-data pipeline: deterministic
@@ -110,5 +110,54 @@ object CurationQueries {
           size(TextOps.words(col("text"))).cast("long").as("n_tokens"))
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+    },
+
+    // Benchmark-contamination check: for every held-out (test-split) doc,
+    // the fraction of its 3-gram shingles that also occur ANYWHERE in the
+    // train split. The candidate space is an inverted-index equijoin on
+    // the shingle hash against the DISTINCT train-shingle set — per-doc
+    // cost is its own shingle count, never |test| x |train|; at 100 TB
+    // the train set is a bucketed/bloom-filtered build side.
+    QueryDef(
+      "q_train_eval_contamination",
+      s"""WITH base AS (SELECT doc_id AS id, text FROM documents),
+         |${graft.operators.Dedup.shingleSql(3)},
+         |split AS (
+         |  SELECT doc_id AS id,
+         |         CASE WHEN ${TextOps.hash64Sql(s"concat('$SplitSalt', doc_id)")} % 100 < 80 THEN 'train'
+         |              WHEN ${TextOps.hash64Sql(s"concat('$SplitSalt', doc_id)")} % 100 < 90 THEN 'valid'
+         |              ELSE 'test' END AS split
+         |  FROM documents),
+         |train_h AS (
+         |  SELECT DISTINCT h FROM sh JOIN split USING (id)
+         |  WHERE split = 'train'),
+         |ev AS (
+         |  SELECT sh.id, sh.h FROM sh JOIN split ON split.id = sh.id
+         |  WHERE split.split = 'test'),
+         |hit AS (
+         |  SELECT e.id, t.h IS NOT NULL AS is_hit
+         |  FROM ev e LEFT JOIN train_h t ON t.h = e.h)
+         |SELECT id AS doc_id,
+         |       count(*) AS n_shingles,
+         |       count(*) FILTER (WHERE is_hit) AS n_hit,
+         |       round(count(*) FILTER (WHERE is_hit) * 1.0 / count(*)
+         |             + 0.00000025, 4) AS overlap
+         |FROM hit GROUP BY id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val h = TextOps.hash64(concat(lit(SplitSalt), col("doc_id"))) % 100
+      val split = docs.select(col("doc_id").as("id"),
+        when(h < 80, "train").when(h < 90, "valid").otherwise("test").as("split"))
+      // sh feeds both sides — cache (at scale: persist the shingle table)
+      val sh = graft.operators.Dedup.shingleHashes(
+        docs.select(col("doc_id").as("id"), col("text")),
+        col("id"), col("text"), n = 3).cache()
+      val trainH = sh.join(split.filter(col("split") === "train"), "id")
+        .select("h").distinct()
+      sh.join(split.filter(col("split") === "test"), "id")
+        .join(trainH.withColumn("is_hit", lit(1)), Seq("h"), "left")
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_shingles"), count(col("is_hit")).as("n_hit"))
+        .select(col("id").as("doc_id"), col("n_shingles"), col("n_hit"),
+          Num.r4(col("n_hit") * 1.0 / col("n_shingles")).as("overlap"))
     })
 }

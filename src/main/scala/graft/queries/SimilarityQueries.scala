@@ -261,5 +261,49 @@ object SimilarityQueries {
         .withColumn("cosv", Similarity.cosine(col("ea"), col("eb"), col("na"), col("nb")))
         .filter(col("cosv") >= 0.15)
         .select(col("a"), col("b"), Num.r4(col("cosv")).as("cos"))
+    },
+
+    // Symmetric int8 quantization of the embedding column — the storage
+    // form a vector index ships at scale (4x smaller, SIMD-friendly).
+    // Per vector: scale = max|x|, q_i = round(x_i * 127 / scale). Checked
+    // via a position-weighted integer checksum (hash-exact, no float
+    // tolerance) plus the rounded mean reconstruction error. Map-only —
+    // one narrow pass over the scan, no shuffle beyond the tiny groupBy.
+    QueryDef(
+      "q_embed_quantize",
+      """WITH ed AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |sc AS (
+        |  SELECT vec_id, e,
+        |         list_max(list_transform(e, x -> abs(x))) AS scale
+        |  FROM ed),
+        |ex AS (
+        |  SELECT vec_id, scale,
+        |         unnest(range(1, len(e) + 1)) AS pos1, unnest(e) AS x
+        |  FROM sc),
+        |qq AS (
+        |  SELECT vec_id, scale, pos1, x,
+        |         CAST(round(x * 127 / scale + 0.00000025, 0) AS BIGINT) AS q
+        |  FROM ex)
+        |SELECT vec_id, round(max(scale) + 0.00000025, 4) AS scale,
+        |       CAST(sum(q * pos1) AS BIGINT) AS qsum,
+        |       round(avg(abs(x - q * scale / 127)) + 0.00000025, 4) AS mean_abs_err
+        |FROM qq GROUP BY vec_id""".stripMargin) { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("e"))
+        .withColumn("scale", array_max(transform(col("e"), x => abs(x))))
+        .select(col("vec_id"), col("scale"),
+          posexplode(col("e")).as(Seq("pos", "x")))
+        // x, scale, and x*127/scale are bit-identical doubles in both
+        // engines; the Eps bias inside round guards the decimal-vs-binary
+        // .5-boundary discrepancy (see Num)
+        .withColumn("q",
+          round(col("x") * 127 / col("scale") + Num.Eps, 0).cast("long"))
+        .groupBy(col("vec_id"))
+        .agg(
+          Num.r4(max(col("scale"))).as("scale"),
+          sum(col("q") * (col("pos") + 1)).as("qsum"),
+          Num.r4(avg(abs(col("x") - col("q") * col("scale") / 127)))
+            .as("mean_abs_err"))
     })
 }
