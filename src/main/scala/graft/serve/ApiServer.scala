@@ -32,7 +32,8 @@ final class ApiServer(
     stats: StatsService,
     sim: SimControl,
     port: Int = 0,
-    heartbeatMs: Long = 10000L) {
+    heartbeatMs: Long = 10000L,
+    ingest: Option[CdpIngest] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   private val pool = Executors.newCachedThreadPool()
@@ -142,6 +143,23 @@ final class ApiServer(
       "running" -> sim.isRunning,
       "profile" -> sim.currentProfile,
       "status" -> (if (sim.isRunning) "running" else "stopped"))))
+
+  server.createContext("/cdp/ingest", (ex: HttpExchange) => {
+    if (ex.getRequestMethod != "POST")
+      respond(ex, 405, Json.obj("status" -> "error", "message" -> "POST required"))
+    else ingest match {
+      case None =>
+        respond(ex, 503, Json.obj("status" -> "error", "message" -> "ingest not configured"))
+      case Some(ing) =>
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        ing.handle(body) match {
+          case Right(eventId) => // 202 Accepted, like the reference
+            respond(ex, 202, Json.obj("status" -> "accepted", "eventId" -> eventId))
+          case Left(message) =>
+            respond(ex, 400, Json.obj("status" -> "error", "message" -> message))
+        }
+    }
+  })
 
   server.createContext("/sse/alerts", (ex: HttpExchange) => sse(ex, alertsHub, "alerts"))
   server.createContext("/sse/cdp/segments", (ex: HttpExchange) => sse(ex, segmentsHub, "segments"))

@@ -19,16 +19,20 @@ import org.apache.spark.sql.streaming.OutputMode
   */
 class ApiServerSpec extends SparkSpec {
 
-  private def http(method: String, url: String): (Int, String) = {
+  private def http(method: String, url: String, body: Option[String] = None): (Int, String) = {
     val conn = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
     conn.setRequestMethod(method)
     conn.setConnectTimeout(5000)
     conn.setReadTimeout(10000)
+    body.foreach { b =>
+      conn.setDoOutput(true)
+      conn.getOutputStream.write(b.getBytes(StandardCharsets.UTF_8))
+    }
     val code = conn.getResponseCode
     val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
-    val body = new String(is.readAllBytes(), StandardCharsets.UTF_8)
+    val out = new String(is.readAllBytes(), StandardCharsets.UTF_8)
     conn.disconnect()
-    (code, body)
+    (code, out)
   }
 
   /** Read SSE data frames until `want` of them match `p` or the deadline
@@ -106,12 +110,12 @@ class ApiServerSpec extends SparkSpec {
     val profilesHub = new EventHub
     val stats = new StatsService
     val sim = new ServePipelines.SparkSim(spark, alertsHub, stats)
-    val server = new ApiServer(alertsHub, segmentsHub, profilesHub,
-      stats, sim, port = 0, heartbeatMs = 200L).start()
-    val base = s"http://localhost:${server.boundPort}"
-
     val entityIn = MemoryStream[EntityEvent]
     val cdpIn = MemoryStream[CdpEvent]
+    val server = new ApiServer(alertsHub, segmentsHub, profilesHub,
+      stats, sim, port = 0, heartbeatMs = 200L,
+      ingest = Some(new CdpIngest(e => { cdpIn.addData(e); () }))).start()
+    val base = s"http://localhost:${server.boundPort}"
     val alertQuery = EntityPipeline.alerts(spark, entityIn.toDS(),
         EntityPipeline.RuleConfig(r1MinRate = 1000.0, r2Factor = 2.0, r2MinCount = 1))
       .writeStream.outputMode(OutputMode.Append())
@@ -181,6 +185,31 @@ class ApiServerSpec extends SparkSpec {
       profileChanged.push(Seq(ProfileSnapshot("user:u1", Seq("user:u1"), Nil, Nil,
         Map("plan" -> "pro"), 3L, ts("2024-01-01T00:00:00Z"), Seq("pro_plan"))))
       assert(profileChanged.emitCount == 1L && before >= 0)
+
+      // POST /cdp/ingest: accepted event flows through the pipeline to a
+      // fresh segment frame; invalid bodies get the reference's 400s
+      val segF2 = scala.concurrent.Future {
+        sseFrames(s"$base/sse/cdp/segments", 1, _.contains("\"profileId\":\"user:u2\""))
+      }(scala.concurrent.ExecutionContext.global)
+      Thread.sleep(500)
+      val (ci, bi) = http("POST", s"$base/cdp/ingest", Some(
+        """{"eventId":"ing-1","ts":"2024-01-01T01:00:00Z",
+          |"payload":{"type":"IDENTIFY","userId":"u2","traits":{"plan":"pro"}}}""".stripMargin))
+      assert(ci == 202 && bi.contains("\"status\":\"accepted\"") && bi.contains("\"eventId\":\"ing-1\""))
+      segmentQuery.processAllAvailable()
+      val seg2 = Await.result(segF2, 25.seconds)
+      assert(seg2.exists(f => f.contains("\"profileId\":\"user:u2\"")
+        && f.contains("\"segment\":\"pro_plan\"") && f.contains("\"action\":\"ENTER\"")))
+
+      val (cNoId, bNoId) = http("POST", s"$base/cdp/ingest", Some(
+        """{"eventId":"ing-2","ts":"2024-01-01T01:00:00Z","payload":{"type":"IDENTIFY"}}"""))
+      assert(cNoId == 400 && bNoId.contains("at least one identifier"))
+      val (cTrack, bTrack) = http("POST", s"$base/cdp/ingest", Some(
+        """{"eventId":"ing-3","ts":"2024-01-01T01:00:00Z","payload":{"type":"TRACK","userId":"u2"}}"""))
+      assert(cTrack == 400 && bTrack.contains("TRACK event requires a name"))
+      val (cBadTs, _) = http("POST", s"$base/cdp/ingest", Some(
+        """{"eventId":"ing-4","ts":"not-a-time","payload":{"type":"IDENTIFY","userId":"u2"}}"""))
+      assert(cBadTs == 400)
     } finally {
       alertQuery.stop()
       segmentQuery.stop()
