@@ -79,4 +79,22 @@ class PlanSpec extends SparkSpec {
     // final agg above the exchange AND partial agg below it
     assert(p.indexOf("HashAggregate", exchange) > 0)
   }
+
+  test("q_embed_quantize: map-only until the per-vector agg — exactly one shuffle") {
+    val p = plan("q_embed_quantize")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"quantization must shuffle once (the groupBy), got $exchanges:\n$p")
+    val scan = p.split("\n").find(_.contains("FileScan parquet")).get
+    assert(scan.contains("vec_id") && scan.contains("embedding") && !scan.contains("label"),
+      s"embeddings scan must not read label:\n$scan")
+  }
+
+  test("q_train_eval_contamination: shingle join is an equijoin, never a cartesian") {
+    val p = plan("q_train_eval_contamination")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"contamination candidates must come from the shingle-hash equijoin:\n$p")
+    val scan = p.split("\n").find(_.contains("FileScan parquet")).get
+    assert(!scan.contains("lang") && !scan.contains("source"),
+      s"documents scan must read only (doc_id, text):\n$scan")
+  }
 }
