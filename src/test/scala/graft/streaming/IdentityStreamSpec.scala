@@ -46,6 +46,38 @@ class IdentityStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("restart resumes from the persisted label table") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("idstream3").toString
+    val in1 = MemoryStream[(String, String)]
+    val (w1, m1) = IdentityStream.resolver(
+      spark, in1.toDF().toDF("src", "dst"), s"$dir/labels")
+    val q1 = w1.start()
+    try {
+      in1.addData(("user:b", "anon:a"))
+      q1.processAllAvailable()
+      assert(m1.canonical("user:b") == "anon:a")
+    } finally q1.stop()
+
+    // a NEW resolver over the same state dir: the label table IS the
+    // checkpoint — the old component is visible and mergeable immediately
+    val in2 = MemoryStream[(String, String)]
+    val (w2, m2) = IdentityStream.resolver(
+      spark, in2.toDF().toDF("src", "dst"), s"$dir/labels")
+    val q2 = w2.start()
+    try {
+      assert(m2.canonical("user:b") == "anon:a") // visible before any batch
+      in2.addData(("user:b", "email:c"))
+      q2.processAllAvailable()
+      assert(m2.canonical("email:c") == "anon:a",
+        "merge into the pre-restart component must reuse its canonical id")
+      // and the merge contracted against the restored labels: 1 edge in
+      val s = m2.stats.last
+      assert(s.contractedEdges == 1)
+    } finally q2.stop()
+  }
+
   test("edges inside one component contract away; batches are cheap no-ops") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
