@@ -144,6 +144,41 @@ final class ApiServer(
       "profile" -> sim.currentProfile,
       "status" -> (if (sim.isRunning) "running" else "stopped"))))
 
+  server.createContext("/sim/config", (ex: HttpExchange) => {
+    if (ex.getRequestMethod != "POST")
+      respond(ex, 405, Json.obj("status" -> "error", "message" -> "POST required"))
+    else {
+      val p = queryParams(ex)
+      sim.setConfig(p.get("rps").flatMap(_.toDoubleOption),
+        p.get("latenessSec").flatMap(_.toLongOption))
+      respond(ex, 200, Json.obj(
+        "status" -> "updated",
+        "message" -> "Simulator configuration updated successfully",
+        "rps" -> sim.rps,
+        "latenessSec" -> sim.latenessSec))
+    }
+  })
+
+  server.createContext("/profile", (ex: HttpExchange) => {
+    if (ex.getRequestMethod == "GET")
+      respond(ex, 200, Json.obj("profile" -> sim.currentProfile))
+    else {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      "\"profile\"\\s*:\\s*\"([A-Za-z]+)\"".r.findFirstMatchIn(body)
+        .map(_.group(1).toUpperCase) match {
+        case Some(pr) if SimControl.ValidProfiles.contains(pr) =>
+          sim.setProfile(pr)
+          respond(ex, 200, Json.obj(
+            "profile" -> sim.currentProfile,
+            "message" -> "Profile updated successfully"))
+        case other =>
+          respond(ex, 400, Json.obj(
+            "status" -> "error",
+            "message" -> s"Invalid profile: ${other.getOrElse(body)}. Valid values: ${SimControl.ValidProfiles.mkString(", ")}"))
+      }
+    }
+  })
+
   server.createContext("/cdp/ingest", (ex: HttpExchange) => {
     if (ex.getRequestMethod != "POST")
       respond(ex, 405, Json.obj("status" -> "error", "message" -> "POST required"))
@@ -193,6 +228,12 @@ trait SimControl {
   def currentProfile: String
   def rps: Double
   def latenessSec: Long
+  /** `/profile` POST + `/sim/config`: settings apply to the NEXT start —
+    * a rate-source query's rate is fixed for its lifetime (the reference
+    * mutates its in-process simulator live; restart to apply here).
+    */
+  def setProfile(p: String): Unit
+  def setConfig(rps: Option[Double], latenessSec: Option[Long]): Unit
 }
 
 object SimControl {

@@ -137,5 +137,10 @@ object ServePipelines {
     override def currentProfile: String = profileName
     override def rps: Double = rps0
     override def latenessSec: Long = lateness0
+    override def setProfile(p: String): Unit = profileName = p
+    override def setConfig(rps: Option[Double], latenessSec: Option[Long]): Unit = {
+      rps.foreach(rps0 = _)
+      latenessSec.foreach(lateness0 = _)
+    }
   }
 }

@@ -96,6 +96,15 @@ class ApiServerSpec extends SparkSpec {
       assert(s3.contains("\"status\":\"stopped\""))
       val (_, s4) = http("POST", s"$base/sim/stop")
       assert(s4.contains("\"status\":\"already_stopped\""))
+
+      // profile get/set + config update (apply to the next start)
+      assert(http("GET", s"$base/profile")._2 == """{"profile":"IGAMING"}""")
+      val (cp, sp) = http("POST", s"$base/profile", Some("""{"profile":"sase"}"""))
+      assert(cp == 200 && sp.contains("\"profile\":\"SASE\"")
+        && sp.contains("Profile updated successfully"))
+      assert(http("POST", s"$base/profile", Some("""{"profile":"NOPE"}"""))._1 == 400)
+      val (cc, scfg) = http("POST", s"$base/sim/config?rps=25&latenessSec=30")
+      assert(cc == 200 && scfg.contains("\"rps\":25") && scfg.contains("\"latenessSec\":30"))
     } finally {
       sim.stop()
       server.stop()
