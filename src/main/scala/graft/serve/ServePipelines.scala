@@ -17,11 +17,21 @@ object ServePipelines {
 
   // ---- envelopes (`AlertController.kt:83-95`, `CdpController.kt:183-220`)
 
-  def alertEnvelope(a: Alert): String =
+  /** Reference alert shape (`core/Alert.kt:6-14`, `core/Rules.kt:43-57`):
+    * {id, ts, rule, entityId, severity, evidence:{rate_now, threshold}}.
+    * The id is a type-3 UUID of the alert's content — deterministic under
+    * replay, where the reference's random UUID would differ per run.
+    */
+  def alertEnvelope(a: Alert): String = {
+    val id = java.util.UUID.nameUUIDFromBytes(
+      s"${a.rule}|${a.entityId}|${a.ts.getTime}|${a.rateNow}|${a.threshold}"
+        .getBytes("UTF-8")).toString
     Json.obj("type" -> "alert", "data" -> scala.collection.immutable.ListMap(
-      "ts" -> a.ts, "rule" -> a.rule, "entityId" -> a.entityId,
-      "severity" -> a.severity, "rateNow" -> a.rateNow,
-      "threshold" -> a.threshold))
+      "id" -> id, "ts" -> a.ts, "rule" -> a.rule, "entityId" -> a.entityId,
+      "severity" -> a.severity,
+      "evidence" -> scala.collection.immutable.ListMap(
+        "rate_now" -> a.rateNow, "threshold" -> a.threshold)))
+  }
 
   def segmentEnvelope(e: SegmentEvent): String =
     Json.obj("type" -> "segment_event", "data" -> scala.collection.immutable.ListMap(

@@ -175,6 +175,8 @@ class ApiServerSpec extends SparkSpec {
 
       val alert = alertFrames.find(_.contains("\"type\":\"alert\"")).get
       assert(alert.contains("\"rule\":\"R2_VALUE_SPIKE\"") && alert.contains("\"entityId\":\"a\""))
+      // reference alert shape: content-derived id + nested evidence map
+      assert(alert.contains("\"id\":\"") && alert.contains("\"evidence\":{\"rate_now\":100"))
 
       val seg = segFrames.find(_.contains("\"type\":\"segment_event\"")).get
       assert(seg.contains("\"profileId\":\"user:u1\"") && seg.contains("\"segment\":\"pro_plan\"")
