@@ -78,12 +78,23 @@ final class ApiServer(
         "type" -> "connection",
         "message" -> s"Connected to $streamName stream",
         "timestamp" -> Instant.now()))
+      var lastWrite = System.currentTimeMillis()
       while (running) {
         val pollMs = if (heartbeatMs > 0) heartbeatMs else 250L
         val msg = sub.poll(pollMs)
-        if (msg != null) frame(msg)
-        else if (heartbeatMs > 0)
+        if (msg != null) { frame(msg); lastWrite = System.currentTimeMillis() }
+        else if (heartbeatMs > 0) {
           frame(Json.obj("type" -> "heartbeat", "timestamp" -> Instant.now()))
+          lastWrite = System.currentTimeMillis()
+        } else if (System.currentTimeMillis() - lastWrite > 15000L) {
+          // heartbeats disabled: an idle connection would otherwise never
+          // write, so a vanished client is never detected and its thread +
+          // subscription leak. An SSE comment line is invisible to
+          // consumers but still raises the IOException on a dead socket.
+          out.write(": ping\n\n".getBytes(StandardCharsets.UTF_8))
+          out.flush()
+          lastWrite = System.currentTimeMillis()
+        }
       }
     } catch {
       case _: java.io.IOException => // client closed

@@ -34,7 +34,8 @@ object Json {
     case t: java.sql.Timestamp => "\"" + t.toInstant.toString + "\""
     case i: java.time.Instant => "\"" + i.toString + "\""
     case d: Double =>
-      if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15) d.toLong.toString
+      if (d.isNaN || d.isInfinite) "null" // bare NaN/Infinity is not JSON
+      else if (d == d.floor && math.abs(d) < 1e15) d.toLong.toString
       else d.toString
     case n: Number => n.toString
     case m: scala.collection.Map[_, _] =>

@@ -101,31 +101,39 @@ object ServePipelines {
     @volatile private var rps0 = 10.0
     @volatile private var lateness0 = 90L
 
+    // scoped to THIS sim's query (progress events on a session are global,
+    // and another SparkSim on the same session must not cross-count) and
+    // removed on stop so recreated sims don't leak dead listeners
     private val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
       override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
-        val om = e.progress.observedMetrics
-        if (om.containsKey("sim_events")) {
-          val n = om.get("sim_events").getLong(0)
-          if (n > 0) stats.recordEvents(n)
+        if (state.get.exists(_.id == e.progress.id)) {
+          val om = e.progress.observedMetrics
+          if (om.containsKey("sim_events")) {
+            val n = om.get("sim_events").getLong(0)
+            if (n > 0) stats.recordEvents(n)
+          }
         }
       }
     }
-    spark.streams.addListener(listener)
 
     override def start(profile: Option[String], rps: Double, latenessSec: Long): Boolean =
       synchronized {
-        profile.foreach(profileName = _)
-        rps0 = rps
-        lateness0 = latenessSec
+        // a rejected start must not clobber the running stream's config:
+        // the live query keeps its launch-time rate, so reporting the
+        // rejected request's values would lie about what is running
         if (state.get.exists(_.isActive)) false
         else {
+          profile.foreach(profileName = _)
+          rps0 = rps
+          lateness0 = latenessSec
           import spark.implicits._
           val events = Simulator
             .entityEventStream(spark, rps, latenessSec.toInt, profileName, seed)
             .observe("sim_events", count(lit(1)).as("rows"))
             .as[EntityEvent]
+          spark.streams.addListener(listener)
           val q = EntityPipeline.alerts(spark, events)
             .writeStream
             .outputMode("append")
@@ -138,7 +146,10 @@ object ServePipelines {
 
     override def stop(): Boolean = synchronized {
       state.getAndSet(None) match {
-        case Some(q) if q.isActive => q.stop(); true
+        case Some(q) if q.isActive =>
+          q.stop()
+          spark.streams.removeListener(listener)
+          true
         case _ => false
       }
     }

@@ -48,6 +48,7 @@ import graft.operators.Identity
 object IdentityStream {
 
   val CompactEvery = 8
+  val MaxStatsRetained = 1024
 
   /** Per-batch instrumentation: proof the CC input is the contracted
     * graph (proportional to the batch), not the accumulated edge set.
@@ -64,9 +65,12 @@ object IdentityStream {
     private val statsRef =
       new AtomicReference[Vector[BatchStats]](Vector.empty)
 
+    /** Most recent batches only — a 1 s-trigger stream must not grow
+      * driver memory one entry per batch forever.
+      */
     def stats: Vector[BatchStats] = statsRef.get
     private[IdentityStream] def addStats(s: BatchStats): Unit =
-      statsRef.updateAndGet(_ :+ s)
+      statsRef.updateAndGet(v => (v :+ s).takeRight(MaxStatsRetained))
 
     private[IdentityStream] def versionDirs(): Seq[Path] = {
       val p = new Path(stateDir)
@@ -125,8 +129,7 @@ object IdentityStream {
             .unionAll(newEdges.select(col("dst").as("id"))).distinct()
           val epComp = endpoints
             .join(prev.withColumnRenamed("node", "id"), Seq("id"), "left")
-            .select(col("id"), coalesce(col("comp"), col("id")).as("c0"),
-              col("comp").isNotNull.as("stored"))
+            .select(col("id"), coalesce(col("comp"), col("id")).as("c0"))
             .localCheckpoint(true)
           // contract each edge to the component level; edges inside one
           // existing component vanish here
@@ -144,22 +147,22 @@ object IdentityStream {
               // CC over the contracted graph only — size ∝ this batch
               val merge = Identity.connectedComponents(contracted, maxIter)
                 .toDF("c0", "newc").localCheckpoint(true)
+              // `changed` keys are the contracted-graph nodes whose label
+              // dropped: the LOSING canonicals and merged-in new ids. By
+              // construction a canonical has NO stored row (identity is the
+              // default), so these rows must become deltas THEMSELVES —
+              // deriving them from stored rows or batch endpoints misses a
+              // losing canonical that is in neither set (a merge arriving
+              // via a non-canonical member)
               val changed = merge.filter(col("c0") =!= col("newc"))
-              // members of merged components: one scan of the label table
-              // with the tiny merge map broadcast — output ∝ changed members
+              val relabeledCanonicals =
+                changed.select(col("c0").as("node"), col("newc").as("comp"))
+              // stored members of merged components: one scan of the label
+              // table with the tiny map broadcast — output ∝ changed members
               val relabeledStored = prev
                 .join(broadcast(changed.withColumnRenamed("c0", "comp")), Seq("comp"))
                 .select(col("node"), col("newc").as("comp"))
-              // endpoints with no stored row (new ids and current
-              // canonicals — the `stored` flag from the epComp lookup, so
-              // no second pass over the label table) whose merged label
-              // differs from themselves
-              val relabeledEndpoints = epComp.filter(!col("stored"))
-                .join(broadcast(merge), Seq("c0"), "left")
-                .select(col("id").as("node"),
-                  coalesce(col("newc"), col("c0")).as("comp"))
-                .filter(col("node") =!= col("comp"))
-              relabeledStored.unionAll(relabeledEndpoints)
+              relabeledCanonicals.unionAll(relabeledStored)
             }
           val nDelta = if (nContracted == 0) 0L else deltas.count()
           if (nDelta > 0)

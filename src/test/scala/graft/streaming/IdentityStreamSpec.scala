@@ -46,6 +46,31 @@ class IdentityStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("merge via a non-canonical member relabels the losing canonical") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("idstream4").toString
+    val input = MemoryStream[(String, String)]
+    val (writer, mapping) = IdentityStream.resolver(
+      spark, input.toDF().toDF("src", "dst"), s"$dir/labels")
+    val query = writer.start()
+    try {
+      // component {user:b, anon:x} with canonical anon:x (no stored row)
+      input.addData(("user:b", "anon:x"))
+      query.processAllAvailable()
+      assert(mapping.canonical("user:b") == "anon:x")
+      // merge arrives via the NON-canonical member user:b, introducing a
+      // lexicographically smaller id: the losing canonical anon:x is
+      // neither a stored row nor guaranteed an endpoint winner — it must
+      // still be relabeled, or the component silently splits
+      input.addData(("user:b", "aaa:z")) // "aaa:z" < "anon:x"
+      query.processAllAvailable()
+      assert(mapping.canonical("user:b") == "aaa:z")
+      assert(mapping.canonical("anon:x") == "aaa:z",
+        "losing canonical must follow its component's new canonical")
+    } finally query.stop()
+  }
+
   test("restart resumes from the persisted label table") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
