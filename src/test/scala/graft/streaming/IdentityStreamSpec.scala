@@ -103,6 +103,42 @@ class IdentityStreamSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("randomized: incremental mapping == batch CC over the full edge set") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(7)
+    val nodes = (0 until 30).map(i => f"n$i%02d")
+    val edges = Seq.fill(40) {
+      val a = nodes(rnd.nextInt(nodes.length))
+      var b = nodes(rnd.nextInt(nodes.length))
+      while (b == a) b = nodes(rnd.nextInt(nodes.length))
+      (a, b)
+    }
+    // arbitrary batch boundaries: correctness must not depend on arrival order
+    val batches = rnd.shuffle(edges).grouped(8).toSeq
+
+    val dir = java.nio.file.Files.createTempDirectory("idstream5").toString
+    val input = MemoryStream[(String, String)]
+    val (writer, mapping) = IdentityStream.resolver(
+      spark, input.toDF().toDF("src", "dst"), s"$dir/labels")
+    val query = writer.start()
+    try {
+      batches.foreach { b =>
+        input.addData(b: _*)
+        query.processAllAvailable()
+      }
+      val got = mapping.df.as[(String, String)].collect().toMap
+      val expected = graft.operators.Identity
+        .connectedComponents(edges.toDF("src", "dst"))
+        .as[(String, String)].collect().toMap
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      touched.foreach { n =>
+        assert(got.getOrElse(n, n) == expected(n),
+          s"node $n: incremental=${got.getOrElse(n, n)} batch=${expected(n)}")
+      }
+    } finally query.stop()
+  }
+
   test("edges inside one component contract away; batches are cheap no-ops") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
