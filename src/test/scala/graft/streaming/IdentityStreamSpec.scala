@@ -114,8 +114,10 @@ class IdentityStreamSpec extends SparkSpec {
       while (b == a) b = nodes(rnd.nextInt(nodes.length))
       (a, b)
     }
-    // arbitrary batch boundaries: correctness must not depend on arrival order
-    val batches = rnd.shuffle(edges).grouped(8).toSeq
+    // arbitrary batch boundaries: correctness must not depend on arrival
+    // order; 10 batches also crosses CompactEvery, so the LSM compaction
+    // (base rewrite + delta deletion) runs inside this test
+    val batches = rnd.shuffle(edges).grouped(4).toSeq
 
     val dir = java.nio.file.Files.createTempDirectory("idstream5").toString
     val input = MemoryStream[(String, String)]
