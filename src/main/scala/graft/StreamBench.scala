@@ -93,7 +93,31 @@ object StreamBench {
     val alerts = spark.table("sb_alerts").count()
     equery.stop()
 
-    println(f"""{"metric":"stream_throughput","events":$n,"batch_size":$batchSize,"cdp_seconds":${secs}%.2f,"cdp_events_per_sec":${n / secs}%.0f,"segment_events":$emitted,"entity_seconds":${esecs}%.2f,"entity_events_per_sec":${n / esecs}%.0f,"alerts":$alerts}""")
+    // incremental identity resolution. The interesting number is SECONDS
+    // PER BATCH: each micro-batch pays the contraction joins + a tiny CC
+    // + the delta write — a handful of Spark jobs whose cost tracks the
+    // BATCH, not the accumulated graph (a full-recompute design would
+    // slow down every batch as edges accumulate). Edge throughput scales
+    // with batch size, not batch count. Workload: u<i> — k<i%500> stars
+    // re-delivered 5x, so later batches are mostly known edges.
+    val nEdges = math.min(n / 10, 20000)
+    val idDir = java.nio.file.Files.createTempDirectory("sb_identity").toString
+    val iinput = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
+    val (iwriter, mapping) = graft.streaming.IdentityStream.resolver(
+      spark, iinput.toDF().toDF("src", "dst"), s"$idDir/labels")
+    val iquery = iwriter.start()
+    val iedges = (0 until nEdges).map(i => (s"u:${i % 4000}", s"k:${i % 500}"))
+    val batches = iedges.grouped(math.max(nEdges / 4, 1)).toSeq
+    val t2 = System.nanoTime()
+    batches.foreach { b =>
+      iinput.addData(b)
+      iquery.processAllAvailable()
+    }
+    val isecs = (System.nanoTime() - t2) / 1e9
+    val mapped = mapping.df.count()
+    iquery.stop()
+
+    println(f"""{"metric":"stream_throughput","events":$n,"batch_size":$batchSize,"cdp_seconds":${secs}%.2f,"cdp_events_per_sec":${n / secs}%.0f,"segment_events":$emitted,"entity_seconds":${esecs}%.2f,"entity_events_per_sec":${n / esecs}%.0f,"alerts":$alerts,"identity_edges":$nEdges,"identity_batches":${batches.length},"identity_sec_per_batch":${isecs / batches.length}%.2f,"identity_edges_per_sec":${nEdges / isecs}%.0f,"identity_mapped":$mapped}""")
     spark.stop()
   }
 }

@@ -72,4 +72,28 @@ object Identity {
         "diameter exceeds the bound; raise maxIter")
     labels.withColumnRenamed("comp", "component")
   }
+
+  /** Driver-local union-find for BOUNDED edge sets (a contracted
+    * micro-batch, a verified candidate block) — callers must size-guard
+    * before collecting. Same contract as `connectedComponents`: component
+    * label = lexicographically smallest member. The union rule keeps the
+    * smaller root, so every root is its set's minimum by induction.
+    */
+  def connectedComponentsLocal(edges: Iterable[(String, String)]): Map[String, String] = {
+    val parent = scala.collection.mutable.HashMap.empty[String, String]
+    def find(x: String): String = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keysIterator.map(k => k -> find(k)).toMap
+  }
 }

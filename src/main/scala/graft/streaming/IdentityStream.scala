@@ -80,18 +80,36 @@ object IdentityStream {
         .filter(d => d.getName.startsWith("base_") || d.getName.startsWith("delta_"))
     }
 
+    // resolved mapping cached between writes: the LWW window over the
+    // version dirs is a shuffle, and most reads (no-op batches, serving
+    // lookups) happen against an unchanged table
+    @volatile private var cached: Option[DataFrame] = None
+
+    private[IdentityStream] def invalidate(): Unit = synchronized {
+      cached.foreach(_.unpersist())
+      cached = None
+    }
+
     /** Current (node, comp) mapping — nodes whose canonical id is
       * themselves may be absent (identity is the default).
       */
-    def df: DataFrame = {
-      import spark.implicits._
-      val dirs = versionDirs()
-      if (dirs.isEmpty) Seq.empty[(String, String)].toDF("node", "comp")
-      else spark.read.parquet(dirs.map(_.toString): _*)
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("node")).orderBy(col("ver").desc)))
-        .filter(col("rn") === 1)
-        .select("node", "comp")
+    def df: DataFrame = synchronized {
+      cached match {
+        case Some(c) => c
+        case None =>
+          import spark.implicits._
+          val dirs = versionDirs()
+          val resolved =
+            if (dirs.isEmpty) Seq.empty[(String, String)].toDF("node", "comp")
+            else spark.read.parquet(dirs.map(_.toString): _*)
+              .withColumn("rn", row_number().over(
+                Window.partitionBy(col("node")).orderBy(col("ver").desc)))
+              .filter(col("rn") === 1)
+              .select("node", "comp")
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          cached = Some(resolved)
+          resolved
+      }
     }
 
     /** Point lookup (a 1-row filtered read, not a driver map). Pipelines
@@ -106,8 +124,14 @@ object IdentityStream {
   /** Wire the resolver onto a stream of (src, dst) identifier edges.
     * Returns the writer (caller starts it) and the mapping handle.
     */
+  /** `localCcThreshold`: contracted graphs at or below this many edges run
+    * union-find on the driver (one tiny collect, microseconds) instead of
+    * iterative distributed CC (~8 Spark jobs) — the contracted graph is
+    * bounded by the BATCH's edge count, so this is the common case; a
+    * genuinely huge batch falls back to the distributed path.
+    */
   def resolver(spark: SparkSession, edges: DataFrame, stateDir: String,
-               maxIter: Int = 100)
+               maxIter: Int = 100, localCcThreshold: Long = 100000L)
   : (DataStreamWriter[org.apache.spark.sql.Row], MappingHandle) = {
     val handle = new MappingHandle(spark, stateDir)
     val writer = edges.writeStream
@@ -139,14 +163,26 @@ object IdentityStream {
             .select(col("ca").as("src"), col("cb").as("dst"))
             .filter(col("src") =!= col("dst"))
             .distinct()
-            .localCheckpoint(true)
-          val nContracted = contracted.count()
+          import spark.implicits._
+          // one bounded probe decides the CC path AND (in the common case)
+          // IS the collect: at most threshold+1 tiny string rows
+          val probeLimit = (math.min(localCcThreshold, Int.MaxValue - 1L) + 1L).toInt
+          val probe = contracted.as[(String, String)].limit(probeLimit).collect()
+          var nContracted = probe.length.toLong
           val deltas =
-            if (nContracted == 0) spark.emptyDataFrame
+            if (probe.isEmpty) spark.emptyDataFrame
             else {
               // CC over the contracted graph only — size ∝ this batch
-              val merge = Identity.connectedComponents(contracted, maxIter)
-                .toDF("c0", "newc").localCheckpoint(true)
+              val merge =
+                if (probe.length <= localCcThreshold)
+                  // driver-local union-find: microseconds, zero extra jobs
+                  Identity.connectedComponentsLocal(probe).toSeq.toDF("c0", "newc")
+                else {
+                  val ck = contracted.localCheckpoint(true)
+                  nContracted = ck.count()
+                  Identity.connectedComponents(ck, maxIter)
+                    .toDF("c0", "newc").localCheckpoint(true)
+                }
               // `changed` keys are the contracted-graph nodes whose label
               // dropped: the LOSING canonicals and merged-in new ids. By
               // construction a canonical has NO stored row (identity is the
@@ -164,10 +200,12 @@ object IdentityStream {
                 .select(col("node"), col("newc").as("comp"))
               relabeledCanonicals.unionAll(relabeledStored)
             }
-          val nDelta = if (nContracted == 0) 0L else deltas.count()
-          if (nDelta > 0)
+          val nDelta = if (probe.isEmpty) 0L else deltas.count()
+          if (nDelta > 0) {
             deltas.withColumn("ver", lit(batchId))
               .write.mode("overwrite").parquet(s"$stateDir/delta_$batchId")
+            handle.invalidate() // the cached mapping no longer reflects disk
+          }
           handle.addStats(BatchStats(batchId, nNew, nContracted, nDelta))
           // LSM compaction: fold deltas into a fresh base so mapping reads
           // stay O(1) files; amortized cost one table rewrite / CompactEvery
@@ -178,6 +216,8 @@ object IdentityStream {
             val fs = new Path(stateDir)
               .getFileSystem(spark.sparkContext.hadoopConfiguration)
             old.foreach(d => fs.delete(d, true))
+            // drop the cached mapping: its lineage points at deleted files
+            handle.invalidate()
           }
         }
         ()

@@ -121,8 +121,11 @@ class IdentityStreamSpec extends SparkSpec {
 
     val dir = java.nio.file.Files.createTempDirectory("idstream5").toString
     val input = MemoryStream[(String, String)]
+    // threshold 0 forces the DISTRIBUTED CC path here; the other tests
+    // exercise the default driver-local union-find kernel
     val (writer, mapping) = IdentityStream.resolver(
-      spark, input.toDF().toDF("src", "dst"), s"$dir/labels")
+      spark, input.toDF().toDF("src", "dst"), s"$dir/labels",
+      localCcThreshold = 0L)
     val query = writer.start()
     try {
       batches.foreach { b =>
