@@ -76,12 +76,13 @@ object Identity {
   /** Driver-local union-find for BOUNDED edge sets (a contracted
     * micro-batch, a verified candidate block) — callers must size-guard
     * before collecting. Same contract as `connectedComponents`: component
-    * label = lexicographically smallest member. The union rule keeps the
-    * smaller root, so every root is its set's minimum by induction.
+    * label = smallest member under the id ordering. The union rule keeps
+    * the smaller root, so every root is its set's minimum by induction.
     */
-  def connectedComponentsLocal(edges: Iterable[(String, String)]): Map[String, String] = {
-    val parent = scala.collection.mutable.HashMap.empty[String, String]
-    def find(x: String): String = {
+  def connectedComponentsLocal[T](edges: Iterable[(T, T)])(
+      implicit ord: Ordering[T]): Map[T, T] = {
+    val parent = scala.collection.mutable.HashMap.empty[T, T]
+    def find(x: T): T = {
       var r = x
       while (parent(r) != r) r = parent(r)
       var c = x // path compression
@@ -92,8 +93,31 @@ object Identity {
       parent.getOrElseUpdate(a, a)
       parent.getOrElseUpdate(b, b)
       val ra = find(a); val rb = find(b)
-      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      if (ra != rb) {
+        if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+      }
     }
     parent.keysIterator.map(k => k -> find(k)).toMap
+  }
+
+  /** Adaptive CC: materialize the edge set once; within `localThreshold`
+    * edges, union-find on the driver (one bounded collect, zero CC jobs);
+    * beyond it, the iterative distributed propagation. The probe IS the
+    * collect in the common case — at most threshold+1 id pairs reach the
+    * driver, never the component labels of a big graph. Output:
+    * (node, component), the same deterministic min-id contract.
+    */
+  def connectedComponentsAdaptive[T](edges: org.apache.spark.sql.Dataset[(T, T)],
+                                     localThreshold: Long = 1000000L,
+                                     maxIter: Int = 20)(
+      implicit ord: Ordering[T],
+      enc: org.apache.spark.sql.Encoder[(T, T)]): DataFrame = {
+    val e0 = edges.localCheckpoint(true)
+    val probeLimit = (math.min(localThreshold, Int.MaxValue - 1L) + 1L).toInt
+    val probe = e0.limit(probeLimit).collect()
+    if (probe.length <= localThreshold)
+      e0.sparkSession.createDataset(connectedComponentsLocal(probe.toSeq).toSeq)(enc)
+        .toDF("node", "component")
+    else connectedComponents(e0.toDF("src", "dst"), maxIter)
   }
 }

@@ -59,7 +59,9 @@ object CdpBatch {
          |  SELECT r.node, s.dst FROM reach r JOIN sym s ON r.other = s.src)
          |SELECT node, least(node, min(other)) AS component
          |FROM reach GROUP BY node""".stripMargin) { (s, dir) =>
-      Identity.connectedComponents(edges(s, dir))
+      import s.implicits._
+      Identity.connectedComponentsAdaptive(
+        edges(s, dir).as[(String, String)])
     },
 
     // O2: LWW trait merge — latest (value, k-tag) per (user, type), ties

@@ -175,14 +175,18 @@ object DedupQueries {
          |SELECT id, cluster, count(*) OVER (PARTITION BY cluster) AS n_cluster
          |FROM clusters""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
+      import s.implicits._
       val sh = Dedup.shingleHashes(withTruncatedCopies(s, dir), col("id"), col("text"), ShingleN)
         .cache()
       val cand = Dedup.candidatePairs(Dedup.bandKeys(Dedup.minhashSignatures(sh)))
         .cache()
       val verified = Dedup.jaccard(cand, sh)
         .filter(col("jaccard") >= 0.35)
-        .select(col("a").as("src"), col("b").as("dst"))
-      graft.operators.Identity.connectedComponents(verified)
+        .select(col("a"), col("b")).as[(Long, Long)]
+      // adaptive CC: verified near-dup pairs are sparse, so the common
+      // case is the driver-local union-find kernel; a pair set past the
+      // bound falls back to distributed propagation
+      graft.operators.Identity.connectedComponentsAdaptive(verified)
         .select(col("node").as("id"), col("component").as("cluster"))
         .withColumn("n_cluster", count(lit(1)).over(Window.partitionBy(col("cluster"))))
     },

@@ -27,6 +27,22 @@ class OperatorsSpec extends SparkSpec {
     assert(cc.values.toSet == Set("n1")) // n1 < n10 < n2 lexicographically
   }
 
+  test("adaptive CC: local kernel == distributed propagation on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2)
+    val viaDistributed = Identity.connectedComponents(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLocal = Identity.connectedComponentsAdaptive(edges.toDS())
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaLocal == viaDistributed)
+    // threshold 0 forces the distributed branch through the adaptive API
+    val viaFallback = Identity.connectedComponentsAdaptive(edges.toDS(), localThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaFallback == viaDistributed)
+  }
+
   test("exact dedup groups identical texts, keeps min id") {
     import spark.implicits._
     val docs = Seq((1L, "hello world"), (2L, "hello world"), (3L, "other"))
