@@ -110,6 +110,11 @@ object Similarity {
       .as[(Long, Seq[Double], Double)]
       .mapPartitions { it =>
         val all = bc.value
+        // r4(x) <= x + 5e-5 + Eps (+ ulps): a raw cosine more than this
+        // margin below the kth ROUNDED cosine cannot displace it, so the
+        // expensive BigDecimal rounding runs only for candidates near or
+        // above the current cut — the ranking is bit-identical
+        val RoundMargin = 5.1e-5
         it.flatMap { case (qid, qe0, qn) =>
           val qe = qe0.toArray
           // selection of top-k under (cosr desc, b asc): candidates arrive
@@ -120,13 +125,18 @@ object Similarity {
               var s = 0.0
               var i = 0
               while (i < qe.length) { s += qe(i) * be(i); i += 1 }
-              val cosr = BigDecimal.valueOf(s / (qn * bn) + Num.Eps)
-                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-              if (top.size < k || cosr > top.get(top.size - 1)._1) {
-                var pos = top.size
-                while (pos > 0 && cosr > top.get(pos - 1)._1) pos -= 1
-                top.add(pos, (cosr, bid))
-                if (top.size > k) top.remove(k)
+              val raw = s / (qn * bn)
+              val kth =
+                if (top.size == k) top.get(k - 1)._1 else Double.NegativeInfinity
+              if (raw + RoundMargin >= kth) {
+                val cosr = BigDecimal.valueOf(raw + Num.Eps)
+                  .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+                if (top.size < k || cosr > top.get(top.size - 1)._1) {
+                  var pos = top.size
+                  while (pos > 0 && cosr > top.get(pos - 1)._1) pos -= 1
+                  top.add(pos, (cosr, bid))
+                  if (top.size > k) top.remove(k)
+                }
               }
             }
           }
