@@ -27,6 +27,14 @@ object TextAnalytics {
   private def inList(w: String, vocab: Seq[String]): String =
     vocab.map(v => s"'$v'").mkString(s"$w IN (", ", ", ")")
 
+  /** Same modulus/base constants as Dedup's shingle composition (all
+    * intermediates stay under 2^51, exact in DuckDB's arithmetic).
+    * Declared BEFORE `defs`: the oracle SQL strings interpolate them at
+    * object-init time, and a later val would still be 0 here.
+    */
+  private val DedupP = graft.operators.Dedup.P
+  private val Dedup3B = graft.operators.Dedup.ShingleB
+
   val defs: Seq[QueryDef] = Seq(
 
     // Language ID: score = #words in each language profile; argmax with
@@ -155,5 +163,63 @@ object TextAnalytics {
             Window.partitionBy(col("doc_id")).orderBy(col("pos"))
               .rowsBetween(-15, 0)).as("fp"))
         .distinct()
+    },
+
+    // Repetition filter (the Gopher-style within-document duplication
+    // signals a pre-training curation pass cuts on): fraction of
+    // duplicated 3-gram shingles and the most-frequent-word share. One
+    // shuffle on doc_id; integer counts, rounded ratios.
+    QueryDef(
+      "q_repetition_filter", {
+        val b = Dedup3B
+        s"""WITH wpos AS (
+           |  SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos, unnest(ws) AS w
+           |  FROM (SELECT doc_id, ${TextOps.wordsSql("text")} AS ws FROM documents)),
+           |wh AS (
+           |  SELECT doc_id, pos, w, ${TextOps.hash64Sql("w")} % $DedupP AS whash
+           |  FROM wpos),
+           |g AS (
+           |  SELECT doc_id,
+           |         ((whash * $b + lead(whash, 1) OVER win) % $DedupP * $b
+           |          + lead(whash, 2) OVER win) % $DedupP AS h,
+           |         lead(whash, 2) OVER win AS guard
+           |  FROM wh WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+           |grams AS (
+           |  SELECT doc_id, count(*) AS n_grams,
+           |         count(DISTINCT h) AS n_unique
+           |  FROM g WHERE guard IS NOT NULL GROUP BY doc_id),
+           |words AS (
+           |  SELECT doc_id, sum(cnt) AS n_words, max(cnt) AS top_word_n
+           |  FROM (SELECT doc_id, w, count(*) AS cnt FROM wpos GROUP BY doc_id, w)
+           |  GROUP BY doc_id)
+           |SELECT g.doc_id, g.n_grams, g.n_unique,
+           |       round(1.0 - g.n_unique * 1.0 / g.n_grams + 0.00000025, 4) AS dup_ratio,
+           |       CAST(w.top_word_n AS BIGINT) AS top_word_n,
+           |       round(w.top_word_n * 1.0 / w.n_words + 0.00000025, 4) AS top_word_frac
+           |FROM grams g JOIN words w ON w.doc_id = g.doc_id""".stripMargin
+      }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val wpos = Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(TextOps.words(col("text"))).as(Seq("pos", "w")))
+      val wh = wpos.select(col("doc_id"), col("pos"), col("w"),
+        (TextOps.hash64(col("w")) % DedupP).as("whash"))
+      val grams = wh
+        .select(col("doc_id"),
+          (((col("whash") * Dedup3B + lead(col("whash"), 1).over(win)) % DedupP * Dedup3B
+            + lead(col("whash"), 2).over(win)) % DedupP).as("h"),
+          lead(col("whash"), 2).over(win).as("guard"))
+        .filter(col("guard").isNotNull)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"), countDistinct(col("h")).as("n_unique"))
+      val words = wh.groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_words"), max(col("cnt")).as("top_word_n"))
+      grams.join(words, "doc_id")
+        .select(col("doc_id"), col("n_grams"), col("n_unique"),
+          Num.r4(lit(1.0) - col("n_unique") * 1.0 / col("n_grams")).as("dup_ratio"),
+          col("top_word_n"),
+          Num.r4(col("top_word_n") * 1.0 / col("n_words")).as("top_word_frac"))
     })
 }
