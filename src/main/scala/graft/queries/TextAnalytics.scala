@@ -221,5 +221,39 @@ object TextAnalytics {
           Num.r4(lit(1.0) - col("n_unique") * 1.0 / col("n_grams")).as("dup_ratio"),
           col("top_word_n"),
           Num.r4(col("top_word_n") * 1.0 / col("n_words")).as("top_word_frac"))
+    },
+
+    // Token-rarity scoring: corpus-level word frequencies ranked, then
+    // joined back per document — the integer-exact proxy for a unigram-LM
+    // quality filter (rare-token-heavy docs score high). Two-pass shape:
+    // global dictionary aggregation, then a broadcast join back over the
+    // corpus (the dictionary is vocabulary-sized, not corpus-sized — it
+    // broadcasts even at 100 TB; the rank window runs over the dictionary
+    // only). Ranks are deterministic: (count desc, word) dense_rank.
+    QueryDef(
+      "q_token_rarity",
+      s"""WITH wpos AS (
+         |  SELECT doc_id, unnest(${TextOps.wordsSql("text")}) AS w FROM documents),
+         |vocab AS (
+         |  SELECT w, CAST(dense_rank() OVER (ORDER BY count(*) DESC, w) AS BIGINT) AS rnk
+         |  FROM wpos GROUP BY w)
+         |SELECT doc_id, count(*) AS n_words,
+         |       round(avg(rnk) + 0.00000025, 4) AS mean_rank,
+         |       min(rnk) AS min_rank, max(rnk) AS max_rank
+         |FROM wpos JOIN vocab USING (w)
+         |GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val wpos = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
+      val vocab = wpos.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rnk", dense_rank()
+          .over(Window.orderBy(col("cnt").desc, col("w"))).cast("long"))
+        .select("w", "rnk")
+      wpos.join(broadcast(vocab), "w")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          Num.r4(avg(col("rnk"))).as("mean_rank"),
+          min(col("rnk")).as("min_rank"),
+          max(col("rnk")).as("max_rank"))
     })
 }
