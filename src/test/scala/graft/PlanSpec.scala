@@ -89,6 +89,12 @@ class PlanSpec extends SparkSpec {
       s"embeddings scan must not read label:\n$scan")
   }
 
+  test("q_token_rarity: dictionary joins back via broadcast, never sort-merge") {
+    val p = plan("q_token_rarity")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"the vocabulary-sized dictionary must broadcast:\n$p")
+  }
+
   test("q_train_eval_contamination: shingle join is an equijoin, never a cartesian") {
     val p = plan("q_train_eval_contamination")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
