@@ -116,8 +116,11 @@ object StreamBench {
     val isecs = (System.nanoTime() - t2) / 1e9
     val mapped = mapping.df.count()
     iquery.stop()
+    // max(1): tiny nEvents yields zero identity batches — a 0-divide here
+    // would print bare NaN and corrupt the JSON metric line
+    val nIdBatches = math.max(batches.length, 1)
 
-    println(f"""{"metric":"stream_throughput","events":$n,"batch_size":$batchSize,"cdp_seconds":${secs}%.2f,"cdp_events_per_sec":${n / secs}%.0f,"segment_events":$emitted,"entity_seconds":${esecs}%.2f,"entity_events_per_sec":${n / esecs}%.0f,"alerts":$alerts,"identity_edges":$nEdges,"identity_batches":${batches.length},"identity_sec_per_batch":${isecs / batches.length}%.2f,"identity_edges_per_sec":${nEdges / isecs}%.0f,"identity_mapped":$mapped}""")
+    println(f"""{"metric":"stream_throughput","events":$n,"batch_size":$batchSize,"cdp_seconds":${secs}%.2f,"cdp_events_per_sec":${n / secs}%.0f,"segment_events":$emitted,"entity_seconds":${esecs}%.2f,"entity_events_per_sec":${n / esecs}%.0f,"alerts":$alerts,"identity_edges":$nEdges,"identity_batches":${batches.length},"identity_sec_per_batch":${isecs / nIdBatches}%.2f,"identity_edges_per_sec":${nEdges / math.max(isecs, 1e-9)}%.0f,"identity_mapped":$mapped}""")
     spark.stop()
   }
 }

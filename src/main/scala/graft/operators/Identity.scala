@@ -21,11 +21,17 @@ object Identity {
   /** edges: DataFrame with string columns (src, dst). Returns
     * (node, component).
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame =
     // materialize the input ONCE before symmetrizing: the union references
     // the edge subplan twice and Spark does not share common subplans, so
     // an expensive upstream (e.g. a near-dup verify) would execute twice
-    val e0 = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    ccIterative(edges.select(col("src"), col("dst")).localCheckpoint(true), maxIter)
+
+  /** Iterative propagation over an ALREADY-MATERIALIZED (src, dst) edge
+    * frame — callers that have checkpointed the edges (the adaptive
+    * fallback) must not pay a second copy.
+    */
+  private def ccIterative(e0: DataFrame, maxIter: Int): DataFrame = {
     val sym = e0
       .unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -100,24 +106,60 @@ object Identity {
     parent.keysIterator.map(k => k -> find(k)).toMap
   }
 
+  /** Binary UTF-8 byte order — what Spark's min()/least() on StringType
+    * and DuckDB's string comparison both use. Java's Ordering[String]
+    * (UTF-16 code units) disagrees for supplementary-plane characters, so
+    * the local kernel must compare the same way the distributed path and
+    * the oracle do.
+    */
+  val Utf8StringOrdering: Ordering[String] = (a: String, b: String) => {
+    val ba = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(ba.length, bb.length)
+    var r = 0
+    while (r == 0 && i < n) { r = (ba(i) & 0xff) - (bb(i) & 0xff); i += 1 }
+    if (r != 0) r else ba.length - bb.length
+  }
+
+  /** Substitute the UTF-8 ordering when T is String so local results match
+    * the engines' binary comparison.
+    */
+  private def engineOrdering[T](probe: Array[(T, T)], ord: Ordering[T]): Ordering[T] =
+    if (probe.nonEmpty && probe(0)._1.isInstanceOf[String])
+      Utf8StringOrdering.asInstanceOf[Ordering[T]]
+    else ord
+
   /** Adaptive CC: materialize the edge set once; within `localThreshold`
     * edges, union-find on the driver (one bounded collect, zero CC jobs);
     * beyond it, the iterative distributed propagation. The probe IS the
     * collect in the common case — at most threshold+1 id pairs reach the
     * driver, never the component labels of a big graph. Output:
-    * (node, component), the same deterministic min-id contract.
+    * (node, component), the same deterministic min-id contract. Returns
+    * the component frame plus the probed edge count (-1 when the probe
+    * overflowed and the distributed path ran).
     */
+  def connectedComponentsAdaptiveCounted[T](
+      edges: org.apache.spark.sql.Dataset[(T, T)],
+      localThreshold: Long = 1000000L,
+      maxIter: Int = 20)(
+      implicit ord: Ordering[T],
+      enc: org.apache.spark.sql.Encoder[(T, T)]): (DataFrame, Long) = {
+    val e0 = edges.localCheckpoint(true)
+    val probeLimit = (math.min(localThreshold, Int.MaxValue - 1L) + 1L).toInt
+    val probe = e0.limit(probeLimit).collect()
+    if (probe.length <= localThreshold) {
+      val comp = connectedComponentsLocal(probe.toSeq)(engineOrdering(probe, ord))
+      (e0.sparkSession.createDataset(comp.toSeq)(enc).toDF("node", "component"),
+        probe.length.toLong)
+    } else
+      (ccIterative(e0.toDF("src", "dst"), maxIter), -1L)
+  }
+
   def connectedComponentsAdaptive[T](edges: org.apache.spark.sql.Dataset[(T, T)],
                                      localThreshold: Long = 1000000L,
                                      maxIter: Int = 20)(
       implicit ord: Ordering[T],
-      enc: org.apache.spark.sql.Encoder[(T, T)]): DataFrame = {
-    val e0 = edges.localCheckpoint(true)
-    val probeLimit = (math.min(localThreshold, Int.MaxValue - 1L) + 1L).toInt
-    val probe = e0.limit(probeLimit).collect()
-    if (probe.length <= localThreshold)
-      e0.sparkSession.createDataset(connectedComponentsLocal(probe.toSeq).toSeq)(enc)
-        .toDF("node", "component")
-    else connectedComponents(e0.toDF("src", "dst"), maxIter)
-  }
+      enc: org.apache.spark.sql.Encoder[(T, T)]): DataFrame =
+    connectedComponentsAdaptiveCounted(edges, localThreshold, maxIter)._1
 }

@@ -126,6 +126,12 @@ object Similarity {
               var i = 0
               while (i < qe.length) { s += qe(i) * be(i); i += 1 }
               val raw = s / (qn * bn)
+              // keep bad data LOUD: a zero-norm embedding used to surface
+              // as BigDecimal's NaN exception; the prefilter must not turn
+              // it into silently-missing neighbors
+              if (java.lang.Double.isNaN(raw))
+                throw new IllegalArgumentException(
+                  s"NaN cosine between vec $qid and $bid — zero-norm embedding?")
               val kth =
                 if (top.size == k) top.get(k - 1)._1 else Double.NegativeInfinity
               if (raw + RoundMargin >= kth) {

@@ -164,25 +164,18 @@ object IdentityStream {
             .filter(col("src") =!= col("dst"))
             .distinct()
           import spark.implicits._
-          // one bounded probe decides the CC path AND (in the common case)
-          // IS the collect: at most threshold+1 tiny string rows
-          val probeLimit = (math.min(localCcThreshold, Int.MaxValue - 1L) + 1L).toInt
-          val probe = contracted.as[(String, String)].limit(probeLimit).collect()
-          var nContracted = probe.length.toLong
+          // CC over the contracted graph only — size ∝ this batch; the
+          // adaptive kernel collects + union-finds when small (the common
+          // case: zero CC jobs), falls back to distributed propagation
+          // when the probe overflows
+          val (ccDf, probedCount) = Identity.connectedComponentsAdaptiveCounted(
+            contracted.as[(String, String)], localCcThreshold, maxIter)
+          val nContracted =
+            if (probedCount >= 0) probedCount else contracted.count()
           val deltas =
-            if (probe.isEmpty) spark.emptyDataFrame
+            if (nContracted == 0) spark.emptyDataFrame
             else {
-              // CC over the contracted graph only — size ∝ this batch
-              val merge =
-                if (probe.length <= localCcThreshold)
-                  // driver-local union-find: microseconds, zero extra jobs
-                  Identity.connectedComponentsLocal(probe).toSeq.toDF("c0", "newc")
-                else {
-                  val ck = contracted.localCheckpoint(true)
-                  nContracted = ck.count()
-                  Identity.connectedComponents(ck, maxIter)
-                    .toDF("c0", "newc").localCheckpoint(true)
-                }
+              val merge = ccDf.toDF("c0", "newc")
               // `changed` keys are the contracted-graph nodes whose label
               // dropped: the LOSING canonicals and merged-in new ids. By
               // construction a canonical has NO stored row (identity is the
@@ -200,7 +193,7 @@ object IdentityStream {
                 .select(col("node"), col("newc").as("comp"))
               relabeledCanonicals.unionAll(relabeledStored)
             }
-          val nDelta = if (probe.isEmpty) 0L else deltas.count()
+          val nDelta = if (nContracted == 0) 0L else deltas.count()
           if (nDelta > 0) {
             deltas.withColumn("ver", lit(batchId))
               .write.mode("overwrite").parquet(s"$stateDir/delta_$batchId")
