@@ -39,7 +39,10 @@ final class CdpIngest(sink: CdpEvent => Unit) {
     val ts =
       try Timestamp.from(Instant.parse(root.path("ts").asText("")))
       catch { case _: Exception => return Left("ts must be ISO-8601") }
-    val p = root.path("payload")
+    // the reference MODEL nests the payload ({eventId,ts,payload:{...}},
+    // `core/BaseEvent.kt:22-27`) while its docs examples POST the fields
+    // flat (`docs/http/cdp.http:19-31`) — accept both
+    val p = if (root.hasNonNull("payload")) root.path("payload") else root
     val eventType = p.path("type").asText("")
     val userId = opt(p, "userId")
     val anonymousId = opt(p, "anonymousId")

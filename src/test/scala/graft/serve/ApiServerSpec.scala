@@ -221,6 +221,11 @@ class ApiServerSpec extends SparkSpec {
       val (cBadTs, _) = http("POST", s"$base/cdp/ingest", Some(
         """{"eventId":"ing-4","ts":"not-a-time","payload":{"type":"IDENTIFY","userId":"u2"}}"""))
       assert(cBadTs == 400)
+      // flat body (the reference docs' example shape) is accepted too
+      val (cFlat, bFlat) = http("POST", s"$base/cdp/ingest", Some(
+        """{"eventId":"ing-5","ts":"2024-01-01T01:02:00Z","type":"TRACK",
+          |"userId":"u2","name":"Feature Used"}""".stripMargin))
+      assert(cFlat == 202 && bFlat.contains("\"eventId\":\"ing-5\""))
     } finally {
       alertQuery.stop()
       segmentQuery.stop()
