@@ -33,7 +33,8 @@ final class ApiServer(
     sim: SimControl,
     port: Int = 0,
     heartbeatMs: Long = 10000L,
-    ingest: Option[CdpIngest] = None) {
+    ingest: Option[CdpIngest] = None,
+    cdpMetrics: Option[CdpMetrics] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   private val pool = Executors.newCachedThreadPool()
@@ -112,6 +113,13 @@ final class ApiServer(
       "eventsPerMin" -> stats.eventsPerMin,
       "alertsPerMin" -> stats.alertsPerMin,
       "uptimeSec" -> stats.uptimeSec)))
+
+  server.createContext("/stats/cdp", (ex: HttpExchange) =>
+    cdpMetrics match {
+      case Some(m) => respond(ex, 200, Json.write(m.snapshot))
+      case None => respond(ex, 404,
+        Json.obj("status" -> "error", "message" -> "cdp metrics not attached"))
+    })
 
   server.createContext("/sim/start", (ex: HttpExchange) => {
     if (ex.getRequestMethod != "POST") respond(ex, 405, Json.obj("status" -> "error", "message" -> "POST required"))

@@ -1,0 +1,82 @@
+package graft.serve
+
+import java.util.concurrent.atomic.{AtomicLong, AtomicReference}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** The reference's CDP metric surface (`docs/cdp/README.md:595-604`,
+  * registered in `cdp/runtime/CdpEventProcessor.kt:78-160`) mapped onto
+  * Spark's OWN telemetry — no hand-rolled counters inside operators:
+  *
+  *  - cdp.events.processed   ← progress.numInputRows (cumulative)
+  *  - cdp.profiles.total     ← stateOperators.numRowsTotal (keyed state
+  *                             rows ARE the profile store)
+  *  - cdp.events.buffered    ← stateOperators.numRowsUpdated last batch
+  *                             (rows re-materialized this micro-batch)
+  *  - cdp.watermark.lag_ms   ← wall clock minus the progress watermark
+  *  - cdp.events.late        ← the `lateness/late_count` observe() metric
+  *                             (Watermarks.classifyLate)
+  *  - cdp.events.dropped     ← beyond-watermark rows never reach the
+  *                             operator; Spark 4 reports them per sink via
+  *                             numRowsDroppedByWatermark, summed here
+  *  - cdp.events.dedup_hits  ← numRowsDroppedByWatermark of the dedup
+  *                             operator is the TTL-evicted analogue; exact
+  *                             dedup hits = processed - distinct outputs,
+  *                             observable per-query (not aggregated here)
+  *
+  * Attach one listener per monitored query name; snapshot served by
+  * `/stats/cdp`.
+  */
+final class CdpMetrics(queryName: Option[String] = None) extends StreamingQueryListener {
+
+  private val processed = new AtomicLong(0L)
+  private val late = new AtomicLong(0L)
+  private val dropped = new AtomicLong(0L)
+  private val profilesTotal = new AtomicLong(0L)
+  private val buffered = new AtomicLong(0L)
+  private val watermarkLagMs = new AtomicLong(-1L)
+  private val lastBatch = new AtomicReference[Option[Long]](None)
+
+  override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+  override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+
+  override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+    val p = e.progress
+    if (queryName.forall(n => n == p.name)) {
+      lastBatch.set(Some(p.batchId))
+      processed.addAndGet(p.numInputRows)
+      val om = p.observedMetrics
+      if (om.containsKey("lateness"))
+        late.addAndGet(om.get("lateness").getLong(0))
+      val ops = p.stateOperators
+      if (ops.nonEmpty) {
+        profilesTotal.set(ops.map(_.numRowsTotal).max)
+        buffered.set(ops.map(_.numRowsUpdated).sum)
+        dropped.addAndGet(ops.map(_.numRowsDroppedByWatermark).sum)
+      }
+      val wm = p.eventTime.get("watermark")
+      if (wm != null && wm.nonEmpty)
+        try {
+          val wmMs = java.time.Instant.parse(wm).toEpochMilli
+          if (wmMs > 0) watermarkLagMs.set(System.currentTimeMillis() - wmMs)
+        } catch { case _: Exception => }
+    }
+  }
+
+  /** Snapshot in the reference's metric names. */
+  def snapshot: Map[String, Long] = scala.collection.immutable.ListMap(
+    "cdp.events.processed" -> processed.get,
+    "cdp.events.late" -> late.get,
+    "cdp.events.dropped" -> dropped.get,
+    "cdp.profiles.total" -> profilesTotal.get,
+    "cdp.events.buffered" -> buffered.get,
+    "cdp.watermark.lag_ms" -> watermarkLagMs.get)
+
+  def attach(spark: SparkSession): CdpMetrics = {
+    spark.streams.addListener(this)
+    this
+  }
+
+  def detach(spark: SparkSession): Unit = spark.streams.removeListener(this)
+}

@@ -121,9 +121,11 @@ class ApiServerSpec extends SparkSpec {
     val sim = new ServePipelines.SparkSim(spark, alertsHub, stats)
     val entityIn = MemoryStream[EntityEvent]
     val cdpIn = MemoryStream[CdpEvent]
+    val cdpMetrics = new CdpMetrics(Some("api_segments")).attach(spark)
     val server = new ApiServer(alertsHub, segmentsHub, profilesHub,
       stats, sim, port = 0, heartbeatMs = 200L,
-      ingest = Some(new CdpIngest(e => { cdpIn.addData(e); () }))).start()
+      ingest = Some(new CdpIngest(e => { cdpIn.addData(e); () })),
+      cdpMetrics = Some(cdpMetrics)).start()
     val base = s"http://localhost:${server.boundPort}"
     val alertQuery = EntityPipeline.alerts(spark, entityIn.toDS(),
         EntityPipeline.RuleConfig(r1MinRate = 1000.0, r2Factor = 2.0, r2MinCount = 1))
@@ -131,7 +133,7 @@ class ApiServerSpec extends SparkSpec {
       .foreachBatch(ServePipelines.publishAlerts(alertsHub, stats) _)
       .start()
     val segmentQuery = CdpPipeline.segmentEvents(spark, cdpIn.toDS())
-      .writeStream.outputMode(OutputMode.Append())
+      .writeStream.queryName("api_segments").outputMode(OutputMode.Append())
       .foreachBatch(ServePipelines.publishSegments(segmentsHub) _)
       .start()
     val profileChanged = ServePipelines.profilePublisher(profilesHub)
@@ -226,9 +228,21 @@ class ApiServerSpec extends SparkSpec {
         """{"eventId":"ing-5","ts":"2024-01-01T01:02:00Z","type":"TRACK",
           |"userId":"u2","name":"Feature Used"}""".stripMargin))
       assert(cFlat == 202 && bFlat.contains("\"eventId\":\"ing-5\""))
+      segmentQuery.processAllAvailable()
+
+      // /stats/cdp: Spark progress telemetry in the reference metric names
+      val (cm, bm) = http("GET", s"$base/stats/cdp")
+      assert(cm == 200 && bm.contains("\"cdp.events.processed\""))
+      val processedN = "\"cdp\\.events\\.processed\":(\\d+)".r
+        .findFirstMatchIn(bm).map(_.group(1).toLong).getOrElse(0L)
+      val profilesN = "\"cdp\\.profiles\\.total\":(\\d+)".r
+        .findFirstMatchIn(bm).map(_.group(1).toLong).getOrElse(0L)
+      assert(processedN >= 3L, s"expected >=3 cdp events processed: $bm")
+      assert(profilesN >= 2L, s"expected >=2 profile state rows: $bm")
     } finally {
       alertQuery.stop()
       segmentQuery.stop()
+      cdpMetrics.detach(spark)
       server.stop()
     }
   }
