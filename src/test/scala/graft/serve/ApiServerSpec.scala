@@ -148,7 +148,14 @@ class ApiServerSpec extends SparkSpec {
       val profF = scala.concurrent.Future {
         sseFrames(s"$base/sse/cdp/profiles", 1, _.contains("\"type\":\"profile_summaries\""))
       }(scala.concurrent.ExecutionContext.global)
-      Thread.sleep(1000) // let the SSE connections attach
+      // wait until all three SSE connections are actually subscribed —
+      // a fixed sleep races on a loaded box (frames are not replayed)
+      val attachDeadline = System.currentTimeMillis() + 15000
+      while ((alertsHub.subscriberCount < 1 || segmentsHub.subscriberCount < 1
+        || profilesHub.subscriberCount < 1) && System.currentTimeMillis() < attachDeadline)
+        Thread.sleep(50)
+      assert(alertsHub.subscriberCount >= 1 && segmentsHub.subscriberCount >= 1
+        && profilesHub.subscriberCount >= 1, "SSE clients failed to attach")
 
       // R2 alert: ewma seeds at 10, second value 100 > 2x post-update ewma
       entityIn.addData(
@@ -204,7 +211,10 @@ class ApiServerSpec extends SparkSpec {
       val segF2 = scala.concurrent.Future {
         sseFrames(s"$base/sse/cdp/segments", 1, _.contains("\"profileId\":\"user:u2\""))
       }(scala.concurrent.ExecutionContext.global)
-      Thread.sleep(500)
+      val attach2 = System.currentTimeMillis() + 15000
+      while (segmentsHub.subscriberCount < 1 && System.currentTimeMillis() < attach2)
+        Thread.sleep(50)
+      Thread.sleep(500) // the count may still be the first (closing) reader's
       val (ci, bi) = http("POST", s"$base/cdp/ingest", Some(
         """{"eventId":"ing-1","ts":"2024-01-01T01:00:00Z",
           |"payload":{"type":"IDENTIFY","userId":"u2","traits":{"plan":"pro"}}}""".stripMargin))
