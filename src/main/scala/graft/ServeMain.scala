@@ -1,0 +1,93 @@
+package graft
+
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+
+import graft.serve._
+import graft.streaming.{CdpEvent, CdpPipeline, ProfileSnapshot}
+
+/** The packaged application — the counterpart of the reference's Spring
+  * boot shell (`PulseboardApplication.kt`): one process wiring the
+  * simulator, the entity rule pipeline, the CDP pipelines, and the
+  * HTTP/SSE API. `runMain graft.ServeMain [port]` serves:
+  *
+  *   POST /sim/start|stop, /sim/config, /profile  — simulator control
+  *   POST /cdp/ingest                              — CDP event ingestion
+  *   GET  /sse/alerts | /sse/cdp/segments | /sse/cdp/profiles
+  *   GET  /health | /stats/overview | /stats/cdp
+  *
+  * Ingested CDP events flow through BOTH stateful queries (segments and
+  * changed-only profile updates); profile summaries keep a driver-side
+  * top-20 view exactly like the reference's in-memory ProfileStore
+  * (bounded: summaries evict beyond MaxProfiles by lastSeen).
+  */
+object ServeMain {
+
+  val MaxProfiles = 10000
+
+  final case class App(server: ApiServer, spark: SparkSession,
+                       queries: Seq[StreamingQuery], sim: SimControl)
+
+  /** Wire everything onto `spark`; port 0 picks an ephemeral port. */
+  def wire(spark: SparkSession, port: Int, heartbeatMs: Long = 10000L): App = {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+
+    val alertsHub = new EventHub
+    val segmentsHub = new EventHub
+    val profilesHub = new EventHub
+    val stats = new StatsService
+    val sim = new ServePipelines.SparkSim(spark, alertsHub, stats)
+    val cdpMetrics = new CdpMetrics(Some("serve_segments")).attach(spark)
+
+    // in-memory CDP bus (S5); production swaps this for the Kafka source
+    val cdpIn = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[CdpEvent]
+
+    val segmentQuery = CdpPipeline.segmentEvents(spark, cdpIn.toDS())
+      .writeStream.queryName("serve_segments").outputMode(OutputMode.Append())
+      .foreachBatch(ServePipelines.publishSegments(segmentsHub) _)
+      .start()
+
+    // changed-only profile updates maintain the top-20 summary view
+    val summaries = new ConcurrentHashMap[String, ProfileSnapshot]()
+    val profileChanged = ServePipelines.profilePublisher(profilesHub)
+    val profileQuery = CdpPipeline.profileUpdates(spark, cdpIn.toDS())
+      .writeStream.queryName("serve_profiles").outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[ProfileSnapshot], _: Long) =>
+        val updated = batch.collect()
+        if (updated.nonEmpty) {
+          stats.recordEvents(updated.length.toLong)
+          updated.foreach(p => summaries.put(p.profileId, p))
+          // bound the driver-side store like the reference's cache caps
+          if (summaries.size > MaxProfiles) {
+            summaries.values.asScala.toSeq.sortBy(_.lastSeen.getTime)
+              .take(summaries.size - MaxProfiles)
+              .foreach(p => summaries.remove(p.profileId))
+          }
+          profileChanged.push(summaries.values.asScala.toSeq
+            .sortBy(p => (-p.lastSeen.getTime, p.profileId)).take(20))
+        }
+        ()
+      }
+      .start()
+
+    val ingest = new CdpIngest(e => { cdpIn.addData(e); () })
+    val server = new ApiServer(alertsHub, segmentsHub, profilesHub, stats, sim,
+      port = port, heartbeatMs = heartbeatMs,
+      ingest = Some(ingest), cdpMetrics = Some(cdpMetrics)).start()
+    App(server, spark, Seq(segmentQuery, profileQuery), sim)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val port = args.headOption.map(_.toInt).getOrElse(8080)
+    val spark = Sessions.streaming("graft-serve", cores = 8)
+    spark.sparkContext.setLogLevel("WARN")
+    val app = wire(spark, port)
+    println(s"graft serving on http://localhost:${app.server.boundPort}")
+    app.spark.streams.awaitAnyTermination()
+  }
+}

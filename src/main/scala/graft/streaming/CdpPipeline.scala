@@ -139,6 +139,40 @@ object CdpPipeline {
       }
   }
 
+  private def toSnapshot(pid: String, st: ProfileState): ProfileSnapshot =
+    ProfileSnapshot(pid,
+      st.userIds.toSeq.sorted, st.emails.toSeq.sorted,
+      st.anonymousIds.toSeq.sorted,
+      st.traits.map { case (k, (v, _)) => k -> v },
+      st.buckets.valuesIterator.sum,
+      new Timestamp(st.lastSeenUs / 1000L),
+      st.segments.toSeq.sorted)
+
+  /** Streaming: one updated ProfileSnapshot per profile per micro-batch
+    * that CHANGED it (W7 changed-only at the operator, not the sink: a
+    * batch of pure duplicates emits nothing). This is the stream the
+    * profiles SSE endpoint consumes — the reference polls its profile
+    * store every second instead (`CdpController.kt:105-146`); emitting on
+    * change needs no store polling and no second state copy downstream.
+    */
+  def profileUpdates(spark: SparkSession, events: Dataset[CdpEvent]): Dataset[ProfileSnapshot] = {
+    import spark.implicits._
+    events
+      .groupByKey(profileId)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (pid: String, rows: Iterator[CdpEvent], state: GroupState[ProfileState]) =>
+          val st0 = state.getOption.getOrElse(ProfileState.empty)
+          val (next, _) = orderedFold(pid, st0, rows)
+          state.update(next)
+          // seenEventIds is a cache, not profile content — ignore it when
+          // deciding whether the profile changed
+          if (next.copy(seenEventIds = Map.empty) == st0.copy(seenEventIds = Map.empty))
+            Iterator.empty
+          else Iterator.single(toSnapshot(pid, next))
+      }
+  }
+
   /** Streaming reengage segment (`SegmentEngine.kt:147-151`): a profile
     * ENTERs `reengage` when idle longer than `idleMs` — a segment change
     * with NO new events, which is why it needs timers, not per-event
@@ -211,13 +245,7 @@ object CdpPipeline {
       .groupByKey(profileId)
       .mapGroups { (pid, rows) =>
         val (st, _) = orderedFold(pid, ProfileState.empty, rows)
-        ProfileSnapshot(pid,
-          st.userIds.toSeq.sorted, st.emails.toSeq.sorted,
-          st.anonymousIds.toSeq.sorted,
-          st.traits.map { case (k, (v, _)) => k -> v },
-          st.buckets.valuesIterator.sum,
-          new Timestamp(st.lastSeenUs / 1000L),
-          st.segments.toSeq.sorted)
+        toSnapshot(pid, st)
       }
   }
 }

@@ -101,4 +101,32 @@ class CdpPipelineSpec extends SparkSpec {
     assert(snap.anonymousIds == Seq("a1", "a2"))
     assert(snap.emails == Seq("bob@example.com"))
   }
+
+  test("profileUpdates emits only on change; duplicate batch emits nothing") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[CdpEvent]
+    val query = profileUpdates(spark, input.toDS())
+      .writeStream.format("memory").queryName("prof_updates")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      input.addData(CdpEvent("e1", ts("2024-01-01T00:00:00Z"), "IDENTIFY",
+        Some("u1"), None, None, None, Map("plan" -> "pro")))
+      query.processAllAvailable()
+      val snaps1 = spark.table("prof_updates").as[ProfileSnapshot].collect()
+      assert(snaps1.length == 1 && snaps1.head.traits("plan") == "pro")
+      // the SAME event again: dedup makes the fold a no-op — the
+      // changed-only contract (W7) must emit no second snapshot
+      input.addData(CdpEvent("e1", ts("2024-01-01T00:00:00Z"), "IDENTIFY",
+        Some("u1"), None, None, None, Map("plan" -> "pro")))
+      query.processAllAvailable()
+      assert(spark.table("prof_updates").count() == 1)
+      // a genuinely new event emits exactly one more
+      input.addData(CdpEvent("e2", ts("2024-01-01T00:05:00Z"), "TRACK",
+        Some("u1"), None, None, Some("feature_used"), Map.empty))
+      query.processAllAvailable()
+      val snaps2 = spark.table("prof_updates").as[ProfileSnapshot].collect()
+      assert(snaps2.length == 2 && snaps2.map(_.trackCount24h).max == 1L)
+    } finally query.stop()
+  }
 }
