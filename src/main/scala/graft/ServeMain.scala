@@ -30,7 +30,17 @@ object ServeMain {
   val MaxProfiles = 10000
 
   final case class App(server: ApiServer, spark: SparkSession,
-                       queries: Seq[StreamingQuery], sim: SimControl)
+                       queries: Seq[StreamingQuery], sim: SimControl,
+                       alertsHub: EventHub, segmentsHub: EventHub,
+                       profilesHub: EventHub, cdpMetrics: CdpMetrics) {
+    /** Stop queries, server, and detach the metrics listener. */
+    def close(): Unit = {
+      queries.foreach(_.stop())
+      sim.stop()
+      cdpMetrics.detach(spark)
+      server.stop()
+    }
+  }
 
   /** Wire everything onto `spark`; port 0 picks an ephemeral port. */
   def wire(spark: SparkSession, port: Int, heartbeatMs: Long = 10000L): App = {
@@ -44,10 +54,15 @@ object ServeMain {
     val sim = new ServePipelines.SparkSim(spark, alertsHub, stats)
     val cdpMetrics = new CdpMetrics(Some("serve_segments")).attach(spark)
 
-    // in-memory CDP bus (S5); production swaps this for the Kafka source
-    val cdpIn = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[CdpEvent]
+    // in-memory CDP bus (S5); production swaps this for the Kafka source.
+    // MemoryStream is SINGLE-consumer (one shared commit cursor + buffer),
+    // so each streaming query gets its own stream and the ingest callback
+    // fans out — two queries on one MemoryStream die with out-of-order
+    // commits as soon as their batch boundaries diverge
+    val segmentsIn = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[CdpEvent]
+    val profilesIn = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[CdpEvent]
 
-    val segmentQuery = CdpPipeline.segmentEvents(spark, cdpIn.toDS())
+    val segmentQuery = CdpPipeline.segmentEvents(spark, segmentsIn.toDS())
       .writeStream.queryName("serve_segments").outputMode(OutputMode.Append())
       .foreachBatch(ServePipelines.publishSegments(segmentsHub) _)
       .start()
@@ -55,12 +70,11 @@ object ServeMain {
     // changed-only profile updates maintain the top-20 summary view
     val summaries = new ConcurrentHashMap[String, ProfileSnapshot]()
     val profileChanged = ServePipelines.profilePublisher(profilesHub)
-    val profileQuery = CdpPipeline.profileUpdates(spark, cdpIn.toDS())
+    val profileQuery = CdpPipeline.profileUpdates(spark, profilesIn.toDS())
       .writeStream.queryName("serve_profiles").outputMode(OutputMode.Append())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[ProfileSnapshot], _: Long) =>
         val updated = batch.collect()
         if (updated.nonEmpty) {
-          stats.recordEvents(updated.length.toLong)
           updated.foreach(p => summaries.put(p.profileId, p))
           // bound the driver-side store like the reference's cache caps
           if (summaries.size > MaxProfiles) {
@@ -68,18 +82,47 @@ object ServeMain {
               .take(summaries.size - MaxProfiles)
               .foreach(p => summaries.remove(p.profileId))
           }
-          profileChanged.push(summaries.values.asScala.toSeq
-            .sortBy(p => (-p.lastSeen.getTime, p.profileId)).take(20))
+          profileChanged.push(top20(summaries))
         }
         ()
       }
       .start()
 
-    val ingest = new CdpIngest(e => { cdpIn.addData(e); () })
+    // ingested events are counted HERE (one per accepted POST) — counting
+    // changed snapshots downstream would under-report batched updates
+    val ingest = new CdpIngest(e => {
+      stats.recordEvents(1L)
+      segmentsIn.addData(e)
+      profilesIn.addData(e)
+      ()
+    })
     val server = new ApiServer(alertsHub, segmentsHub, profilesHub, stats, sim,
       port = port, heartbeatMs = heartbeatMs,
       ingest = Some(ingest), cdpMetrics = Some(cdpMetrics)).start()
-    App(server, spark, Seq(segmentQuery, profileQuery), sim)
+    App(server, spark, Seq(segmentQuery, profileQuery), sim,
+      alertsHub, segmentsHub, profilesHub, cdpMetrics)
+  }
+
+  /** Bounded top-20 by (lastSeen desc, profileId) without sorting the
+    * whole summary map each batch: one pass keeping the 20 best.
+    */
+  private def top20(summaries: ConcurrentHashMap[String, ProfileSnapshot]): Seq[ProfileSnapshot] = {
+    // the queue's max (dequeued on overflow) must be the WORST kept row:
+    // smallest lastSeen, ties broken toward the LARGER profileId (ranking
+    // prefers the smaller id, so the larger one is worse)
+    implicit val worstFirst: Ordering[ProfileSnapshot] =
+      (a: ProfileSnapshot, b: ProfileSnapshot) => {
+        val byTime = java.lang.Long.compare(b.lastSeen.getTime, a.lastSeen.getTime)
+        if (byTime != 0) byTime else a.profileId.compareTo(b.profileId)
+      }
+    val pq = scala.collection.mutable.PriorityQueue.empty[ProfileSnapshot]
+    summaries.values.asScala.foreach { p =>
+      pq.enqueue(p)
+      if (pq.size > 20) pq.dequeue()
+    }
+    // deterministic order: the changed-only hub compares whole snapshots
+    pq.dequeueAll.toSeq
+      .sortBy((p: ProfileSnapshot) => (-p.lastSeen.getTime, p.profileId))
   }
 
   def main(args: Array[String]): Unit = {

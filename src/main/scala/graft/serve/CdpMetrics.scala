@@ -1,6 +1,6 @@
 package graft.serve
 
-import java.util.concurrent.atomic.{AtomicLong, AtomicReference}
+import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.streaming.StreamingQueryListener
@@ -36,7 +36,6 @@ final class CdpMetrics(queryName: Option[String] = None) extends StreamingQueryL
   private val profilesTotal = new AtomicLong(0L)
   private val buffered = new AtomicLong(0L)
   private val watermarkLagMs = new AtomicLong(-1L)
-  private val lastBatch = new AtomicReference[Option[Long]](None)
 
   override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
   override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
@@ -44,7 +43,6 @@ final class CdpMetrics(queryName: Option[String] = None) extends StreamingQueryL
   override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
     val p = e.progress
     if (queryName.forall(n => n == p.name)) {
-      lastBatch.set(Some(p.batchId))
       processed.addAndGet(p.numInputRows)
       val om = p.observedMetrics
       if (om.containsKey("lateness"))

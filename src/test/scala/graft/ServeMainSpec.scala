@@ -60,7 +60,11 @@ class ServeMainSpec extends SparkSpec {
         sseFirstMatch(s"$base/sse/cdp/profiles",
           f => f.contains("\"type\":\"profile_summaries\"") && f.contains("\"plan\":\"pro\""), 30000)
       }(scala.concurrent.ExecutionContext.global)
-      Thread.sleep(1000)
+      // frames are not replayed: wait for BOTH SSE readers to subscribe
+      val attach = System.currentTimeMillis() + 15000
+      while ((app.segmentsHub.subscriberCount < 1 || app.profilesHub.subscriberCount < 1)
+        && System.currentTimeMillis() < attach) Thread.sleep(50)
+      assert(app.segmentsHub.subscriberCount >= 1 && app.profilesHub.subscriberCount >= 1)
 
       val (ci, _) = http("POST", s"$base/cdp/ingest", Some(
         """{"eventId":"app-1","ts":"2024-01-01T00:00:00Z",
@@ -73,12 +77,16 @@ class ServeMainSpec extends SparkSpec {
       assert(Await.result(segF, 35.seconds).isDefined, "segment frame missing")
       assert(Await.result(profF, 35.seconds).isDefined, "profile frame missing")
 
-      // the metrics endpoint reflects the segment query's state
-      val (_, m) = http("GET", s"$base/stats/cdp")
-      assert(m.contains("\"cdp.profiles.total\":1"))
-    } finally {
-      app.queries.foreach(_.stop())
-      app.server.stop()
-    }
+      // the metrics endpoint reflects the segment query's state; listener
+      // delivery is async, so poll instead of asserting one read
+      val mDeadline = System.currentTimeMillis() + 15000
+      var m = ""
+      while (!m.contains("\"cdp.profiles.total\":1")
+        && System.currentTimeMillis() < mDeadline) {
+        Thread.sleep(100)
+        m = http("GET", s"$base/stats/cdp")._2
+      }
+      assert(m.contains("\"cdp.profiles.total\":1"), s"metrics never populated: $m")
+    } finally app.close()
   }
 }

@@ -207,14 +207,19 @@ class ApiServerSpec extends SparkSpec {
       assert(profileChanged.emitCount == 1L && before >= 0)
 
       // POST /cdp/ingest: accepted event flows through the pipeline to a
-      // fresh segment frame; invalid bodies get the reference's 400s
+      // fresh segment frame; invalid bodies get the reference's 400s.
+      // Wait for the FIRST (closed) reader's server-side subscription to
+      // be reaped before subscribing again, so the count-wait below can
+      // only be satisfied by the NEW reader
+      val drain = System.currentTimeMillis() + 15000
+      while (segmentsHub.subscriberCount > 0 && System.currentTimeMillis() < drain)
+        Thread.sleep(50) // heartbeat writes to the dead socket reap it
       val segF2 = scala.concurrent.Future {
         sseFrames(s"$base/sse/cdp/segments", 1, _.contains("\"profileId\":\"user:u2\""))
       }(scala.concurrent.ExecutionContext.global)
       val attach2 = System.currentTimeMillis() + 15000
       while (segmentsHub.subscriberCount < 1 && System.currentTimeMillis() < attach2)
         Thread.sleep(50)
-      Thread.sleep(500) // the count may still be the first (closing) reader's
       val (ci, bi) = http("POST", s"$base/cdp/ingest", Some(
         """{"eventId":"ing-1","ts":"2024-01-01T01:00:00Z",
           |"payload":{"type":"IDENTIFY","userId":"u2","traits":{"plan":"pro"}}}""".stripMargin))
@@ -240,15 +245,21 @@ class ApiServerSpec extends SparkSpec {
       assert(cFlat == 202 && bFlat.contains("\"eventId\":\"ing-5\""))
       segmentQuery.processAllAvailable()
 
-      // /stats/cdp: Spark progress telemetry in the reference metric names
-      val (cm, bm) = http("GET", s"$base/stats/cdp")
-      assert(cm == 200 && bm.contains("\"cdp.events.processed\""))
-      val processedN = "\"cdp\\.events\\.processed\":(\\d+)".r
-        .findFirstMatchIn(bm).map(_.group(1).toLong).getOrElse(0L)
-      val profilesN = "\"cdp\\.profiles\\.total\":(\\d+)".r
-        .findFirstMatchIn(bm).map(_.group(1).toLong).getOrElse(0L)
-      assert(processedN >= 3L, s"expected >=3 cdp events processed: $bm")
-      assert(profilesN >= 2L, s"expected >=2 profile state rows: $bm")
+      // /stats/cdp: Spark progress telemetry in the reference metric
+      // names; listener delivery is async — poll until populated
+      def cdpStat(body: String, name: String): Long =
+        ("\"" + java.util.regex.Pattern.quote(name) + "\":(\\d+)").r
+          .findFirstMatchIn(body).map(_.group(1).toLong).getOrElse(0L)
+      val statDeadline = System.currentTimeMillis() + 15000
+      var bm = http("GET", s"$base/stats/cdp")._2
+      while ((cdpStat(bm, "cdp.events.processed") < 3L
+        || cdpStat(bm, "cdp.profiles.total") < 2L)
+        && System.currentTimeMillis() < statDeadline) {
+        Thread.sleep(100)
+        bm = http("GET", s"$base/stats/cdp")._2
+      }
+      assert(cdpStat(bm, "cdp.events.processed") >= 3L, s"processed: $bm")
+      assert(cdpStat(bm, "cdp.profiles.total") >= 2L, s"profiles: $bm")
     } finally {
       alertQuery.stop()
       segmentQuery.stop()
