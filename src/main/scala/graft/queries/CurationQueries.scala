@@ -118,6 +118,16 @@ object CurationQueries {
     // the shingle hash against the DISTINCT train-shingle set — per-doc
     // cost is its own shingle count, never |test| x |train|; at 100 TB
     // the train set is a bucketed/bloom-filtered build side.
+    //
+    // Hot-shingle cap: shingles present in more than 1 in 10 train docs
+    // ("of the data", boilerplate) are excluded from the train set AND
+    // anti-joined off the probe side before the main join. This kills the
+    // hot-key skew an open-web corpus puts on the h equijoin (ubiquitous
+    // 3-grams would funnel to one reducer) and sharpens the signal: shared
+    // boilerplate is not contamination. Hot shingles still count in the
+    // denominator, so every test doc keeps its row. The threshold uses
+    // integer arithmetic (nd * 10 <= n_train) — exact in both engines, no
+    // decimal-vs-double boundary drift.
     QueryDef(
       "q_train_eval_contamination",
       s"""WITH base AS (SELECT doc_id AS id, text FROM documents),
@@ -128,21 +138,25 @@ object CurationQueries {
          |              WHEN ${TextOps.hash64Sql(s"concat('$SplitSalt', doc_id)")} % 100 < 90 THEN 'valid'
          |              ELSE 'test' END AS split
          |  FROM documents),
+         |train_doc_n AS (
+         |  SELECT count(*) AS n_train FROM split WHERE split = 'train'),
+         |train_freq AS (
+         |  SELECT h, count(DISTINCT id) AS nd FROM sh JOIN split USING (id)
+         |  WHERE split = 'train' GROUP BY h),
          |train_h AS (
-         |  SELECT DISTINCT h FROM sh JOIN split USING (id)
-         |  WHERE split = 'train'),
+         |  SELECT h FROM train_freq, train_doc_n WHERE nd * 10 <= n_train),
          |ev AS (
          |  SELECT sh.id, sh.h FROM sh JOIN split ON split.id = sh.id
          |  WHERE split.split = 'test'),
-         |hit AS (
-         |  SELECT e.id, t.h IS NOT NULL AS is_hit
-         |  FROM ev e LEFT JOIN train_h t ON t.h = e.h)
-         |SELECT id AS doc_id,
-         |       count(*) AS n_shingles,
-         |       count(*) FILTER (WHERE is_hit) AS n_hit,
-         |       round(count(*) FILTER (WHERE is_hit) * 1.0 / count(*)
+         |totals AS (SELECT id, count(*) AS n_shingles FROM ev GROUP BY id),
+         |hits AS (
+         |  SELECT e.id, count(*) AS n_hit
+         |  FROM ev e JOIN train_h t ON t.h = e.h GROUP BY e.id)
+         |SELECT totals.id AS doc_id, n_shingles,
+         |       CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+         |       round(COALESCE(n_hit, 0) * 1.0 / n_shingles
          |             + 0.00000025, 4) AS overlap
-         |FROM hit GROUP BY id""".stripMargin) { (s, dir) =>
+         |FROM totals LEFT JOIN hits ON hits.id = totals.id""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val h = TextOps.hash64(concat(lit(SplitSalt), col("doc_id"))) % 100
       val split = docs.select(col("doc_id").as("id"),
@@ -151,13 +165,24 @@ object CurationQueries {
       val sh = graft.operators.Dedup.shingleHashes(
         docs.select(col("doc_id").as("id"), col("text")),
         col("id"), col("text"), n = 3).cache()
-      val trainH = sh.join(split.filter(col("split") === "train"), "id")
-        .select("h").distinct()
-      sh.join(split.filter(col("split") === "test"), "id")
-        .join(trainH.withColumn("is_hit", lit(1)), Seq("h"), "left")
-        .groupBy(col("id"))
-        .agg(count(lit(1)).as("n_shingles"), count(col("is_hit")).as("n_hit"))
-        .select(col("id").as("doc_id"), col("n_shingles"), col("n_hit"),
-          Num.r4(col("n_hit") * 1.0 / col("n_shingles")).as("overlap"))
+      val nTrain = split.filter(col("split") === "train")
+        .agg(count(lit(1)).as("n_train"))
+      val trainFreq = sh.join(split.filter(col("split") === "train"), "id")
+        .groupBy(col("h")).agg(countDistinct(col("id")).as("nd"))
+        .crossJoin(broadcast(nTrain))
+      val trainH = trainFreq.filter(col("nd") * 10 <= col("n_train")).select("h")
+      // tiny by construction: only shingles in >10% of ALL train docs
+      val hotH = trainFreq.filter(col("nd") * 10 > col("n_train")).select("h")
+      val ev = sh.join(split.filter(col("split") === "test"), "id")
+        .select("id", "h")
+      val totals = ev.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
+      val hits = ev.join(broadcast(hotH), Seq("h"), "left_anti")
+        .join(trainH, "h")
+        .groupBy(col("id")).agg(count(lit(1)).as("n_hit"))
+      totals.join(hits, Seq("id"), "left")
+        .select(col("id").as("doc_id"), col("n_shingles"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          Num.r4(coalesce(col("n_hit"), lit(0L)) * 1.0 / col("n_shingles"))
+            .as("overlap"))
     })
 }

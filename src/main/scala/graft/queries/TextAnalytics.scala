@@ -226,10 +226,15 @@ object TextAnalytics {
     // Token-rarity scoring: corpus-level word frequencies ranked, then
     // joined back per document — the integer-exact proxy for a unigram-LM
     // quality filter (rare-token-heavy docs score high). Two-pass shape:
-    // global dictionary aggregation, then a broadcast join back over the
-    // corpus (the dictionary is vocabulary-sized, not corpus-sized — it
-    // broadcasts even at 100 TB; the rank window runs over the dictionary
-    // only). Ranks are deterministic: (count desc, word) dense_rank.
+    // global dictionary aggregation, then an equijoin back over the corpus
+    // (AQE broadcasts the dictionary when it fits; at open-web scale the
+    // vocabulary is billions of raw tokens, so no hard broadcast hint).
+    // The global rank is computed WITHOUT a single-partition window:
+    // range-partition the dictionary on the rank ordering, sort within
+    // partitions, and assign contiguous indices with zipWithIndex — the only
+    // driver-side data is one row-count per partition. Because `w` is unique
+    // after the groupBy, (cnt desc, w) is a total unique ordering, so
+    // dense_rank == row_number == this global index, deterministically.
     QueryDef(
       "q_token_rarity",
       s"""WITH wpos AS (
@@ -242,14 +247,20 @@ object TextAnalytics {
          |       min(rnk) AS min_rank, max(rnk) AS max_rank
          |FROM wpos JOIN vocab USING (w)
          |GROUP BY doc_id""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val wpos = Tables.documents(s, dir)
         .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
       val vocab = wpos.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-        .withColumn("rnk", dense_rank()
-          .over(Window.orderBy(col("cnt").desc, col("w"))).cast("long"))
-        .select("w", "rnk")
-      wpos.join(broadcast(vocab), "w")
+      val nPart = math.max(s.sparkContext.defaultParallelism, 1)
+      // sort semantics stay in DataFrame land (UTF8 binary string order,
+      // matching the oracle's collation); zipWithIndex only enumerates
+      val ranked = vocab
+        .repartitionByRange(nPart, col("cnt").desc, col("w"))
+        .sortWithinPartitions(col("cnt").desc, col("w"))
+        .select(col("w")).rdd
+        .zipWithIndex()
+        .map { case (r, i) => (r.getString(0), i + 1L) }
+      val vocabRanked = s.createDataFrame(ranked).toDF("w", "rnk")
+      wpos.join(vocabRanked, "w")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_words"),
           Num.r4(avg(col("rnk"))).as("mean_rank"),

@@ -72,12 +72,22 @@ object IdentityStream {
     private[IdentityStream] def addStats(s: BatchStats): Unit =
       statsRef.updateAndGet(v => (v :+ s).takeRight(MaxStatsRetained))
 
+    /** Dirs retired by the LAST compaction. They stay on disk (a reader
+      * holding the pre-compaction DataFrame can still recompute evicted
+      * blocks from them) and are reclaimed only at the NEXT compaction —
+      * a full CompactEvery-batch grace window. Excluded from reads and
+      * from the compaction trigger; after a restart they are simply
+      * re-read and re-folded (harmless: LWW by `ver` subsumes them).
+      */
+    @volatile private[IdentityStream] var retired: Set[String] = Set.empty
+
     private[IdentityStream] def versionDirs(): Seq[Path] = {
       val p = new Path(stateDir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(p)) Nil
       else fs.listStatus(p).toSeq.map(_.getPath)
         .filter(d => d.getName.startsWith("base_") || d.getName.startsWith("delta_"))
+        .filterNot(d => retired.contains(d.toString))
     }
 
     // resolved mapping cached between writes: the LWW window over the
@@ -201,15 +211,22 @@ object IdentityStream {
           }
           handle.addStats(BatchStats(batchId, nNew, nContracted, nDelta))
           // LSM compaction: fold deltas into a fresh base so mapping reads
-          // stay O(1) files; amortized cost one table rewrite / CompactEvery
+          // stay O(1) files; amortized cost one table rewrite / CompactEvery.
+          // The generation being replaced is NOT deleted here — a serving
+          // thread may hold the pre-compaction DataFrame, and evicting its
+          // persisted blocks would recompute from deleted files. Instead it
+          // is marked retired (excluded from reads) and reclaimed at the
+          // NEXT compaction, when any such reader has had a full
+          // CompactEvery-batch window to finish.
           if (handle.versionDirs().size >= CompactEvery) {
             val old = handle.versionDirs()
             handle.df.withColumn("ver", lit(batchId))
               .write.mode("overwrite").parquet(s"$stateDir/base_$batchId")
             val fs = new Path(stateDir)
               .getFileSystem(spark.sparkContext.hadoopConfiguration)
-            old.foreach(d => fs.delete(d, true))
-            // drop the cached mapping: its lineage points at deleted files
+            handle.retired.foreach(d => fs.delete(new Path(d), true))
+            handle.retired = old.map(_.toString).toSet
+            // drop the cached mapping so new reads resolve the fresh base
             handle.invalidate()
           }
         }

@@ -89,16 +89,26 @@ class PlanSpec extends SparkSpec {
       s"embeddings scan must not read label:\n$scan")
   }
 
-  test("q_token_rarity: dictionary joins back via broadcast, never sort-merge") {
+  test("q_token_rarity: no single-partition exchange anywhere in the plan") {
+    // the global rank used to be a partitionless Window.orderBy — the whole
+    // vocabulary through one task. Now it's range-partition + zipWithIndex;
+    // nothing in the plan may funnel to a single partition.
     val p = plan("q_token_rarity")
-    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
-      s"the vocabulary-sized dictionary must broadcast:\n$p")
+    assert(!p.contains("Exchange SinglePartition") &&
+      !p.contains("rangepartitioning(1,"),
+      s"no stage may collapse the vocabulary to one partition:\n$p")
+    assert(!p.toLowerCase.contains("window"),
+      s"the rank must not be a global window:\n$p")
   }
 
   test("q_train_eval_contamination: shingle join is an equijoin, never a cartesian") {
     val p = plan("q_train_eval_contamination")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+    assert(!p.contains("CartesianProduct"),
       s"contamination candidates must come from the shingle-hash equijoin:\n$p")
+    // hot-shingle cap: the probe side must shed boilerplate shingles via a
+    // broadcast anti-join BEFORE the main h equijoin (hot-key skew guard)
+    assert(p.contains("LeftAnti"),
+      s"hot shingles must be anti-joined off the probe side:\n$p")
     val scan = p.split("\n").find(_.contains("FileScan parquet")).get
     assert(!scan.contains("lang") && !scan.contains("source"),
       s"documents scan must read only (doc_id, text):\n$scan")

@@ -144,6 +144,51 @@ class IdentityStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("a reader holding the pre-compaction mapping survives compaction") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("idstream6").toString
+    val input = MemoryStream[(String, String)]
+    val (writer, mapping) = IdentityStream.resolver(
+      spark, input.toDF().toDF("src", "dst"), s"$dir/labels")
+    val query = writer.start()
+    def labelDirs(): Set[String] =
+      Option(new java.io.File(s"$dir/labels").list())
+        .map(_.toSet).getOrElse(Set.empty[String])
+        .filter(n => n.startsWith("base_") || n.startsWith("delta_"))
+    try {
+      // 7 delta-producing batches: one version dir each, no compaction yet
+      (1 to 7).foreach { i =>
+        input.addData((f"zz$i%02d", f"aa$i%02d"))
+        query.processAllAvailable()
+      }
+      val preDirs = labelDirs()
+      assert(preDirs.size == 7)
+      val pre = mapping.df // a serving thread's handle on the current mapping
+      assert(pre.count() == 7)
+      // batch 8 triggers compaction: new base written, old generation retired
+      input.addData(("zz08", "aa08"))
+      query.processAllAvailable()
+      assert(labelDirs().exists(_.startsWith("base_")))
+      // the race: compaction invalidate() unpersisted pre's blocks, so this
+      // count recomputes from the pre-compaction files — which must still
+      // exist (before the fix they were deleted: FileNotFoundException)
+      assert(pre.count() == 7, "pre-compaction reader must not lose its files")
+      assert(preDirs.subsetOf(labelDirs()), "retired generation stays on disk")
+      // ...while retired dirs are excluded from fresh reads
+      assert(mapping.df.count() == 8)
+      // the second compaction reclaims the first retired generation — disk
+      // stays bounded at <= 2 generations
+      (9 to 16).foreach { i =>
+        input.addData((f"zz$i%02d", f"aa$i%02d"))
+        query.processAllAvailable()
+      }
+      assert(preDirs.intersect(labelDirs()).isEmpty,
+        "first retired generation must be reclaimed by the next compaction")
+      assert(mapping.df.count() == 16)
+    } finally query.stop()
+  }
+
   test("edges inside one component contract away; batches are cheap no-ops") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
