@@ -247,9 +247,10 @@ trait SimControl {
   def currentProfile: String
   def rps: Double
   def latenessSec: Long
-  /** `/profile` POST + `/sim/config`: settings apply to the NEXT start —
-    * a rate-source query's rate is fixed for its lifetime (the reference
-    * mutates its in-process simulator live; restart to apply here).
+  /** `/profile` POST + `/sim/config`: applied LIVE when the simulator is
+    * running (the stateless generator query is swapped; the stateful rules
+    * pipeline keeps running — reference `SimulatorController.kt:84-119`
+    * semantics), or recorded for the next start when stopped.
     */
   def setProfile(p: String): Unit
   def setConfig(rps: Option[Double], latenessSec: Option[Long]): Unit

@@ -89,26 +89,44 @@ object ServePipelines {
     changed
   }
 
-  /** the `/sim` endpoints backed by a real Structured Streaming query: rate source →
-    * Simulator's deterministic columns → EntityPipeline rules → alerts
-    * hub. Event counts reach stats via observe() on the source (A10 — no
-    * extra action; read from each progress's observedMetrics).
+  /** the `/sim` endpoints backed by real Structured Streaming queries, split
+    * in two so reconfiguration is live (reference
+    * `api/SimulatorController.kt:84-119` mutates a RUNNING simulator):
+    *
+    *   generator query: rate source → Simulator's deterministic columns →
+    *     in-memory bus. STATELESS — `/sim/config` and `/profile` swap it
+    *     without losing anything (a rate source's rate is fixed for its
+    *     query's lifetime, so a restart is the only way to change it).
+    *   pipeline query: bus → EntityPipeline rules → alerts hub. STATEFUL
+    *     (sliding windows, EWMA) — it keeps running across reconfigs, so
+    *     rule state survives exactly like the reference's pipeline does.
+    *
+    * Each generator generation offsets the deterministic event index so a
+    * swapped-in generator never re-issues earlier eventIds. Event counts
+    * reach stats via observe() on the generator (A10 — no extra action;
+    * read from each progress's observedMetrics).
     */
   final class SparkSim(spark: SparkSession, alertsHub: EventHub,
                        stats: StatsService, seed: Long = 42L) extends SimControl {
-    private val state = new AtomicReference[Option[StreamingQuery]](None)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    private final case class Running(genQ: StreamingQuery, pipeQ: StreamingQuery,
+                                     bus: MemoryStream[EntityEvent])
+    private val state = new AtomicReference[Option[Running]](None)
     @volatile private var profileName = "SASE"
     @volatile private var rps0 = 10.0
     @volatile private var lateness0 = 90L
+    private var generation = 0L // guarded by synchronized
 
-    // scoped to THIS sim's query (progress events on a session are global,
-    // and another SparkSim on the same session must not cross-count) and
-    // removed on stop so recreated sims don't leak dead listeners
+    // scoped to THIS sim's generator (progress events on a session are
+    // global, and another SparkSim on the same session must not
+    // cross-count) and removed on stop so recreated sims don't leak dead
+    // listeners
     private val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
       override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
-        if (state.get.exists(_.id == e.progress.id)) {
+        if (state.get.exists(_.genQ.id == e.progress.id)) {
           val om = e.progress.observedMetrics
           if (om.containsKey("sim_events")) {
             val n = om.get("sim_events").getLong(0)
@@ -118,50 +136,92 @@ object ServePipelines {
       }
     }
 
+    /** Start (or, on reconfig, swap in) the stateless generator. The
+      * per-batch collect is bounded by rps x trigger interval — the same
+      * bounded serving-layer collect as the hubs.
+      */
+    private def startGenerator(bus: MemoryStream[EntityEvent]): StreamingQuery = {
+      import spark.implicits._
+      generation += 1
+      val events = Simulator
+        .entityEventStream(spark, rps0, lateness0.toInt, profileName, seed,
+          idxOffset = generation << 40)
+        .observe("sim_events", count(lit(1)).as("rows"))
+        .as[EntityEvent]
+      events.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: Dataset[EntityEvent], _: Long) =>
+          val evs = batch.collect()
+          if (evs.nonEmpty) bus.addData(evs.toSeq)
+          ()
+        }
+        .start()
+    }
+
     override def start(profile: Option[String], rps: Double, latenessSec: Long): Boolean =
       synchronized {
         // a rejected start must not clobber the running stream's config:
         // the live query keeps its launch-time rate, so reporting the
         // rejected request's values would lie about what is running
-        if (state.get.exists(_.isActive)) false
+        if (state.get.exists(_.pipeQ.isActive)) false
         else {
           profile.foreach(profileName = _)
           rps0 = rps
           lateness0 = latenessSec
           import spark.implicits._
-          val events = Simulator
-            .entityEventStream(spark, rps, latenessSec.toInt, profileName, seed)
-            .observe("sim_events", count(lit(1)).as("rows"))
-            .as[EntityEvent]
+          implicit val sq = spark.sqlContext
+          val bus = MemoryStream[EntityEvent]
           spark.streams.addListener(listener)
-          val q = EntityPipeline.alerts(spark, events)
+          val pipeQ = EntityPipeline.alerts(spark, bus.toDS())
             .writeStream
+            .queryName("sim_pipeline")
             .outputMode("append")
             .foreachBatch(publishAlerts(alertsHub, stats) _)
             .start()
-          state.set(Some(q))
+          val genQ = startGenerator(bus)
+          state.set(Some(Running(genQ, pipeQ, bus)))
           true
         }
       }
 
+    /** Live reconfiguration: swap the generator under the running pipeline.
+      * No-op when stopped (the new settings just apply to the next start).
+      */
+    private def applyLive(): Unit = state.get.foreach { r =>
+      if (r.pipeQ.isActive) {
+        r.genQ.stop()
+        state.set(Some(r.copy(genQ = startGenerator(r.bus))))
+      }
+    }
+
     override def stop(): Boolean = synchronized {
       state.getAndSet(None) match {
-        case Some(q) if q.isActive =>
-          q.stop()
+        case Some(r) if r.pipeQ.isActive =>
+          r.genQ.stop()
+          r.pipeQ.stop()
           spark.streams.removeListener(listener)
           true
         case _ => false
       }
     }
 
-    override def isRunning: Boolean = state.get.exists(_.isActive)
+    override def isRunning: Boolean = state.get.exists(_.pipeQ.isActive)
     override def currentProfile: String = profileName
     override def rps: Double = rps0
     override def latenessSec: Long = lateness0
-    override def setProfile(p: String): Unit = profileName = p
-    override def setConfig(rps: Option[Double], latenessSec: Option[Long]): Unit = {
-      rps.foreach(rps0 = _)
-      latenessSec.foreach(lateness0 = _)
+    /** The stateful pipeline query's runId — stable across reconfigs (the
+      * spec's proof that only the generator restarted).
+      */
+    def pipelineRunId: Option[java.util.UUID] = state.get.map(_.pipeQ.runId)
+    override def setProfile(p: String): Unit = synchronized {
+      profileName = p
+      applyLive()
     }
+    override def setConfig(rps: Option[Double], latenessSec: Option[Long]): Unit =
+      synchronized {
+        rps.foreach(rps0 = _)
+        latenessSec.foreach(lateness0 = _)
+        applyLive()
+      }
   }
 }

@@ -73,10 +73,14 @@ object Simulator {
     * columns, arrival time from the source clock (so event time ≈ now ±
     * lateness jitter, like the reference's wall-clock simulator). The
     * schema matches `EntityEvent` minus the `profile` tag column.
+    * `idxOffset` shifts the deterministic index space — a reconfigured
+    * generator restarts the rate source at value 0, and without the offset
+    * it would re-issue the previous generation's eventIds.
     */
   def entityEventStream(spark: SparkSession, rps: Double, latenessSec: Int,
-                        profile: String = "SASE", seed: Long = 42L): DataFrame = {
-    val idx = col("value")
+                        profile: String = "SASE", seed: Long = 42L,
+                        idxOffset: Long = 0L): DataFrame = {
+    val idx = col("value") + lit(idxOffset)
     spark.readStream.format("rate")
       .option("rowsPerSecond", math.max(1L, math.round(rps)))
       .load()

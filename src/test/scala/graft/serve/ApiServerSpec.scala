@@ -111,6 +111,40 @@ class ApiServerSpec extends SparkSpec {
     }
   }
 
+  test("/sim/config applies live: rate jumps without restarting the pipeline") {
+    val alertsHub = new EventHub
+    val stats = new StatsService
+    val sim = new ServePipelines.SparkSim(spark, alertsHub, stats)
+    val server = new ApiServer(alertsHub, new EventHub, new EventHub,
+      stats, sim, port = 0, heartbeatMs = 0L).start()
+    val base = s"http://localhost:${server.boundPort}"
+    try {
+      assert(http("POST", s"$base/sim/start?rps=1&latenessSec=5")._2.contains("started"))
+      val runId0 = sim.pipelineRunId
+      assert(runId0.nonEmpty)
+      // let the 1 rps generator tick at least once
+      val warm = System.currentTimeMillis() + 30000
+      while (stats.eventsPerMin == 0 && System.currentTimeMillis() < warm)
+        Thread.sleep(200)
+      assert(stats.eventsPerMin > 0, "generator never produced at 1 rps")
+      // live reconfig 1 -> 500 rps: the trailing-60s event counter must
+      // blow past anything 1 rps could produce (<= ~90/min with jitter)
+      val (cc, body) = http("POST", s"$base/sim/config?rps=500")
+      assert(cc == 200 && body.contains("\"rps\":500"))
+      val deadline = System.currentTimeMillis() + 30000
+      while (stats.eventsPerMin < 300 && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      assert(stats.eventsPerMin >= 300,
+        s"rate did not change live: eventsPerMin=${stats.eventsPerMin}")
+      // the stateful rules pipeline was NOT restarted — same runId
+      assert(sim.pipelineRunId == runId0, "pipeline must survive reconfig")
+      assert(sim.isRunning)
+    } finally {
+      sim.stop()
+      server.stop()
+    }
+  }
+
   test("SSE: alert, segment, and profile frames from real pipelines; GET is non-destructive") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
