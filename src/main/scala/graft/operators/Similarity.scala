@@ -90,6 +90,12 @@ object Similarity {
     * window formulation shuffles |queries|x|corpus| rows). Output:
     * (q, rank, b, cosr). At 100 TB the corpus side comes from IVF probing
     * instead of a full broadcast.
+    *
+    * NOTE: the size guard's count and the subsequent collect evaluate the
+    * `corpus` plan twice (the guard is deliberately column-pruned so an
+    * oversized corpus fails before shipping vectors). Callers with an
+    * expensive upstream should cache/checkpoint `corpus` first; the same
+    * applies to `bruteForcePairs`.
     */
   def knnTopK(spark: org.apache.spark.sql.SparkSession,
               prep: DataFrame, corpus: DataFrame, k: Int): DataFrame = {

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.operators.Num
+import graft.operators.{Hll, Num}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -65,5 +65,50 @@ object ObservabilityQueries {
           .select(lit(c).as("col_name"), col("n_rows"), col("n_null"),
             col("n_distinct"), col("min_v"), col("max_v"))
       }.reduce(_ unionAll _)
+    },
+
+    // Deterministic HLL register table (`operators/Hll.scala`): per
+    // event_type, the 256-register sketch of distinct users. Every value
+    // is integer (bucket, max-rho register), so the oracle check is
+    // hash-exact; union of register tables merges with max(m) — the
+    // mergeable-across-days property that makes the sketch the 100 TB
+    // distinct-count shape.
+    QueryDef(
+      "q_hll_registers",
+      Hll.registersSql("CAST(user_id AS VARCHAR)", Seq("event_type"), "events")) {
+      (s, dir) =>
+        Hll.registers(Tables.events(s, dir), col("user_id"), Seq("event_type"))
+    },
+
+    // The folded estimate vs the exact distinct count per event_type —
+    // the accuracy proof for the sketch (HLL at m=256 has ~6.5% stddev;
+    // rel_err is reported, not asserted). Both engines compute the same
+    // integer register sum; the single float division + ln at the end is
+    // rounded through the repo's Num.r4 bias on both sides.
+    QueryDef(
+      "q_hll_distinct",
+      s"""WITH regs0 AS (
+         |  ${Hll.registersSql("CAST(user_id AS VARCHAR)", Seq("event_type"), "events")
+              .replace("\n", "\n  ")}),
+         |regs AS (SELECT event_type AS grp, bucket, m FROM regs0),
+         |folded AS (
+         |  ${Hll.estimateSql.replace("\n", "\n  ")}),
+         |exact AS (
+         |  SELECT event_type, count(DISTINCT user_id) AS n_exact
+         |  FROM events GROUP BY event_type)
+         |SELECT event_type, n_exact,
+         |       round(est + 0.00000025, 4) AS est,
+         |       round((est - n_exact) / n_exact + 0.00000025, 4) AS rel_err
+         |FROM exact JOIN folded ON folded.grp = exact.event_type""".stripMargin) {
+      (s, dir) =>
+        val events = Tables.events(s, dir)
+        val regs = Hll.registers(events, col("user_id"), Seq("event_type"))
+        val folded = Hll.estimate(regs, Seq("event_type"))
+        val exact = events.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("n_exact"))
+        exact.join(folded, "event_type")
+          .select(col("event_type"), col("n_exact"),
+            Num.r4(col("est")).as("est"),
+            Num.r4((col("est") - col("n_exact")) / col("n_exact")).as("rel_err"))
     })
 }
