@@ -266,5 +266,51 @@ object TextAnalytics {
           Num.r4(avg(col("rnk"))).as("mean_rank"),
           min(col("rnk")).as("min_rank"),
           max(col("rnk")).as("max_rank"))
+    },
+
+    // TF-IDF top terms: per doc, the 3 highest tf*ln(N/df) terms — the
+    // canonical retrieval / keyword-extraction feature a curation pass
+    // attaches to every document. Shape: one (doc_id, w) count, one
+    // document-frequency aggregation equijoined back (AQE broadcasts the
+    // df table when it fits), rank window partitioned BY DOC — never a
+    // global sort. Ranking keys are the ROUNDED score (identical in both
+    // engines; ln ulp noise sits 1e-12 below the 4-decimal grid) then the
+    // term, so order is deterministic cross-engine.
+    QueryDef(
+      "q_tfidf_top_terms",
+      s"""WITH wpos AS (
+         |  SELECT doc_id, unnest(${TextOps.wordsSql("text")}) AS w FROM documents),
+         |tf AS (
+         |  SELECT doc_id, w, count(*) AS tf FROM wpos GROUP BY doc_id, w),
+         |dfreq AS (
+         |  SELECT w, count(DISTINCT doc_id) AS dft FROM wpos GROUP BY w),
+         |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM wpos),
+         |scored AS (
+         |  SELECT doc_id, w, tf, dft,
+         |         round(tf * ln(CAST(n_docs AS DOUBLE) / dft)
+         |               + 0.00000025, 4) AS tfidf
+         |  FROM tf JOIN dfreq USING (w), n)
+         |SELECT doc_id, w, tf, dft, tfidf, CAST(rnk AS INT) AS rnk
+         |FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY tfidf DESC, w) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 3""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val wpos = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
+      val tf = wpos.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val dfreq = wpos.groupBy(col("w"))
+        .agg(countDistinct(col("doc_id")).as("dft"))
+      val nDocs = wpos.agg(countDistinct(col("doc_id")).as("n_docs"))
+      tf.join(dfreq, "w")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("tfidf",
+          Num.r4(col("tf") * log(col("n_docs").cast("double") / col("dft"))))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("w")))
+          .cast("int"))
+        .filter(col("rnk") <= 3)
+        .select("doc_id", "w", "tf", "dft", "tfidf", "rnk")
     })
 }
