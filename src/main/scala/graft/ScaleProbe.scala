@@ -88,74 +88,27 @@ object ScaleProbe {
       graft.operators.Identity.connectedComponents(verified).count()
     }
 
-    import graft.operators.TextOps
-    time("token_rarity") {
-      // the q_token_rarity shape over the replicated corpus: dictionary
-      // aggregation, range-partition + zipWithIndex rank (no
-      // single-partition window), equijoin back
-      val wpos = docs.select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
-      val vocab = wpos.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      val ranked = vocab
-        .repartitionByRange(cores, col("cnt").desc, col("w"))
-        .sortWithinPartitions(col("cnt").desc, col("w"))
-        .select(col("w")).rdd.zipWithIndex()
-        .map { case (r, i) => (r.getString(0), i + 1L) }
-      spark.createDataFrame(ranked).toDF("w", "rnk")
-        .join(wpos, "w")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_words"), avg(col("rnk")).as("mean_rank"))
-        .count()
+    // noop-only timing: full materialization of every output column with
+    // the clock stopped BEFORE the (untimed, column-pruned) row count —
+    // count()-timing would skip final projections, and counting inside the
+    // timed region would double-execute the query
+    def timeDf(name: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val n = df.count()
+      println(f"$name%-24s rows=$n%-10d $secs%6.2fs")
+      spark.catalog.clearCache()
+      events.cache().count(); docs.cache().count()
     }
-    time("contamination") {
-      // q_train_eval_contamination shape incl. the hot-shingle cap
-      val h = TextOps.hash64(concat(lit("spl"), col("doc_id"))) % 100
-      val split = docs.select(col("doc_id").as("id"),
-        when(h < 80, "train").when(h < 90, "valid").otherwise("test").as("split"))
-      val sh = graft.operators.Dedup.shingleHashes(
-        docs.select(col("doc_id").as("id"), col("text")),
-        col("id"), col("text"), n = 3).cache()
-      val nTrain = split.filter(col("split") === "train").agg(count(lit(1)).as("n_train"))
-      val trainFreq = sh.join(split.filter(col("split") === "train"), "id")
-        .groupBy(col("h")).agg(countDistinct(col("id")).as("nd"))
-        .crossJoin(broadcast(nTrain))
-      val trainH = trainFreq.filter(col("nd") * 10 <= col("n_train")).select("h")
-      val hotH = trainFreq.filter(col("nd") * 10 > col("n_train")).select("h")
-      val ev = sh.join(split.filter(col("split") === "test"), "id").select("id", "h")
-      ev.join(broadcast(hotH), Seq("h"), "left_anti").join(trainH, "h")
-        .groupBy(col("id")).agg(count(lit(1)).as("n_hit"))
-        .count()
-    }
-    time("repetition_filter") {
-      import org.apache.spark.sql.expressions.Window
-      val P = graft.operators.Dedup.P
-      val B = graft.operators.Dedup.ShingleB
-      val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val wh = docs
-        .select(col("doc_id"), posexplode(TextOps.words(col("text"))).as(Seq("pos", "w")))
-        .select(col("doc_id"), col("pos"), col("w"),
-          (TextOps.hash64(col("w")) % P).as("whash"))
-      wh.select(col("doc_id"),
-          (((col("whash") * B + lead(col("whash"), 1).over(win)) % P * B
-            + lead(col("whash"), 2).over(win)) % P).as("h"),
-          lead(col("whash"), 2).over(win).as("guard"))
-        .filter(col("guard").isNotNull)
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_grams"), countDistinct(col("h")).as("n_unique"))
-        .count()
-    }
-    time("quantize") {
-      // full materialization through noop (a count would let Catalyst
-      // prune the quantization math itself — the bench lesson)
-      val out = graft.operators.Similarity.prepared(embeddings)
-        .select(col("vec_id"), col("e"))
-        .withColumn("scale", array_max(transform(col("e"), x => abs(x))))
-        .select(col("vec_id"), col("scale"), posexplode(col("e")).as(Seq("pos", "x")))
-        .withColumn("q", round(col("x") * 127 / col("scale"), 0).cast("long"))
-        .groupBy(col("vec_id"))
-        .agg(max(col("scale")).as("scale"), sum(col("q") * (col("pos") + 1)).as("qsum"))
-      out.write.format("noop").mode("overwrite").save()
-      out.count()
-    }
+
+    // the round-4/5 query bodies run through the SAME code the registered
+    // queries use (graft.queries defs), so the probe can't drift from what
+    // Bench measures
+    timeDf("token_rarity")(graft.queries.TextAnalytics.tokenRarity(spark, docs))
+    timeDf("contamination")(graft.queries.CurationQueries.contamination(docs))
+    timeDf("repetition_filter")(graft.queries.TextAnalytics.repetitionFilter(docs))
+    timeDf("quantize")(graft.queries.SimilarityQueries.quantize(embeddings))
     // streaming IVF maintenance throughput: replicated vectors through the
     // maintainer in MemoryStream batches; cost per batch is one assignment
     // pass + a K x Dim register update, so vec/s should hold as k grows

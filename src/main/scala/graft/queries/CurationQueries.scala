@@ -157,32 +157,39 @@ object CurationQueries {
          |       round(COALESCE(n_hit, 0) * 1.0 / n_shingles
          |             + 0.00000025, 4) AS overlap
          |FROM totals LEFT JOIN hits ON hits.id = totals.id""".stripMargin) { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      val h = TextOps.hash64(concat(lit(SplitSalt), col("doc_id"))) % 100
-      val split = docs.select(col("doc_id").as("id"),
-        when(h < 80, "train").when(h < 90, "valid").otherwise("test").as("split"))
-      // sh feeds both sides — cache (at scale: persist the shingle table)
-      val sh = graft.operators.Dedup.shingleHashes(
-        docs.select(col("doc_id").as("id"), col("text")),
-        col("id"), col("text"), n = 3).cache()
-      val nTrain = split.filter(col("split") === "train")
-        .agg(count(lit(1)).as("n_train"))
-      val trainFreq = sh.join(split.filter(col("split") === "train"), "id")
-        .groupBy(col("h")).agg(countDistinct(col("id")).as("nd"))
-        .crossJoin(broadcast(nTrain))
-      val trainH = trainFreq.filter(col("nd") * 10 <= col("n_train")).select("h")
-      // tiny by construction: only shingles in >10% of ALL train docs
-      val hotH = trainFreq.filter(col("nd") * 10 > col("n_train")).select("h")
-      val ev = sh.join(split.filter(col("split") === "test"), "id")
-        .select("id", "h")
-      val totals = ev.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
-      val hits = ev.join(broadcast(hotH), Seq("h"), "left_anti")
-        .join(trainH, "h")
-        .groupBy(col("id")).agg(count(lit(1)).as("n_hit"))
-      totals.join(hits, Seq("id"), "left")
-        .select(col("id").as("doc_id"), col("n_shingles"),
-          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-          Num.r4(coalesce(col("n_hit"), lit(0L)) * 1.0 / col("n_shingles"))
-            .as("overlap"))
+      contamination(Tables.documents(s, dir))
     })
+
+  /** q_train_eval_contamination body over an arbitrary documents relation
+    * (the scale probe feeds replicated inputs through the same code the
+    * query runs).
+    */
+  def contamination(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val h = TextOps.hash64(concat(lit(SplitSalt), col("doc_id"))) % 100
+    val split = docs.select(col("doc_id").as("id"),
+      when(h < 80, "train").when(h < 90, "valid").otherwise("test").as("split"))
+    // sh feeds both sides — cache (at scale: persist the shingle table)
+    val sh = graft.operators.Dedup.shingleHashes(
+      docs.select(col("doc_id").as("id"), col("text")),
+      col("id"), col("text"), n = 3).cache()
+    val nTrain = split.filter(col("split") === "train")
+      .agg(count(lit(1)).as("n_train"))
+    val trainFreq = sh.join(split.filter(col("split") === "train"), "id")
+      .groupBy(col("h")).agg(countDistinct(col("id")).as("nd"))
+      .crossJoin(broadcast(nTrain))
+    val trainH = trainFreq.filter(col("nd") * 10 <= col("n_train")).select("h")
+    // tiny by construction: only shingles in >10% of ALL train docs
+    val hotH = trainFreq.filter(col("nd") * 10 > col("n_train")).select("h")
+    val ev = sh.join(split.filter(col("split") === "test"), "id")
+      .select("id", "h")
+    val totals = ev.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
+    val hits = ev.join(broadcast(hotH), Seq("h"), "left_anti")
+      .join(trainH, "h")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_hit"))
+    totals.join(hits, Seq("id"), "left")
+      .select(col("id").as("doc_id"), col("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        Num.r4(coalesce(col("n_hit"), lit(0L)) * 1.0 / col("n_shingles"))
+          .as("overlap"))
+  }
 }

@@ -289,21 +289,27 @@ object SimilarityQueries {
         |       CAST(sum(q * pos1) AS BIGINT) AS qsum,
         |       round(avg(abs(x - q * scale / 127)) + 0.00000025, 4) AS mean_abs_err
         |FROM qq GROUP BY vec_id""".stripMargin) { (s, dir) =>
-      Tables.embeddings(s, dir)
-        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("e"))
-        .withColumn("scale", array_max(transform(col("e"), x => abs(x))))
-        .select(col("vec_id"), col("scale"),
-          posexplode(col("e")).as(Seq("pos", "x")))
-        // x, scale, and x*127/scale are bit-identical doubles in both
-        // engines; the Eps bias inside round guards the decimal-vs-binary
-        // .5-boundary discrepancy (see Num)
-        .withColumn("q",
-          round(col("x") * 127 / col("scale") + Num.Eps, 0).cast("long"))
-        .groupBy(col("vec_id"))
-        .agg(
-          Num.r4(max(col("scale"))).as("scale"),
-          sum(col("q") * (col("pos") + 1)).as("qsum"),
-          Num.r4(avg(abs(col("x") - col("q") * col("scale") / 127)))
-            .as("mean_abs_err"))
+      quantize(Tables.embeddings(s, dir))
     })
+
+  /** q_embed_quantize body over an arbitrary embeddings relation (the
+    * scale probe feeds replicated inputs through the same code).
+    */
+  def quantize(embeddings: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    embeddings
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("e"))
+      .withColumn("scale", array_max(transform(col("e"), x => abs(x))))
+      .select(col("vec_id"), col("scale"),
+        posexplode(col("e")).as(Seq("pos", "x")))
+      // x, scale, and x*127/scale are bit-identical doubles in both
+      // engines; the Eps bias inside round guards the decimal-vs-binary
+      // .5-boundary discrepancy (see Num)
+      .withColumn("q",
+        round(col("x") * 127 / col("scale") + Num.Eps, 0).cast("long"))
+      .groupBy(col("vec_id"))
+      .agg(
+        Num.r4(max(col("scale"))).as("scale"),
+        sum(col("q") * (col("pos") + 1)).as("qsum"),
+        Num.r4(avg(abs(col("x") - col("q") * col("scale") / 127)))
+          .as("mean_abs_err"))
 }

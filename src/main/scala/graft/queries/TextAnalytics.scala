@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.operators.{Num, TextOps}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for an LLM-training-data pipeline, over the
@@ -34,6 +35,69 @@ object TextAnalytics {
     */
   private val DedupP = graft.operators.Dedup.P
   private val Dedup3B = graft.operators.Dedup.ShingleB
+
+  /** Frequency-sorted vocabulary, range-partitioned on the rank ordering —
+    * exposed separately so PlanSpec can assert the sort stage really fans
+    * out across nPart partitions (the stage sits behind an RDD boundary in
+    * the final query plan, invisible from there).
+    */
+  def sortedVocab(vocab: DataFrame, nPart: Int): DataFrame =
+    vocab.repartitionByRange(math.max(nPart, 2), col("cnt").desc, col("w"))
+      .sortWithinPartitions(col("cnt").desc, col("w"))
+
+  /** q_token_rarity body over an arbitrary documents relation (the scale
+    * probe feeds replicated inputs through the same code the query runs).
+    * NOTE: construction is EAGER — repartitionByRange samples and
+    * zipWithIndex runs its offset job when the DataFrame is built; that is
+    * the price of a shuffle-scalable global rank (see the QueryDef
+    * comment), so plan-inspection tooling should point at a small sfDir.
+    */
+  def tokenRarity(s: org.apache.spark.sql.SparkSession, docs: DataFrame): DataFrame = {
+    val wpos = docs
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
+    val vocab = wpos.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val nPart = math.max(s.sparkContext.defaultParallelism, 1)
+    // sort semantics stay in DataFrame land (UTF8 binary string order,
+    // matching the oracle's collation); zipWithIndex only enumerates
+    val ranked = sortedVocab(vocab, nPart)
+      .select(col("w")).rdd
+      .zipWithIndex()
+      .map { case (r, i) => (r.getString(0), i + 1L) }
+    val vocabRanked = s.createDataFrame(ranked).toDF("w", "rnk")
+    wpos.join(vocabRanked, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        Num.r4(avg(col("rnk"))).as("mean_rank"),
+        min(col("rnk")).as("min_rank"),
+        max(col("rnk")).as("max_rank"))
+  }
+
+  /** q_repetition_filter body over an arbitrary documents relation. */
+  def repetitionFilter(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val wpos = docs
+      .select(col("doc_id"), posexplode(TextOps.words(col("text"))).as(Seq("pos", "w")))
+    val wh = wpos.select(col("doc_id"), col("pos"), col("w"),
+      (TextOps.hash64(col("w")) % DedupP).as("whash"))
+    val grams = wh
+      .select(col("doc_id"),
+        (((col("whash") * Dedup3B + lead(col("whash"), 1).over(win)) % DedupP * Dedup3B
+          + lead(col("whash"), 2).over(win)) % DedupP).as("h"),
+        lead(col("whash"), 2).over(win).as("guard"))
+      .filter(col("guard").isNotNull)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), countDistinct(col("h")).as("n_unique"))
+    val words = wh.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_words"), max(col("cnt")).as("top_word_n"))
+    grams.join(words, "doc_id")
+      .select(col("doc_id"), col("n_grams"), col("n_unique"),
+        Num.r4(lit(1.0) - col("n_unique") * 1.0 / col("n_grams")).as("dup_ratio"),
+        col("top_word_n"),
+        Num.r4(col("top_word_n") * 1.0 / col("n_words")).as("top_word_frac"))
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -198,29 +262,7 @@ object TextAnalytics {
            |       round(w.top_word_n * 1.0 / w.n_words + 0.00000025, 4) AS top_word_frac
            |FROM grams g JOIN words w ON w.doc_id = g.doc_id""".stripMargin
       }) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val wpos = Tables.documents(s, dir)
-        .select(col("doc_id"), posexplode(TextOps.words(col("text"))).as(Seq("pos", "w")))
-      val wh = wpos.select(col("doc_id"), col("pos"), col("w"),
-        (TextOps.hash64(col("w")) % DedupP).as("whash"))
-      val grams = wh
-        .select(col("doc_id"),
-          (((col("whash") * Dedup3B + lead(col("whash"), 1).over(win)) % DedupP * Dedup3B
-            + lead(col("whash"), 2).over(win)) % DedupP).as("h"),
-          lead(col("whash"), 2).over(win).as("guard"))
-        .filter(col("guard").isNotNull)
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_grams"), countDistinct(col("h")).as("n_unique"))
-      val words = wh.groupBy(col("doc_id"), col("w"))
-        .agg(count(lit(1)).as("cnt"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("cnt")).as("n_words"), max(col("cnt")).as("top_word_n"))
-      grams.join(words, "doc_id")
-        .select(col("doc_id"), col("n_grams"), col("n_unique"),
-          Num.r4(lit(1.0) - col("n_unique") * 1.0 / col("n_grams")).as("dup_ratio"),
-          col("top_word_n"),
-          Num.r4(col("top_word_n") * 1.0 / col("n_words")).as("top_word_frac"))
+      repetitionFilter(Tables.documents(s, dir))
     },
 
     // Token-rarity scoring: corpus-level word frequencies ranked, then
@@ -247,25 +289,7 @@ object TextAnalytics {
          |       min(rnk) AS min_rank, max(rnk) AS max_rank
          |FROM wpos JOIN vocab USING (w)
          |GROUP BY doc_id""".stripMargin) { (s, dir) =>
-      val wpos = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
-      val vocab = wpos.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      val nPart = math.max(s.sparkContext.defaultParallelism, 1)
-      // sort semantics stay in DataFrame land (UTF8 binary string order,
-      // matching the oracle's collation); zipWithIndex only enumerates
-      val ranked = vocab
-        .repartitionByRange(nPart, col("cnt").desc, col("w"))
-        .sortWithinPartitions(col("cnt").desc, col("w"))
-        .select(col("w")).rdd
-        .zipWithIndex()
-        .map { case (r, i) => (r.getString(0), i + 1L) }
-      val vocabRanked = s.createDataFrame(ranked).toDF("w", "rnk")
-      wpos.join(vocabRanked, "w")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_words"),
-          Num.r4(avg(col("rnk"))).as("mean_rank"),
-          min(col("rnk")).as("min_rank"),
-          max(col("rnk")).as("max_rank"))
+      tokenRarity(s, Tables.documents(s, dir))
     },
 
     // TF-IDF top terms: per doc, the 3 highest tf*ln(N/df) terms — the

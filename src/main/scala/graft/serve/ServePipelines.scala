@@ -118,7 +118,15 @@ object ServePipelines {
     @volatile private var lateness0 = 90L
     private var generation = 0L // guarded by synchronized
 
-    // scoped to THIS sim's generator (progress events on a session are
+    // every generator id THIS sim ever started (bounded by reconfig count,
+    // cleared on stop): matching the CURRENT genQ id alone would drop late
+    // progress events from a just-swapped generator and events that land
+    // before state.set() publishes the new Running — both are real
+    // generated events and must count
+    private val simQueryIds =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[java.util.UUID]()
+
+    // scoped to THIS sim's generators (progress events on a session are
     // global, and another SparkSim on the same session must not
     // cross-count) and removed on stop so recreated sims don't leak dead
     // listeners
@@ -126,7 +134,7 @@ object ServePipelines {
       override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
       override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
-        if (state.get.exists(_.genQ.id == e.progress.id)) {
+        if (simQueryIds.contains(e.progress.id)) {
           val om = e.progress.observedMetrics
           if (om.containsKey("sim_events")) {
             val n = om.get("sim_events").getLong(0)
@@ -148,7 +156,7 @@ object ServePipelines {
           idxOffset = generation << 40)
         .observe("sim_events", count(lit(1)).as("rows"))
         .as[EntityEvent]
-      events.writeStream
+      val q = events.writeStream
         .outputMode("append")
         .foreachBatch { (batch: Dataset[EntityEvent], _: Long) =>
           val evs = batch.collect()
@@ -156,6 +164,8 @@ object ServePipelines {
           ()
         }
         .start()
+      simQueryIds.add(q.id)
+      q
     }
 
     override def start(profile: Option[String], rps: Double, latenessSec: Long): Boolean =
@@ -165,6 +175,11 @@ object ServePipelines {
         // rejected request's values would lie about what is running
         if (state.get.exists(_.pipeQ.isActive)) false
         else {
+          // a dead-pipeline leftover (e.g. publishAlerts threw) still owns
+          // a live generator and a listener registration — reap it, or the
+          // orphaned generator pumps a consumerless bus forever and the
+          // re-added listener double-counts every progress event
+          cleanup()
           profile.foreach(profileName = _)
           rps0 = rps
           lateness0 = latenessSec
@@ -194,15 +209,21 @@ object ServePipelines {
       }
     }
 
+    /** Stop both queries and detach the listener for whatever `state`
+      * holds — including a half-dead pair (pipeline crashed, generator
+      * alive). Always safe to call; no-op when state is empty.
+      */
+    private def cleanup(): Unit = state.getAndSet(None).foreach { r =>
+      r.genQ.stop()
+      r.pipeQ.stop()
+      spark.streams.removeListener(listener)
+      simQueryIds.clear()
+    }
+
     override def stop(): Boolean = synchronized {
-      state.getAndSet(None) match {
-        case Some(r) if r.pipeQ.isActive =>
-          r.genQ.stop()
-          r.pipeQ.stop()
-          spark.streams.removeListener(listener)
-          true
-        case _ => false
-      }
+      val wasRunning = state.get.exists(_.pipeQ.isActive)
+      cleanup()
+      wasRunning
     }
 
     override def isRunning: Boolean = state.get.exists(_.pipeQ.isActive)

@@ -144,10 +144,21 @@ object IdentityStream {
                maxIter: Int = 100, localCcThreshold: Long = 100000L)
   : (DataStreamWriter[org.apache.spark.sql.Row], MappingHandle) = {
     val handle = new MappingHandle(spark, stateDir)
+    // Version base: one past the highest version already on disk. Batch ids
+    // restart at 0 when a resolver starts with a fresh checkpoint, and raw
+    // batchId versions would then COLLIDE with the previous incarnation's
+    // dirs — overwriting delta_0 with unrelated rows and making old rows
+    // win the LWW fold. ver = verBase + batchId is monotone across any
+    // restart and still idempotent under crash-replay within a run (same
+    // batchId -> same ver -> same dir, overwritten in place).
+    val verBase = handle.versionDirs()
+      .map(d => d.getName.dropWhile(_ != '_').drop(1).toLong)
+      .foldLeft(-1L)(math.max) + 1L
     val writer = edges.writeStream
       .trigger(Trigger.ProcessingTime("1 second"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        val ver = verBase + batchId
         val newEdges = batch.select("src", "dst")
           .filter(col("src").isNotNull && col("dst").isNotNull
             && col("src") =!= col("dst"))
@@ -205,8 +216,8 @@ object IdentityStream {
             }
           val nDelta = if (nContracted == 0) 0L else deltas.count()
           if (nDelta > 0) {
-            deltas.withColumn("ver", lit(batchId))
-              .write.mode("overwrite").parquet(s"$stateDir/delta_$batchId")
+            deltas.withColumn("ver", lit(ver))
+              .write.mode("overwrite").parquet(s"$stateDir/delta_$ver")
             handle.invalidate() // the cached mapping no longer reflects disk
           }
           handle.addStats(BatchStats(batchId, nNew, nContracted, nDelta))
@@ -219,9 +230,18 @@ object IdentityStream {
           // NEXT compaction, when any such reader has had a full
           // CompactEvery-batch window to finish.
           if (handle.versionDirs().size >= CompactEvery) {
+            // crash-replay guard: on replay of a compaction batch the
+            // pre-crash base_$ver is already on disk and would otherwise
+            // land in `old` — retiring the very base we are about to
+            // (re)write and emptying the mapping. Never retire the target.
             val old = handle.versionDirs()
-            handle.df.withColumn("ver", lit(batchId))
-              .write.mode("overwrite").parquet(s"$stateDir/base_$batchId")
+              .filterNot(_.getName == s"base_$ver")
+            // snapshot before overwriting: on replay the fold READS
+            // base_$ver while the write below replaces it — cut the
+            // file lineage first so the overwrite can't race its own input
+            val snap = handle.df.localCheckpoint(true)
+            snap.withColumn("ver", lit(ver))
+              .write.mode("overwrite").parquet(s"$stateDir/base_$ver")
             val fs = new Path(stateDir)
               .getFileSystem(spark.sparkContext.hadoopConfiguration)
             handle.retired.foreach(d => fs.delete(new Path(d), true))

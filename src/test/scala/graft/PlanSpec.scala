@@ -101,6 +101,25 @@ class PlanSpec extends SparkSpec {
       s"the rank must not be a global window:\n$p")
   }
 
+  test("token-rarity rank stage fans out across range partitions") {
+    // the sort behind zipWithIndex sits past an RDD boundary, invisible in
+    // the final query plan above — assert on the sort stage itself
+    import org.apache.spark.sql.functions._
+    val vocab = spark.range(1000).select(
+      concat(lit("w"), col("id")).as("w"), (col("id") % 7).as("cnt"))
+    val sorted = graft.queries.TextAnalytics.sortedVocab(vocab, 8)
+    val sp = sorted.queryExecution.executedPlan.toString
+    assert(sp.contains("rangepartitioning(cnt") && sp.contains(", 8)"),
+      s"the vocabulary sort must range-partition across 8 partitions:\n$sp")
+    assert(!sp.contains("Exchange SinglePartition") &&
+      !sp.contains("rangepartitioning(1,"), sp)
+    // and a degenerate parallelism hint still fans out (floor of 2)
+    val sp1 = graft.queries.TextAnalytics.sortedVocab(vocab, 1)
+      .queryExecution.executedPlan.toString
+    assert(!sp1.contains("rangepartitioning(1,"),
+      s"nPart=1 must be floored, never a one-partition sort:\n$sp1")
+  }
+
   test("q_train_eval_contamination: shingle join is an equijoin, never a cartesian") {
     val p = plan("q_train_eval_contamination")
     assert(!p.contains("CartesianProduct"),

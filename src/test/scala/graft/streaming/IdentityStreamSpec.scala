@@ -97,6 +97,12 @@ class IdentityStreamSpec extends SparkSpec {
       q2.processAllAvailable()
       assert(m2.canonical("email:c") == "anon:a",
         "merge into the pre-restart component must reuse its canonical id")
+      // fresh-checkpoint restart restarts batchIds at 0: the new delta must
+      // NOT collide with (and overwrite) the previous incarnation's delta_0
+      // — the pre-restart row would be lost (versions are seeded past the
+      // max on-disk version precisely for this)
+      assert(m2.canonical("user:b") == "anon:a",
+        "pre-restart mapping must survive post-restart delta writes")
       // and the merge contracted against the restored labels: 1 edge in
       val s = m2.stats.last
       assert(s.contractedEdges == 1)
