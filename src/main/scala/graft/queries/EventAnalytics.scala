@@ -53,6 +53,63 @@ object EventAnalytics {
             .as("duration_s"))
     },
 
+    // Interval (range) join via `operators/RangeJoin.scala`: per session,
+    // the events of the same user inside the 45-minute-lookback window
+    // [start - 45 min, end] — the attribution-window shape. 45 min >
+    // the 30-min session gap, so windows genuinely reach into the previous
+    // session's tail (real multi-match interval semantics). Spark would
+    // plan the raw BETWEEN join as a BroadcastNestedLoopJoin; the operator
+    // buckets both sides to a shuffle equijoin + exact refine
+    // (PlanSpec-guarded against nested-loop/cartesian).
+    QueryDef(
+      "q_interval_join_attribution",
+      s"""WITH g AS (
+         |  SELECT user_id, event_id, ts,
+         |         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+         |              WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+         |                   > ${GapMin * 60L * 1000000L} THEN 1
+         |              ELSE 0 END AS is_start
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+         |s AS (
+         |  SELECT user_id, event_id, ts,
+         |         CAST(sum(is_start) OVER (PARTITION BY user_id
+         |                                  ORDER BY epoch_us(ts), event_id)
+         |              AS BIGINT) AS session_idx
+         |  FROM g),
+         |sess AS (
+         |  SELECT user_id, session_idx, count(*) AS n_events,
+         |         epoch_us(min(ts)) // 1000000 AS start_s,
+         |         epoch_us(max(ts)) // 1000000 AS end_s
+         |  FROM s GROUP BY user_id, session_idx),
+         |pts AS (SELECT user_id, epoch_us(ts) // 1000000 AS ts_s FROM events)
+         |SELECT sess.user_id, session_idx, n_events,
+         |       count(*) AS n_window_45m
+         |FROM sess JOIN pts ON pts.user_id = sess.user_id
+         |                  AND pts.ts_s BETWEEN start_s - 2700 AND end_s
+         |GROUP BY sess.user_id, session_idx, n_events""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val events = Tables.events(s, dir)
+      val sess = events
+        .withColumn("is_start",
+          when(lag(col("ts"), 1).over(w).isNull, 1)
+            .when(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+              > GapMin * 60L * 1000000L, 1)
+            .otherwise(0))
+        .withColumn("session_idx", sum(col("is_start")).over(w))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("unix_micros(min(ts)) div 1000000").as("start_s"),
+          expr("unix_micros(max(ts)) div 1000000").as("end_s"))
+        .withColumn("lo", col("start_s") - 2700)
+      val pts = events.select(col("user_id"),
+        expr("unix_micros(ts) div 1000000").as("ts_s"))
+      graft.operators.RangeJoin
+        .intervalJoin(pts, sess, "user_id", "ts_s", "lo", "end_s", 1800L)
+        .groupBy(col("user_id"), col("session_idx"), col("n_events"))
+        .agg(count(lit(1)).as("n_window_45m"))
+    },
+
     // Funnel: signup -> purchase conversion within 7 days of the user's
     // FIRST signup. Conditional aggregation — one shuffle, no self-join.
     QueryDef(

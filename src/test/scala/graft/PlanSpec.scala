@@ -120,6 +120,14 @@ class PlanSpec extends SparkSpec {
       s"nPart=1 must be floored, never a one-partition sort:\n$sp1")
   }
 
+  test("q_interval_join_attribution: bucketized equijoin, never a nested loop") {
+    // the raw `p BETWEEN lo AND hi` join would plan as a nested loop —
+    // the exact trap operators/RangeJoin.scala exists to avoid
+    val p = plan("q_interval_join_attribution")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the interval join must be the bucketized equijoin:\n$p")
+  }
+
   test("q_train_eval_contamination: shingle join is an equijoin, never a cartesian") {
     val p = plan("q_train_eval_contamination")
     assert(!p.contains("CartesianProduct"),
