@@ -120,6 +120,16 @@ class PlanSpec extends SparkSpec {
       s"nPart=1 must be floored, never a one-partition sort:\n$sp1")
   }
 
+  test("q_hll_registers: one shuffle, registers combined map-side") {
+    // the sketch's whole 100 TB story is that registers merge by max in
+    // the partial aggregation — a plan without partial_max ships raw rows
+    val p = plan("q_hll_registers")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"register build must shuffle exactly once:\n$p")
+    assert(p.contains("partial_max"),
+      s"registers must combine map-side (partial_max before the exchange):\n$p")
+  }
+
   test("q_interval_join_attribution: bucketized equijoin, never a nested loop") {
     // the raw `p BETWEEN lo AND hi` join would plan as a nested loop —
     // the exact trap operators/RangeJoin.scala exists to avoid
