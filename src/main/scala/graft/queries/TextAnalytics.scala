@@ -214,19 +214,15 @@ object TextAnalytics {
          |                       ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS fp
          |  FROM h)
          |SELECT DISTINCT doc_id, fp FROM w""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      // explode a plain int sequence, then slice/hash in a codegen'd
-      // projection — keeps the string work out of interpreted HOF lambdas
+      // one codegen'd pass per document (custom Catalyst expression): the
+      // per-doc distinct window-min set comes out as an array, so the
+      // whole query is a shuffle-free map + explode — the old explode/
+      // window/distinct formulation paid two exchanges and a sort
+      // (parity-tested against it in WinnowFingerprintsSpec)
       Tables.documents(s, dir)
-        .select(col("doc_id"), col("text"),
-          explode(sequence(lit(1), greatest(length(col("text")) - 7, lit(1)))).as("pos"))
-        .select(col("doc_id"), col("pos"),
-          TextOps.hash64(col("text").substr(col("pos"), lit(8))).as("kh"))
         .select(col("doc_id"),
-          min(col("kh")).over(
-            Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-              .rowsBetween(-15, 0)).as("fp"))
-        .distinct()
+          explode(org.apache.spark.sql.graft.ArrayExpressions
+            .winnowFingerprints(col("text"))).as("fp"))
     },
 
     // Repetition filter (the Gopher-style within-document duplication

@@ -70,4 +70,7 @@ object ArrayExpressions {
 
   def md5Prefix64(c: Column): Column =
     ExpressionUtils.column(Md5Prefix64(ExpressionUtils.expression(c)))
+
+  def winnowFingerprints(c: Column): Column =
+    ExpressionUtils.column(WinnowFingerprints(ExpressionUtils.expression(c)))
 }

@@ -1,0 +1,82 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Whole-document winnowing fingerprints as ONE expression: the distinct
+  * set of 16-window minima over char-8-gram md5-prefix hashes, ascending.
+  *
+  * Replaces the three-stage declarative formulation (explode one row per
+  * char position -> shuffle on doc_id + sort for the running-min window ->
+  * distinct shuffle) with a single map-side pass: per document the rolling
+  * minimum runs over a monotone deque (O(L)), and the per-doc set dedup
+  * happens in-expression, so `select(doc_id, explode(fps(text)))` needs NO
+  * exchange at all — at 100 TB the fingerprint pass becomes scan-bound.
+  * Semantics are byte-for-byte those of the SQL it replaces (positions
+  * 1..max(L-7, 1); a shorter-than-8 doc hashes its whole text once —
+  * matching `substr(text, pos, 8)` truncation in both engines).
+  */
+case class WinnowFingerprints(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowFingerprints.fps(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      // Scala 2.13 emits a static forwarder for the companion's `fps`, so
+      // generated Java can call it directly
+      s"${ev.value} = org.apache.spark.sql.graft.WinnowFingerprints.fps($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowFingerprints {
+
+  val K = 8 // gram width (chars)
+  val W = 16 // window width (grams)
+
+  /** Distinct window-min fingerprints, ascending. */
+  def fps(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val n = math.max(s.length - (K - 1), 1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val kh = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val sub = s.substring(i, math.min(i + K, s.length))
+      val d = md.digest(sub.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.reset()
+      var v = 0L
+      var j = 0
+      while (j < 7) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+      kh(i) = (v << 4) | ((d(7) & 0xf0L) >>> 4)
+      i += 1
+    }
+    // rolling min over a W-wide window via monotone deque: O(n) total
+    val set = new java.util.TreeSet[java.lang.Long]()
+    val dq = new java.util.ArrayDeque[Int]()
+    i = 0
+    while (i < n) {
+      while (!dq.isEmpty && dq.peekFirst() <= i - W) dq.pollFirst()
+      while (!dq.isEmpty && kh(dq.peekLast()) >= kh(i)) dq.pollLast()
+      dq.addLast(i)
+      set.add(kh(dq.peekFirst()))
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}

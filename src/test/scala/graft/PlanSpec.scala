@@ -120,6 +120,14 @@ class PlanSpec extends SparkSpec {
       s"nPart=1 must be floored, never a one-partition sort:\n$sp1")
   }
 
+  test("q_doc_fingerprint: shuffle-free map + explode (no exchange at all)") {
+    // the custom winnowing expression computes the per-doc distinct
+    // window-min set in one pass — any Exchange here means a regression to
+    // the explode/window/distinct shape (two shuffles + a sort)
+    val p = plan("q_doc_fingerprint")
+    assert(!p.contains("Exchange"), s"fingerprinting must be map-only:\n$p")
+  }
+
   test("q_hll_registers: one shuffle, registers combined map-side") {
     // the sketch's whole 100 TB story is that registers merge by max in
     // the partial aggregation — a plan without partial_max ships raw rows
