@@ -71,29 +71,18 @@ object Dedup {
   /** Distinct (id, shingle-hash mod P) pairs — the input to signatures and
     * to the exact-Jaccard verify.
     *
-    * Formulation: posexplode words, hash each word ONCE (md5-prefix mod P),
-    * then compose each n-gram hash positionally from the word hashes with
-    * `lead()` over (id, pos): h = ((wh0*B + wh1)%P *B + wh2)%P ... — one
-    * window exec, fully codegen'd, no shingle-string materialization and
-    * n-fold fewer md5 calls. (The obvious
-    * `explode(transform(sequence...element_at...))` evaluates its lambda
-    * interpreted per element and measured ~10x slower.) All intermediates
-    * stay under 2^51 (wh < P ~ 2^31, B ~ 2^20), so the same arithmetic is
-    * exact in DuckDB. Docs with < n words yield no shingles (the lead
-    * guard), mirrored in shinglesSql.
+    * Computed by the custom codegen'd `ShingleHashArray` expression: the
+    * per-doc distinct shingle set comes out as an array where the document
+    * row already is, so this is a shuffle-free map + explode. The previous
+    * posexplode + lead()-window formulation paid a shuffle + sort on
+    * (id, pos) plus a distinct shuffle in every consumer (parity-tested in
+    * ShingleHashArraySpec). All intermediates stay under 2^51 (wh < P ~
+    * 2^31, B ~ 2^20), so the same arithmetic is exact in DuckDB; docs with
+    * < n words yield no shingles, mirrored in shinglesSql.
     */
-  def shingleHashes(docs: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val win = Window.partitionBy("id").orderBy("pos")
-    val h = (0 until n).map(j => if (j == 0) col("wh") else lead("wh", j).over(win))
-      .reduce((acc, whj) => (acc * ShingleB + whj) % P)
-    docs.select(id.as("id"), posexplode(TextOps.words(text)).as(Seq("pos", "w")))
-      .select(col("id"), col("pos"), (TextOps.hash64(col("w")) % P).as("wh"))
-      .select(col("id"), h.as("h"), lead("wh", n - 1).over(win).as("g"))
-      .filter(col("g").isNotNull)
-      .select(col("id"), col("h"))
-      .distinct()
-  }
+  def shingleHashes(docs: DataFrame, id: Column, text: Column, n: Int): DataFrame =
+    docs.select(id.as("id"),
+      explode(org.apache.spark.sql.graft.ArrayExpressions.shingleHashes(text, n)).as("h"))
 
   /** Per-id MinHash signature columns m0..m{NumHashes-1}; one shuffle with
     * map-side partial min.

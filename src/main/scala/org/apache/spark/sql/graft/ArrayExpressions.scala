@@ -73,4 +73,7 @@ object ArrayExpressions {
 
   def winnowFingerprints(c: Column): Column =
     ExpressionUtils.column(WinnowFingerprints(ExpressionUtils.expression(c)))
+
+  def shingleHashes(c: Column, n: Int): Column =
+    ExpressionUtils.column(ShingleHashArray(ExpressionUtils.expression(c), n))
 }
