@@ -72,32 +72,22 @@ object TextAnalytics {
         max(col("rnk")).as("max_rank"))
   }
 
-  /** q_repetition_filter body over an arbitrary documents relation. */
-  def repetitionFilter(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val wpos = docs
-      .select(col("doc_id"), posexplode(TextOps.words(col("text"))).as(Seq("pos", "w")))
-    val wh = wpos.select(col("doc_id"), col("pos"), col("w"),
-      (TextOps.hash64(col("w")) % DedupP).as("whash"))
-    val grams = wh
+  /** q_repetition_filter body over an arbitrary documents relation: all
+    * four signals come from the map-only `RepetitionStats` expression
+    * (the old posexplode + window + two-groupBy + join shape paid three
+    * exchanges; parity is covered by the oracle row and the spec on the
+    * expression's building blocks in ShingleHashArraySpec).
+    */
+  def repetitionFilter(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), org.apache.spark.sql.graft.ArrayExpressions
+        .repetitionStats(col("text")).as("s"))
+      .filter(col("s").isNotNull)
       .select(col("doc_id"),
-        (((col("whash") * Dedup3B + lead(col("whash"), 1).over(win)) % DedupP * Dedup3B
-          + lead(col("whash"), 2).over(win)) % DedupP).as("h"),
-        lead(col("whash"), 2).over(win).as("guard"))
-      .filter(col("guard").isNotNull)
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"), countDistinct(col("h")).as("n_unique"))
-    val words = wh.groupBy(col("doc_id"), col("w"))
-      .agg(count(lit(1)).as("cnt"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("cnt")).as("n_words"), max(col("cnt")).as("top_word_n"))
-    grams.join(words, "doc_id")
-      .select(col("doc_id"), col("n_grams"), col("n_unique"),
-        Num.r4(lit(1.0) - col("n_unique") * 1.0 / col("n_grams")).as("dup_ratio"),
-        col("top_word_n"),
-        Num.r4(col("top_word_n") * 1.0 / col("n_words")).as("top_word_frac"))
-  }
+        col("s.n_grams").as("n_grams"), col("s.n_unique").as("n_unique"),
+        Num.r4(lit(1.0) - col("s.n_unique") * 1.0 / col("s.n_grams")).as("dup_ratio"),
+        col("s.top_word_n").as("top_word_n"),
+        Num.r4(col("s.top_word_n") * 1.0 / col("s.n_words")).as("top_word_frac"))
 
   val defs: Seq[QueryDef] = Seq(
 

@@ -76,4 +76,7 @@ object ArrayExpressions {
 
   def shingleHashes(c: Column, n: Int): Column =
     ExpressionUtils.column(ShingleHashArray(ExpressionUtils.expression(c), n))
+
+  def repetitionStats(c: Column): Column =
+    ExpressionUtils.column(RepetitionStats(ExpressionUtils.expression(c)))
 }
