@@ -19,4 +19,27 @@ class ExtensionsSpec extends SparkSpec {
       .collect().head.getDouble(0)
     assert(out == 11.0)
   }
+
+  test("every GraftExtensions function is SQL-callable (same builders)") {
+    // registering the REAL builder list into the shared session's registry
+    // exercises exactly what injectFunction wires at session build
+    org.apache.spark.sql.graft.GraftExtensions.functions.foreach {
+      case (id, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+    assert(spark.sql("SELECT md5_prefix64('a') AS h")
+      .collect().head.getLong(0) ==
+      org.apache.spark.sql.graft.Md5Prefix64.hash("a".getBytes("UTF-8")))
+    assert(spark.sql("SELECT size(winnow_fingerprints('abcdefghij')) AS n")
+      .collect().head.getInt(0) >= 1)
+    assert(spark.sql("SELECT size(shingle_hashes('a b c d', 3)) AS n")
+      .collect().head.getInt(0) == 2)
+    assert(spark.sql("SELECT repetition_stats('a b c d').n_grams AS g")
+      .collect().head.getLong(0) == 2L)
+    // fewer words than a shingle: empty set / null stats
+    assert(spark.sql("SELECT size(shingle_hashes('a b', 3)) AS n")
+      .collect().head.getInt(0) == 0)
+    assert(spark.sql("SELECT repetition_stats('a b') IS NULL AS z")
+      .collect().head.getBoolean(0))
+  }
 }

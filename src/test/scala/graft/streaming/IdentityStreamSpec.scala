@@ -150,6 +150,47 @@ class IdentityStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("checkpointed restart resumes batch ids; no version collisions") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("idstream7").toString
+    val ck = s"$dir/ck"
+    val input = MemoryStream[(String, String)]
+    def labelDirs(): Set[String] =
+      Option(new java.io.File(s"$dir/labels").list())
+        .map(_.toSet).getOrElse(Set.empty[String])
+        .filter(_.startsWith("delta_"))
+    val (w1, m1) = IdentityStream.resolver(
+      spark, input.toDF().toDF("src", "dst"), s"$dir/labels")
+    val q1 = w1.option("checkpointLocation", ck).start()
+    try {
+      input.addData(("user:b", "anon:a"))
+      q1.processAllAvailable()
+      input.addData(("user:c", "anon:a"))
+      q1.processAllAvailable()
+      assert(m1.canonical("user:c") == "anon:a")
+    } finally q1.stop()
+    val preDirs = labelDirs()
+    assert(preDirs.size == 2)
+
+    // the PRODUCTION restart: same checkpoint, so batch ids RESUME
+    // monotonically instead of restarting at 0 — new deltas must land in
+    // fresh version dirs, never overwrite the previous incarnation's
+    val (w2, m2) = IdentityStream.resolver(
+      spark, input.toDF().toDF("src", "dst"), s"$dir/labels")
+    val q2 = w2.option("checkpointLocation", ck).start()
+    try {
+      input.addData(("user:d", "anon:a"))
+      q2.processAllAvailable()
+      Seq("user:b", "user:c", "user:d").foreach { n =>
+        assert(m2.canonical(n) == "anon:a", s"$n lost across restart")
+      }
+      val dirs = labelDirs()
+      assert(preDirs.subsetOf(dirs) && dirs.size == preDirs.size + 1,
+        s"post-restart delta must be a NEW version dir: $dirs")
+    } finally q2.stop()
+  }
+
   test("a reader holding the pre-compaction mapping survives compaction") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
