@@ -29,12 +29,18 @@ object RangeJoin {
   def intervalJoin(points: DataFrame, intervals: DataFrame, key: String,
                    p: String, lo: String, hi: String, bucketW: Long): DataFrame = {
     require(bucketW > 0, "bucketW must be positive")
-    val pb = points.withColumn("__bucket", expr(s"CAST($p AS BIGINT) div $bucketW"))
-    val ib = intervals.withColumn("__bucket",
-      explode(sequence(expr(s"CAST($lo AS BIGINT) div $bucketW"),
-        expr(s"CAST($hi AS BIGINT) div $bucketW"))))
-    pb.join(ib, Seq(key, "__bucket"))
-      .filter(col(p) >= col(lo) && col(p) <= col(hi))
-      .drop("__bucket")
+    // backtick-quote interpolated names (a column called `from` or `a b`
+    // must not break the parse) and pick an internal bucket name that
+    // cannot clobber a real input column
+    def q(n: String) = "`" + n.replace("`", "``") + "`"
+    val bucket = Iterator.from(0).map(i => s"__bucket$i")
+      .find(n => !points.columns.contains(n) && !intervals.columns.contains(n)).get
+    val pb = points.withColumn(bucket, expr(s"CAST(${q(p)} AS BIGINT) div $bucketW"))
+    val ib = intervals.withColumn(bucket,
+      explode(sequence(expr(s"CAST(${q(lo)} AS BIGINT) div $bucketW"),
+        expr(s"CAST(${q(hi)} AS BIGINT) div $bucketW"))))
+    pb.join(ib, Seq(key, bucket))
+      .filter(col(q(p)) >= col(q(lo)) && col(q(p)) <= col(q(hi)))
+      .drop(bucket)
   }
 }

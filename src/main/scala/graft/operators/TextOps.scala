@@ -34,6 +34,21 @@ object TextOps {
 
   def wordsSql(expr: String): String = s"string_split_regex(trim($expr), '\\s+')"
 
+  /** JVM-side twin of `words` for the native expressions. Two traps that
+    * `String.trim` would get wrong: SQL `trim` strips ONLY spaces (U+0020),
+    * not tabs/newlines, and `split` with limit -1 keeps edge empty tokens
+    * (a doc ending in '\n' tokenizes to [..., ""] in both engines). Must
+    * stay in lock-step with `words`/`wordsSql` or engine/oracle hash
+    * parity silently breaks on whitespace-edged text.
+    */
+  def wordsJvm(s: String): Array[String] = {
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    s.substring(b, e).split("\\s+", -1)
+  }
+
   /** BPE-ish token pattern: letter runs, digit runs, single punctuation.
     * Works identically under Java regex (Spark) and RE2 (DuckDB).
     */

@@ -52,11 +52,31 @@ case class Md5Prefix64(child: Expression)
 }
 
 object Md5Prefix64 {
-  def hash(bytes: Array[Byte]): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+
+  // One MessageDigest per thread for interpreted-path and helper callers —
+  // getInstance per row is a JCA provider lookup on the hot path. (The
+  // codegen path above hoists its own instance as generated-class state.)
+  private val localMd = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def threadLocalMd(): java.security.MessageDigest = localMd.get()
+
+  /** The canonical 60-bit prefix extraction — the single source of truth
+    * for the byte layout. ShingleHashArray / WinnowFingerprints /
+    * RepetitionStats must call this, never re-implement the shift loop:
+    * any layout change must hit all engines at once or oracle hash parity
+    * silently breaks.
+    */
+  def hash(md: java.security.MessageDigest, bytes: Array[Byte]): Long = {
+    md.reset()
+    val d = md.digest(bytes)
     var v = 0L
     var i = 0
     while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
     (v << 4) | ((d(7) & 0xf0L) >>> 4)
   }
+
+  def hash(bytes: Array[Byte]): Long = hash(localMd.get(), bytes)
 }

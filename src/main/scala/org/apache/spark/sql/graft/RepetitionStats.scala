@@ -46,9 +46,9 @@ object RepetitionStats {
 
   /** (n_grams, n_unique, n_words, top_word_n) or null for < 3 words. */
   def stats(text: UTF8String): InternalRow = {
-    val words = text.toString.trim.split("\\s+", -1)
+    val words = graft.operators.TextOps.wordsJvm(text.toString)
     if (words.length < 3) return null
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = Md5Prefix64.threadLocalMd()
     val counts = new java.util.HashMap[String, Long]()
     val wh = new Array[Long](words.length)
     var top = 0L
@@ -57,11 +57,9 @@ object RepetitionStats {
       val w = words(i)
       val c = counts.merge(w, 1L, (a, b) => a + b)
       if (c > top) top = c
-      val d = md.digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      var v = 0L
-      var j = 0
-      while (j < 7) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
-      wh(i) = ((v << 4) | ((d(7) & 0xf0L) >>> 4)) % graft.operators.Dedup.P
+      wh(i) = Md5Prefix64.hash(md,
+        w.getBytes(java.nio.charset.StandardCharsets.UTF_8)) %
+        graft.operators.Dedup.P
       i += 1
     }
     val B = graft.operators.Dedup.ShingleB

@@ -44,19 +44,17 @@ object ShingleHashArray {
   /** Distinct composed shingle hashes, ascending; empty for < n words. */
   def hashes(text: UTF8String, n: Int): ArrayData = {
     // identical tokenization to TextOps.words = split(trim(text), "\s+")
-    val words = text.toString.trim.split("\\s+", -1)
+    val words = graft.operators.TextOps.wordsJvm(text.toString)
     if (words.length < n)
       return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
         .fromPrimitiveArray(Array.emptyLongArray)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = Md5Prefix64.threadLocalMd()
     val wh = new Array[Long](words.length)
     var i = 0
     while (i < words.length) {
-      val d = md.digest(words(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      var v = 0L
-      var j = 0
-      while (j < 7) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
-      wh(i) = ((v << 4) | ((d(7) & 0xf0L) >>> 4)) % graft.operators.Dedup.P
+      wh(i) = Md5Prefix64.hash(md,
+        words(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)) %
+        graft.operators.Dedup.P
       i += 1
     }
     val set = new java.util.TreeSet[java.lang.Long]()

@@ -47,19 +47,18 @@ object WinnowFingerprints {
 
   /** Distinct window-min fingerprints, ascending. */
   def fps(text: UTF8String): ArrayData = {
-    val s = text.toString
-    val n = math.max(s.length - (K - 1), 1)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    // Positions count CODE POINTS: Spark's length()/substr() and DuckDB's
+    // len()/substr() are character-based, and java.lang.String.length is
+    // UTF-16 units — a non-BMP char (emoji) would shift every gram and
+    // split surrogate pairs. UTF8String.substring is code-point based, so
+    // stay in UTF8String space (also avoids the String round-trip).
+    val L = text.numChars()
+    val n = math.max(L - (K - 1), 1)
+    val md = Md5Prefix64.threadLocalMd()
     val kh = new Array[Long](n)
     var i = 0
     while (i < n) {
-      val sub = s.substring(i, math.min(i + K, s.length))
-      val d = md.digest(sub.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      md.reset()
-      var v = 0L
-      var j = 0
-      while (j < 7) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
-      kh(i) = (v << 4) | ((d(7) & 0xf0L) >>> 4)
+      kh(i) = Md5Prefix64.hash(md, text.substring(i, math.min(i + K, L)).getBytes)
       i += 1
     }
     // rolling min over a W-wide window via monotone deque: O(n) total

@@ -40,9 +40,16 @@ class RepetitionStatsSpec extends SparkSpec {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
     val vocab = Seq("spark", "scan", "agg", "row", "row", "row", "a") // skewed
+    // non-space separators + whitespace-edged docs: must tokenize exactly
+    // like SQL trim (spaces only) + split (edge empties kept)
+    val seps = Seq(" ", "\t", "\n", " \t")
+    val edges = Seq("", " ", "\n", "\t ")
     val docs = (0 until 50).map { i =>
       val len = rnd.nextInt(25) // includes 0..2 (fewer words than a 3-gram)
-      (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      val body = Seq.fill(len)(vocab(rnd.nextInt(vocab.length)))
+        .mkString(seps(rnd.nextInt(seps.length)))
+      (i.toLong,
+        edges(rnd.nextInt(edges.length)) + body + edges(rnd.nextInt(edges.length)))
     }.toDF("doc_id", "text")
     val a = declarative(docs)
       .as[(Long, Long, Long, Double, Long, Double)].collect().toSet

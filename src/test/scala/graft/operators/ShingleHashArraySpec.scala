@@ -26,9 +26,17 @@ class ShingleHashArraySpec extends SparkSpec {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
     val vocab = Seq("spark", "scan", "agg", "row", "fast", "a", "the")
+    // separators beyond single spaces and whitespace-edged docs: SQL trim
+    // strips only spaces, and split keeps edge empty tokens — the exact
+    // divergence a Java String.trim tokenizer would introduce
+    val seps = Seq(" ", "\t", "\n", "  ", " \n")
+    val edges = Seq("", " ", "\t", "\n", "  \t ")
     val docs = (0 until 50).map { i =>
       val len = rnd.nextInt(30) // includes 0..4 (fewer words than a shingle)
-      (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      val body = Seq.fill(len)(vocab(rnd.nextInt(vocab.length)))
+        .mkString(seps(rnd.nextInt(seps.length)))
+      (i.toLong,
+        edges(rnd.nextInt(edges.length)) + body + edges(rnd.nextInt(edges.length)))
     }.toDF("id", "text")
     Seq(3, 5).foreach { n =>
       val a = declarative(docs, n).as[(Long, Long)].collect().toSet

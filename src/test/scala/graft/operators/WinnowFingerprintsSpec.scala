@@ -30,7 +30,11 @@ class WinnowFingerprintsSpec extends SparkSpec {
   test("randomized parity with the explode/window/distinct formulation") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
-    val alphabet = "abcde fgh" // small alphabet -> repeated grams -> dup minima
+    // small alphabet -> repeated grams -> dup minima; includes non-BMP code
+    // points (surrogate pairs) — positions must count code points like
+    // Spark length()/substr(), not UTF-16 units
+    val alphabet = Seq("a", "b", "c", "d", "e", " ", "f", "g", "h",
+      "🎵", "𝄞")
     val docs = (0 until 60).map { i =>
       val len = rnd.nextInt(120) // includes 0..7 (shorter than one gram)
       (i.toLong, Seq.fill(len)(alphabet(rnd.nextInt(alphabet.length))).mkString)
