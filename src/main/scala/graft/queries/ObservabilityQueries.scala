@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.operators.{Hll, Num}
+import graft.operators.{Cms, Hll, Num}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -110,5 +110,48 @@ object ObservabilityQueries {
           .select(col("event_type"), col("n_exact"),
             Num.r4(col("est")).as("est"),
             Num.r4((col("est") - col("n_exact")) / col("n_exact")).as("rel_err"))
+    },
+
+    // Deterministic count-min sketch register table
+    // (`operators/Cms.scala`): per-user event counts folded into a 4x512
+    // integer counter grid. Pure counts -> hash-exact oracle; sketches
+    // merge by summing cnt on (r, c) — the linear-sketch property that
+    // lets daily frequency tables compose by addition at 100 TB.
+    QueryDef(
+      "q_cms_registers",
+      Cms.registersSql("CAST(user_id AS VARCHAR)", "events")) { (s, dir) =>
+      Cms.registers(Tables.events(s, dir), col("user_id"))
+    },
+
+    // Point estimates vs exact counts for a deterministic probe subset
+    // (user_id % 7 = 0): est = min over the 4 addressed counters, always
+    // >= the true count (collisions only add). All-integer output, so the
+    // accuracy evidence itself is hash-exact. The 2 KB register table is
+    // broadcast to the probes — no shuffle beyond the probes' own groupBy.
+    QueryDef(
+      "q_cms_estimate",
+      s"""WITH regs AS (
+         |  ${Cms.registersSql("CAST(user_id AS VARCHAR)", "events")
+              .replace("\n", "\n  ")}),
+         |probes AS (
+         |  SELECT CAST(user_id AS VARCHAR) AS v, user_id, count(*) AS n_exact
+         |  FROM events WHERE user_id % 7 = 0 GROUP BY 1, 2),
+         |pr AS (
+         |  SELECT user_id, n_exact, r, ${Cms.bucketSql("v", "r")} AS c
+         |  FROM probes CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) rows)
+         |SELECT user_id, n_exact,
+         |       min(coalesce(cnt, 0)) AS est,
+         |       min(coalesce(cnt, 0)) - n_exact AS overcount
+         |FROM pr LEFT JOIN regs ON regs.r = pr.r AND regs.c = pr.c
+         |GROUP BY user_id, n_exact""".stripMargin) { (s, dir) =>
+      val events = Tables.events(s, dir)
+      val regs = Cms.registers(events, col("user_id"))
+      val probes = events.filter(col("user_id") % 7 === 0)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+        .select(col("user_id").cast("string").as("v"),
+          col("user_id"), col("n_exact"))
+      Cms.estimate(regs, probes)
+        .select(col("user_id"), col("n_exact"), col("est"),
+          (col("est") - col("n_exact")).as("overcount"))
     })
 }

@@ -71,12 +71,25 @@ object Md5Prefix64 {
     */
   def hash(md: java.security.MessageDigest, bytes: Array[Byte]): Long = {
     md.reset()
-    val d = md.digest(bytes)
+    extract(md.digest(bytes))
+  }
+
+  /** Hash a slice without materializing it (gram hashing over a shared
+    * byte buffer).
+    */
+  def hash(md: java.security.MessageDigest, bytes: Array[Byte],
+           off: Int, len: Int): Long = {
+    md.reset()
+    md.update(bytes, off, len)
+    extract(md.digest())
+  }
+
+  def hash(bytes: Array[Byte]): Long = hash(localMd.get(), bytes)
+
+  private def extract(d: Array[Byte]): Long = {
     var v = 0L
     var i = 0
     while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
     (v << 4) | ((d(7) & 0xf0L) >>> 4)
   }
-
-  def hash(bytes: Array[Byte]): Long = hash(localMd.get(), bytes)
 }

@@ -50,15 +50,28 @@ object WinnowFingerprints {
     // Positions count CODE POINTS: Spark's length()/substr() and DuckDB's
     // len()/substr() are character-based, and java.lang.String.length is
     // UTF-16 units — a non-BMP char (emoji) would shift every gram and
-    // split surrogate pairs. UTF8String.substring is code-point based, so
-    // stay in UTF8String space (also avoids the String round-trip).
-    val L = text.numChars()
+    // split surrogate pairs. Walk the UTF-8 buffer once to index the
+    // code-point byte offsets, then hash byte SLICES of it: no String
+    // round-trip, no per-gram re-scan (UTF8String.substring would walk
+    // from byte 0 each call — O(L^2) per document).
+    val bytes = text.getBytes
+    val offs = new Array[Int](bytes.length + 1)
+    var L = 0
+    var o = 0
+    while (o < bytes.length) {
+      offs(L) = o
+      o += UTF8String.numBytesForFirstByte(bytes(o))
+      L += 1
+    }
+    offs(L) = bytes.length
     val n = math.max(L - (K - 1), 1)
     val md = Md5Prefix64.threadLocalMd()
     val kh = new Array[Long](n)
     var i = 0
     while (i < n) {
-      kh(i) = Md5Prefix64.hash(md, text.substring(i, math.min(i + K, L)).getBytes)
+      val from = offs(i)
+      val until = offs(math.min(i + K, L))
+      kh(i) = Md5Prefix64.hash(md, bytes, from, until - from)
       i += 1
     }
     // rolling min over a W-wide window via monotone deque: O(n) total
