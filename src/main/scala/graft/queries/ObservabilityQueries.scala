@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.operators.{Cms, Hll, Num}
+import graft.operators.{Bloom, Cms, Hll, Num}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -153,5 +153,75 @@ object ObservabilityQueries {
       Cms.estimate(regs, probes)
         .select(col("user_id"), col("n_exact"), col("est"),
           (col("est") - col("n_exact")).as("overcount"))
+    },
+
+    // Deterministic Bloom filter (`operators/Bloom.scala`) over the set
+    // of customers who placed an order, dumped as per-1024-bit-block set
+    // counts — 64 hash-exact rows summarizing the whole bit array. The
+    // filter is bounded by 2^16 positions no matter how many orders fed
+    // it; filters union-merge by position-set union.
+    QueryDef(
+      "q_bloom_bits",
+      s"""WITH bits AS (
+         |  ${Bloom.bitsSql("CAST(o_custkey AS VARCHAR)", "orders")
+              .replace("\n", "\n  ")})
+         |SELECT pos // 1024 AS block, count(*) AS n_bits
+         |FROM bits GROUP BY 1""".stripMargin) { (s, dir) =>
+      Bloom.bits(Tables.orders(s, dir), col("o_custkey"))
+        .groupBy(expr("pos div 1024").as("block"))
+        .agg(count(lit(1)).as("n_bits"))
+    },
+
+    // Membership evidence: probe every customer PLUS a shifted key range
+    // that is guaranteed absent (the testdata gives every customer an
+    // order, so real keys alone would have no true negatives to measure
+    // the FP rate on). No false negatives by construction (every actual
+    // member reads maybe); the all-integer counters make the FP evidence
+    // itself hash-exact. This is the correctness-preserving pre-join
+    // shape for 100 TB contamination checks: broadcast the bounded
+    // position set, drop definite-negative probes map-side BEFORE their
+    // shuffle, let the exact join resolve the few-% false positives.
+    QueryDef(
+      "q_bloom_membership",
+      s"""WITH bits AS (
+         |  ${Bloom.bitsSql("CAST(o_custkey AS VARCHAR)", "orders")
+              .replace("\n", "\n  ")}),
+         |probes AS (
+         |  SELECT CAST(c_custkey AS VARCHAR) AS v, c_custkey FROM customer
+         |  UNION ALL
+         |  SELECT CAST(c_custkey + 10000000 AS VARCHAR), c_custkey + 10000000
+         |  FROM customer),
+         |pp AS (
+         |  SELECT c_custkey, ${Bloom.posSql("v", "j")} AS pos
+         |  FROM probes CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) js),
+         |m AS (
+         |  SELECT c_custkey, count(hit) = count(*) AS maybe
+         |  FROM pp LEFT JOIN (SELECT pos, 1 AS hit FROM bits) b USING (pos)
+         |  GROUP BY c_custkey),
+         |actual AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders)
+         |SELECT count(*) AS n_probes,
+         |       CAST(sum(CASE WHEN a.c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_actual,
+         |       CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe,
+         |       CAST(sum(CASE WHEN maybe AND a.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+         |FROM m LEFT JOIN actual a ON a.c_custkey = m.c_custkey""".stripMargin) {
+      (s, dir) =>
+        val orders = Tables.orders(s, dir)
+        val bits = Bloom.bits(orders, col("o_custkey"))
+        val cust = Tables.customer(s, dir)
+        val probes = cust
+          .select(col("c_custkey").cast("string").as("v"), col("c_custkey"))
+          .unionAll(cust.select(
+            (col("c_custkey") + 10000000L).cast("string").as("v"),
+            (col("c_custkey") + 10000000L).as("c_custkey")))
+        val actual = orders.select(col("o_custkey").as("c_custkey"))
+          .distinct().withColumn("act", lit(1))
+        Bloom.mightContain(bits, probes)
+          .join(actual, Seq("c_custkey"), "left")
+          .agg(
+            count(lit(1)).as("n_probes"),
+            sum(when(col("act").isNotNull, 1).otherwise(0)).cast("long").as("n_actual"),
+            sum(when(col("maybe"), 1).otherwise(0)).cast("long").as("n_maybe"),
+            sum(when(col("maybe") && col("act").isNull, 1).otherwise(0))
+              .cast("long").as("n_false_pos"))
     })
 }
