@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.operators.{Bloom, Cms, Hll, Num}
+import graft.operators.{Bloom, Cms, Hist, Hll, Num}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -223,5 +223,36 @@ object ObservabilityQueries {
             sum(when(col("maybe"), 1).otherwise(0)).cast("long").as("n_maybe"),
             sum(when(col("maybe") && col("act").isNull, 1).otherwise(0))
               .cast("long").as("n_false_pos"))
+    },
+
+    // Deterministic histogram quantile sketch (`operators/Hist.scala`):
+    // per-event-type bucket counts over `value` in 2^9-cent buckets —
+    // the register table quantiles fold from. Pure integers -> hash-exact
+    // oracle; histograms SUM-merge on (group, b), the mergeability exact
+    // percentiles lack (q_percentile_by_type's exact P95 needs the full
+    // value multiset; this needs a bounded table per group).
+    QueryDef(
+      "q_hist_buckets",
+      Hist.bucketsSql("value", Seq("event_type"), "events")) { (s, dir) =>
+      Hist.buckets(Tables.events(s, dir), col("value"), Seq("event_type"))
+    },
+
+    // p50/p90/p99 lower-bound estimates per event_type from the bucket
+    // table: first bucket whose running count reaches the integer rank
+    // target (cum * 100 >= p * total — no ceil, no float). Error bounded
+    // by one bucket width; the window partitions by event_type, so no
+    // global sort anywhere.
+    QueryDef(
+      "q_hist_quantiles",
+      s"""WITH hb AS (
+         |  ${Hist.bucketsSql("value", Seq("event_type"), "events")
+              .replace("\n", "\n  ")}),
+         |h AS (SELECT event_type AS grp, b, n FROM hb),
+         |q AS (
+         |  ${Hist.quantilesSql(Seq(50, 90, 99)).replace("\n", "\n  ")})
+         |SELECT grp AS event_type, p50_cents, p90_cents, p99_cents
+         |FROM q""".stripMargin) { (s, dir) =>
+      val h = Hist.buckets(Tables.events(s, dir), col("value"), Seq("event_type"))
+      Hist.quantiles(h, Seq("event_type"), Seq(50, 90, 99))
     })
 }
