@@ -109,6 +109,23 @@ object ScaleProbe {
     timeDf("contamination")(graft.queries.CurationQueries.contamination(docs))
     timeDf("repetition_filter")(graft.queries.TextAnalytics.repetitionFilter(docs))
     timeDf("quantize")(graft.queries.SimilarityQueries.quantize(embeddings))
+    // sketch family: all bounded-state one-shuffle shapes — the register
+    // tables must stay constant-size as k grows, so time should track the
+    // scan, not the output
+    timeDf("hll_registers")(
+      graft.operators.Hll.registers(events, col("user_id"), Seq("event_type")))
+    timeDf("cms_registers")(
+      graft.operators.Cms.registers(events, col("user_id")))
+    timeDf("bloom_membership") {
+      val bits = graft.operators.Bloom.bits(events, col("user_id"))
+      val probes = events
+        .select(col("user_id").cast("string").as("v"), col("user_id")).distinct()
+      graft.operators.Bloom.mightContain(bits, probes)
+    }
+    timeDf("hist_quantiles")(
+      graft.operators.Hist.quantiles(
+        graft.operators.Hist.buckets(events, col("value"), Seq("event_type")),
+        Seq("event_type"), Seq(50, 90, 99)))
     // streaming IVF maintenance throughput: replicated vectors through the
     // maintainer in MemoryStream batches; cost per batch is one assignment
     // pass + a K x Dim register update, so vec/s should hold as k grows

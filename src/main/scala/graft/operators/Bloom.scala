@@ -6,13 +6,15 @@ import org.apache.spark.sql.functions._
 /** Deterministic Bloom filter.
   *
   * The membership sketch completing the family ([[Hll]] distinct, [[Cms]]
-  * frequency): K row-salted hashes of the repo's shared 60-bit md5-prefix
-  * set bits in an M-bit array; a probe "might be present" iff all K of
-  * its bits are set. NO false negatives ever — which is what makes the
-  * filter a correctness-preserving pre-join: dropping probe rows whose
-  * bits miss can only drop rows the exact join would not have matched.
+  * frequency, [[Hist]] quantile): K row-salted hashes set bits in an
+  * M-bit array; a probe "might be present" iff all K of its bits are
+  * set. NO false negatives ever — which is what makes the filter a
+  * correctness-preserving pre-join: dropping probe rows whose bits miss
+  * can only drop rows the exact join would not have matched.
   *
   * Like the other sketches, everything is integer-exact and cross-engine:
+  * the bit positions come from the shared salted-bucket layout
+  * (`TextOps.saltedBucket`, same single source of truth as [[Cms]]) and
   * the bit array is materialized as the DISTINCT set of positions (a
   * relation, not a packed bitmap), so the DuckDB oracle replays it
   * hash-for-hash, and filters union-merge by unioning their position sets
@@ -29,48 +31,60 @@ import org.apache.spark.sql.functions._
 object Bloom {
 
   /** 2^16 bits; at n distinct keys the FP rate is (1 - e^(-Kn/M))^K —
-    * ~3% at n = 10k. Size M to the build side's distinct count in real
-    * deployments; fixed here so the oracle is stable across SFs.
+    * ~0.07% at n = 2k, ~5% at n = 10k. Size M to the build side's
+    * distinct count in real deployments; fixed here so the oracle is
+    * stable across SFs.
     */
   val MBits = 1 << 16
   val K = 3
 
-  private def hashes: Column = array((0 until K).map(lit): _*)
+  /** Salt values 0..K-1, exploded per input row (Spark side). */
+  private def salts = array((0 until K).map(lit): _*)
 
-  private def pos(value: Column, j: Column): Column =
-    TextOps.hash64(concat(value, lit("#"), j.cast("string"))) % MBits
+  /** The salt relation for DuckDB SQL twins — derived from K so the two
+    * engines cannot drift.
+    */
+  val saltsSql: String =
+    s"(SELECT unnest([${(0 until K).mkString(", ")}]) AS j) js"
 
   def posSql(valueExpr: String, jExpr: String): String =
-    s"${TextOps.hash64Sql(s"($valueExpr) || '#' || CAST($jExpr AS VARCHAR)")} % $MBits"
+    TextOps.saltedBucketSql(valueExpr, jExpr, MBits)
 
   /** The filter: the distinct set-bit positions of `value` over `df`.
     * Bounded by MBits rows regardless of input size; merge filters by
     * `union.distinct`.
     */
   def bits(df: DataFrame, value: Column): DataFrame =
-    df.select(value.cast("string").as("v"), explode(hashes).as("j"))
-      .select(pos(col("v"), col("j")).as("pos"))
+    df.select(value.cast("string").as("v"), explode(salts).as("j"))
+      .select(TextOps.saltedBucket(col("v"), col("j"), MBits).as("pos"))
       .distinct()
 
   /** The filter as DuckDB SQL over `from`; `valueExpr` must be VARCHAR. */
   def bitsSql(valueExpr: String, from: String): String =
     s"""SELECT DISTINCT ${posSql(valueExpr, "j")} AS pos
-       |FROM $from CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) js""".stripMargin
+       |FROM $from CROSS JOIN $saltsSql""".stripMargin
 
-  /** Probes (`v` string column, other columns carried) annotated with
-    * `maybe`: true iff all K bit positions are set. The position set is
-    * <= MBits rows -> broadcast; the probe stream never shuffles here
-    * (its groupBy keys are its own rows, resolved map-side by the
-    * partial aggregation).
+  /** Probes (`v` string column, other columns carried — but not one
+    * named `maybe`) annotated with `maybe`: true iff all K bit positions
+    * are set. Internal columns are picked collision-free against the
+    * probe schema. The position set is <= MBits rows -> broadcast; no
+    * shuffle beyond the probes' own groupBy (the K-row explode collapses
+    * back map-side by partial aggregation).
     */
   def mightContain(bits: DataFrame, probes: DataFrame): DataFrame = {
+    require(!probes.columns.contains("maybe"), "probes must not carry 'maybe'")
     val carried = probes.columns.filter(_ != "v").toSeq
-    probes.select((col("v") +: carried.map(col)) :+ explode(hashes).as("j"): _*)
-      .withColumn("pos", pos(col("v"), col("j")))
-      .join(broadcast(bits.withColumn("hit", lit(1L))), Seq("pos"), "left")
+    val taken = probes.columns.toSet
+    val jc = TextOps.freshName("__j", taken)
+    val pc = TextOps.freshName("__pos", taken)
+    val hc = TextOps.freshName("__hit", taken)
+    val bits2 = bits.select(col("pos").as(pc), lit(1L).as(hc))
+    probes.select((col("v") +: carried.map(col)) :+ explode(salts).as(jc): _*)
+      .withColumn(pc, TextOps.saltedBucket(col("v"), col(jc), MBits))
+      .join(broadcast(bits2), Seq(pc), "left")
       .groupBy((col("v") +: carried.map(col)): _*)
       // hits == exploded rows (not == K): a probe key duplicated in the
       // input still reads all-bits-set correctly
-      .agg((count(col("hit")) === count(lit(1))).as("maybe"))
+      .agg((count(col(hc)) === count(lit(1))).as("maybe"))
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Deterministic count-min sketch.
@@ -13,9 +13,9 @@ import org.apache.spark.sql.functions._
   * probability 1 - 2^-depth.
   *
   * Everything is integer-exact and cross-engine reproducible: the row
-  * hash is the repo's shared 60-bit md5-prefix (`TextOps.hash64`) of
-  * `value || '#' || row`, registers are plain counts, and the estimate is
-  * an integer min — so unlike Spark's built-in CountMinSketch aggregate
+  * hash is the shared salted-bucket layout (`TextOps.saltedBucket` — the
+  * single source of truth [[Bloom]] also uses) and registers are plain
+  * counts, so unlike Spark's built-in CountMinSketch aggregate
   * (implementation-defined hashing, not replayable in another engine) the
   * whole sketch is oracle-gated hash-exact.
   *
@@ -25,32 +25,32 @@ import org.apache.spark.sql.functions._
   * map-side and collapses to <= Depth x Width partial rows per task
   * before the shuffle). Sketches are LINEAR: element-wise SUM merges
   * daily/partition sketches into totals (deletions subtract), so
-  * frequency tables for billions of keys ship as a few KB, and point
-  * lookups broadcast the sketch to wherever the probes live.
+  * frequency tables for billions of keys ship as ~2K counters (~16 KB),
+  * and point lookups broadcast the sketch to wherever the probes live.
   */
 object Cms {
 
   val Depth = 4
   val Width = 512
 
-  /** Column of row indexes 0..Depth-1 to explode per input row. */
-  private def rows: Column = array((0 until Depth).map(lit): _*)
+  /** Salt values 0..Depth-1, exploded per input row (Spark side). */
+  private def salts = array((0 until Depth).map(lit): _*)
 
-  /** bucket_r(x) = hash64(x || '#' || r) % Width — independent-enough row
-    * hashes from one base hash by salting with the row index.
+  /** The salt relation for DuckDB SQL twins — derived from Depth so the
+    * two engines cannot drift.
     */
-  def bucket(value: Column, r: Column): Column =
-    TextOps.hash64(concat(value, lit("#"), r.cast("string"))) % Width
+  val saltsSql: String =
+    s"(SELECT unnest([${(0 until Depth).mkString(", ")}]) AS r) rows"
 
   def bucketSql(valueExpr: String, rExpr: String): String =
-    s"${TextOps.hash64Sql(s"($valueExpr) || '#' || CAST($rExpr AS VARCHAR)")} % $Width"
+    TextOps.saltedBucketSql(valueExpr, rExpr, Width)
 
   /** Register table (r, c, cnt): one row per touched counter, absent
     * counters are zero. Merge sketches by summing cnt on (r, c).
     */
-  def registers(df: DataFrame, value: Column): DataFrame =
-    df.select(value.cast("string").as("v"), explode(rows).as("r"))
-      .groupBy(col("r"), bucket(col("v"), col("r")).as("c"))
+  def registers(df: DataFrame, value: org.apache.spark.sql.Column): DataFrame =
+    df.select(value.cast("string").as("v"), explode(salts).as("r"))
+      .groupBy(col("r"), TextOps.saltedBucket(col("v"), col("r"), Width).as("c"))
       .agg(count(lit(1)).as("cnt"))
 
   /** The register table as DuckDB SQL over `from`; `valueExpr` must
@@ -58,23 +58,29 @@ object Cms {
     */
   def registersSql(valueExpr: String, from: String): String =
     s"""SELECT r, ${bucketSql(valueExpr, "r")} AS c, count(*) AS cnt
-       |FROM $from CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) rows
+       |FROM $from CROSS JOIN $saltsSql
        |GROUP BY 1, 2""".stripMargin
 
   /** Point estimates for `probes` (a DataFrame with a `v` string column,
-    * any other columns carried through): min over rows of the addressed
-    * counters. Probes drawn from the sketched data always hit all Depth
-    * counters; a never-seen probe would miss rows entirely, so absent
-    * counters are restored as 0 via the left join + coalesce.
-    * The register table is Depth x Width rows -> broadcast the build side;
-    * no shuffle of the probe stream beyond its own groupBy.
+    * any other columns carried through — but not one named `est`): min
+    * over rows of the addressed counters, absent counters restored as 0
+    * via the left join + coalesce. Internal join columns are picked
+    * collision-free against the probe schema. The register table is
+    * Depth x Width rows -> broadcast; no shuffle beyond the probes' own
+    * groupBy.
     */
   def estimate(regs: DataFrame, probes: DataFrame): DataFrame = {
+    require(!probes.columns.contains("est"), "probes must not carry 'est'")
     val carried = probes.columns.filter(_ != "v").toSeq
-    probes.select((col("v") +: carried.map(col)) :+ explode(rows).as("r"): _*)
-      .withColumn("c", bucket(col("v"), col("r")))
-      .join(broadcast(regs), Seq("r", "c"), "left")
+    val taken = probes.columns.toSet
+    val rc = TextOps.freshName("__r", taken)
+    val cc = TextOps.freshName("__c", taken)
+    val nc = TextOps.freshName("__cnt", taken)
+    val regs2 = regs.select(col("r").as(rc), col("c").as(cc), col("cnt").as(nc))
+    probes.select((col("v") +: carried.map(col)) :+ explode(salts).as(rc): _*)
+      .withColumn(cc, TextOps.saltedBucket(col("v"), col(rc), Width))
+      .join(broadcast(regs2), Seq(rc, cc), "left")
       .groupBy((col("v") +: carried.map(col)): _*)
-      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+      .agg(min(coalesce(col(nc), lit(0L))).as("est"))
   }
 }

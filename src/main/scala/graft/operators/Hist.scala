@@ -39,14 +39,20 @@ object Hist {
     s"CAST(floor(($valueExpr) * 100) AS BIGINT) >> $BucketBits"
 
   /** Bucket counts (groupCols..., b, n): the register table. Merge
-    * histograms by summing n on (groupCols..., b).
+    * histograms by summing n on (groupCols..., b). groupCols must be
+    * non-empty: an ungrouped histogram would fold through a single
+    * partition in [[quantiles]] — wrap the input with a constant group
+    * column if one global histogram is genuinely wanted.
     */
-  def buckets(df: DataFrame, value: Column, groupCols: Seq[String]): DataFrame =
+  def buckets(df: DataFrame, value: Column, groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
     df.select((groupCols.map(col) :+ bucket(value).as("b")): _*)
       .groupBy((groupCols :+ "b").map(col): _*)
       .agg(count(lit(1)).as("n"))
+  }
 
   def bucketsSql(valueExpr: String, groupCols: Seq[String], from: String): String = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
     val g = groupCols.mkString(", ")
     s"""SELECT $g, ${bucketSql(valueExpr)} AS b, count(*) AS n
        |FROM $from GROUP BY $g, ${bucketSql(valueExpr)}""".stripMargin
@@ -55,16 +61,21 @@ object Hist {
   /** Per-group lower-bound-cents estimates for the given integer
     * percentiles: the first bucket whose cumulative count reaches the
     * rank target. The window partitions by the group — no global sort.
+    * Internal window columns are picked collision-free against `h`.
     */
   def quantiles(h: DataFrame, groupCols: Seq[String], percents: Seq[Int]): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val taken = h.columns.toSet
+    val cum = graft.operators.TextOps.freshName("__cum", taken)
+    val total = graft.operators.TextOps.freshName("__total", taken)
     val wCum = Window.partitionBy(groupCols.map(col): _*).orderBy(col("b"))
     val wAll = Window.partitionBy(groupCols.map(col): _*)
     val aggs = percents.map { p =>
-      (min(when(col("cum") * 100 >= col("total") * p, col("b")))
+      (min(when(col(cum) * 100 >= col(total) * p, col("b")))
         * (1L << BucketBits)).as(s"p${p}_cents")
     }
-    h.withColumn("cum", sum(col("n")).over(wCum))
-      .withColumn("total", sum(col("n")).over(wAll))
+    h.withColumn(cum, sum(col("n")).over(wCum))
+      .withColumn(total, sum(col("n")).over(wAll))
       .groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
   }

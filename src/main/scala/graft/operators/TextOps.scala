@@ -53,4 +53,19 @@ object TextOps {
     * Works identically under Java regex (Spark) and RE2 (DuckDB).
     */
   val TokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Row-salted bucketed hash shared by the CMS and Bloom sketches:
+    * hash64(value || '#' || salt) % size. ONE layout for both operators
+    * and both engines — change it here or hash parity silently forks.
+    */
+  def saltedBucket(value: Column, salt: Column, size: Int): Column =
+    hash64(concat(value, lit("#"), salt.cast("string"))) % size
+
+  def saltedBucketSql(valueExpr: String, saltExpr: String, size: Int): String =
+    s"${hash64Sql(s"($valueExpr) || '#' || CAST($saltExpr AS VARCHAR)")} % $size"
+
+  /** First internal name from `base`, `base1`, ... not already taken. */
+  def freshName(base: String, taken: Set[String]): String =
+    Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+      .filterNot(taken).next()
 }

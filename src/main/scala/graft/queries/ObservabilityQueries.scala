@@ -126,7 +126,7 @@ object ObservabilityQueries {
     // Point estimates vs exact counts for a deterministic probe subset
     // (user_id % 7 = 0): est = min over the 4 addressed counters, always
     // >= the true count (collisions only add). All-integer output, so the
-    // accuracy evidence itself is hash-exact. The 2 KB register table is
+    // accuracy evidence itself is hash-exact. The ~16 KB register table is
     // broadcast to the probes — no shuffle beyond the probes' own groupBy.
     QueryDef(
       "q_cms_estimate",
@@ -138,7 +138,7 @@ object ObservabilityQueries {
          |  FROM events WHERE user_id % 7 = 0 GROUP BY 1, 2),
          |pr AS (
          |  SELECT user_id, n_exact, r, ${Cms.bucketSql("v", "r")} AS c
-         |  FROM probes CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) rows)
+         |  FROM probes CROSS JOIN ${Cms.saltsSql})
          |SELECT user_id, n_exact,
          |       min(coalesce(cnt, 0)) AS est,
          |       min(coalesce(cnt, 0)) - n_exact AS overcount
@@ -193,7 +193,7 @@ object ObservabilityQueries {
          |  FROM customer),
          |pp AS (
          |  SELECT c_custkey, ${Bloom.posSql("v", "j")} AS pos
-         |  FROM probes CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) js),
+         |  FROM probes CROSS JOIN ${Bloom.saltsSql}),
          |m AS (
          |  SELECT c_custkey, count(hit) = count(*) AS maybe
          |  FROM pp LEFT JOIN (SELECT pos, 1 AS hit FROM bits) b USING (pos)

@@ -53,6 +53,18 @@ class BloomSpec extends SparkSpec {
     assert(!got(3L) && !got(4L))
   }
 
+  test("probes may carry columns named like the filter internals") {
+    import spark.implicits._
+    val bits = Bloom.bits(Seq(7L).toDF("v"), col("v"))
+    // pos / j / hit are the filter's working names — carried copies must
+    // neither collide nor be clobbered
+    val probes = Seq(("7", 1L, 2L, 3L)).toDF("v", "pos", "j", "hit")
+    val row = Bloom.mightContain(bits, probes)
+      .select(col("pos"), col("j"), col("hit"), col("maybe"))
+      .as[(Long, Long, Long, Boolean)].collect().head
+    assert(row == ((1L, 2L, 3L, true)))
+  }
+
   test("probe plan broadcasts the position set") {
     import spark.implicits._
     val bits = Bloom.bits(spark.range(100).select(col("id").as("v")), col("v"))

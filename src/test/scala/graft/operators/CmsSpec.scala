@@ -52,12 +52,32 @@ class CmsSpec extends SparkSpec {
     exact.foreach { case (k, n) =>
       assert(got(k.toLong) >= n, s"CMS underestimated key $k: ${got(k.toLong)} < $n")
     }
-    assert(got(100000L) >= 0L && got(100001L) >= 0L)
+    // the zero-restoration path needs a SPARSE sketch: with only 3 keys
+    // set (12 of 2048 counters), an unseen probe's 4 counters cannot all
+    // be hit, so the left-join + coalesce must surface an exact 0
+    val sparse = Cms.registers(Seq(1, 2, 3).toDF("v"), col("v"))
+    val sparseGot = Cms.estimate(sparse,
+        Seq(("999983", 0L), ("999984", 1L)).toDF("v", "k"))
+      .select(col("k"), col("est")).as[(Long, Long)].collect().toMap
+    assert(sparseGot(0L) == 0L && sparseGot(1L) == 0L,
+      s"unseen probes against a sparse sketch must read 0, got $sparseGot")
     // the error bound e*N/Width holds in expectation; assert a loose 8x
     val slack = 8L * math.ceil(math.E * vals.size / Cms.Width).toLong
     exact.foreach { case (k, n) =>
       assert(got(k.toLong) - n <= slack, s"key $k overcount ${got(k.toLong) - n}")
     }
+  }
+
+  test("probes may carry columns named like the sketch internals") {
+    import spark.implicits._
+    val regs = Cms.registers(Seq(5, 5, 6).toDF("v"), col("v"))
+    // r / c / cnt are the register-table names — carried copies must
+    // neither collide nor be clobbered
+    val probes = Seq(("5", 10L, 20L, 30L)).toDF("v", "r", "c", "cnt")
+    val row = Cms.estimate(regs, probes)
+      .select(col("r"), col("c"), col("cnt"), col("est"))
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(row == ((10L, 20L, 30L, 2L)))
   }
 
   test("register build partial-aggregates map-side; probes broadcast the sketch") {
