@@ -109,6 +109,12 @@ object ScaleProbe {
     timeDf("contamination")(graft.queries.CurationQueries.contamination(docs))
     timeDf("repetition_filter")(graft.queries.TextAnalytics.repetitionFilter(docs))
     timeDf("quantize")(graft.queries.SimilarityQueries.quantize(embeddings))
+    // duplicated-span coverage is LINEAR by construction (occurrence-count
+    // joins, never pairs) — the replicated corpus multiplies every span's
+    // doc count by k, so this is exactly the hot-span stress case
+    timeDf("dedup_spans")(graft.queries.DedupQueries.dupSpans(docs))
+    timeDf("unigram_logprob")(graft.queries.TextAnalytics.unigramLogprob(docs))
+    timeDf("source_mix_kl")(graft.queries.TextAnalytics.sourceMixKl(docs))
     // sketch family: all bounded-state one-shuffle shapes — the register
     // tables must stay constant-size as k grows, so time should track the
     // scan, not the output

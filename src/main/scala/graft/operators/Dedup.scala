@@ -84,6 +84,17 @@ object Dedup {
     docs.select(id.as("id"),
       explode(org.apache.spark.sql.graft.ArrayExpressions.shingleHashes(text, n)).as("h"))
 
+  /** Ordered (id, pos, shingle-hash) rows, pos = 1-based start word of the
+    * n-gram, multiplicity preserved — the positional input the
+    * duplicated-span coverage operator needs. Same map-side codegen'd
+    * shape as `shingleHashes` via the `ShingleHashSeq` expression.
+    */
+  def shingleHashSeq(docs: DataFrame, id: Column, text: Column, n: Int): DataFrame =
+    docs.select(id.as("id"),
+      posexplode(org.apache.spark.sql.graft.ArrayExpressions.shingleHashSeq(text, n))
+        .as(Seq("pos0", "h")))
+      .select(col("id"), (col("pos0") + 1).as("pos"), col("h"))
+
   /** Per-id MinHash signature columns m0..m{NumHashes-1}; one shuffle with
     * map-side partial min.
     */
@@ -149,6 +160,26 @@ object Dedup {
        |sh AS (
        |  SELECT DISTINCT id, h FROM (
        |    SELECT id, $h AS h, lead(wh, ${n - 1}) OVER win AS g
+       |    FROM wh WINDOW win AS (PARTITION BY id ORDER BY pos))
+       |  WHERE g IS NOT NULL)""".stripMargin
+  }
+
+  /** Positional twin of `shingleSql`: CTE `spans(id, pos, h)` with pos =
+    * 1-based start word, multiplicity preserved (no DISTINCT) — replays
+    * `shingleHashSeq` exactly.
+    */
+  def shinglePosSql(n: Int): String = {
+    val ws = TextOps.wordsSql("text")
+    val h = (0 until n).map(j => if (j == 0) "wh" else s"lead(wh, $j) OVER win")
+      .reduce((acc, whj) => s"(($acc) * $ShingleB + $whj) % $P")
+    s"""wpos AS (
+       |  SELECT id, unnest(range(1, len(ws) + 1)) AS pos, unnest(ws) AS w
+       |  FROM (SELECT id, $ws AS ws FROM base)),
+       |wh AS (
+       |  SELECT id, pos, ${TextOps.hash64Sql("w")} % $P AS wh FROM wpos),
+       |spans AS (
+       |  SELECT id, pos, h FROM (
+       |    SELECT id, pos, $h AS h, lead(wh, ${n - 1}) OVER win AS g
        |    FROM wh WINDOW win AS (PARTITION BY id ORDER BY pos))
        |  WHERE g IS NOT NULL)""".stripMargin
   }

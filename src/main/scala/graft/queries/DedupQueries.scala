@@ -25,6 +25,14 @@ object DedupQueries {
     */
   private val ShingleN = 5
 
+  /** Word n-gram width for q_dedup_spans. 6: long enough that a repeat is
+    * a copied passage, not a small-vocabulary collision (4-grams mark 70%+
+    * of this corpus; 6-grams mark the ~10% of docs that genuinely share
+    * text). Declared before `defs` — the oracle SQL interpolates it at
+    * object-init time.
+    */
+  private val SpanN = 6
+
   // ----- variant inputs (Spark) -----
 
   private def base(s: SparkSession, dir: String): DataFrame =
@@ -201,5 +209,72 @@ object DedupQueries {
       Dedup.simhashPairs(
         Dedup.simhash(withFirstWordReplaced(s, dir), col("id"), col("text")),
         maxHam = 3)
+    },
+
+    // Duplicated-span coverage (ExactSubstr dedup, Lee et al. 2021,
+    // re-expressed over word 6-grams): per doc, how many of its tokens sit
+    // inside a span that also occurs verbatim in ANOTHER doc. Unlike the
+    // pairwise dedup family this is LINEAR in corpus size — spans explode
+    // map-side (ShingleHashSeq), the duplicated-hash set is one groupBy on
+    // h, marking is a semi-join back, and coverage is a per-doc interval
+    // union (lead window + clamp), never doc x doc. A span shared by
+    // thousands of docs costs its occurrence count, not its pair count —
+    // the 100 TB shape; the raw corpus carries real cross-doc spans.
+    QueryDef(
+      "q_dedup_spans",
+      s"""WITH base AS (SELECT doc_id AS id, text FROM documents),
+         |${Dedup.shinglePosSql(SpanN)},
+         |duph AS (
+         |  SELECT h FROM (SELECT h, count(DISTINCT id) AS nd FROM spans GROUP BY h)
+         |  WHERE nd >= 2),
+         |starts AS (SELECT id, pos FROM spans JOIN duph USING (h)),
+         |cov AS (
+         |  SELECT id, pos, lead(pos) OVER (PARTITION BY id ORDER BY pos) AS nxt
+         |  FROM starts),
+         |per_doc AS (
+         |  SELECT id, count(*) AS n_dup_starts,
+         |         sum(CASE WHEN nxt IS NULL OR nxt - pos >= $SpanN
+         |                  THEN $SpanN ELSE nxt - pos END) AS n_dup_tokens
+         |  FROM cov GROUP BY id),
+         |totals AS (SELECT doc_id, len($wsSql) AS n_words FROM documents)
+         |SELECT t.doc_id, CAST(t.n_words AS BIGINT) AS n_words,
+         |       CAST(COALESCE(p.n_dup_starts, 0) AS BIGINT) AS n_dup_starts,
+         |       CAST(COALESCE(p.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+         |       round(COALESCE(p.n_dup_tokens, 0) * 1.0 / t.n_words
+         |             + 0.00000025, 4) AS dup_frac
+         |FROM totals t LEFT JOIN per_doc p ON p.id = t.doc_id""".stripMargin) { (s, dir) =>
+      dupSpans(Tables.documents(s, dir))
     })
+
+  /** q_dedup_spans body over an arbitrary documents relation (shared with
+    * the scale probe).
+    */
+  def dupSpans(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // spans feeds both the dup-hash build and the marking side — cache (at
+    // scale: persist the span table once per dedup pass)
+    val spans = Dedup.shingleHashSeq(
+      docs.select(col("doc_id").as("id"), col("text")),
+      col("id"), col("text"), SpanN).cache()
+    val duph = spans.groupBy(col("h"))
+      .agg(countDistinct(col("id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"))
+    val starts = spans.join(duph, Seq("h"), "left_semi").select(col("id"), col("pos"))
+    val win = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val perDoc = starts
+      .withColumn("nxt", lead(col("pos"), 1).over(win))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_dup_starts"),
+        sum(when(col("nxt").isNull || col("nxt") - col("pos") >= SpanN, SpanN)
+          .otherwise(col("nxt") - col("pos"))).cast("long").as("n_dup_tokens"))
+    val totals = docs.select(col("doc_id"),
+      size(TextOps.words(col("text"))).cast("long").as("n_words"))
+    totals.join(perDoc, totals("doc_id") === perDoc("id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_dup_starts"), lit(0L)).as("n_dup_starts"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        Num.r4(coalesce(col("n_dup_tokens"), lit(0L)) * 1.0 / col("n_words"))
+          .as("dup_frac"))
+  }
 }

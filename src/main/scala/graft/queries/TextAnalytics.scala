@@ -322,5 +322,93 @@ object TextAnalytics {
           .cast("int"))
         .filter(col("rnk") <= 3)
         .select("doc_id", "w", "tf", "dft", "tfidf", "rnk")
+    },
+
+    // Unigram-LM scoring (the CCNet-style perplexity quality filter, with
+    // the corpus's own unigram model standing in for the external KenLM):
+    // per doc, mean token log-probability and the perplexity exp(-avg).
+    // Shape: one dictionary aggregation, one scalar total, equijoin back
+    // over the token stream (AQE broadcasts the LM when it fits; at
+    // open-web scale the LM is a capped top-V dictionary with an OOV
+    // floor, so the broadcast stays bounded). ln/exp ulp noise sits far
+    // below the rounded 4-decimal grid (same argument as q_tfidf).
+    QueryDef(
+      "q_unigram_logprob",
+      s"""WITH wpos AS (
+         |  SELECT doc_id, unnest(${TextOps.wordsSql("text")}) AS w FROM documents),
+         |vocab AS (SELECT w, count(*) AS cnt FROM wpos GROUP BY w),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM vocab),
+         |lm AS (SELECT w, ln(cnt * 1.0 / t) AS logp FROM vocab, tot)
+         |SELECT doc_id, count(*) AS n_words,
+         |       round(avg(logp) + 0.00000025, 4) AS avg_logp,
+         |       round(exp(-avg(logp)) + 0.00000025, 4) AS ppl
+         |FROM wpos JOIN lm USING (w)
+         |GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      unigramLogprob(Tables.documents(s, dir))
+    },
+
+    // Domain-mixture audit (the data-mixing / DoReMi-shaped measurement):
+    // per source, KL(P_source || P_corpus) over the unigram distribution —
+    // how far each domain's token mix sits from the corpus blend, the
+    // number a mixture-reweighting pass consumes. Shape: one (source, w)
+    // count feeding three roll-ups, equijoined back on w; never more than
+    // dictionary-sized intermediates per source.
+    QueryDef(
+      "q_source_mix_kl",
+      s"""WITH wpos AS (
+         |  SELECT source, unnest(${TextOps.wordsSql("text")}) AS w FROM documents),
+         |sw AS (SELECT source, w, count(*) AS c FROM wpos GROUP BY source, w),
+         |st AS (SELECT source, CAST(sum(c) AS BIGINT) AS ts FROM sw GROUP BY source),
+         |gw AS (SELECT w, CAST(sum(c) AS BIGINT) AS cg FROM sw GROUP BY w),
+         |g AS (SELECT CAST(sum(cg) AS BIGINT) AS tg FROM gw),
+         |terms AS (
+         |  SELECT sw.source,
+         |         (sw.c * 1.0 / st.ts)
+         |           * ln((sw.c * 1.0 / st.ts) / (gw.cg * 1.0 / g.tg)) AS term
+         |  FROM sw JOIN st USING (source) JOIN gw USING (w), g),
+         |nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+         |SELECT t.source, nd.n_docs, st.ts AS n_tokens,
+         |       round(sum(t.term) + 0.00000025, 4) AS kl
+         |FROM terms t JOIN nd ON nd.source = t.source
+         |             JOIN st ON st.source = t.source
+         |GROUP BY t.source, nd.n_docs, st.ts""".stripMargin) { (s, dir) =>
+      sourceMixKl(Tables.documents(s, dir))
     })
+
+  /** q_unigram_logprob body over an arbitrary documents relation (shared
+    * with the scale probe).
+    */
+  def unigramLogprob(docs: DataFrame): DataFrame = {
+    val wpos = docs.select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
+    val vocab = wpos.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val tot = vocab.agg(sum(col("cnt")).as("t"))
+    val lm = vocab.crossJoin(broadcast(tot))
+      .select(col("w"), log(col("cnt") * 1.0 / col("t")).as("logp"))
+    wpos.join(lm, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        Num.r4(avg(col("logp"))).as("avg_logp"),
+        Num.r4(exp(-avg(col("logp")))).as("ppl"))
+  }
+
+  /** q_source_mix_kl body over an arbitrary documents relation (shared
+    * with the scale probe).
+    */
+  def sourceMixKl(docs: DataFrame): DataFrame = {
+    val wpos = docs.select(col("source"), explode(TextOps.words(col("text"))).as("w"))
+    val sw = wpos.groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    val st = sw.groupBy(col("source")).agg(sum(col("c")).as("ts"))
+    val gw = sw.groupBy(col("w")).agg(sum(col("c")).as("cg"))
+    val g = gw.agg(sum(col("cg")).as("tg"))
+    val terms = sw.join(st, "source").join(gw, "w").crossJoin(broadcast(g))
+      .select(col("source"),
+        ((col("c") * 1.0 / col("ts"))
+          * log((col("c") * 1.0 / col("ts")) / (col("cg") * 1.0 / col("tg"))))
+          .as("term"))
+    val nd = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    terms.groupBy(col("source"))
+      .agg(Num.r4(sum(col("term"))).as("kl"))
+      .join(nd, "source").join(st, "source")
+      .select(col("source"), col("n_docs"), col("ts").as("n_tokens"), col("kl"))
+  }
 }

@@ -77,6 +77,9 @@ object ArrayExpressions {
   def shingleHashes(c: Column, n: Int): Column =
     ExpressionUtils.column(ShingleHashArray(ExpressionUtils.expression(c), n))
 
+  def shingleHashSeq(c: Column, n: Int): Column =
+    ExpressionUtils.column(ShingleHashSeq(ExpressionUtils.expression(c), n))
+
   def repetitionStats(c: Column): Column =
     ExpressionUtils.column(RepetitionStats(ExpressionUtils.expression(c)))
 }

@@ -51,6 +51,17 @@ object GraftExtensions {
         }
         ShingleHashArray(children.head, n)
       }),
+    (new FunctionIdentifier("shingle_hash_seq"),
+      new ExpressionInfo(classOf[ShingleHashSeq].getName, "shingle_hash_seq"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "shingle_hash_seq takes (text, n)")
+        val n = children(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"shingle_hash_seq n must be an integer literal, got $other")
+        }
+        ShingleHashSeq(children.head, n)
+      }),
     (new FunctionIdentifier("repetition_stats"),
       new ExpressionInfo(classOf[RepetitionStats].getName, "repetition_stats"),
       (children: Seq[Expression]) => {

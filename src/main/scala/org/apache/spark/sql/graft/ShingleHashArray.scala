@@ -41,13 +41,12 @@ case class ShingleHashArray(child: Expression, n: Int)
 
 object ShingleHashArray {
 
-  /** Distinct composed shingle hashes, ascending; empty for < n words. */
-  def hashes(text: UTF8String, n: Int): ArrayData = {
+  /** Per-word md5-prefix64 % P hashes, tokenized exactly like
+    * `TextOps.words` (shared with `ShingleHashSeq`).
+    */
+  private[graft] def wordHashes(text: UTF8String): Array[Long] = {
     // identical tokenization to TextOps.words = split(trim(text), "\s+")
     val words = graft.operators.TextOps.wordsJvm(text.toString)
-    if (words.length < n)
-      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-        .fromPrimitiveArray(Array.emptyLongArray)
     val md = Md5Prefix64.threadLocalMd()
     val wh = new Array[Long](words.length)
     var i = 0
@@ -57,16 +56,30 @@ object ShingleHashArray {
         graft.operators.Dedup.P
       i += 1
     }
+    wh
+  }
+
+  /** Composed hash of the n-gram starting at word index i. */
+  private[graft] def composeAt(wh: Array[Long], i: Int, n: Int): Long = {
+    var h = wh(i)
+    var j = 1
+    while (j < n) {
+      h = (h * graft.operators.Dedup.ShingleB + wh(i + j)) % graft.operators.Dedup.P
+      j += 1
+    }
+    h
+  }
+
+  /** Distinct composed shingle hashes, ascending; empty for < n words. */
+  def hashes(text: UTF8String, n: Int): ArrayData = {
+    val wh = wordHashes(text)
+    if (wh.length < n)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.emptyLongArray)
     val set = new java.util.TreeSet[java.lang.Long]()
-    i = 0
-    while (i <= words.length - n) {
-      var h = wh(i)
-      var j = 1
-      while (j < n) {
-        h = (h * graft.operators.Dedup.ShingleB + wh(i + j)) % graft.operators.Dedup.P
-        j += 1
-      }
-      set.add(h)
+    var i = 0
+    while (i <= wh.length - n) {
+      set.add(composeAt(wh, i, n))
       i += 1
     }
     val out = new Array[Long](set.size)

@@ -158,4 +158,30 @@ class PlanSpec extends SparkSpec {
     assert(!scan.contains("lang") && !scan.contains("source"),
       s"documents scan must read only (doc_id, text):\n$scan")
   }
+
+  test("q_dedup_spans: spans built map-side, marking is a semi-join, no cartesian") {
+    val p = plan("q_dedup_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span marking must be an equijoin on h:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"dup-hash marking must be a semi-join (no row multiplication):\n$p")
+    assert(!p.toLowerCase.contains("exchange singlepartition") ||
+      p.contains("AdaptiveSparkPlan"),
+      s"no single-partition funnel in the span pipeline:\n$p")
+    val scan = p.split("\n").find(_.contains("FileScan parquet")).get
+    assert(!scan.contains("lang") && !scan.contains("n_chars"),
+      s"documents scan must read only (doc_id, text):\n$scan")
+  }
+
+  test("q_unigram_logprob / q_source_mix_kl: dictionary joins never nested-loop") {
+    Seq("q_unigram_logprob", "q_source_mix_kl").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      // the only BroadcastNestedLoopJoin allowed is the bounded 1-row
+      // total (crossJoin(broadcast(tot))) — assert the dictionary join on
+      // w is hash-based
+      assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+        p.contains("ShuffledHashJoin"), s"$q dictionary join must be on w:\n$p")
+    }
+  }
 }

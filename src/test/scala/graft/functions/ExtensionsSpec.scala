@@ -41,6 +41,13 @@ class ExtensionsSpec extends SparkSpec {
         .collect().head.getInt(0) == 2)
       assert(spark.sql("SELECT repetition_stats('a b c d').n_grams AS g")
         .collect().head.getLong(0) == 2L)
+      assert(spark.sql("SELECT size(shingle_hash_seq('a b a b a', 3)) AS n")
+        .collect().head.getInt(0) == 3)
+      // ordered variant keeps duplicates; distinct variant collapses them
+      assert(spark.sql(
+        "SELECT size(shingle_hash_seq('a b a b a b a', 3)) AS s, " +
+          "size(shingle_hashes('a b a b a b a', 3)) AS d")
+        .collect().map(r => (r.getInt(0), r.getInt(1))).head == ((5, 2)))
       // fewer words than a shingle: empty set / null stats
       assert(spark.sql("SELECT size(shingle_hashes('a b', 3)) AS n")
         .collect().head.getInt(0) == 0)

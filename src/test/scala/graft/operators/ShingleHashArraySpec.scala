@@ -46,6 +46,42 @@ class ShingleHashArraySpec extends SparkSpec {
     }
   }
 
+  test("ordered seq variant: parity with the positional window formulation") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(29)
+    val vocab = Seq("spark", "scan", "agg", "row", "a")
+    val docs = (0 until 40).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(25))(vocab(rnd.nextInt(vocab.length)))
+        .mkString(" "))
+    }.toDF("id", "text")
+    Seq(3, 6).foreach { n =>
+      val win = Window.partitionBy("id").orderBy("pos")
+      val h = (0 until n).map(j => if (j == 0) col("wh") else lead("wh", j).over(win))
+        .reduce((acc, whj) => (acc * Dedup.ShingleB + whj) % Dedup.P)
+      val a = docs
+        .select(col("id"), posexplode(TextOps.words(col("text"))).as(Seq("pos", "w")))
+        .select(col("id"), col("pos"), (TextOps.hash64(col("w")) % Dedup.P).as("wh"))
+        .select(col("id"), col("pos"), h.as("h"), lead("wh", n - 1).over(win).as("g"))
+        .filter(col("g").isNotNull)
+        .select(col("id"), col("pos"), col("h"))
+        .as[(Long, Int, Long)].collect().toSet
+      val b = docs
+        .select(col("id"), posexplode(org.apache.spark.sql.graft.ArrayExpressions
+          .shingleHashSeq(col("text"), n)).as(Seq("pos", "h")))
+        .as[(Long, Int, Long)].collect().toSet
+      assert(b == a, s"n=$n deviates: only-old=${a -- b}, only-new=${b -- a}")
+      // distinct of the ordered seq == the set variant, doc by doc
+      val c = docs
+        .select(col("id"), explode(org.apache.spark.sql.graft.ArrayExpressions
+          .shingleHashSeq(col("text"), n)).as("h")).distinct()
+        .as[(Long, Long)].collect().toSet
+      val d = Dedup.shingleHashes(docs, col("id"), col("text"), n)
+        .as[(Long, Long)].collect().toSet
+      assert(c == d)
+    }
+  }
+
   test("shingle build is shuffle-free (no exchange before consumers)") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e f")).toDF("id", "text")
