@@ -17,6 +17,7 @@ object CurationQueries {
 
   private val SampleSalt = "smp"
   private val SplitSalt = "spl"
+  private val BalanceSalt = "bal"
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -158,6 +159,52 @@ object CurationQueries {
          |             + 0.00000025, 4) AS overlap
          |FROM totals LEFT JOIN hits ON hits.id = totals.id""".stripMargin) { (s, dir) =>
       contamination(Tables.documents(s, dir))
+    },
+
+    // Group (domain) rebalancing — the resampling step downstream of a
+    // mixture audit like q_source_mix_kl: over-represented groups are
+    // deterministically downsampled to an equal-share target
+    // T = ceil(total / n_groups), under-represented ones kept whole.
+    // Demo group = lang (genuinely skewed: en is ~44% of the corpus).
+    // The keep rule is pure integer arithmetic on the salted id hash —
+    // keep iff (h % 1e6) * n_g < T * 1e6, i.e. probability min(1, T/n_g)
+    // — so membership is exact in both engines, reproducible on any
+    // partitioning, and stable under appends. At 100 TB: the per-group
+    // count table is domain-sized -> broadcast back; the decision itself
+    // is a map-side filter.
+    QueryDef(
+      "q_lang_balance",
+      s"""WITH counts AS (
+         |  SELECT lang, count(*) AS n_g FROM documents GROUP BY lang),
+         |tot AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_groups,
+         |         CAST(sum(n_g) AS BIGINT) AS total FROM counts),
+         |tgt AS (
+         |  SELECT CAST(ceil(total * 1.0 / n_groups) AS BIGINT) AS t FROM tot),
+         |kept AS (
+         |  SELECT d.lang,
+         |         CASE WHEN (${TextOps.hash64Sql(s"concat('$BalanceSalt', doc_id)")} % 1000000)
+         |                     * c.n_g < t.t * 1000000
+         |              THEN 1 ELSE 0 END AS keep
+         |  FROM documents d JOIN counts c ON c.lang = d.lang, tgt t)
+         |SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(keep) AS BIGINT) AS n_kept,
+         |       round(sum(keep) * 1.0 / count(*) + 0.00000025, 4) AS kept_frac
+         |FROM kept GROUP BY lang""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_g"))
+      val tgt = counts
+        .agg(count(lit(1)).as("n_groups"), sum(col("n_g")).as("total"))
+        .select(ceil(col("total") * 1.0 / col("n_groups")).cast("long").as("t"))
+      val h = TextOps.hash64(concat(lit(BalanceSalt), col("doc_id"))) % 1000000L
+      docs.join(broadcast(counts), "lang")
+        .crossJoin(broadcast(tgt))
+        .select(col("lang"),
+          when(h * col("n_g") < col("t") * 1000000L, 1L).otherwise(0L).as("keep"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("keep")).as("n_kept"),
+          Num.r4(sum(col("keep")) * 1.0 / count(lit(1))).as("kept_frac"))
     })
 
   /** q_train_eval_contamination body over an arbitrary documents relation

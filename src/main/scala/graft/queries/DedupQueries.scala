@@ -199,6 +199,57 @@ object DedupQueries {
         .withColumn("n_cluster", count(lit(1)).over(Window.partitionBy(col("cluster"))))
     },
 
+    // Near-dup survivors: the step that turns cluster evidence into the
+    // DEDUPED CORPUS — keep every unclustered doc plus the
+    // numerically-smallest member of each near-dup cluster. Shape: the
+    // cluster mapping (tiny: only docs with a verified near-dup) is
+    // aggregated to per-cluster keepers and anti/semi-joined against the
+    // corpus id set — at 100 TB the mapping broadcasts and the decision
+    // is map-side against the full corpus scan.
+    QueryDef(
+      "q_dedup_survivors",
+      s"""WITH RECURSIVE $truncatedBaseSql,
+         |${Dedup.shingleSql(ShingleN)},
+         |${Dedup.signatureSql},
+         |${Dedup.bandsSql},
+         |${Dedup.candidateSql},
+         |${Dedup.jaccardSql},
+         |vpairs AS (SELECT a, b FROM jac WHERE jaccard >= 0.35),
+         |reach AS (
+         |  SELECT id, id AS r FROM (
+         |    SELECT a AS id FROM vpairs UNION SELECT b FROM vpairs)
+         |  UNION
+         |  SELECT e.b AS id, reach.r
+         |  FROM reach JOIN (
+         |    SELECT a, b FROM vpairs
+         |    UNION SELECT b AS a, a AS b FROM vpairs) e ON e.a = reach.id),
+         |clusters AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+         |keepers AS (SELECT cluster, min(id) AS keeper FROM clusters GROUP BY cluster)
+         |SELECT b.id,
+         |       CAST(CASE WHEN c.id IS NULL OR k.keeper = b.id
+         |                 THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM base b
+         |LEFT JOIN clusters c ON c.id = b.id
+         |LEFT JOIN keepers k ON k.cluster = c.cluster""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ids = withTruncatedCopies(s, dir).select(col("id"))
+      val sh = Dedup.shingleHashes(withTruncatedCopies(s, dir), col("id"), col("text"), ShingleN)
+        .cache()
+      val cand = Dedup.candidatePairs(Dedup.bandKeys(Dedup.minhashSignatures(sh)))
+      val verified = Dedup.jaccard(cand, sh)
+        .filter(col("jaccard") >= 0.35)
+        .select(col("a"), col("b")).as[(Long, Long)]
+      val clusters = graft.operators.Identity.connectedComponentsAdaptive(verified)
+        .select(col("node").as("cid"), col("component").as("cluster"))
+      val keepers = clusters.groupBy(col("cluster")).agg(min(col("cid")).as("keeper"))
+      ids
+        .join(broadcast(clusters), col("id") === col("cid"), "left")
+        .join(broadcast(keepers), Seq("cluster"), "left")
+        .select(col("id"),
+          when(col("cid").isNull || col("keeper") === col("id"), 1L)
+            .otherwise(0L).as("kept"))
+    },
+
     // SimHash signatures + chunk-blocked near-identical pairs (ham <= 3).
     QueryDef(
       "q_dedup_simhash",

@@ -18,6 +18,13 @@ object SimilarityQueries {
       |                               CAST(embedding AS DOUBLE[]))) AS nrm
       |  FROM embeddings)""".stripMargin
 
+  /** Truncated prefix width for q_embed_truncate_recall (vectors are
+    * 64-dim). Declared before `defs` — interpolated into oracle SQL at
+    * object-init time.
+    */
+  private val TruncDims = 32
+  private val MaxQueryId = 20
+
   val defs: Seq[QueryDef] = Seq(
 
     // Brute-force cosine near-dup pairs (threshold 0.4). Baseline for the
@@ -290,6 +297,68 @@ object SimilarityQueries {
         |       round(avg(abs(x - q * scale / 127)) + 0.00000025, 4) AS mean_abs_err
         |FROM qq GROUP BY vec_id""".stripMargin) { (s, dir) =>
       quantize(Tables.embeddings(s, dir))
+    },
+
+    // Matryoshka-style truncation eval: rank neighbors by the cosine of
+    // the FIRST 32 of 64 dimensions and score recall@5 against the
+    // full-dimension exact top-5 — the measurement that decides whether a
+    // cheaper truncated index is good enough (same eval harness shape as
+    // q_ann_ivf_recall, with truncation as the approximation instead of
+    // IVF). Rankings use the rounded cosine with id tie-break, so order is
+    // engine-exact; both rankings share one broadcast-kernel pass.
+    QueryDef(
+      "q_embed_truncate_recall",
+      s"""WITH $prepSql,
+         |tr AS (
+         |  SELECT vec_id, e, nrm, e[1:$TruncDims] AS te,
+         |         sqrt(list_dot_product(e[1:$TruncDims], e[1:$TruncDims])) AS tnrm
+         |  FROM prep),
+         |exact AS (
+         |  SELECT q, b FROM (
+         |    SELECT a.vec_id AS q, b.vec_id AS b,
+         |           row_number() OVER (
+         |             PARTITION BY a.vec_id
+         |             ORDER BY round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm) + 0.00000025, 4) DESC,
+         |                      b.vec_id) AS rank
+         |    FROM tr a JOIN tr b ON b.vec_id != a.vec_id
+         |    WHERE a.vec_id < $MaxQueryId)
+         |  WHERE rank <= 5),
+         |approx AS (
+         |  SELECT q, b FROM (
+         |    SELECT a.vec_id AS q, b.vec_id AS b,
+         |           row_number() OVER (
+         |             PARTITION BY a.vec_id
+         |             ORDER BY round(list_dot_product(a.te, b.te) / (a.tnrm * b.tnrm) + 0.00000025, 4) DESC,
+         |                      b.vec_id) AS rank
+         |    FROM tr a JOIN tr b ON b.vec_id != a.vec_id
+         |    WHERE a.vec_id < $MaxQueryId)
+         |  WHERE rank <= 5)
+         |SELECT e.q, round(count(a.b) / 5.0 + 0.00000025, 4) AS recall
+         |FROM exact e
+         |LEFT JOIN approx a ON a.q = e.q AND a.b = e.b
+         |GROUP BY e.q""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tr = Similarity.prepared(Tables.embeddings(s, dir))
+        .withColumn("te", slice(col("e"), 1, TruncDims))
+        .withColumn("tnrm",
+          sqrt(graft.functions.ArrayMath.dot(col("te"), col("te"))))
+      val q = tr.filter(col("vec_id") < MaxQueryId)
+        .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"),
+          col("te").as("qte"), col("tnrm").as("qtn"))
+      val joined = broadcast(q).join(tr.as("b"), col("b.vec_id") =!= col("qid"))
+        .select(col("qid").as("q"), col("b.vec_id").as("b"),
+          Num.r4(Similarity.cosine(col("qe"), col("b.e"), col("qn"), col("b.nrm"))).as("cos"),
+          Num.r4(Similarity.cosine(col("qte"), col("b.te"), col("qtn"), col("b.tnrm"))).as("tcos"))
+      def top5(byCol: String) = joined
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("q")).orderBy(col(byCol).desc, col("b"))))
+        .filter(col("rank") <= 5)
+        .select(col("q"), col("b"))
+      top5("cos")
+        .join(top5("tcos").withColumnRenamed("b", "ab").withColumnRenamed("q", "aq"),
+          col("aq") === col("q") && col("ab") === col("b"), "left")
+        .groupBy(col("q"))
+        .agg(Num.r4(count(col("ab")) / 5.0).as("recall"))
     })
 
   /** q_embed_quantize body over an arbitrary embeddings relation (the

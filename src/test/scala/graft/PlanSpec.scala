@@ -173,6 +173,13 @@ class PlanSpec extends SparkSpec {
       s"documents scan must read only (doc_id, text):\n$scan")
   }
 
+  test("q_dedup_survivors: keep decision is a broadcast join against the corpus") {
+    val p = plan("q_dedup_survivors")
+    assert(!p.contains("CartesianProduct"), s"survivors must not cross-join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the near-dup-sized cluster mapping must broadcast:\n$p")
+  }
+
   test("q_unigram_logprob / q_source_mix_kl: dictionary joins never nested-loop") {
     Seq("q_unigram_logprob", "q_source_mix_kl").foreach { q =>
       val p = plan(q)
