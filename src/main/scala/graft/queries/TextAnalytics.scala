@@ -379,7 +379,10 @@ object TextAnalytics {
     * with the scale probe).
     */
   def unigramLogprob(docs: DataFrame): DataFrame = {
+    // wpos feeds both the LM build and the scoring join — cache so the
+    // corpus tokenizes once (at scale: persist the token table per pass)
     val wpos = docs.select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
+      .cache()
     val vocab = wpos.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
     val tot = vocab.agg(sum(col("cnt")).as("t"))
     val lm = vocab.crossJoin(broadcast(tot))
@@ -396,7 +399,10 @@ object TextAnalytics {
     */
   def sourceMixKl(docs: DataFrame): DataFrame = {
     val wpos = docs.select(col("source"), explode(TextOps.words(col("text"))).as("w"))
+    // sw is dictionary-sized (n_sources x vocab) and feeds three roll-ups
+    // — cache, or the corpus tokenizes once per consumer
     val sw = wpos.groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .cache()
     val st = sw.groupBy(col("source")).agg(sum(col("c")).as("ts"))
     val gw = sw.groupBy(col("w")).agg(sum(col("c")).as("cg"))
     val g = gw.agg(sum(col("cg")).as("tg"))

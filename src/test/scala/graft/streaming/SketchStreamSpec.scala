@@ -66,6 +66,41 @@ class SketchStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming Bloom guard: stateless probe, no false negatives, batch parity") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.operators.Bloom
+
+    // train-side filter, built batch-side (bounded <= 2^16 rows)
+    val members = (0 until 800).map(i => s"shingle-$i")
+    val bits = Bloom.bits(members.toDF("v"), col("v")).cache()
+    bits.count()
+
+    // probe stream: half members, half guaranteed-absent keys
+    val probes = (0 until 400).map(i => s"shingle-$i") ++
+      (0 until 400).map(i => s"absent-$i")
+    val input = MemoryStream[String]
+    val out = Bloom.mightContainStream(bits, input.toDF().toDF("v"))
+    val query = out.writeStream.format("memory").queryName("bloom_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      probes.grouped(200).foreach { c => input.addData(c); query.processAllAvailable() }
+      val streamed = spark.table("bloom_stream")
+        .as[(String, Boolean)].collect().toMap
+      assert(streamed.size == probes.size)
+      // NO false negatives — every true member must read maybe=true
+      assert((0 until 400).forall(i => streamed(s"shingle-$i")),
+        "a Bloom filter must never reject a member")
+      // the guard actually sheds most definite-absent keys map-side
+      val fp = (0 until 400).count(i => streamed(s"absent-$i"))
+      assert(fp < 40, s"false-positive count $fp/400 is implausibly high")
+      // row-for-row parity with the batch probe
+      val batch = Bloom.mightContain(bits, probes.toDF("v"))
+        .as[(String, Boolean)].collect().toMap
+      assert(streamed == batch)
+    } finally query.stop()
+  }
+
   test("streaming CMS registers equal batch registers over the same log") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
