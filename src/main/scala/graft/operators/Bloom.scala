@@ -93,9 +93,11 @@ object Bloom {
     * No aggregation, no watermark, no state store — runs in append mode,
     * so a live ingestion stream can shed definite-nonmembers (or flag
     * definite-possible contamination) map-side against a train-side
-    * filter. Same semantics as [[mightContain]] row-for-row (parity is
-    * spec'd); internal columns are picked collision-free against the
-    * probe schema.
+    * filter. Per-KEY verdicts match [[mightContain]] exactly (spec'd);
+    * cardinality differs on duplicate probe rows — the batch probe's
+    * groupBy collapses them, this variant is one output row per input
+    * row, which is the correct shape for a pass-through stream guard.
+    * Internal columns are picked collision-free against the probe schema.
     */
   def mightContainStream(bits: DataFrame, probes: DataFrame): DataFrame = {
     require(!probes.columns.contains("maybe"), "probes must not carry 'maybe'")

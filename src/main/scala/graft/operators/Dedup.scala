@@ -148,25 +148,11 @@ object Dedup {
     * provided by a CTE named `base` — the same positional word-hash
     * composition as shingleHashes, via lead() over (id, pos).
     */
-  def shingleSql(n: Int): String = {
-    val ws = TextOps.wordsSql("text")
-    val h = (0 until n).map(j => if (j == 0) "wh" else s"lead(wh, $j) OVER win")
-      .reduce((acc, whj) => s"(($acc) * $ShingleB + $whj) % $P")
-    s"""wpos AS (
-       |  SELECT id, unnest(range(1, len(ws) + 1)) AS pos, unnest(ws) AS w
-       |  FROM (SELECT id, $ws AS ws FROM base)),
-       |wh AS (
-       |  SELECT id, pos, ${TextOps.hash64Sql("w")} % $P AS wh FROM wpos),
-       |sh AS (
-       |  SELECT DISTINCT id, h FROM (
-       |    SELECT id, $h AS h, lead(wh, ${n - 1}) OVER win AS g
-       |    FROM wh WINDOW win AS (PARTITION BY id ORDER BY pos))
-       |  WHERE g IS NOT NULL)""".stripMargin
-  }
-
-  /** Positional twin of `shingleSql`: CTE `spans(id, pos, h)` with pos =
-    * 1-based start word, multiplicity preserved (no DISTINCT) — replays
-    * `shingleHashSeq` exactly.
+  /** Positional shingle CTEs: `spans(id, pos, h)` with pos = 1-based
+    * start word, multiplicity preserved (no DISTINCT) — replays
+    * `shingleHashSeq` exactly. `shingleSql` derives the distinct set from
+    * this, so tokenization and the rolling-hash composition live in ONE
+    * string.
     */
   def shinglePosSql(n: Int): String = {
     val ws = TextOps.wordsSql("text")
@@ -183,6 +169,13 @@ object Dedup {
        |    FROM wh WINDOW win AS (PARTITION BY id ORDER BY pos))
        |  WHERE g IS NOT NULL)""".stripMargin
   }
+
+  /** Distinct (id, h) shingle set as CTE `sh` — the set `shingleHashes`
+    * computes, derived from the positional CTEs above.
+    */
+  def shingleSql(n: Int): String =
+    s"""${shinglePosSql(n)},
+       |sh AS (SELECT DISTINCT id, h FROM spans)""".stripMargin
 
   def signatureSql: String = {
     val mins = (0 until NumHashes)
@@ -226,6 +219,27 @@ object Dedup {
       |  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
       |  JOIN sizes sa ON sa.id = c.a
       |  JOIN sizes sb ON sb.id = c.b)""".stripMargin
+
+  /** Verified pairs CTE `vpairs(a, b)` from `jac` at `threshold`. */
+  def vpairsSql(threshold: Double): String =
+    s"vpairs AS (SELECT a, b FROM jac WHERE jaccard >= $threshold)"
+
+  /** Recursive min-label clustering over `vpairs` -> CTE
+    * `clusters(id, cluster)` (cluster = numerically-smallest member).
+    * The one place the clustering contract lives for oracle SQL — shared
+    * by q_dedup_clusters and q_dedup_survivors, mirroring
+    * `Identity.connectedComponents*` on the Spark side.
+    */
+  val clustersSql: String =
+    """reach AS (
+      |  SELECT id, id AS r FROM (
+      |    SELECT a AS id FROM vpairs UNION SELECT b FROM vpairs)
+      |  UNION
+      |  SELECT e.b AS id, reach.r
+      |  FROM reach JOIN (
+      |    SELECT a, b FROM vpairs
+      |    UNION SELECT b AS a, a AS b FROM vpairs) e ON e.a = reach.id),
+      |clusters AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)""".stripMargin
 
   // -------------------------------------------------------------- simhash
 

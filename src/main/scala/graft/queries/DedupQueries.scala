@@ -33,6 +33,33 @@ object DedupQueries {
     */
   private val SpanN = 6
 
+  /** Verified-pair Jaccard cut for the clustering queries (before `defs`
+    * for the same init-order reason).
+    */
+  private val JaccardThreshold = 0.35
+
+  /** Verified near-dup clusters over the truncated-copies corpus —
+    * (node, component), shared by q_dedup_clusters / q_dedup_survivors so
+    * the clustering contract lives in one place on BOTH sides (SQL twin:
+    * `Dedup.vpairsSql` + `Dedup.clustersSql`). Adaptive CC: verified
+    * near-dup pairs are sparse, so the common case is the driver-local
+    * union-find kernel; a pair set past the bound falls back to
+    * distributed propagation.
+    */
+  private def verifiedClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = Dedup.shingleHashes(
+      withTruncatedCopies(s, dir), col("id"), col("text"), ShingleN).cache()
+    // cand feeds both sides of Dedup.jaccard — cache, or the band
+    // self-join subplan executes twice
+    val cand = Dedup.candidatePairs(Dedup.bandKeys(Dedup.minhashSignatures(sh)))
+      .cache()
+    val verified = Dedup.jaccard(cand, sh)
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("a"), col("b")).as[(Long, Long)]
+    graft.operators.Identity.connectedComponentsAdaptive(verified)
+  }
+
   // ----- variant inputs (Spark) -----
 
   private def base(s: SparkSession, dir: String): DataFrame =
@@ -170,31 +197,12 @@ object DedupQueries {
          |${Dedup.bandsSql},
          |${Dedup.candidateSql},
          |${Dedup.jaccardSql},
-         |vpairs AS (SELECT a, b FROM jac WHERE jaccard >= 0.35),
-         |reach AS (
-         |  SELECT id, id AS r FROM (
-         |    SELECT a AS id FROM vpairs UNION SELECT b FROM vpairs)
-         |  UNION
-         |  SELECT e.b AS id, reach.r
-         |  FROM reach JOIN (
-         |    SELECT a, b FROM vpairs
-         |    UNION SELECT b AS a, a AS b FROM vpairs) e ON e.a = reach.id),
-         |clusters AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+         |${Dedup.vpairsSql(JaccardThreshold)},
+         |${Dedup.clustersSql}
          |SELECT id, cluster, count(*) OVER (PARTITION BY cluster) AS n_cluster
          |FROM clusters""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      import s.implicits._
-      val sh = Dedup.shingleHashes(withTruncatedCopies(s, dir), col("id"), col("text"), ShingleN)
-        .cache()
-      val cand = Dedup.candidatePairs(Dedup.bandKeys(Dedup.minhashSignatures(sh)))
-        .cache()
-      val verified = Dedup.jaccard(cand, sh)
-        .filter(col("jaccard") >= 0.35)
-        .select(col("a"), col("b")).as[(Long, Long)]
-      // adaptive CC: verified near-dup pairs are sparse, so the common
-      // case is the driver-local union-find kernel; a pair set past the
-      // bound falls back to distributed propagation
-      graft.operators.Identity.connectedComponentsAdaptive(verified)
+      verifiedClusters(s, dir)
         .select(col("node").as("id"), col("component").as("cluster"))
         .withColumn("n_cluster", count(lit(1)).over(Window.partitionBy(col("cluster"))))
     },
@@ -214,16 +222,8 @@ object DedupQueries {
          |${Dedup.bandsSql},
          |${Dedup.candidateSql},
          |${Dedup.jaccardSql},
-         |vpairs AS (SELECT a, b FROM jac WHERE jaccard >= 0.35),
-         |reach AS (
-         |  SELECT id, id AS r FROM (
-         |    SELECT a AS id FROM vpairs UNION SELECT b FROM vpairs)
-         |  UNION
-         |  SELECT e.b AS id, reach.r
-         |  FROM reach JOIN (
-         |    SELECT a, b FROM vpairs
-         |    UNION SELECT b AS a, a AS b FROM vpairs) e ON e.a = reach.id),
-         |clusters AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+         |${Dedup.vpairsSql(JaccardThreshold)},
+         |${Dedup.clustersSql},
          |keepers AS (SELECT cluster, min(id) AS keeper FROM clusters GROUP BY cluster)
          |SELECT b.id,
          |       CAST(CASE WHEN c.id IS NULL OR k.keeper = b.id
@@ -231,15 +231,8 @@ object DedupQueries {
          |FROM base b
          |LEFT JOIN clusters c ON c.id = b.id
          |LEFT JOIN keepers k ON k.cluster = c.cluster""".stripMargin) { (s, dir) =>
-      import s.implicits._
       val ids = withTruncatedCopies(s, dir).select(col("id"))
-      val sh = Dedup.shingleHashes(withTruncatedCopies(s, dir), col("id"), col("text"), ShingleN)
-        .cache()
-      val cand = Dedup.candidatePairs(Dedup.bandKeys(Dedup.minhashSignatures(sh)))
-      val verified = Dedup.jaccard(cand, sh)
-        .filter(col("jaccard") >= 0.35)
-        .select(col("a"), col("b")).as[(Long, Long)]
-      val clusters = graft.operators.Identity.connectedComponentsAdaptive(verified)
+      val clusters = verifiedClusters(s, dir)
         .select(col("node").as("cid"), col("component").as("cluster"))
       val keepers = clusters.groupBy(col("cluster")).agg(min(col("cid")).as("keeper"))
       ids

@@ -165,8 +165,8 @@ class PlanSpec extends SparkSpec {
       s"span marking must be an equijoin on h:\n$p")
     assert(p.contains("LeftSemi"),
       s"dup-hash marking must be a semi-join (no row multiplication):\n$p")
-    assert(!p.toLowerCase.contains("exchange singlepartition") ||
-      p.contains("AdaptiveSparkPlan"),
+    assert(!p.contains("Exchange SinglePartition") &&
+      !p.contains("rangepartitioning(1,"),
       s"no single-partition funnel in the span pipeline:\n$p")
     val scan = p.split("\n").find(_.contains("FileScan parquet")).get
     assert(!scan.contains("lang") && !scan.contains("n_chars"),
