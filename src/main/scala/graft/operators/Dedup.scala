@@ -126,6 +126,21 @@ object Dedup {
       .distinct()
   }
 
+  /** Cross-set candidates: distinct (a = index id, b = probe id) sharing
+    * a band bucket — the INCREMENTAL shape. `index` is the persisted
+    * corpus band table (in production written once, bucketed on
+    * (band, key)); `probe` is a new batch's bands. Cost is the probe's
+    * band rows joined against the index — ∝ the new batch, never a
+    * re-pass over the corpus.
+    */
+  def candidatePairsAcross(index: DataFrame, probe: DataFrame): DataFrame = {
+    val l = index.as("l"); val r = probe.as("r")
+    l.join(r,
+        col("l.band") === col("r.band") && col("l.key") === col("r.key"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+      .distinct()
+  }
+
   /** Exact Jaccard for given pairs, from the shingle-hash sets. */
   def jaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))

@@ -70,14 +70,19 @@ object DedupQueries {
       base(s, dir).filter(col("id") % 10 === 0)
         .select((col("id") + IdOffset).as("id"), col("text")))
 
-  private def withTruncatedCopies(s: SparkSession, dir: String): DataFrame = {
+  /** The truncated-copy variants alone (ids offset) — the "new batch" of
+    * the incremental dedup query.
+    */
+  private def truncatedCopiesOnly(s: SparkSession, dir: String): DataFrame = {
     val ws = TextOps.words(col("text"))
-    base(s, dir).unionAll(
-      base(s, dir).filter(col("id") % 5 === 0)
-        .select((col("id") + IdOffset).as("id"),
-          concat_ws(" ",
-            slice(ws, lit(1), ceil(size(ws) / 2.0).cast("int"))).as("text")))
+    base(s, dir).filter(col("id") % 5 === 0)
+      .select((col("id") + IdOffset).as("id"),
+        concat_ws(" ",
+          slice(ws, lit(1), ceil(size(ws) / 2.0).cast("int"))).as("text"))
   }
+
+  private def withTruncatedCopies(s: SparkSession, dir: String): DataFrame =
+    base(s, dir).unionAll(truncatedCopiesOnly(s, dir))
 
   private def withFirstWordReplaced(s: SparkSession, dir: String): DataFrame = {
     val ws = TextOps.words(col("text"))
@@ -241,6 +246,39 @@ object DedupQueries {
         .select(col("id"),
           when(col("cid").isNull || col("keeper") === col("id"), 1L)
             .otherwise(0L).as("kept"))
+    },
+
+    // Incremental corpus-extension dedup — the production shape: the
+    // corpus's LSH band table is a PERSISTED INDEX (in production written
+    // once, bucketed on (band, key)); a new batch probes it, so the cost
+    // of admitting a batch is the batch's band rows joined against the
+    // index plus exact verification on candidates — never a re-pass over
+    // the corpus. Oracle: same pairs via the combined self-join filtered
+    // to (corpus, new) — identical because ids are disjoint and ordered.
+    QueryDef(
+      "q_dedup_incremental",
+      s"""WITH $truncatedBaseSql,
+         |${Dedup.shingleSql(ShingleN)},
+         |${Dedup.signatureSql},
+         |${Dedup.bandsSql},
+         |${Dedup.candidateSql},
+         |${Dedup.jaccardSql}
+         |SELECT a AS corpus_id, b AS new_id,
+         |       round(jaccard + 0.00000025, 4) AS jaccard
+         |FROM jac
+         |WHERE jaccard >= $JaccardThreshold
+         |  AND a < $IdOffset AND b >= $IdOffset""".stripMargin) { (s, dir) =>
+      val shC = Dedup.shingleHashes(base(s, dir), col("id"), col("text"), ShingleN)
+        .cache()
+      val shI = Dedup.shingleHashes(
+        truncatedCopiesOnly(s, dir), col("id"), col("text"), ShingleN).cache()
+      val index = Dedup.bandKeys(Dedup.minhashSignatures(shC))
+      val probe = Dedup.bandKeys(Dedup.minhashSignatures(shI))
+      val cand = Dedup.candidatePairsAcross(index, probe).cache()
+      Dedup.jaccard(cand, shC.unionAll(shI))
+        .filter(col("jaccard") >= JaccardThreshold)
+        .select(col("a").as("corpus_id"), col("b").as("new_id"),
+          Num.r4(col("jaccard")).as("jaccard"))
     },
 
     // SimHash signatures + chunk-blocked near-identical pairs (ham <= 3).
