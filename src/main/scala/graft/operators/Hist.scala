@@ -32,7 +32,10 @@ object Hist {
   /** 2^9 cents = 5.12-value-unit buckets. */
   val BucketBits = 9
 
-  private def bucket(value: Column): Column =
+  /** The bucket layout — public so sketch consumers (e.g. the quantile
+    * length filter) recompute a value's bucket with the ONE definition.
+    */
+  def bucket(value: Column): Column =
     shiftright(floor(value * 100).cast("long"), BucketBits)
 
   def bucketSql(valueExpr: String): String =

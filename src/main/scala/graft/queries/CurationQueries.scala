@@ -161,6 +161,52 @@ object CurationQueries {
       contamination(Tables.documents(s, dir))
     },
 
+    // Sketch-driven length filter — curation composed ON TOP of the
+    // histogram quantile sketch: per-language p5/p95 char-length bounds
+    // come from the mergeable bucket table (at 100 TB: yesterday's
+    // histograms SUM-merge with today's delta — the bounds never re-read
+    // the corpus), then docs outside [p5, p95] buckets are cut. Bounds
+    // are bucket-granular (lower-bound cents >> BucketBits), exact in
+    // both engines — no float percentile anywhere.
+    QueryDef(
+      "q_hist_length_filter", {
+        import graft.operators.Hist
+        s"""WITH hb AS (
+           |  ${Hist.bucketsSql("n_chars", Seq("lang"), "documents")
+                .replace("\n", "\n  ")}),
+           |h AS (SELECT lang AS grp, b, n FROM hb),
+           |q AS (
+           |  ${Hist.quantilesSql(Seq(5, 95)).replace("\n", "\n  ")}),
+           |bounds AS (
+           |  SELECT grp AS lang, p5_cents >> ${Hist.BucketBits} AS lob,
+           |         p95_cents >> ${Hist.BucketBits} AS hib FROM q),
+           |marked AS (
+           |  SELECT d.lang,
+           |         CASE WHEN ${Hist.bucketSql("d.n_chars")} BETWEEN lob AND hib
+           |              THEN 1 ELSE 0 END AS keep
+           |  FROM documents d JOIN bounds ON bounds.lang = d.lang)
+           |SELECT lang, count(*) AS n_docs,
+           |       CAST(sum(keep) AS BIGINT) AS n_kept,
+           |       round(sum(keep) * 1.0 / count(*) + 0.00000025, 4) AS kept_frac
+           |FROM marked GROUP BY lang""".stripMargin
+      }) { (s, dir) =>
+      import graft.operators.Hist
+      val docs = Tables.documents(s, dir)
+      val h = Hist.buckets(docs, col("n_chars"), Seq("lang"))
+      val bounds = Hist.quantiles(h, Seq("lang"), Seq(5, 95))
+        .select(col("lang"),
+          shiftright(col("p5_cents"), Hist.BucketBits).as("lob"),
+          shiftright(col("p95_cents"), Hist.BucketBits).as("hib"))
+      docs.join(broadcast(bounds), "lang")
+        .select(col("lang"),
+          when(Hist.bucket(col("n_chars")).between(col("lob"), col("hib")), 1L)
+            .otherwise(0L).as("keep"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("keep")).as("n_kept"),
+          Num.r4(sum(col("keep")) * 1.0 / count(lit(1))).as("kept_frac"))
+    },
+
     // Group (domain) rebalancing — the resampling step downstream of a
     // mixture audit like q_source_mix_kl: over-represented groups are
     // deterministically downsampled to an equal-share target
