@@ -16,7 +16,10 @@ import scala.concurrent.duration.Duration
   */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional extra args: substring filters — dump only matching queries
+    // (local iteration aid; the driver passes exactly two args)
+    val filters = args.drop(2).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val par = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "6").toInt
     val spark = Sessions.batch("graft-verify", cpus)
@@ -24,7 +27,10 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     val pool = Executors.newFixedThreadPool(par)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    val dumps = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val dumps = SparkEntry.queries.toSeq
+      .filter { case (name, _) =>
+        filters.isEmpty || filters.exists(name.contains) }
+      .map { case (name, fn) =>
       Future {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
@@ -49,6 +55,8 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) =>
+        filters.isEmpty || filters.exists(k.contains) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

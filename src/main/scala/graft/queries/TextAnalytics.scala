@@ -309,10 +309,25 @@ object TextAnalytics {
       import org.apache.spark.sql.expressions.Window
       val wpos = Tables.documents(s, dir)
         .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
+      // Single tokenize pass: tf is the only aggregation that reads the
+      // token stream. df = count of (doc_id, w) rows per w — tf already
+      // dedupes per doc, and counting the tf COLUMN (never null, count >= 1)
+      // keeps dfreq's subtree canonically identical to tf's, so AQE reuses
+      // the (doc_id, w) shuffle stage and the corpus scan + tokenize runs
+      // ONCE (PlanSpec-guarded; counting lit(1) let column pruning strip
+      // the partial_count from dfreq's branch and re-tokenize the corpus).
+      // n_docs comes straight off documents' parquet row count: every doc
+      // has >= 1 token row in BOTH engines (split(trim(''), '\s+') = [''])
+      // so count(*) == count(DISTINCT doc_id in wpos) exactly — and the
+      // third tokenize pass becomes a metadata-only count.
       val tf = wpos.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-      val dfreq = wpos.groupBy(col("w"))
-        .agg(countDistinct(col("doc_id")).as("dft"))
-      val nDocs = wpos.agg(countDistinct(col("doc_id")).as("n_docs"))
+      // dft counts rows of tf per w, but phrased so the tf column survives
+      // column pruning (tf > 0 always holds — count(1) >= 1 — yet Catalyst
+      // can't prove that statically, so it can't strip the reference the
+      // way it does for count(tf) on a non-null column).
+      val dfreq = tf.groupBy(col("w"))
+        .agg(count(when(col("tf") > 0, lit(1))).as("dft"))
+      val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
       tf.join(dfreq, "w")
         .crossJoin(broadcast(nDocs))
         .withColumn("tfidf",

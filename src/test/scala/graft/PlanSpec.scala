@@ -180,13 +180,36 @@ class PlanSpec extends SparkSpec {
       s"the near-dup-sized cluster mapping must broadcast:\n$p")
   }
 
+  test("q_tfidf_top_terms: corpus tokenizes exactly once (tf stage reused)") {
+    // tf, dfreq, and n_docs all need the documents table; the r5 shape
+    // tokenized the corpus three times (one branch each). Now dfreq reuses
+    // tf's (doc_id, w) shuffle stage and n_docs is a zero-column metadata
+    // count — assert on the POST-AQE final plan, where stage reuse lives.
+    val df = SparkEntry.queries("q_tfidf_top_terms")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finStart = p.indexOf("Final Plan")
+    val finEnd = p.indexOf("Initial Plan")
+    assert(finStart >= 0 && finEnd > finStart, s"expected an AQE final plan:\n$p")
+    val fin = p.substring(finStart, finEnd)
+    val tokenizes = "Generate explode".r.findAllIn(fin).length
+    assert(tokenizes == 1,
+      s"corpus must tokenize exactly once, found $tokenizes:\n$fin")
+    assert(fin.contains("ReusedExchange"),
+      s"dfreq must reuse tf's shuffle stage, not rescan:\n$fin")
+    assert(fin.contains("ReadSchema: struct<>"),
+      s"n_docs must be a zero-column metadata count:\n$fin")
+  }
+
   test("q_unigram_logprob / q_source_mix_kl: dictionary joins never nested-loop") {
     Seq("q_unigram_logprob", "q_source_mix_kl").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q:\n$p")
       // the only BroadcastNestedLoopJoin allowed is the bounded 1-row
-      // total (crossJoin(broadcast(tot))) — assert the dictionary join on
-      // w is hash-based
+      // total (crossJoin(broadcast(tot))); a second one would mean the
+      // dictionary join on w regressed to a nested loop
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+      assert(bnlj <= 1, s"$q: expected at most the 1-row total BNLJ, got $bnlj:\n$p")
       assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
         p.contains("ShuffledHashJoin"), s"$q dictionary join must be on w:\n$p")
     }
