@@ -159,10 +159,6 @@ object Dedup {
 
   // ---------------------------------------------------- minhash oracle SQL
 
-  /** DuckDB CTE `sh(id, h)`: distinct shingle hashes of `(id, text)` rows
-    * provided by a CTE named `base` — the same positional word-hash
-    * composition as shingleHashes, via lead() over (id, pos).
-    */
   /** Positional shingle CTEs: `spans(id, pos, h)` with pos = 1-based
     * start word, multiplicity preserved (no DISTINCT) — replays
     * `shingleHashSeq` exactly. `shingleSql` derives the distinct set from

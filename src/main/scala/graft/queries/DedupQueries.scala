@@ -57,7 +57,13 @@ object DedupQueries {
     val verified = Dedup.jaccard(cand, sh)
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("a"), col("b")).as[(Long, Long)]
-    graft.operators.Identity.connectedComponentsAdaptive(verified)
+    val clusters = graft.operators.Identity.connectedComponentsAdaptive(verified)
+    // connectedComponentsAdaptive eagerly localCheckpoints the edge set, so
+    // the result no longer depends on sh/cand lineage — release them here
+    // or each clusters/survivors call in a session pins two cached plans
+    sh.unpersist(blocking = false)
+    cand.unpersist(blocking = false)
+    clusters
   }
 
   // ----- variant inputs (Spark) -----

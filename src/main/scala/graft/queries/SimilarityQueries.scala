@@ -328,7 +328,8 @@ object SimilarityQueries {
          |    SELECT a.vec_id AS q, b.vec_id AS b,
          |           row_number() OVER (
          |             PARTITION BY a.vec_id
-         |             ORDER BY round(list_dot_product(a.te, b.te) / (a.tnrm * b.tnrm) + 0.00000025, 4) DESC,
+         |             ORDER BY CASE WHEN a.tnrm * b.tnrm = 0 THEN 0.0
+         |                      ELSE round(list_dot_product(a.te, b.te) / (a.tnrm * b.tnrm) + 0.00000025, 4) END DESC,
          |                      b.vec_id) AS rank
          |    FROM tr a JOIN tr b ON b.vec_id != a.vec_id
          |    WHERE a.vec_id < $MaxQueryId)
@@ -348,7 +349,12 @@ object SimilarityQueries {
       val joined = broadcast(q).join(tr.as("b"), col("b.vec_id") =!= col("qid"))
         .select(col("qid").as("q"), col("b.vec_id").as("b"),
           Num.r4(Similarity.cosine(col("qe"), col("b.e"), col("qn"), col("b.nrm"))).as("cos"),
-          Num.r4(Similarity.cosine(col("qte"), col("b.te"), col("qtn"), col("b.tnrm"))).as("tcos"))
+          // zero guard: a vector whose first TruncDims dims are all zero
+          // has tnrm = 0; without the branch the cosine is NaN and
+          // Spark/DuckDB NaN placement in DESC order differs
+          when(col("qtn") * col("b.tnrm") === 0, lit(0.0))
+            .otherwise(Num.r4(Similarity.cosine(
+              col("qte"), col("b.te"), col("qtn"), col("b.tnrm")))).as("tcos"))
       def top5(byCol: String) = joined
         .withColumn("rank", row_number().over(
           Window.partitionBy(col("q")).orderBy(col(byCol).desc, col("b"))))
