@@ -114,6 +114,9 @@ object ScaleProbe {
     // doc count by k, so this is exactly the hot-span stress case
     timeDf("dedup_spans")(graft.queries.DedupQueries.dupSpans(docs))
     timeDf("unigram_logprob")(graft.queries.TextAnalytics.unigramLogprob(docs))
+    // PII scrub is map-only — the flattest curve in the suite; any
+    // superlinearity here means a shuffle crept into a per-row regex op
+    timeDf("pii_redact")(graft.queries.PiiQueries.redact(docs))
     timeDf("source_mix_kl")(graft.queries.TextAnalytics.sourceMixKl(docs))
     // sketch family: all bounded-state one-shuffle shapes — the register
     // tables must stay constant-size as k grows, so time should track the

@@ -27,6 +27,7 @@ object SparkEntry {
       graft.queries.AsofQueries.defs ++
       graft.queries.IvfQueries.defs ++
       graft.queries.CurationQueries.defs ++
+      graft.queries.PiiQueries.defs ++
       graft.queries.ObservabilityQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

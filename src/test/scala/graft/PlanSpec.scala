@@ -180,6 +180,19 @@ class PlanSpec extends SparkSpec {
       s"the near-dup-sized cluster mapping must broadcast:\n$p")
   }
 
+  test("q_pii_scan / q_pii_redact: map-only regex projection, zero exchanges") {
+    // the scrub pass is one codegen'd projection over the scan — any
+    // Exchange means something introduced a shuffle into a per-row regex op
+    Seq("q_pii_scan", "q_pii_redact").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q must be map-only:\n$p")
+      val scan = p.split("\n").find(_.contains("FileScan parquet")).get
+      assert(scan.contains("doc_id") && scan.contains("text") &&
+        !scan.contains("lang") && !scan.contains("source"),
+        s"$q documents scan must read only (doc_id, text):\n$scan")
+    }
+  }
+
   test("q_tfidf_top_terms: corpus tokenizes exactly once (tf stage reused)") {
     // tf, dfreq, and n_docs all need the documents table; the r5 shape
     // tokenized the corpus three times (one branch each). Now dfreq reuses
