@@ -107,12 +107,12 @@ object Hll {
       .drop("nb", "sObs", "sInt", "zeros", "raw")
   }
 
-  /** The estimate as DuckDB SQL over a `regs` relation with columns
+  /** The estimate as DuckDB SQL over a relation `rel` with columns
     * (grp, bucket, m): SELECT grp, est. Decimal literals are cast to
     * DOUBLE explicitly — DuckDB parses them as DECIMAL, whose arithmetic
     * would diverge from Spark's double math.
     */
-  val estimateSql: String = {
+  def estimateSqlOver(rel: String): String = {
     val two53 = 1L << 53
     s"""SELECT grp,
        |       CASE WHEN raw < CAST(2.5 AS DOUBLE) * $Buckets AND zeros > 0
@@ -126,6 +126,9 @@ object Hll {
        |         $Buckets - nb AS zeros
        |  FROM (SELECT grp, count(*) AS nb,
        |               sum(CAST(1 AS BIGINT) << (53 - CAST(m AS INTEGER))) AS sObs
-       |        FROM regs GROUP BY grp))""".stripMargin
+       |        FROM $rel GROUP BY grp))""".stripMargin
   }
+
+  /** The estimate over the conventional CTE name `regs`. */
+  val estimateSql: String = estimateSqlOver("regs")
 }

@@ -112,6 +112,75 @@ object ObservabilityQueries {
             Num.r4((col("est") - col("n_exact")) / col("n_exact")).as("rel_err"))
     },
 
+    // Sketch composition end-to-end — the "never re-scan yesterday"
+    // pattern the 100 TB notes promise: per-DAY register tables (what a
+    // daily ingest job persists) max-merge into the 30-day register table,
+    // which folds to the same distinct estimate a direct pass over all 30
+    // days of raw data produces — asserted by the merge_exact column
+    // (max of per-day maxes == global max, register for register), while
+    // rel_err reports accuracy vs the exact distinct. At scale the daily
+    // tables are ~256 rows/group: the month-end distinct costs a merge of
+    // 30 tiny tables, never a re-read of 30 days of events.
+    QueryDef(
+      "q_hll_merge_days",
+      s"""WITH d AS (
+         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day_bucket,
+         |         CAST(user_id AS VARCHAR) AS v
+         |  FROM events),
+         |daily AS (
+         |  ${Hll.registersSql("v", Seq("event_type", "day_bucket"), "d")
+              .replace("\n", "\n  ")}),
+         |merged AS (
+         |  SELECT event_type, bucket, max(m) AS m
+         |  FROM daily GROUP BY event_type, bucket),
+         |mregs AS (SELECT event_type AS grp, bucket, m FROM merged),
+         |mfold AS (
+         |  ${Hll.estimateSqlOver("mregs").replace("\n", "\n  ")}),
+         |direct0 AS (
+         |  ${Hll.registersSql("CAST(user_id AS VARCHAR)", Seq("event_type"), "events")
+              .replace("\n", "\n  ")}),
+         |dregs AS (SELECT event_type AS grp, bucket, m FROM direct0),
+         |dfold AS (
+         |  ${Hll.estimateSqlOver("dregs").replace("\n", "\n  ")}),
+         |days AS (
+         |  SELECT event_type, count(DISTINCT day_bucket) AS n_days
+         |  FROM d GROUP BY event_type),
+         |exact AS (
+         |  SELECT event_type, count(DISTINCT user_id) AS n_exact
+         |  FROM events GROUP BY event_type)
+         |SELECT days.event_type, days.n_days, exact.n_exact,
+         |       round(mf.est + 0.00000025, 4) AS est_merged,
+         |       round((mf.est - n_exact) / n_exact + 0.00000025, 4) AS rel_err,
+         |       round(mf.est + 0.00000025, 4) = round(df.est + 0.00000025, 4)
+         |         AS merge_exact
+         |FROM days
+         |JOIN exact USING (event_type)
+         |JOIN mfold mf ON mf.grp = days.event_type
+         |JOIN dfold df ON df.grp = days.event_type""".stripMargin) { (s, dir) =>
+      val events = Tables.events(s, dir)
+      val withDay = events.select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day_bucket"), col("user_id"))
+      val daily = Hll.registers(withDay, col("user_id"),
+        Seq("event_type", "day_bucket"))
+      val merged = daily.groupBy(col("event_type"), col("bucket"))
+        .agg(max(col("m")).as("m"))
+      val mfold = Hll.estimate(merged, Seq("event_type"))
+      val dfold = Hll.estimate(
+          Hll.registers(events, col("user_id"), Seq("event_type")),
+          Seq("event_type"))
+        .withColumnRenamed("est", "est_direct")
+      val days = withDay.groupBy(col("event_type"))
+        .agg(countDistinct(col("day_bucket")).as("n_days"))
+      val exact = events.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      days.join(exact, "event_type").join(mfold, "event_type")
+        .join(dfold, "event_type")
+        .select(col("event_type"), col("n_days"), col("n_exact"),
+          Num.r4(col("est")).as("est_merged"),
+          Num.r4((col("est") - col("n_exact")) / col("n_exact")).as("rel_err"),
+          (Num.r4(col("est")) === Num.r4(col("est_direct"))).as("merge_exact"))
+    },
+
     // Deterministic count-min sketch register table
     // (`operators/Cms.scala`): per-user event counts folded into a 4x512
     // integer counter grid. Pure counts -> hash-exact oracle; sketches

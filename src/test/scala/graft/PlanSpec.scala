@@ -138,6 +138,16 @@ class PlanSpec extends SparkSpec {
       s"registers must combine map-side (partial_max before the exchange):\n$p")
   }
 
+  test("q_hll_merge_days: register merge combines map-side (partial_max)") {
+    // both the per-day register build AND the cross-day merge must ship
+    // combined registers, not raw rows — the whole point of the pattern
+    val p = plan("q_hll_merge_days")
+    val partialMax = "partial_max".r.findAllIn(p).length
+    assert(partialMax >= 2,
+      s"daily build + cross-day merge must both partial_max, got $partialMax:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in the fold joins:\n$p")
+  }
+
   test("q_interval_join_attribution: bucketized equijoin, never a nested loop") {
     // the raw `p BETWEEN lo AND hi` join would plan as a nested loop —
     // the exact trap operators/RangeJoin.scala exists to avoid
