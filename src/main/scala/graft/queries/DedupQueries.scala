@@ -332,13 +332,46 @@ object DedupQueries {
          |             + 0.00000025, 4) AS dup_frac
          |FROM totals t LEFT JOIN per_doc p ON p.id = t.doc_id""".stripMargin) { (s, dir) =>
       dupSpans(Tables.documents(s, dir))
+    },
+
+    // Span-LENGTH evidence (the second half of ExactSubstr): per doc, the
+    // maximal verbatim shared runs — consecutive duplicated-6-gram starts
+    // p..q cover tokens p..q+5, so a run of k consecutive starts is a
+    // k+5-token verbatim region. gaps-and-islands (pos - row_number, both
+    // doc-partitioned windows) keeps it occurrence-linear like
+    // q_dedup_spans; `cut50` is the standard 50-token-verbatim cut a
+    // curation pass applies (Lee et al. 2021).
+    QueryDef(
+      "q_dedup_span_runs",
+      s"""WITH base AS (SELECT doc_id AS id, text FROM documents),
+         |${Dedup.shinglePosSql(SpanN)},
+         |duph AS (
+         |  SELECT h FROM (SELECT h, count(DISTINCT id) AS nd FROM spans GROUP BY h)
+         |  WHERE nd >= 2),
+         |starts AS (SELECT id, pos FROM spans JOIN duph USING (h)),
+         |runs AS (
+         |  SELECT id, pos - row_number() OVER (PARTITION BY id ORDER BY pos)
+         |           AS island
+         |  FROM starts),
+         |islands AS (
+         |  SELECT id, count(*) AS cnt FROM runs GROUP BY id, island),
+         |per_doc AS (
+         |  SELECT id, count(*) AS n_runs,
+         |         max(cnt + ${SpanN - 1}) AS longest
+         |  FROM islands GROUP BY id)
+         |SELECT d.doc_id,
+         |       CAST(COALESCE(p.n_runs, 0) AS BIGINT) AS n_runs,
+         |       CAST(COALESCE(p.longest, 0) AS BIGINT) AS longest_run_tokens,
+         |       COALESCE(p.longest, 0) >= 50 AS cut50
+         |FROM documents d LEFT JOIN per_doc p ON p.id = d.doc_id""".stripMargin) {
+      (s, dir) => spanRuns(Tables.documents(s, dir))
     })
 
-  /** q_dedup_spans body over an arbitrary documents relation (shared with
-    * the scale probe).
+  /** Duplicated-span starts (id, pos) over an arbitrary documents relation:
+    * positions whose `SpanN`-gram hash occurs in >= 2 docs. Shared by
+    * q_dedup_spans (coverage) and q_dedup_span_runs (run lengths).
     */
-  def dupSpans(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  private def dupStarts(docs: DataFrame): DataFrame = {
     // spans feeds both the dup-hash build and the marking side — cache (at
     // scale: persist the span table once per dedup pass)
     val spans = Dedup.shingleHashSeq(
@@ -348,7 +381,35 @@ object DedupQueries {
       .agg(countDistinct(col("id")).as("nd"))
       .filter(col("nd") >= 2)
       .select(col("h"))
-    val starts = spans.join(duph, Seq("h"), "left_semi").select(col("id"), col("pos"))
+    spans.join(duph, Seq("h"), "left_semi").select(col("id"), col("pos"))
+  }
+
+  /** q_dedup_span_runs body (shared with the scale probe). */
+  def spanRuns(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val starts = dupStarts(docs)
+    val win = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val islands = starts
+      .withColumn("island", col("pos") - row_number().over(win))
+      .groupBy(col("id"), col("island"))
+      .agg(count(lit(1)).as("cnt"))
+    val perDoc = islands.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_runs"),
+        max(col("cnt") + lit(SpanN - 1)).as("longest"))
+    docs.select(col("doc_id"))
+      .join(perDoc, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_runs"), lit(0L)).as("n_runs"),
+        coalesce(col("longest"), lit(0L)).as("longest_run_tokens"),
+        (coalesce(col("longest"), lit(0L)) >= 50).as("cut50"))
+  }
+
+  /** q_dedup_spans body over an arbitrary documents relation (shared with
+    * the scale probe).
+    */
+  def dupSpans(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val starts = dupStarts(docs)
     val win = Window.partitionBy(col("id")).orderBy(col("pos"))
     val perDoc = starts
       .withColumn("nxt", lead(col("pos"), 1).over(win))

@@ -183,6 +183,17 @@ class PlanSpec extends SparkSpec {
       s"documents scan must read only (doc_id, text):\n$scan")
   }
 
+  test("q_dedup_span_runs: islands stay doc-partitioned, marking is a semi-join") {
+    val p = plan("q_dedup_span_runs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span marking must be an equijoin on h:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"dup-hash marking must be a semi-join (no row multiplication):\n$p")
+    assert(!p.contains("Exchange SinglePartition") &&
+      !p.contains("rangepartitioning(1,"),
+      s"the run windows partition by doc, never globally:\n$p")
+  }
+
   test("q_dedup_survivors: keep decision is a broadcast join against the corpus") {
     val p = plan("q_dedup_survivors")
     assert(!p.contains("CartesianProduct"), s"survivors must not cross-join:\n$p")
