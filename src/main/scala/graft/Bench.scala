@@ -6,7 +6,7 @@ package graft
   * timing) and the process exits non-zero so crashes can't masquerade as
   * wins in the bench artifact.
   *
-  * Methodology (three fidelity rules, all learned the hard way):
+  * Methodology (four fidelity rules, all learned the hard way):
   *   - Materialize via the `noop` sink, not `count()`. Timing `count()` lets
   *     Catalyst column-prune away expensive final projections that don't
   *     affect row count (e.g. per-element quantization math), so the bench
@@ -23,17 +23,27 @@ package graft
   *     Now every query reports {median, min, spread} and a fixed CALIBRATION
   *     SENTINEL (a constant-cost local query that never touches disk) is
   *     re-timed at start and every SENTINEL_EVERY queries. A sentinel sample
-  *     that drifts ≥2× above the session-best sentinel marks the whole block
-  *     `load_suspect:true`; a query whose MEDIAN sits ≥1.5× above its own
-  *     min is also suspect (median/min, not max/min — run 1 always pays
-  *     that query's codegen compile, which the median absorbs but the max
-  *     would flag on every query). How to read the artifact:
+  *     that drifts ≥2× above the session-best sentinel marks BOTH the block
+  *     of queries just finished (the load was building while they ran) and
+  *     the following block `load_suspect:true`; the closing sample applies
+  *     the same retroactive rule to the tail block. A query whose MEDIAN
+  *     sits ≥1.5× above its own min is also suspect (median/min, not
+  *     max/min — run 1 always pays that query's codegen compile, which the
+  *     median absorbs but the max would flag on every query). How to read:
   *       - `queries` (name → median) is unchanged — round-over-round compare.
   *       - `queries_detail[name].min` is the load-floor: the best this code
   *         did THIS session. A median far above its own min = transient load,
   *         not code. Compare `min` across rounds when `load_suspect` is true.
   *       - `sentinel.series` is the drift log; `load_suspect_count` > 0 means
   *         treat inflated medians as unproven, re-bench idle before judging.
+  *   - The artifact must SURVIVE A MID-RUN CRASH. Round-6 lesson: the
+  *     SparkContext died mid-suite on the driver box and the whole artifact
+  *     was lost (rc 1, no JSON) because sentinel samples ran outside the
+  *     per-query try and the JSON printed only after the full loop. Now
+  *     every sentinel sample is caught, results accumulate incrementally,
+  *     and a JVM shutdown hook emits the partial artifact with
+  *     `"aborted":true` if the normal end-of-run print never happened — a
+  *     dying run still reports everything it measured.
   */
 object Bench {
   private def median(xs: Seq[Double]): Double = {
@@ -43,8 +53,9 @@ object Bench {
   }
 
   /** Fixed-cost calibration probe: pure-compute aggregation over a local
-    * range — no disk, no shuffle variance, ~100 ms idle. Its only variable is
-    * box load, so drift in its timing is direct evidence of contention.
+    * range — no disk I/O, one small fixed-size shuffle (1024 groups),
+    * ~0.4 s idle at 4 cores. Its only variable is box load, so drift in
+    * its timing is direct evidence of contention.
     */
   private def sentinelOnce(spark: org.apache.spark.sql.SparkSession): Double = {
     val t0 = System.nanoTime()
@@ -54,6 +65,9 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     (System.nanoTime() - t0) / 1e9
   }
+
+  final case class QStat(median: Double, min: Double, spread: Double,
+                         loadSuspect: Boolean)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -87,27 +101,103 @@ object Bench {
     // warm the noop-sink write path (DataSource V2 lookup + commit protocol)
     spark.range(1000).write.format("noop").mode("overwrite").save()
 
-    // calibration baseline: best of 3 at session start (the warm floor)
-    sentinelOnce(spark) // discard first (JIT)
-    var sentinelBest = (1 to 3).map(_ => sentinelOnce(spark)).min
+    // ---- incremental state shared with the abort-path shutdown hook ----
+    // Everything the artifact needs lives in these collections, appended to
+    // as the run progresses, so a partial print is always possible.
+    val results =
+      scala.collection.mutable.ArrayBuffer[(String, Either[String, QStat])]()
+    // retroactively-flagged query indices (sentinel drift indicts the block
+    // that ran BEFORE the drifted sample too, not just the one after it)
+    val suspectIdx = scala.collection.mutable.Set[Int]()
     val sentinelSeries = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
-    sentinelSeries += ((0, sentinelBest))
-    var blockLoaded = false // sentinel verdict for the current query block
+    @volatile var sentinelBest = Double.MaxValue
+    @volatile var failedCount = 0
+    @volatile var printedArtifact = false
+    val emitLock = new Object
 
-    final case class QStat(median: Double, min: Double, spread: Double,
-                           loadSuspect: Boolean)
-    var failed = 0
+    def f(v: Double): String = BigDecimal(v)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+
+    /** Build + print the ONE-line artifact exactly once. Called normally at
+      * end-of-run (aborted=false) or from the shutdown hook (aborted=true)
+      * when the run died before reaching the normal print.
+      */
+    def emit(aborted: Boolean): Unit = emitLock.synchronized {
+      if (printedArtifact) return
+      printedArtifact = true
+      val snap = results.toSeq
+      val qs = snap.map {
+        case (k, Right(v)) => s""""$k":${f(v.median)}"""
+        case (k, Left(_))  => s""""$k":"error""""
+      }.mkString("{", ",", "}")
+      val detail = snap.zipWithIndex.map {
+        case ((k, Right(v)), i) =>
+          val suspect = v.loadSuspect || suspectIdx.contains(i)
+          s""""$k":{"median":${f(v.median)},"min":${f(v.min)},"spread":${f(v.spread)},"load_suspect":$suspect}"""
+        case ((k, Left(_)), _) => s""""$k":{"error":true}"""
+      }.mkString("{", ",", "}")
+      val sentinelJson = sentinelSeries
+        .map { case (i, s) => s"""{"at_query":$i,"sec":${f(s)}}""" }
+        .mkString("[", ",", "]")
+      val suspects = snap.zipWithIndex.count {
+        case ((_, Right(v)), i) => v.loadSuspect || suspectIdx.contains(i)
+        case _                  => false
+      }
+      val total = snap.collect { case (_, Right(v)) => v.median }.sum
+      val best = if (sentinelBest == Double.MaxValue) 0.0 else sentinelBest
+      println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"queries_detail":$detail,"sentinel":{"best":${f(best)},"series":$sentinelJson},"load_suspect_count":$suspects,"sf":"$sfDir","failed":$failedCount,"aborted":$aborted}""")
+      System.out.flush()
+    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() => emit(aborted = true)))
+
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) =>
         filters.isEmpty || filters.exists(name.contains)
       }
-    val results: Seq[(String, Either[String, QStat])] =
-      selected.zipWithIndex.map { case ((name, fn), idx) =>
+
+    // index of the first query after the most recent sentinel sample — the
+    // start of the block a drifted sample retroactively indicts
+    var blockStart = 0
+    var blockLoaded = false // sentinel verdict for the current query block
+
+    /** Take a sentinel sample (crash-safe: a failed sample must never abort
+      * the run and discard real measurements). Returns whether the sample
+      * drifted ≥2× above the session-best; on failure, returns the previous
+      * verdict unchanged (no evidence either way).
+      */
+    def sentinelSample(atQuery: Int): Boolean =
+      try {
+        val s = sentinelOnce(spark)
+        sentinelSeries += ((atQuery, s))
+        sentinelBest = sentinelBest.min(s)
+        s >= 2.0 * sentinelBest
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] sentinel at $atQuery failed: ${e.getMessage}")
+          blockLoaded
+      }
+
+    try {
+      // calibration baseline: best of 3 at session start (the warm floor)
+      try {
+        sentinelOnce(spark) // discard first (JIT)
+        sentinelBest = (1 to 3).map(_ => sentinelOnce(spark)).min
+        sentinelSeries += ((0, sentinelBest))
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] sentinel baseline failed: ${e.getMessage}")
+      }
+
+      selected.zipWithIndex.foreach { case ((name, fn), idx) =>
         if (idx % sentinelEvery == 0 && idx > 0) {
-          val s = sentinelOnce(spark)
-          sentinelSeries += ((idx, s))
-          sentinelBest = sentinelBest.min(s)
-          blockLoaded = s >= 2.0 * sentinelBest
+          val drifted = sentinelSample(idx)
+          if (drifted) {
+            // load was already present while [blockStart, idx) ran — the
+            // drifted sample equally indicts the block just finished
+            (blockStart until idx).foreach(suspectIdx += _)
+          }
+          blockLoaded = drifted
+          blockStart = idx
         }
         val r =
           try {
@@ -129,36 +219,26 @@ object Bench {
               loadSuspect = blockLoaded || (mn > 0 && med / mn >= 1.5)))
           }
           catch { case e: Throwable =>
-            failed += 1
+            failedCount += 1
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            spark.catalog.clearCache()
+            try spark.catalog.clearCache() catch { case _: Throwable => () }
             Left("error")
           }
-        name -> r
+        results += (name -> r)
       }
-    // closing sentinel sample — evidence for the tail block
-    val sClose = sentinelOnce(spark)
-    sentinelSeries += ((selected.size, sClose))
-    sentinelBest = sentinelBest.min(sClose)
-
-    def f(v: Double): String = BigDecimal(v)
-      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map {
-      case (k, Right(v)) => s""""$k":${f(v.median)}"""
-      case (k, Left(_))  => s""""$k":"error""""
-    }.mkString("{", ",", "}")
-    val detail = results.map {
-      case (k, Right(v)) =>
-        s""""$k":{"median":${f(v.median)},"min":${f(v.min)},"spread":${f(v.spread)},"load_suspect":${v.loadSuspect}}"""
-      case (k, Left(_)) => s""""$k":{"error":true}"""
-    }.mkString("{", ",", "}")
-    val sentinelJson = sentinelSeries
-      .map { case (i, s) => s"""{"at_query":$i,"sec":${f(s)}}""" }
-      .mkString("[", ",", "]")
-    val suspects = results.collect { case (_, Right(v)) if v.loadSuspect => 1 }.size
-    val total = results.collect { case (_, Right(v)) => v.median }.sum
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"queries_detail":$detail,"sentinel":{"best":${f(sentinelBest)},"series":$sentinelJson},"load_suspect_count":$suspects,"sf":"$sfDir","failed":$failed}""")
-    spark.stop()
-    if (failed > 0) sys.exit(1)
+      // closing sentinel sample — retroactive evidence for the tail block
+      // (queries after the last every-N sample have no following sentinel,
+      // so a drifted closing sample is their only load evidence)
+      if (sentinelSample(selected.size)) {
+        (blockStart until selected.size).foreach(suspectIdx += _)
+      }
+      emit(aborted = false)
+    } finally {
+      // crash path: if anything above threw (including SparkContext death),
+      // report what was measured before exiting
+      emit(aborted = true)
+    }
+    try spark.stop() catch { case _: Throwable => () }
+    if (failedCount > 0) sys.exit(1)
   }
 }
