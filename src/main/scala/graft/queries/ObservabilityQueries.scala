@@ -159,7 +159,12 @@ object ObservabilityQueries {
          |JOIN dfold df ON df.grp = days.event_type""".stripMargin) { (s, dir) =>
       val events = Tables.events(s, dir)
       val withDay = events.select(col("event_type"),
-        expr("unix_micros(ts) div 86400000000").as("day_bucket"), col("user_id"))
+        // floor division to match DuckDB's `//` (Spark's `div` truncates
+        // toward zero, diverging for pre-1970 timestamps); the double
+        // quotient is exact here — epoch-µs < 2^53 and 1/86400000000 is
+        // wider than a double ulp at day-number magnitude
+        expr("CAST(floor(unix_micros(ts) / 86400000000.0) AS BIGINT)")
+          .as("day_bucket"), col("user_id"))
       val daily = Hll.registers(withDay, col("user_id"),
         Seq("event_type", "day_bucket"))
       val merged = daily.groupBy(col("event_type"), col("bucket"))

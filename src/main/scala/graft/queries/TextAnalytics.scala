@@ -294,7 +294,7 @@ object TextAnalytics {
          |  SELECT doc_id, w, count(*) AS tf FROM wpos GROUP BY doc_id, w),
          |dfreq AS (
          |  SELECT w, count(DISTINCT doc_id) AS dft FROM wpos GROUP BY w),
-         |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM wpos),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
          |scored AS (
          |  SELECT doc_id, w, tf, dft,
          |         round(tf * ln(CAST(n_docs AS DOUBLE) / dft)
@@ -316,10 +316,12 @@ object TextAnalytics {
       // the (doc_id, w) shuffle stage and the corpus scan + tokenize runs
       // ONCE (PlanSpec-guarded; counting lit(1) let column pruning strip
       // the partial_count from dfreq's branch and re-tokenize the corpus).
-      // n_docs comes straight off documents' parquet row count: every doc
-      // has >= 1 token row in BOTH engines (split(trim(''), '\s+') = [''])
-      // so count(*) == count(DISTINCT doc_id in wpos) exactly — and the
-      // third tokenize pass becomes a metadata-only count.
+      // n_docs comes straight off documents' parquet row count, and the
+      // oracle's n CTE uses the SAME definition (count(*) FROM documents)
+      // so the two engines share one n_docs by construction — no reliance
+      // on the every-doc-tokenizes invariant (a NULL-text doc would drop
+      // from wpos in both engines but still counts as a document here).
+      // The third tokenize pass is a metadata-only count either way.
       val tf = wpos.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
       // dft counts rows of tf per w, but phrased so the tf column survives
       // column pruning (tf > 0 always holds — count(1) >= 1 — yet Catalyst
