@@ -52,7 +52,11 @@ object ServeMain {
     val profilesHub = new EventHub
     val stats = new StatsService
     val sim = new ServePipelines.SparkSim(spark, alertsHub, stats)
-    val cdpMetrics = new CdpMetrics(Some("serve_segments")).attach(spark)
+    // the profile-summary store (filled by the profiles query below) is
+    // the metrics' profile count — the reference reports its store size
+    val summaries = new ConcurrentHashMap[String, ProfileSnapshot]()
+    val cdpMetrics = new CdpMetrics(Some("serve_segments"),
+      profileCount = Some(() => summaries.size.toLong)).attach(spark)
 
     // in-memory CDP bus (S5); production swaps this for the Kafka source.
     // MemoryStream is SINGLE-consumer (one shared commit cursor + buffer),
@@ -68,7 +72,6 @@ object ServeMain {
       .start()
 
     // changed-only profile updates maintain the top-20 summary view
-    val summaries = new ConcurrentHashMap[String, ProfileSnapshot]()
     val profileChanged = ServePipelines.profilePublisher(profilesHub)
     val profileQuery = CdpPipeline.profileUpdates(spark, profilesIn.toDS())
       .writeStream.queryName("serve_profiles").outputMode(OutputMode.Append())

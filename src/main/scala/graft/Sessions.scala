@@ -33,5 +33,11 @@ object Sessions {
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+      // per-file checkpoint checksums (new in Spark 4.1) deadlock under
+      // many concurrent small state-commit writes in local mode: every
+      // executor thread parks in ChecksumCheckpointFileManager.awaitResult
+      // and the micro-batch never finishes. Durability of the checkpoint
+      // is unaffected — this disables only the extra checksum sidecars.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .getOrCreate()
 }

@@ -26,24 +26,31 @@ import graft.streaming.{CdpEvent, CdpPipeline, EntityEvent, EntityPipeline}
   * the same reason it scales DOWN here.
   *
   * `runMain graft.StreamBench [nEvents] [cores] [batchSize] [shufflePartitions]`
-  * — prints one JSON line.
+  * — prints one JSON line and enforces a throughput FLOOR (see below).
   */
 object StreamBench {
+
+  /** Regression floors (events/s) at the standard config (>=100k events,
+    * 20k batches, <=8 state partitions): measured healthy numbers are
+    * ~21k CDP / ~38k entity on this box, so a run below floor means a
+    * real slowdown (2x margin), not noise. Below floor -> exit 1. Set
+    * SPARK_GRAFT_STREAM_FLOOR=0 to disable (e.g. on a loaded box), or to
+    * "cdp,entity" to override both floors.
+    */
+  val CdpFloorPerSec = 15000.0
+  val EntityFloorPerSec = 25000.0
+
   def main(args: Array[String]): Unit = {
     val n = if (args.length > 0) args(0).toInt else 200000
     val cores = if (args.length > 1) args(1).toInt else 8
     val batchSize = if (args.length > 2) args(2).toInt else 20000
     val parts = if (args.length > 3) args(3).toInt else 8
-    val spark = Sessions.batch("stream-bench", cores)
+    // streaming session: transformWithState requires the RocksDB provider
+    val spark = Sessions.streaming("stream-bench", cores)
     spark.conf.set("spark.sql.shuffle.partitions", parts)
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
     implicit val sq = spark.sqlContext
-
-    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[CdpEvent]
-    val query = CdpPipeline.segmentEvents(spark, input.toDS())
-      .writeStream.format("memory").queryName("sb_segments")
-      .outputMode(OutputMode.Append()).start()
 
     // deterministic workload: 2k profiles, 5% duplicate ids, monotone ts
     val events = (0 until n).map { i =>
@@ -60,20 +67,6 @@ object StreamBench {
         traits = if (i % 10 == 0) Map("plan" -> (if (i % 20 == 0) "pro" else "free"))
                  else Map.empty)
     }
-    val t0 = System.nanoTime()
-    events.grouped(batchSize).foreach { b =>
-      input.addData(b)
-      query.processAllAvailable()
-    }
-    val secs = (System.nanoTime() - t0) / 1e9
-    val emitted = spark.table("sb_segments").count()
-    query.stop()
-
-    // entity pipeline: per-(entity,type) sliding-window rules engine
-    val einput = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EntityEvent]
-    val equery = EntityPipeline.alerts(spark, einput.toDS())
-      .writeStream.format("memory").queryName("sb_alerts")
-      .outputMode(OutputMode.Append()).start()
     val eevents = (0 until n).map { i =>
       EntityEvent(
         eventId = s"e$i",
@@ -84,14 +77,39 @@ object StreamBench {
         geo = Some(if (i % 97 == 0) "DE" else "US"),
         device = None)
     }
-    val t1 = System.nanoTime()
-    eevents.grouped(batchSize).foreach { b =>
-      einput.addData(b)
-      equery.processAllAvailable()
+
+    /** One full CDP + entity measurement with fresh state (unique query
+      * names per attempt — memory-sink temp views are not replaceable).
+      */
+    def measureOnce(attempt: Int): (Double, Long, Double, Long) = {
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[CdpEvent]
+      val query = CdpPipeline.segmentEvents(spark, input.toDS())
+        .writeStream.format("memory").queryName(s"sb_segments$attempt")
+        .outputMode(OutputMode.Append()).start()
+      val t0 = System.nanoTime()
+      events.grouped(batchSize).foreach { b =>
+        input.addData(b)
+        query.processAllAvailable()
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      val emitted = spark.table(s"sb_segments$attempt").count()
+      query.stop()
+
+      // entity pipeline: per-(entity,type) sliding-window rules engine
+      val einput = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EntityEvent]
+      val equery = EntityPipeline.alerts(spark, einput.toDS())
+        .writeStream.format("memory").queryName(s"sb_alerts$attempt")
+        .outputMode(OutputMode.Append()).start()
+      val t1 = System.nanoTime()
+      eevents.grouped(batchSize).foreach { b =>
+        einput.addData(b)
+        equery.processAllAvailable()
+      }
+      val esecs = (System.nanoTime() - t1) / 1e9
+      val alerts = spark.table(s"sb_alerts$attempt").count()
+      equery.stop()
+      (secs, emitted, esecs, alerts)
     }
-    val esecs = (System.nanoTime() - t1) / 1e9
-    val alerts = spark.table("sb_alerts").count()
-    equery.stop()
 
     // incremental identity resolution. The interesting number is SECONDS
     // PER BATCH: each micro-batch pays the contraction joins + a tiny CC
@@ -120,7 +138,45 @@ object StreamBench {
     // would print bare NaN and corrupt the JSON metric line
     val nIdBatches = math.max(batches.length, 1)
 
-    println(f"""{"metric":"stream_throughput","events":$n,"batch_size":$batchSize,"cdp_seconds":${secs}%.2f,"cdp_events_per_sec":${n / secs}%.0f,"segment_events":$emitted,"entity_seconds":${esecs}%.2f,"entity_events_per_sec":${n / esecs}%.0f,"alerts":$alerts,"identity_edges":$nEdges,"identity_batches":${batches.length},"identity_sec_per_batch":${isecs / nIdBatches}%.2f,"identity_edges_per_sec":${nEdges / math.max(isecs, 1e-9)}%.0f,"identity_mapped":$mapped}""")
+    // floor guard: only meaningful at the standard workload shape (enough
+    // events to amortize startup, standard batch size, few state
+    // partitions); tiny smoke runs are exempt. Best-of-3: the box's
+    // run-to-run variance is ±30-40% under external load, so a single
+    // sample below floor retries — a REAL 2x regression fails all three
+    // attempts, a load spike passes on a later one.
+    val (cdpFloor, entityFloor) = sys.env.get("SPARK_GRAFT_STREAM_FLOOR") match {
+      case Some("0") => (0.0, 0.0)
+      case Some(s) if s.contains(",") =>
+        val p = s.split(",", 2); (p(0).toDouble, p(1).toDouble)
+      case _ => (CdpFloorPerSec, EntityFloorPerSec)
+    }
+    val guardActive = n >= 100000 && batchSize >= 20000 && parts <= 8
+    val maxAttempts = if (guardActive) 3 else 1
+    var attempt = 0
+    var bestCdp = 0.0
+    var bestEntity = 0.0
+    var last: (Double, Long, Double, Long) = null
+    var belowFloor = true
+    while (attempt < maxAttempts && belowFloor) {
+      attempt += 1
+      last = measureOnce(attempt)
+      bestCdp = math.max(bestCdp, n / last._1)
+      bestEntity = math.max(bestEntity, n / last._3)
+      belowFloor = guardActive &&
+        (bestCdp < cdpFloor || bestEntity < entityFloor)
+      if (belowFloor && attempt < maxAttempts)
+        System.err.println(f"[streambench] attempt $attempt below floor " +
+          f"(cdp ${n / last._1}%.0f/s entity ${n / last._3}%.0f/s) — retrying")
+    }
+    val (secs, emitted, esecs, alerts) = last
+
+    println(f"""{"metric":"stream_throughput","events":$n,"batch_size":$batchSize,"cdp_seconds":${secs}%.2f,"cdp_events_per_sec":${n / secs}%.0f,"segment_events":$emitted,"entity_seconds":${esecs}%.2f,"entity_events_per_sec":${n / esecs}%.0f,"alerts":$alerts,"identity_edges":$nEdges,"identity_batches":${batches.length},"identity_sec_per_batch":${isecs / nIdBatches}%.2f,"identity_edges_per_sec":${nEdges / math.max(isecs, 1e-9)}%.0f,"identity_mapped":$mapped,"best_cdp_events_per_sec":${bestCdp}%.0f,"best_entity_events_per_sec":${bestEntity}%.0f,"attempts":$attempt,"floor_cdp":${cdpFloor}%.0f,"floor_entity":${entityFloor}%.0f,"floor_active":$guardActive,"below_floor":$belowFloor}""")
     spark.stop()
+    if (belowFloor) {
+      System.err.println(f"[streambench] BELOW FLOOR after $attempt attempts: " +
+        f"best cdp ${bestCdp}%.0f/s (floor ${cdpFloor}%.0f) " +
+        f"best entity ${bestEntity}%.0f/s (floor ${entityFloor}%.0f)")
+      sys.exit(1)
+    }
   }
 }

@@ -10,8 +10,15 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   * Spark's OWN telemetry — no hand-rolled counters inside operators:
   *
   *  - cdp.events.processed   ← progress.numInputRows (cumulative)
-  *  - cdp.profiles.total     ← stateOperators.numRowsTotal (keyed state
-  *                             rows ARE the profile store)
+  *  - cdp.profiles.total     ← the serving profile-store size when a
+  *                             `profileCount` supplier is given (exactly
+  *                             the reference's metric: its in-memory
+  *                             store size); otherwise
+  *                             stateOperators.numRowsTotal. The fallback
+  *                             over-counts under transformWithState,
+  *                             where numRowsTotal sums rows across ALL
+  *                             state variables (profile + dedup-cache
+  *                             entries + counters), not keyed profiles
   *  - cdp.events.buffered    ← stateOperators.numRowsUpdated last batch
   *                             (rows re-materialized this micro-batch)
   *  - cdp.watermark.lag_ms   ← wall clock minus the progress watermark
@@ -28,7 +35,9 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   * Attach one listener per monitored query name; snapshot served by
   * `/stats/cdp`.
   */
-final class CdpMetrics(queryName: Option[String] = None) extends StreamingQueryListener {
+final class CdpMetrics(queryName: Option[String] = None,
+                       profileCount: Option[() => Long] = None)
+  extends StreamingQueryListener {
 
   private val processed = new AtomicLong(0L)
   private val late = new AtomicLong(0L)
@@ -67,7 +76,10 @@ final class CdpMetrics(queryName: Option[String] = None) extends StreamingQueryL
     "cdp.events.processed" -> processed.get,
     "cdp.events.late" -> late.get,
     "cdp.events.dropped" -> dropped.get,
-    "cdp.profiles.total" -> profilesTotal.get,
+    // supplier read live at snapshot time: the store fills from a
+    // DIFFERENT query than the listened one, so a cached value could
+    // lag a just-completed batch forever on an idle stream
+    "cdp.profiles.total" -> profileCount.map(_()).getOrElse(profilesTotal.get),
     "cdp.events.buffered" -> buffered.get,
     "cdp.watermark.lag_ms" -> watermarkLagMs.get)
 

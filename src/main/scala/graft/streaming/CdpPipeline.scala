@@ -3,16 +3,16 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
 
 /** Streaming CDP pipeline (SURVEY §3.2): dedup → profile merge (grow-only
   * identifiers, LWW traits, lastSeen, rolling 24 h track counter) →
   * segment evaluation → ENTER/EXIT emission.
   *
-  * The per-event transition is a pure function (`applyEvent`), used by both
-  * the streaming operator (`segmentEvents`, flatMapGroupsWithState) and the
-  * batch replay (`profileSnapshots`, mapGroups) — so batch results are the
-  * replayed fixpoint of the stream, which is how correctness is tested.
+  * The per-event transition is a pure function (`applyCore`), used by both
+  * the streaming operators (`CdpProcessors` on `transformWithState`) and
+  * the batch replay (`profileSnapshots`, mapGroups) — so batch results are
+  * the replayed fixpoint of the stream, which is how correctness is tested.
   *
   * Reference semantics preserved:
   *  - dedup per (profile, eventId), independent across profiles
@@ -63,11 +63,14 @@ object CdpPipeline {
       .orElse(e.anonymousId.map("anon:" + _))
       .getOrElse("event:" + e.eventId)
 
-  /** Pure per-event transition: returns the next state and emitted segment
-    * events. Caller must feed events in (ts, eventId) order per profile.
+  /** Pure per-event transition WITHOUT dedup bookkeeping: `seenEventIds`
+    * passes through untouched. The streaming processors keep the dedup
+    * cache in a native-TTL `MapState` instead (see `CdpProcessors`), so
+    * they call this core directly; the batch replay wraps it with the
+    * hand-rolled sweep in `applyEvent`. Caller must feed events in
+    * (ts, eventId) order per profile and must have dedup-checked already.
     */
-  def applyEvent(pid: String, st: ProfileState, e: CdpEvent): (ProfileState, Seq[SegmentEvent]) = {
-    if (st.seenEventIds.contains(e.eventId)) return (st, Nil)
+  def applyCore(pid: String, st: ProfileState, e: CdpEvent): (ProfileState, Seq[SegmentEvent]) = {
     val t = micros(e.ts)
     val userIds = st.userIds ++ e.userId
     val emails = st.emails ++ e.email.map(_.trim.toLowerCase)
@@ -97,12 +100,25 @@ object CdpPipeline {
     val emits =
       (newSegs -- st.segments).toSeq.sorted.map(SegmentEvent(pid, _, "ENTER", e.ts)) ++
         (st.segments -- newSegs).toSeq.sorted.map(SegmentEvent(pid, _, "EXIT", e.ts))
-    // recency cache mirroring the reference's Caffeine config (10 m TTL,
-    // maximumSize 10k — `CdpEventProcessor.kt:344-351`): recent ids are
-    // ALWAYS tracked; old ones age out; a hot profile exceeding the size
-    // cap within the TTL gets size-evicted (keep most-recent half-cap),
-    // exactly as Caffeine's maximumSize would — bounded state, amortized
-    // O(1)/event sweep, dedup exact within TTL up to the size cap.
+    (ProfileState(userIds, emails, anons, traits, lastSeen, buckets, newSegs,
+      st.seenEventIds), emits)
+  }
+
+  /** Batch transition: dedup check + core + the hand-rolled seen-id sweep.
+    * The sweep mirrors the reference's Caffeine config (10 m TTL,
+    * maximumSize 10k — `CdpEventProcessor.kt:344-351`): recent ids are
+    * ALWAYS tracked; old ones age out; a hot profile exceeding the size
+    * cap within the TTL gets size-evicted (keep most-recent half-cap),
+    * exactly as Caffeine's maximumSize would — bounded state, amortized
+    * O(1)/event sweep, dedup exact within TTL up to the size cap. The
+    * STREAMING processors keep the same cache in a `MapState` with the
+    * same TTL + cap sweep (`CdpProcessorBase.sweep`), so batch replay and
+    * stream dedup stay bit-identical.
+    */
+  def applyEvent(pid: String, st: ProfileState, e: CdpEvent): (ProfileState, Seq[SegmentEvent]) = {
+    if (st.seenEventIds.contains(e.eventId)) return (st, Nil)
+    val (next, emits) = applyCore(pid, st, e)
+    val t = micros(e.ts)
     val seen0 = st.seenEventIds.updated(e.eventId, t)
     val seen =
       if (seen0.size <= DedupPruneAt) seen0
@@ -111,11 +127,10 @@ object CdpPipeline {
         if (ttlPruned.size <= DedupPruneAt) ttlPruned
         else ttlPruned.toSeq.sortBy(-_._2).take(DedupPruneAt / 2).toMap
       }
-    (ProfileState(userIds, emails, anons, traits, lastSeen, buckets, newSegs, seen),
-      emits)
+    (next.copy(seenEventIds = seen), emits)
   }
 
-  private def orderedFold(pid: String, st0: ProfileState, rows: Iterator[CdpEvent])
+  private[streaming] def orderedFold(pid: String, st0: ProfileState, rows: Iterator[CdpEvent])
   : (ProfileState, Seq[SegmentEvent]) = {
     val ordered = rows.toSeq.sortBy(e => (micros(e.ts), e.eventId))
     ordered.foldLeft((st0, Seq.empty[SegmentEvent])) { case ((st, acc), e) =>
@@ -124,22 +139,18 @@ object CdpPipeline {
     }
   }
 
-  /** Streaming: segment ENTER/EXIT events. */
+  /** Streaming: segment ENTER/EXIT events (transformWithState; dedup cache
+    * in a native-TTL MapState — see `SegmentEventsProcessor`).
+    */
   def segmentEvents(spark: SparkSession, events: Dataset[CdpEvent]): Dataset[SegmentEvent] = {
     import spark.implicits._
     events
       .groupByKey(profileId)
-      .flatMapGroupsWithState(
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (pid: String, rows: Iterator[CdpEvent], state: GroupState[ProfileState]) =>
-          val (next, emits) =
-            orderedFold(pid, state.getOption.getOrElse(ProfileState.empty), rows)
-          state.update(next)
-          emits.iterator
-      }
+      .transformWithState(new SegmentEventsProcessor,
+        TimeMode.None(), OutputMode.Append())
   }
 
-  private def toSnapshot(pid: String, st: ProfileState): ProfileSnapshot =
+  private[streaming] def toSnapshot(pid: String, st: ProfileState): ProfileSnapshot =
     ProfileSnapshot(pid,
       st.userIds.toSeq.sorted, st.emails.toSeq.sorted,
       st.anonymousIds.toSeq.sorted,
@@ -159,40 +170,35 @@ object CdpPipeline {
     import spark.implicits._
     events
       .groupByKey(profileId)
-      .flatMapGroupsWithState(
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (pid: String, rows: Iterator[CdpEvent], state: GroupState[ProfileState]) =>
-          val st0 = state.getOption.getOrElse(ProfileState.empty)
-          val (next, _) = orderedFold(pid, st0, rows)
-          state.update(next)
-          // seenEventIds is a cache, not profile content — ignore it when
-          // deciding whether the profile changed
-          if (next.copy(seenEventIds = Map.empty) == st0.copy(seenEventIds = Map.empty))
-            Iterator.empty
-          else Iterator.single(toSnapshot(pid, next))
-      }
+      .transformWithState(new ProfileUpdatesProcessor,
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** Streaming reengage segment (`SegmentEngine.kt:147-151`): a profile
     * ENTERs `reengage` when idle longer than `idleMs` — a segment change
     * with NO new events, which is why it needs timers, not per-event
-    * evaluation (SURVEY §7.4 item 5). Event-time timeouts make it
+    * evaluation (SURVEY §7.4 item 5). Event-time timers make it
     * deterministic in replay: the timer fires when the WATERMARK passes
     * lastSeen + idle (the reference uses wall-clock `now`); the ENTER is
     * stamped with the logical instant lastSeen + idle. A new event while
     * in reengage emits EXIT stamped with that event's time.
     *
     * `events` must carry a watermark on `ts` (the caller picks the
-    * lateness bound); state per profile is two registers.
+    * lateness bound); state per profile is three registers.
     *
     * Bounded state: a profile that ENTERs reengage and never returns must
-    * not pin its two registers forever. After the ENTER fires, a second
-    * timeout at `idleMs * ReengageCleanupFactor` past lastSeen removes the
+    * not pin its registers forever. After the ENTER fires, a second
+    * timer at `idleMs * ReengageCleanupFactor` past lastSeen removes the
     * state entirely — an EXIT for a return beyond that horizon is lost
     * (the profile re-folds from empty), the same bounded-state trade
     * `Dedup.exactStream` documents for its TTL.
     */
-  case class ReengageState(lastSeenUs: Long, inReengage: Boolean)
+  /** lastSeenUs: newest event-time seen; inReengage: ENTER fired, awaiting
+    * return or cleanup; timerMs: the registered timer's expiry (so the next
+    * batch can delete it before re-arming — transformWithState timers are
+    * explicit, not the single auto-reset timeout fMGWS had).
+    */
+  case class ReengageState(lastSeenUs: Long, inReengage: Boolean, timerMs: Long)
 
   val ReengageCleanupFactor = 10L
 
@@ -201,41 +207,8 @@ object CdpPipeline {
     import spark.implicits._
     events
       .groupByKey(profileId)
-      .flatMapGroupsWithState(
-        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (pid: String, rows: Iterator[CdpEvent], state: GroupState[ReengageState]) =>
-          if (state.hasTimedOut) {
-            val st = state.get
-            if (st.inReengage) {
-              // second (cleanup) timer: the profile stayed idle for the
-              // whole cleanup horizon — drop its state
-              state.remove()
-              Iterator.empty
-            } else {
-              state.update(st.copy(inReengage = true))
-              state.setTimeoutTimestamp(
-                math.max(state.getCurrentWatermarkMs() + 1L,
-                  st.lastSeenUs / 1000L + idleMs * ReengageCleanupFactor))
-              Iterator.single(SegmentEvent(pid, "reengage", "ENTER",
-                new Timestamp(st.lastSeenUs / 1000L + idleMs)))
-            }
-          } else {
-            val st0 = state.getOption.getOrElse(ReengageState(0L, inReengage = false))
-            val batch = rows.toSeq
-            val newest = batch.maxBy(e => (micros(e.ts), e.eventId))
-            val lastSeen = math.max(st0.lastSeenUs, micros(newest.ts))
-            val exits =
-              if (st0.inReengage)
-                Seq(SegmentEvent(pid, "reengage", "EXIT", newest.ts))
-              else Nil
-            state.update(ReengageState(lastSeen, inReengage = false))
-            // fire when the watermark passes lastSeen + idle; the timeout
-            // must be set beyond the current watermark
-            state.setTimeoutTimestamp(
-              math.max(state.getCurrentWatermarkMs() + 1L, lastSeen / 1000L + idleMs))
-            exits.iterator
-          }
-      }
+      .transformWithState(new ReengageProcessor(idleMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Batch replay: final profile snapshots after folding the whole log. */

@@ -3,19 +3,20 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.OutputMode
 
 /** Streaming entity-analytics pipeline (SURVEY §3.1): per-(entityId, type)
   * stateful sliding windows + EWMA + rule predicates, emitting alerts.
   *
   * Re-expresses the reference's WindowStore + Rules loop
   * (`core/WindowStore.kt:37-147`, `core/Rules.kt:37-93`,
-  * `ingest/Processor.kt:79-129`) as one `flatMapGroupsWithState` operator:
-  * state = bounded deque of (ts, value) within the 5-minute horizon plus
-  * the EWMA register; every event appends, prunes, computes the window
-  * aggregates anchored at its own event time (inclusive bounds), updates
-  * EWMA with the current value BEFORE comparing (the reference's R2
-  * ordering, `core/Rules.kt:70-74`), and emits alerts.
+  * `ingest/Processor.kt:79-129`) as one `transformWithState` operator
+  * (`EntityAlertProcessor`): state = bounded deque of (ts, value) within
+  * the horizon (a typed ListState) plus the EWMA register (a ValueState);
+  * every event appends, prunes, computes the window aggregates anchored at
+  * its own event time (inclusive bounds), updates EWMA with the current
+  * value BEFORE comparing (the reference's R2 ordering,
+  * `core/Rules.kt:70-74`), and emits alerts.
   *
   * Scale: state is per-key and bounded by the horizon; keys partition
   * across executors (one shuffle); events within a micro-batch are applied
@@ -52,18 +53,19 @@ object EntityPipeline {
     import spark.implicits._
     events
       .groupByKey(e => (e.entityId, e.eventType))
-      .flatMapGroupsWithState(
-        OutputMode.Append(), GroupStateTimeout.NoTimeout())(processGroup(cfg))
+      .transformWithState(new EntityAlertProcessor(cfg),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
 
-  private def processGroup(cfg: RuleConfig)(
-      key: (String, String), rows: Iterator[EntityEvent],
-      state: GroupState[WindowState]): Iterator[Alert] = {
-    val (entityId, _) = key
-    var st = state.getOption.getOrElse(WindowState(Nil, None))
+  /** Pure fold of one ordered micro-batch: (state, events) → (state,
+    * alerts). Shared core between the streaming processor and any replay;
+    * caller must feed events in (ts, eventId) order.
+    */
+  private[streaming] def foldEvents(
+      entityId: String, st0: WindowState, ordered: Seq[EntityEvent],
+      cfg: RuleConfig): (WindowState, Seq[Alert]) = {
+    var st = st0
     val out = Seq.newBuilder[Alert]
-    // deterministic replay: apply in (ts, eventId) order within the batch
-    val ordered = rows.toSeq.sortBy(e => (e.ts.getTime, e.eventId))
     ordered.foreach { e =>
       val t = e.ts.getTime
       val v = e.value.map(_.toDouble).getOrElse(1.0) // Processor.kt:134-139
@@ -108,7 +110,56 @@ object EntityPipeline {
       if (sum30s > thr4)
         out += Alert(e.ts, "R4_EXFIL", entityId, "HIGH", sum30s, thr4)
     }
-    state.update(st)
-    out.result().iterator
+    (st, out.result())
+  }
+}
+
+/** transformWithState processor for `EntityPipeline.alerts`. The window
+  * deque lives in a typed `ListState` and the EWMA register in a
+  * `ValueState` — read once per micro-batch, folded in memory, written
+  * back once. When no point aged out of the horizon, only the NEW points
+  * are appended (an append-only RocksDB changelog write); a prune rewrites
+  * the list. Point order in state is irrelevant: every window aggregate is
+  * a filter over (ts ≤ anchor) — order sensitivity lives in the per-batch
+  * event sort, not the deque.
+  */
+class EntityAlertProcessor(cfg: EntityPipeline.RuleConfig)
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    (String, String), EntityEvent, Alert] {
+
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{ListState, TTLConfig, TimeMode, TimerValues, ValueState}
+
+  type Point = (Long, Double, Option[String], Option[String])
+
+  @transient private var points: ListState[Point] = _
+  @transient private var ewma: ValueState[Double] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    points = getHandle.getListState[Point]("points",
+      Encoders.product[Point], TTLConfig.NONE)
+    ewma = getHandle.getValueState[Double]("ewma",
+      Encoders.scalaDouble, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(
+      key: (String, String), rows: Iterator[EntityEvent],
+      timerValues: TimerValues): Iterator[Alert] = {
+    val pts0 = points.get().toList
+    val st0 = EntityPipeline.WindowState(pts0,
+      if (ewma.exists()) Some(ewma.get()) else None)
+    // deterministic replay: apply in (ts, eventId) order within the batch
+    val ordered = rows.toSeq.sortBy(e => (e.ts.getTime, e.eventId))
+    val (st, alerts) = EntityPipeline.foldEvents(key._1, st0, ordered, cfg)
+    // each event prepends exactly one point; pruning only removes — so a
+    // size match means nothing aged out and the new points are the first
+    // `ordered.size` entries: append-only changelog write. Otherwise the
+    // horizon moved and the list is rewritten.
+    if (st.points.size == pts0.size + ordered.size)
+      points.appendList(st.points.take(ordered.size).toArray)
+    else
+      points.put(st.points.toArray)
+    st.ewma.foreach(ewma.update)
+    alerts.iterator
   }
 }
