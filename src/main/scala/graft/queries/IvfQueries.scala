@@ -17,6 +17,9 @@ object IvfQueries {
   private val NProbe = 4
   private val TopK = 5
   private val MaxQueryId = 20
+  // SemDeDup cosine threshold: the synthetic embeddings plant near-dups
+  // well above 0.4 (same corpus contract as q_embed_cosine_pairs)
+  private val SemThreshold = 0.4
 
   private def quantizer(s: SparkSession, dir: String) = {
     val prep = Similarity.prepared(Tables.embeddings(s, dir)).cache()
@@ -91,5 +94,50 @@ object IvfQueries {
           col("sq") === col("q") && col("sb") === col("b"), "left")
         .groupBy(col("q"))
         .agg(graft.operators.Num.r4(count(col("sb")) / TopK.toDouble).as("recall"))
+    },
+
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-space
+    // cluster-then-dedup. Cluster = the IVF cell (k-means coarse
+    // quantizer); within each cell, a vector is DROPPED when a
+    // smaller-id cell-mate sits above the cosine threshold — all-pairs
+    // comparison happens only INSIDE a cell (a cid equijoin), never
+    // across the corpus. At 100 TB the cell count scales with the corpus
+    // so cell population stays bounded, and oversized cells would be
+    // sub-split before the pair join — the candidate volume is
+    // sum(cell²) over bounded cells, not N².
+    QueryDef(
+      "q_semdedup",
+      s"""WITH ${Ivf.cellsSql(K)},
+         |pairs AS (
+         |  SELECT x.vec_id AS a, y.vec_id AS b
+         |  FROM assign1 x
+         |  JOIN assign1 y ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |  JOIN prep pa ON pa.vec_id = x.vec_id
+         |  JOIN prep pb ON pb.vec_id = y.vec_id
+         |  WHERE round(list_dot_product(pa.e, pb.e) / (pa.nrm * pb.nrm) + 0.00000025, 4) >= $SemThreshold)
+         |SELECT v.vec_id, v.cell, min(p.a) AS dropped_by,
+         |       (min(p.a) IS NULL) AS kept
+         |FROM assign1 v LEFT JOIN pairs p ON p.b = v.vec_id
+         |GROUP BY v.vec_id, v.cell""".stripMargin) { (s, dir) =>
+      val (prep, cents) = quantizer(s, dir)
+      val assigned = Ivf.assign(prep, cents.cache()).cache()
+      val withE = assigned.join(prep, "vec_id")
+      val a = withE.select(col("cid").as("acid"), col("vec_id").as("a"),
+        col("e").as("ae"), col("nrm").as("an"))
+      val b = withE.select(col("cid").as("bcid"), col("vec_id").as("bid"),
+        col("e").as("be"), col("nrm").as("bn"))
+      // within-cell pairs only: an EQUIJOIN on the cell id (shuffles by
+      // cell, never a cartesian); threshold on the rounded cosine so the
+      // boundary is engine-independent
+      val pairs = a.join(b,
+          col("acid") === col("bcid") && col("a") < col("bid"))
+        .filter(graft.operators.Num.r4(
+          Similarity.cosine(col("ae"), col("be"), col("an"), col("bn"))) >= SemThreshold)
+        .select(col("a"), col("bid"))
+      val droppedBy = pairs.groupBy(col("bid")).agg(min(col("a")).as("dropped_by"))
+      assigned.select(col("vec_id"), col("cid").as("cell"))
+        .join(droppedBy.withColumnRenamed("bid", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"), col("dropped_by"),
+          col("dropped_by").isNull.as("kept"))
     })
 }
