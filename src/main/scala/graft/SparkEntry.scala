@@ -26,6 +26,7 @@ object SparkEntry {
       graft.queries.CdpReplay.defs ++
       graft.queries.AsofQueries.defs ++
       graft.queries.IvfQueries.defs ++
+      graft.queries.PqQueries.defs ++
       graft.queries.CurationQueries.defs ++
       graft.queries.PiiQueries.defs ++
       graft.queries.ObservabilityQueries.defs

@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for embedding compression + ADC search
+  * (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+  * TPAMI 2011). The reference has no vector surface; this is part of the
+  * beyond-reference training-data-pipeline family (SURVEY §2 extension),
+  * complementing IVF: IVF prunes WHERE to look, PQ compresses WHAT is
+  * scanned — a 64-dim float vector (256 B) becomes M=16 nibble-range codes
+  * (16 B packed).
+  *
+  * Determinism contract (same discipline as operators/Ivf.scala): the
+  * per-subspace codebook is seeded from the first KPq vectors' subslices
+  * and runs `Iters` Lloyd iterations under rounded squared-L2 with
+  * smallest-cid tie-breaks, so the DuckDB oracle replays it bit-for-bit
+  * (dots fold left-to-right in double in both engines; each iteration is
+  * the same oracle CTE triple repeated).
+  *
+  * Expected quality on the synthetic corpus: the embeddings are
+  * near-isotropic (max pairwise cosine ~0.5), so exact top-5 neighbors
+  * are nearly equidistant and ANY quantizer's recall@5 is noise-bound —
+  * ~0.35 here. That is the honest PQ behavior on unstructured data, and
+  * exactly what q_pq_recall exists to measure; on clustered real
+  * corpora the same code/codebook sizes reach 0.8+.
+  *
+  * ADC (asymmetric distance computation): the query stays full-precision;
+  * per query a distance table dt[sub][cid] = d2(q_sub, centroid) is built
+  * (Q·M·KPq rows — tiny, broadcast), and each database vector's distance
+  * is the sum of M table lookups on its codes. Partial distances are
+  * SCALED TO INTEGER (round(d2·10⁴)) before summing so the cross-subspace
+  * sum is exact long arithmetic — float-order-independent, hence
+  * engine-independent — instead of an order-sensitive double fold.
+  *
+  * Scale shape: codebook is M·KPq rows (broadcast everywhere); encoding is
+  * one narrow pass over the corpus (broadcast join + per-key argmin); ADC
+  * scan is a broadcast lookup join + map-side-combined sum — linear in
+  * corpus size with no corpus-side shuffle beyond the (q, b) partial
+  * aggregation. At 100 TB, compose with IVF: store codes partitioned by
+  * IVF cell and ADC-scan only probed cells (IVF-PQ); the code table is
+  * 16x smaller than the raw vectors, so even the full scan ships a
+  * sixteenth of the bytes.
+  */
+object Pq {
+
+  val M = 16           // subspaces
+  val DSub = Similarity.Dim / M
+  val KPq = 16         // codes per subspace
+  val Iters = 2        // Lloyd iterations (deterministic, oracle-replayed)
+
+  /** Rounded squared L2, identical expression tree in both engines:
+    * d2 = dot(a,a) - 2*dot(a,b) + dot(b,b), folded left-to-right.
+    */
+  def d2(a: Column, b: Column): Column =
+    Similarity.dot(a, a) - lit(2) * Similarity.dot(a, b) + Similarity.dot(b, b)
+
+  private def d2Sql(a: String, b: String): String =
+    s"list_dot_product($a, $a) - 2 * list_dot_product($a, $b) + list_dot_product($b, $b)"
+
+  /** (vec_id, sub, se): each vector's M contiguous DSub-wide slices. */
+  def subvecs(prep: DataFrame): DataFrame =
+    prep.select(col("vec_id"),
+        explode(sequence(lit(0), lit(M - 1))).as("sub"), col("e"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("e"), col("sub") * DSub + 1, lit(DSub)).as("se"))
+
+  /** Per-(vec, sub) nearest codebook entry by rounded d2, cid tie-break.
+    * cb: (sub, cid, ce) — M*KPq rows, broadcast.
+    */
+  def nearest(sv: DataFrame, cb: DataFrame, out: String): DataFrame =
+    sv.join(broadcast(cb), "sub")
+      .withColumn("d2r", Num.r4(d2(col("se"), col("ce"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"), col("sub"))
+          .orderBy(col("d2r"), col("cid"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("cid").as(out))
+
+  /** One Lloyd step: assign sv to cb, recompute centroids as per-cell
+    * element-wise means. A cell that captures no vectors drops out (both
+    * engines agree — the argmin simply never picks it again).
+    */
+  def lloydStep(sv: DataFrame, cb: DataFrame): DataFrame = {
+    val a = nearest(sv, cb, "cid")
+    sv.join(a, Seq("vec_id", "sub"))
+      .select(col("sub"), col("cid"), posexplode(col("se")).as(Seq("pos", "x")))
+      .groupBy(col("sub"), col("cid"), col("pos")).agg(avg(col("x")).as("xavg"))
+      .groupBy(col("sub"), col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("xavg")))),
+        s => s.getField("xavg")).as("ce"))
+  }
+
+  /** Per-subspace codebook after `Iters` Lloyd steps from the
+    * deterministic seed (first KPq vectors' subslices): (sub, cid, ce).
+    */
+  def codebook(sv: DataFrame): DataFrame = {
+    val cb0 = sv.filter(col("vec_id") < KPq)
+      .select(col("sub"), col("vec_id").as("cid"), col("se").as("ce"))
+    (1 to Iters).foldLeft(cb0)((cb, _) => lloydStep(sv, cb))
+  }
+
+  /** Encode the corpus: (vec_id, sub, code), M rows per vector. */
+  def encode(sv: DataFrame, cb: DataFrame): DataFrame =
+    nearest(sv, cb, "code")
+
+  /** Scaled-integer partial distance: round(d2 * 10^4) as long. The
+    * 0.0025 bias is Num.Eps carried through the 10^4 scaling (see Num's
+    * boundary rationale) — applied identically in the oracle.
+    */
+  private def diScaled(a: Column, b: Column): Column =
+    round(d2(a, b) * 10000 + 0.0025, 0).cast("long")
+
+  /** Per-query distance table over the codebook: (q, sub, cid, di). */
+  def distanceTable(qsv: DataFrame, cb: DataFrame): DataFrame =
+    qsv.join(broadcast(cb), "sub")
+      .select(col("q"), col("sub"), col("cid"),
+        diScaled(col("qe"), col("ce")).as("di"))
+
+  /** ADC top-k per query: (q, rank, b, adc10k). adc10k is the exact long
+    * sum of the M scaled partials — bit-equal across engines by
+    * construction. dt: (q, sub, cid, di) broadcast; codes: (vec_id, sub,
+    * code). The lookup join is map-side (dt broadcast); the (q, b) sum is
+    * partially aggregated before the shuffle.
+    */
+  def adc(dt: DataFrame, codes: DataFrame, topK: Int): DataFrame = {
+    val c = codes.select(col("vec_id").as("b"), col("sub").as("csub"),
+      col("code"))
+    broadcast(dt)
+      .join(c, col("csub") === col("sub") && col("code") === col("cid"))
+      .filter(col("b") =!= col("q"))
+      .groupBy(col("q"), col("b"))
+      .agg(sum(col("di")).as("adc10k"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q")).orderBy(col("adc10k"), col("b"))).cast("int"))
+      .filter(col("rank") <= topK)
+      .select(col("q"), col("rank"), col("b"), col("adc10k"))
+  }
+
+  // ------------------------------------------------------------ oracle SQL
+
+  /** CTE chain prep → subv → pcb0 → (pa_i → pdims_i → pcb_{i+1})×Iters →
+    * pcodes: the per-subspace quantizer, identical arithmetic to the
+    * Scala path; each Lloyd step is the same CTE triple repeated.
+    */
+  def codesSql: String = {
+    def argminSql(cb: String): String =
+      s"""  SELECT vec_id, sub, cid FROM (
+         |    SELECT s.vec_id, s.sub, c.cid,
+         |           row_number() OVER (
+         |             PARTITION BY s.vec_id, s.sub
+         |             ORDER BY round(${d2Sql("s.se", "c.ce")} + 0.00000025, 4), c.cid) AS rn
+         |    FROM subv s JOIN $cb c ON c.sub = s.sub) WHERE rn = 1""".stripMargin
+    val head =
+      s"""prep AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |subv AS (
+         |  SELECT vec_id, m.sub,
+         |         list_slice(e, m.sub * $DSub + 1, m.sub * $DSub + $DSub) AS se
+         |  FROM prep CROSS JOIN (SELECT unnest(range(0, $M)) AS sub) m),
+         |pcb0 AS (
+         |  SELECT sub, vec_id AS cid, se AS ce FROM subv WHERE vec_id < $KPq)""".stripMargin
+    val steps = (0 until Iters).map { i =>
+      s"""pa$i AS (
+         |${argminSql(s"pcb$i")}),
+         |pdims$i AS (
+         |  SELECT a.sub, a.cid, unnest(range(1, ${DSub + 1})) AS pos, unnest(s.se) AS x
+         |  FROM subv s JOIN pa$i a ON a.vec_id = s.vec_id AND a.sub = s.sub),
+         |pcb${i + 1} AS (
+         |  SELECT sub, cid, list(xavg ORDER BY pos) AS ce
+         |  FROM (SELECT sub, cid, pos, avg(x) AS xavg FROM pdims$i GROUP BY sub, cid, pos)
+         |  GROUP BY sub, cid)""".stripMargin
+    }
+    val codes =
+      s"""pcodes AS (
+         |  SELECT vec_id, sub, cid AS code FROM (
+         |${argminSql(s"pcb$Iters")}))""".stripMargin
+    (Seq(head) ++ steps :+ codes).mkString(",\n")
+  }
+
+  /** CTE chain pqs → pdt → padc → pscored(q, rank, b, adc10k) on top of
+    * codesSql's subv/pcb$Iters/pcodes.
+    */
+  def adcSql(maxQueryId: Int, topK: Int): String =
+    s"""pqs AS (
+       |  SELECT vec_id AS q, sub, se AS qe FROM subv WHERE vec_id < $maxQueryId),
+       |pdt AS (
+       |  SELECT q, s.sub, c.cid,
+       |         CAST(round((${d2Sql("s.qe", "c.ce")}) * 10000 + 0.0025) AS BIGINT) AS di
+       |  FROM pqs s JOIN pcb$Iters c ON c.sub = s.sub),
+       |padc AS (
+       |  SELECT d.q, p.vec_id AS b, CAST(sum(d.di) AS BIGINT) AS adc10k
+       |  FROM pdt d
+       |  JOIN pcodes p ON p.sub = d.sub AND p.code = d.cid
+       |  WHERE p.vec_id != d.q
+       |  GROUP BY d.q, p.vec_id),
+       |pscored AS (
+       |  SELECT q, rank, b, adc10k FROM (
+       |    SELECT q, b, adc10k,
+       |           CAST(row_number() OVER (
+       |             PARTITION BY q ORDER BY adc10k, b) AS INT) AS rank
+       |    FROM padc) WHERE rank <= $topK)""".stripMargin
+}

@@ -1,0 +1,94 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.{Num, Pq, Similarity}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product-quantization surface (operators/Pq.scala): corpus encoding
+  * (the 64x-compressed code table), ADC top-k search over the codes, and
+  * recall@5 against the exact full-precision scan — the metric a PQ
+  * deployment tunes M/KPq by.
+  */
+object PqQueries {
+
+  private val MaxQueryId = 20
+  private val TopK = 5
+
+  private def encoded(s: SparkSession, dir: String) = {
+    val prep = Similarity.prepared(Tables.embeddings(s, dir))
+      .select(col("vec_id"), col("e"))
+    val sv = Pq.subvecs(prep).cache()
+    val cb = Pq.codebook(sv).cache()
+    (prep, sv, cb)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // The code table: M single-byte codes per vector — what actually
+    // lands on disk at 100 TB (64x smaller than the raw float vectors).
+    QueryDef(
+      "q_pq_codes",
+      s"""WITH ${Pq.codesSql}
+         |SELECT vec_id, sub, code FROM pcodes""".stripMargin) { (s, dir) =>
+      val (_, sv, cb) = encoded(s, dir)
+      Pq.encode(sv, cb)
+    },
+
+    // ADC scan: query full-precision, database vectors via code lookups.
+    QueryDef(
+      "q_pq_adc_search",
+      s"""WITH ${Pq.codesSql},
+         |${Pq.adcSql(MaxQueryId, TopK)}
+         |SELECT q, rank, b, adc10k FROM pscored""".stripMargin) { (s, dir) =>
+      val (_, sv, cb) = encoded(s, dir)
+      val codes = Pq.encode(sv, cb)
+      val qsv = sv.filter(col("vec_id") < MaxQueryId)
+        .select(col("vec_id").as("q"), col("sub"), col("se").as("qe"))
+      Pq.adc(Pq.distanceTable(qsv, cb), codes, TopK)
+    },
+
+    // Compression quality: recall@5 of the ADC top-5 vs the exact
+    // full-precision squared-L2 top-5.
+    QueryDef(
+      "q_pq_recall",
+      s"""WITH ${Pq.codesSql},
+         |${Pq.adcSql(MaxQueryId, TopK)},
+         |pexact AS (
+         |  SELECT q, b FROM (
+         |    SELECT a.vec_id AS q, b.vec_id AS b,
+         |           row_number() OVER (
+         |             PARTITION BY a.vec_id
+         |             ORDER BY round(list_dot_product(a.e, a.e) - 2 * list_dot_product(a.e, b.e) + list_dot_product(b.e, b.e) + 0.00000025, 4),
+         |                      b.vec_id) AS rank
+         |    FROM prep a JOIN prep b ON b.vec_id != a.vec_id
+         |    WHERE a.vec_id < $MaxQueryId)
+         |  WHERE rank <= $TopK)
+         |SELECT e.q, round(count(s.b) / $TopK.0 + 0.00000025, 4) AS recall
+         |FROM pexact e
+         |LEFT JOIN pscored s ON s.q = e.q AND s.b = e.b
+         |GROUP BY e.q""".stripMargin) { (s, dir) =>
+      val (prep, sv, cb) = encoded(s, dir)
+      val codes = Pq.encode(sv, cb)
+      val qsv = sv.filter(col("vec_id") < MaxQueryId)
+        .select(col("vec_id").as("q"), col("sub"), col("se").as("qe"))
+      val adcTop = Pq.adc(Pq.distanceTable(qsv, cb), codes, TopK)
+        .select(col("q"), col("b"))
+      val queries = prep.filter(col("vec_id") < MaxQueryId)
+        .select(col("vec_id").as("q"), col("e").as("qe"))
+      val exact = broadcast(queries)
+        .join(prep.as("b"), col("b.vec_id") =!= col("q"))
+        .select(col("q"), col("b.vec_id").as("b"),
+          Num.r4(Pq.d2(col("qe"), col("b.e"))).as("d2r"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("q")).orderBy(col("d2r"), col("b"))))
+        .filter(col("rank") <= TopK)
+        .select(col("q"), col("b"))
+      exact
+        .join(adcTop.withColumnRenamed("b", "sb").withColumnRenamed("q", "sq"),
+          col("sq") === col("q") && col("sb") === col("b"), "left")
+        .groupBy(col("q"))
+        .agg(Num.r4(count(col("sb")) / TopK.toDouble).as("recall"))
+    })
+}

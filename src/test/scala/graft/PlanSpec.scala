@@ -43,6 +43,16 @@ class PlanSpec extends SparkSpec {
       "the probe-to-cell join must stay broadcast — the probe side is bounded")
   }
 
+  test("q_pq_adc_search: codebook/distance-table joins broadcast, ADC sum partial") {
+    val p = plan("q_pq_adc_search")
+    assert(p.contains("BroadcastHashJoin"),
+      "codebook (M*KPq rows) and distance table (Q*M*KPq rows) must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("NestedLoop"),
+      "no corpus-side shuffle join in the ADC scan")
+    assert(p.contains("partial_sum"),
+      "the (q, b) ADC sum must combine map-side before the exchange")
+  }
+
   test("q_event_transitions: events scan pruned; shuffle count bounded") {
     val p = plan("q_event_transitions")
     val eventsScan = p.split("\n").find(l =>

@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** PQ semantics (operators/Pq.scala): encoding shape, ADC exactness on a
+  * constructed corpus, and the separable case where the quantizer must be
+  * lossless enough to rank perfectly.
+  */
+class PqSpec extends SparkSpec {
+
+  /** 3 well-separated clusters in 64-dim: cluster axis one-hot with small
+    * per-member jitter on a different axis. Nearest neighbors are the
+    * cluster-mates, with wide margin — a correct PQ must rank them first.
+    */
+  private def corpus = {
+    val rows = for {
+      c <- 0 until 3
+      m <- 0 until 12
+    } yield {
+      val v = Array.fill(Similarity.Dim)(0.0)
+      v(c * 20) = 10.0
+      v(c * 20 + 1) = 0.1 * (m % 4)
+      (c * 12 + m.toLong, v.toSeq)
+    }
+    spark.createDataFrame(rows).toDF("vec_id", "e")
+      .select(col("vec_id"), col("e").cast("array<double>").as("e"))
+  }
+
+  test("encode emits exactly M codes per vector, all in [0, KPq)") {
+    val sv = Pq.subvecs(corpus).cache()
+    val codes = Pq.encode(sv, Pq.codebook(sv)).cache()
+    val perVec = codes.groupBy("vec_id").count().agg(
+      min("count"), max("count")).head()
+    assert(perVec.getLong(0) == Pq.M && perVec.getLong(1) == Pq.M)
+    val range = codes.agg(min("code"), max("code")).head()
+    assert(range.getLong(0) >= 0 && range.getLong(1) < Pq.KPq)
+    codes.unpersist(); sv.unpersist()
+  }
+
+  test("ADC ranks cluster-mates first on separable data") {
+    val sv = Pq.subvecs(corpus).cache()
+    val cb = Pq.codebook(sv).cache()
+    val codes = Pq.encode(sv, cb)
+    val qsv = sv.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("q"), col("sub"), col("se").as("qe"))
+    val top = Pq.adc(Pq.distanceTable(qsv, cb), codes, 5)
+      .select(col("q"), col("b")).collect()
+    // every retrieved neighbor of q in cluster c=q/12 must share the cluster
+    top.foreach { r =>
+      val (q, b) = (r.getLong(0), r.getLong(1))
+      assert(b / 12 == q / 12,
+        s"ADC pulled $b (cluster ${b / 12}) for query $q (cluster ${q / 12})")
+    }
+    cb.unpersist(); sv.unpersist()
+  }
+
+  test("ADC distance is the exact long sum of scaled subspace partials") {
+    val sv = Pq.subvecs(corpus).cache()
+    val cb = Pq.codebook(sv).cache()
+    val codes = Pq.encode(sv, cb)
+    val qsv = sv.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q"), col("sub"), col("se").as("qe"))
+    val dt = Pq.distanceTable(qsv, cb)
+    val adc = Pq.adc(dt, codes, 100)
+    // recompute independently: join codes to dt rows and sum as BigInt
+    val manual = dt.collect().map(r =>
+        (r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+    val codeRows = codes.filter(col("vec_id") =!= 0).collect()
+      .groupBy(_.getLong(0))
+      .map { case (b, rs) =>
+        b -> rs.map(r => manual(r.getInt(1) -> r.getLong(2))).sum }
+    adc.collect().foreach { r =>
+      assert(codeRows(r.getLong(2)) == r.getLong(3),
+        s"adc10k mismatch for b=${r.getLong(2)}")
+    }
+    cb.unpersist(); sv.unpersist()
+  }
+}
