@@ -27,6 +27,7 @@ object SparkEntry {
       graft.queries.AsofQueries.defs ++
       graft.queries.IvfQueries.defs ++
       graft.queries.PqQueries.defs ++
+      graft.queries.PackingQueries.defs ++
       graft.queries.CurationQueries.defs ++
       graft.queries.PiiQueries.defs ++
       graft.queries.ObservabilityQueries.defs

@@ -18,6 +18,7 @@ object CurationQueries {
   private val SampleSalt = "smp"
   private val SplitSalt = "spl"
   private val BalanceSalt = "bal"
+  private val MixSalt = "mix"
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -249,6 +250,53 @@ object CurationQueries {
           when(h * col("n_g") < col("t") * 1000000L, 1L).otherwise(0L).as("keep"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
+          sum(col("keep")).as("n_kept"),
+          Num.r4(sum(col("keep")) * 1.0 / count(lit(1))).as("kept_frac"))
+    },
+
+    // Temperature-flattened domain mixture (the data-mixture reweighting a
+    // pre-training run applies): a half-corpus doc budget is reallocated
+    // across sources proportional to sqrt(n_d) — big domains are damped,
+    // small ones boosted. The per-doc keep decision is EXACT integer
+    // arithmetic: sqrt's IEEE result is correctly rounded (unlike pow), so
+    // floor(sqrt(n)) is bit-identical across engines, and the sampling
+    // threshold is a cross-multiplied integer inequality — no float
+    // division anywhere, so n_kept is deterministic, reproducible under
+    // re-partitioning, and stable under re-runs (same salted-hash draw as
+    // q_stratified_sample). Map-only after two tiny broadcast joins.
+    QueryDef(
+      "q_mixture_sample",
+      s"""WITH counts AS (
+         |  SELECT source, count(*) AS n_g FROM documents GROUP BY source),
+         |w AS (
+         |  SELECT source, n_g, CAST(floor(sqrt(n_g)) AS BIGINT) AS wq FROM counts),
+         |tot AS (
+         |  SELECT CAST(sum(wq) AS BIGINT) AS tw, CAST(sum(n_g) AS BIGINT) AS total FROM w),
+         |kept AS (
+         |  SELECT d.source, w.wq,
+         |         CASE WHEN (${TextOps.hash64Sql(s"concat('$MixSalt', doc_id)")} % 1000000)
+         |                     * 2 * t.tw * w.n_g < 1000000 * w.wq * t.total
+         |              THEN 1 ELSE 0 END AS keep
+         |  FROM documents d JOIN w ON w.source = d.source, tot t)
+         |SELECT source, count(*) AS n_docs,
+         |       CAST(max(wq) AS BIGINT) AS w_sqrt,
+         |       CAST(sum(keep) AS BIGINT) AS n_kept,
+         |       round(sum(keep) * 1.0 / count(*) + 0.00000025, 4) AS kept_frac
+         |FROM kept GROUP BY source""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_g"))
+        .withColumn("wq", floor(sqrt(col("n_g"))).cast("long"))
+      val tot = counts.agg(sum(col("wq")).as("tw"), sum(col("n_g")).as("total"))
+      val h = TextOps.hash64(concat(lit(MixSalt), col("doc_id"))) % 1000000L
+      docs.join(broadcast(counts), "source")
+        .crossJoin(broadcast(tot))
+        .select(col("source"), col("wq"),
+          when(h * 2L * col("tw") * col("n_g") <
+               lit(1000000L) * col("wq") * col("total"), 1L)
+            .otherwise(0L).as("keep"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("wq")).as("w_sqrt"),
           sum(col("keep")).as("n_kept"),
           Num.r4(sum(col("keep")) * 1.0 / count(lit(1))).as("kept_frac"))
     })
