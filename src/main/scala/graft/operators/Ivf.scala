@@ -191,10 +191,12 @@ object Ivf {
        |                      c.cid) AS rn
        |    FROM prep p CROSS JOIN cent1 c) WHERE rn = 1)""".stripMargin
 
-  /** CTE chain qs → probe → scored(q, rank, b, cos) on top of cellsSql's
-    * prep/cent1/assign1.
+  /** CTE chain qs → probe(q, qe, qn, cid) on top of cellsSql's
+    * prep/cent1 — the probed-cells half of the search, composable with
+    * other candidate rankers (exact cosine in searchSql, PQ-ADC in
+    * q_ivfpq_search).
     */
-  def searchSql(maxQueryId: Int, nProbe: Int, k: Int): String =
+  def probeSql(maxQueryId: Int, nProbe: Int): String =
     s"""qs AS (
        |  SELECT vec_id AS q, e AS qe, nrm AS qn FROM prep WHERE vec_id < $maxQueryId),
        |probe AS (
@@ -204,7 +206,13 @@ object Ivf {
        |             PARTITION BY qs.q
        |             ORDER BY round(list_dot_product(qs.qe, c.ce) / (qs.qn * c.cn) + 0.00000025, 4) DESC,
        |                      c.cid) AS rn
-       |    FROM qs CROSS JOIN cent1 c) WHERE rn <= $nProbe),
+       |    FROM qs CROSS JOIN cent1 c) WHERE rn <= $nProbe)""".stripMargin
+
+  /** CTE chain qs → probe → scored(q, rank, b, cos) on top of cellsSql's
+    * prep/cent1/assign1.
+    */
+  def searchSql(maxQueryId: Int, nProbe: Int, k: Int): String =
+    s"""${probeSql(maxQueryId, nProbe)},
        |scored AS (
        |  SELECT q, rank, b, cos FROM (
        |    SELECT p.q, a.vec_id AS b,

@@ -48,7 +48,9 @@ object Pq {
   val M = 16           // subspaces
   val DSub = Similarity.Dim / M
   val KPq = 16         // codes per subspace
-  val Iters = 2        // Lloyd iterations (deterministic, oracle-replayed)
+  val Iters = 1        // Lloyd iterations (deterministic, oracle-replayed;
+                       // measured recall@5 is flat in Iters on the
+                       // near-isotropic synthetic corpus, so pay for one)
 
   /** Rounded squared L2, identical expression tree in both engines:
     * d2 = dot(a,a) - 2*dot(a,b) + dot(b,b), folded left-to-right.
@@ -67,16 +69,19 @@ object Pq {
         slice(col("e"), col("sub") * DSub + 1, lit(DSub)).as("se"))
 
   /** Per-(vec, sub) nearest codebook entry by rounded d2, cid tie-break.
-    * cb: (sub, cid, ce) — M*KPq rows, broadcast.
+    * cb: (sub, cid, ce) — M*KPq rows, broadcast. The argmin is
+    * min(struct(d2r, cid)) — lexicographic struct ordering gives exactly
+    * the (d2r asc, cid asc) rank-1 row, but as a PARTIAL aggregate: the
+    * map side combines the KPq-way fan-out away before the shuffle, where
+    * a window rank would sort and shuffle every (vec, sub, cid) row.
     */
   def nearest(sv: DataFrame, cb: DataFrame, out: String): DataFrame =
     sv.join(broadcast(cb), "sub")
-      .withColumn("d2r", Num.r4(d2(col("se"), col("ce"))))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id"), col("sub"))
-          .orderBy(col("d2r"), col("cid"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("sub"), col("cid").as(out))
+      .select(col("vec_id"), col("sub"),
+        struct(Num.r4(d2(col("se"), col("ce"))).as("d2r"), col("cid")).as("sc"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(col("sc")).as("m"))
+      .select(col("vec_id"), col("sub"), col("m.cid").as(out))
 
   /** One Lloyd step: assign sv to cb, recompute centroids as per-cell
     * element-wise means. A cell that captures no vectors drops out (both
@@ -138,13 +143,38 @@ object Pq {
       .select(col("q"), col("rank"), col("b"), col("adc10k"))
   }
 
+  /** Candidate-restricted ADC (the IVF-PQ composition): rank only the
+    * (q, b) pairs in `cand` — e.g. the probed IVF cells' population —
+    * by code lookups. The codes join is a candidate-bounded equijoin on
+    * b; the distance table broadcasts; same exact-long-sum contract as
+    * the full scan.
+    */
+  def adcOver(cand: DataFrame, dt: DataFrame, codes: DataFrame,
+              topK: Int): DataFrame = {
+    val c = codes.select(col("vec_id").as("b"), col("sub").as("csub"),
+      col("code"))
+    val d = broadcast(dt.select(col("q").as("dq"), col("sub"), col("cid"),
+      col("di")))
+    cand.join(c, "b")
+      .join(d, col("dq") === col("q") && col("sub") === col("csub") &&
+        col("cid") === col("code"))
+      .groupBy(col("q"), col("b"))
+      .agg(sum(col("di")).as("adc10k"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q")).orderBy(col("adc10k"), col("b"))).cast("int"))
+      .filter(col("rank") <= topK)
+      .select(col("q"), col("rank"), col("b"), col("adc10k"))
+  }
+
   // ------------------------------------------------------------ oracle SQL
 
-  /** CTE chain prep → subv → pcb0 → (pa_i → pdims_i → pcb_{i+1})×Iters →
-    * pcodes: the per-subspace quantizer, identical arithmetic to the
-    * Scala path; each Lloyd step is the same CTE triple repeated.
+  /** subv → pcb0 → (pa_i → pdims_i → pcb_{i+1})×Iters → pcodes: the
+    * per-subspace quantizer, identical arithmetic to the Scala path; each
+    * Lloyd step is the same CTE triple repeated. Assumes a `prep` CTE
+    * with (vec_id, e) already exists — composable on top of
+    * Ivf.cellsSql's prep (whose extra nrm column is harmless).
     */
-  def codesSql: String = {
+  def codesChainSql: String = {
     def argminSql(cb: String): String =
       s"""  SELECT vec_id, sub, cid FROM (
          |    SELECT s.vec_id, s.sub, c.cid,
@@ -153,9 +183,7 @@ object Pq {
          |             ORDER BY round(${d2Sql("s.se", "c.ce")} + 0.00000025, 4), c.cid) AS rn
          |    FROM subv s JOIN $cb c ON c.sub = s.sub) WHERE rn = 1""".stripMargin
     val head =
-      s"""prep AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         |subv AS (
+      s"""subv AS (
          |  SELECT vec_id, m.sub,
          |         list_slice(e, m.sub * $DSub + 1, m.sub * $DSub + $DSub) AS se
          |  FROM prep CROSS JOIN (SELECT unnest(range(0, $M)) AS sub) m),
@@ -179,16 +207,30 @@ object Pq {
     (Seq(head) ++ steps :+ codes).mkString(",\n")
   }
 
-  /** CTE chain pqs → pdt → padc → pscored(q, rank, b, adc10k) on top of
-    * codesSql's subv/pcb$Iters/pcodes.
+  /** Standalone quantizer chain: prep straight off the embeddings table +
+    * codesChainSql.
     */
-  def adcSql(maxQueryId: Int, topK: Int): String =
+  def codesSql: String =
+    s"""prep AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |$codesChainSql""".stripMargin
+
+  /** pqs → pdt: the per-query subspace distance table over the final
+    * codebook, scaled-integer partials.
+    */
+  def dtSql(maxQueryId: Int): String =
     s"""pqs AS (
        |  SELECT vec_id AS q, sub, se AS qe FROM subv WHERE vec_id < $maxQueryId),
        |pdt AS (
        |  SELECT q, s.sub, c.cid,
        |         CAST(round((${d2Sql("s.qe", "c.ce")}) * 10000 + 0.0025) AS BIGINT) AS di
-       |  FROM pqs s JOIN pcb$Iters c ON c.sub = s.sub),
+       |  FROM pqs s JOIN pcb$Iters c ON c.sub = s.sub)""".stripMargin
+
+  /** CTE chain pqs → pdt → padc → pscored(q, rank, b, adc10k) on top of
+    * codesSql's subv/pcb$Iters/pcodes — the full-corpus ADC scan.
+    */
+  def adcSql(maxQueryId: Int, topK: Int): String =
+    s"""${dtSql(maxQueryId)},
        |padc AS (
        |  SELECT d.q, p.vec_id AS b, CAST(sum(d.di) AS BIGINT) AS adc10k
        |  FROM pdt d

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.operators.{Num, Pq, Similarity}
+import graft.operators.{Ivf, Num, Pq, Similarity}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -15,6 +15,8 @@ object PqQueries {
 
   private val MaxQueryId = 20
   private val TopK = 5
+  private val IvfK = 16
+  private val NProbe = 4
 
   private def encoded(s: SparkSession, dir: String) = {
     val prep = Similarity.prepared(Tables.embeddings(s, dir))
@@ -90,5 +92,115 @@ object PqQueries {
           col("sq") === col("q") && col("sb") === col("b"), "left")
         .groupBy(col("q"))
         .agg(Num.r4(count(col("sb")) / TopK.toDouble).as("recall"))
+    },
+
+    // IVF-PQ: the production ANN composition at 100 TB — IVF probes prune
+    // WHERE to look (nProbe of K cells), PQ codes shrink WHAT is scanned
+    // (16x). Candidates come from the probed cells only (broadcast probe
+    // → cell equijoin), then rank by ADC code lookups — the raw vectors
+    // are never touched on the scan path.
+    QueryDef(
+      "q_ivfpq_search",
+      s"""WITH ${Ivf.cellsSql(IvfK)},
+         |${Pq.codesChainSql},
+         |${Ivf.probeSql(MaxQueryId, NProbe)},
+         |${Pq.dtSql(MaxQueryId)},
+         |pcand AS (
+         |  SELECT p.q, a.vec_id AS b
+         |  FROM probe p JOIN assign1 a ON a.cell = p.cid AND a.vec_id != p.q),
+         |pivf AS (
+         |  SELECT c.q, c.b, CAST(sum(d.di) AS BIGINT) AS adc10k
+         |  FROM pcand c
+         |  JOIN pcodes p ON p.vec_id = c.b
+         |  JOIN pdt d ON d.q = c.q AND d.sub = p.sub AND d.cid = p.code
+         |  GROUP BY c.q, c.b)
+         |SELECT q, rank, b, adc10k FROM (
+         |  SELECT q, b, adc10k,
+         |         CAST(row_number() OVER (
+         |           PARTITION BY q ORDER BY adc10k, b) AS INT) AS rank
+         |  FROM pivf) WHERE rank <= $TopK""".stripMargin) { (s, dir) =>
+      val (cand, dt, codes) = ivfPqParts(s, dir)
+      Pq.adcOver(cand, dt, codes, TopK)
+    },
+
+    // Pruning cost on top of quantization cost: recall@5 vs the exact
+    // full-precision scan — compare against q_pq_recall (full-corpus ADC)
+    // to read off how much the nProbe cell restriction loses.
+    QueryDef(
+      "q_ivfpq_recall",
+      s"""WITH ${Ivf.cellsSql(IvfK)},
+         |${Pq.codesChainSql},
+         |${Ivf.probeSql(MaxQueryId, NProbe)},
+         |${Pq.dtSql(MaxQueryId)},
+         |pcand AS (
+         |  SELECT p.q, a.vec_id AS b
+         |  FROM probe p JOIN assign1 a ON a.cell = p.cid AND a.vec_id != p.q),
+         |pivf AS (
+         |  SELECT c.q, c.b, CAST(sum(d.di) AS BIGINT) AS adc10k
+         |  FROM pcand c
+         |  JOIN pcodes p ON p.vec_id = c.b
+         |  JOIN pdt d ON d.q = c.q AND d.sub = p.sub AND d.cid = p.code
+         |  GROUP BY c.q, c.b),
+         |pivf_top AS (
+         |  SELECT q, b FROM (
+         |    SELECT q, b, row_number() OVER (
+         |             PARTITION BY q ORDER BY adc10k, b) AS rank
+         |    FROM pivf) WHERE rank <= $TopK),
+         |pexact AS (
+         |  SELECT q, b FROM (
+         |    SELECT a.vec_id AS q, b.vec_id AS b,
+         |           row_number() OVER (
+         |             PARTITION BY a.vec_id
+         |             ORDER BY round(list_dot_product(a.e, a.e) - 2 * list_dot_product(a.e, b.e) + list_dot_product(b.e, b.e) + 0.00000025, 4),
+         |                      b.vec_id) AS rank
+         |    FROM prep a JOIN prep b ON b.vec_id != a.vec_id
+         |    WHERE a.vec_id < $MaxQueryId)
+         |  WHERE rank <= $TopK)
+         |SELECT e.q, round(count(s.b) / $TopK.0 + 0.00000025, 4) AS recall
+         |FROM pexact e
+         |LEFT JOIN pivf_top s ON s.q = e.q AND s.b = e.b
+         |GROUP BY e.q""".stripMargin) { (s, dir) =>
+      val (cand, dt, codes) = ivfPqParts(s, dir)
+      val prep = Similarity.prepared(Tables.embeddings(s, dir))
+      val ivfTop = Pq.adcOver(cand, dt, codes, TopK).select(col("q"), col("b"))
+      val queries = prep.filter(col("vec_id") < MaxQueryId)
+        .select(col("vec_id").as("q"), col("e").as("qe"))
+      val exact = broadcast(queries)
+        .join(prep.as("b"), col("b.vec_id") =!= col("q"))
+        .select(col("q"), col("b.vec_id").as("b"),
+          Num.r4(Pq.d2(col("qe"), col("b.e"))).as("d2r"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("q")).orderBy(col("d2r"), col("b"))))
+        .filter(col("rank") <= TopK)
+        .select(col("q"), col("b"))
+      exact
+        .join(ivfTop.withColumnRenamed("b", "sb").withColumnRenamed("q", "sq"),
+          col("sq") === col("q") && col("sb") === col("b"), "left")
+        .groupBy(col("q"))
+        .agg(Num.r4(count(col("sb")) / TopK.toDouble).as("recall"))
     })
+
+  /** Shared IVF-PQ assembly: probed-cell candidates, the query distance
+    * table, and the code table.
+    */
+  private def ivfPqParts(s: SparkSession, dir: String) = {
+    val prepN = Similarity.prepared(Tables.embeddings(s, dir)).cache()
+    val cents = Ivf.centroids(prepN, IvfK).cache()
+    // map-only cell assignment (no corpus-wide window shuffle); identical
+    // results to Ivf.assign by the assignBroadcast parity contract
+    val assigned = Ivf.assignBroadcast(s, prepN, cents).cache()
+    val sv = Pq.subvecs(prepN.select(col("vec_id"), col("e"))).cache()
+    val cb = Pq.codebook(sv).cache()
+    val codes = Pq.encode(sv, cb)
+    val queries = prepN.filter(col("vec_id") < MaxQueryId)
+      .select(col("vec_id").as("q"), col("e").as("qe"), col("nrm").as("qn"))
+    val cand = broadcast(Ivf.probe(queries, cents, NProbe)
+        .select(col("q"), col("cid")))
+      .join(assigned.withColumnRenamed("vec_id", "b"), "cid")
+      .filter(col("b") =!= col("q"))
+      .select(col("q"), col("b"))
+    val qsv = sv.filter(col("vec_id") < MaxQueryId)
+      .select(col("vec_id").as("q"), col("sub"), col("se").as("qe"))
+    (cand, Pq.distanceTable(qsv, cb), codes)
+  }
 }
