@@ -118,6 +118,21 @@ object ScaleProbe {
     // PII scrub is map-only — the flattest curve in the suite; any
     // superlinearity here means a shuffle crept into a per-row regex op
     timeDf("pii_redact")(graft.queries.PiiQueries.redact(docs))
+    // packing prefix sum: the replicated corpus multiplies docs-per-source
+    // (sources stay 20) — exactly the dominant-stream straggler shape the
+    // two-pass scan exists for; cost should track the scan, not the
+    // largest source
+    timeDf("pack_manifest")(graft.operators.Packing.manifest(
+      graft.operators.Packing.endOffsets(
+        graft.operators.Packing.tokenCounts(docs))))
+    // PQ encode: broadcast codebook + per-key partial-agg argmin — one
+    // narrow corpus pass, so near-linear in k
+    timeDf("pq_encode") {
+      val sv = graft.operators.Pq.subvecs(
+        graft.operators.Similarity.prepared(embeddings)
+          .select(col("vec_id"), col("e"))).cache()
+      graft.operators.Pq.encode(sv, graft.operators.Pq.codebook(sv))
+    }
     timeDf("source_mix_kl")(graft.queries.TextAnalytics.sourceMixKl(docs))
     // sketch family: all bounded-state one-shuffle shapes — the register
     // tables must stay constant-size as k grows, so time should track the

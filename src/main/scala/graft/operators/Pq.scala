@@ -110,6 +110,61 @@ object Pq {
   def encode(sv: DataFrame, cb: DataFrame): DataFrame =
     nearest(sv, cb, "code")
 
+  /** Streaming-capable encoder: the codebook (bounded — it IS the index)
+    * is collected, broadcast, and each vector computes all M codes in one
+    * stateless partition-local pass — a pure map with no shuffle and no
+    * state, so it runs under Structured Streaming in append mode: the
+    * continuous-ingest path that admits new vectors into an IVF-PQ index.
+    * Identical codes to `encode` (same left-to-right double fold as the
+    * codegen'd dot, same rounded-d2 + smallest-cid tie-break, with
+    * BigDecimal HALF_UP replicating Spark's round — the assignBroadcast
+    * parity discipline). Output: (vec_id, codes array<long>, sub-indexed).
+    */
+  def encodeBroadcast(spark: org.apache.spark.sql.SparkSession,
+                      vecs: DataFrame, cb: DataFrame): DataFrame = {
+    import spark.implicits._
+    val bySub: Array[Array[(Long, Array[Double])]] = cb
+      .select(col("sub").cast("int"), col("cid").cast("long"), col("ce"))
+      .as[(Int, Long, Seq[Double])].collect()
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map { case (_, c, e) => (c, e.toArray) })
+    require(bySub.length == M, s"codebook must cover all $M subspaces")
+    val bc = spark.sparkContext.broadcast(bySub)
+    def r4(x: Double): Double =
+      BigDecimal.valueOf(x + Num.Eps).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    vecs.select(col("vec_id"), col("e")).as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val cbs = bc.value
+        it.map { case (id, e0) =>
+          val e = e0.toArray
+          val codes = new Array[Long](M)
+          var s = 0
+          while (s < M) {
+            val off = s * DSub
+            var aa = 0.0
+            var i = 0
+            while (i < DSub) { val x = e(off + i); aa += x * x; i += 1 }
+            var bestCid = cbs(s)(0)._1
+            var bestD = Double.PositiveInfinity
+            cbs(s).foreach { case (cid, ce) =>
+              var ab = 0.0
+              var bb = 0.0
+              var j = 0
+              while (j < DSub) { ab += e(off + j) * ce(j); j += 1 }
+              j = 0
+              while (j < DSub) { bb += ce(j) * ce(j); j += 1 }
+              val d = r4(aa - 2 * ab + bb)
+              // strict < keeps the smallest cid on ties (cid-sorted)
+              if (d < bestD) { bestD = d; bestCid = cid }
+            }
+            codes(s) = bestCid
+            s += 1
+          }
+          (id, codes.toSeq)
+        }
+      }.toDF("vec_id", "codes")
+  }
+
   /** Scaled-integer partial distance: round(d2 * 10^4) as long. The
     * 0.0025 bias is Num.Eps carried through the 10^4 scaling (see Num's
     * boundary rationale) — applied identically in the oracle.

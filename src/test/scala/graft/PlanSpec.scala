@@ -53,6 +53,19 @@ class PlanSpec extends SparkSpec {
       "the (q, b) ADC sum must combine map-side before the exchange")
   }
 
+  test("q_pack_manifest: two-pass prefix sum in use — no Window operator at all") {
+    val p = plan("q_pack_manifest")
+    assert(!p.contains("Window"),
+      "a Window node means the per-source serialized formulation snuck back in")
+  }
+
+  test("q_mixture_sample: count/total sides broadcast, decision map-side") {
+    val p = plan("q_mixture_sample")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      "the per-source count table (20 rows) and the 1-row total must broadcast")
+  }
+
   test("q_event_transitions: events scan pruned; shuffle count bounded") {
     val p = plan("q_event_transitions")
     val eventsScan = p.split("\n").find(l =>

@@ -55,6 +55,41 @@ class PqSpec extends SparkSpec {
     cb.unpersist(); sv.unpersist()
   }
 
+  test("encodeBroadcast: code-for-code parity with declarative encode, batch and stream") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sv = Pq.subvecs(corpus).cache()
+    val cb = Pq.codebook(sv).cache()
+    val want = Pq.encode(sv, cb)
+      .groupBy("vec_id")
+      .agg(org.apache.spark.sql.functions.transform(
+        org.apache.spark.sql.functions.array_sort(
+          org.apache.spark.sql.functions.collect_list(
+            org.apache.spark.sql.functions.struct(col("sub"), col("code")))),
+        s => s.getField("code")).as("codes"))
+      .as[(Long, Seq[Long])].collect().toMap
+    // batch parity
+    val got = Pq.encodeBroadcast(spark, corpus, cb)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(got == want, "broadcast encoder diverged from declarative encode")
+    // streaming: same encoder over a MemoryStream, stateless append
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Double])]
+    val out = Pq.encodeBroadcast(spark,
+      input.toDF().toDF("vec_id", "e"), cb)
+    val q = out.writeStream.format("memory").queryName("pq_codes_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(corpus.select(col("vec_id"), col("e"))
+        .as[(Long, Seq[Double])].collect().toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("pq_codes_stream")
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(streamed == want, "streamed codes diverged from batch")
+    } finally q.stop()
+    cb.unpersist(); sv.unpersist()
+  }
+
   test("ADC distance is the exact long sum of scaled subspace partials") {
     val sv = Pq.subvecs(corpus).cache()
     val cb = Pq.codebook(sv).cache()
