@@ -28,6 +28,7 @@ object SparkEntry {
       graft.queries.IvfQueries.defs ++
       graft.queries.PqQueries.defs ++
       graft.queries.PackingQueries.defs ++
+      graft.queries.BpeQueries.defs ++
       graft.queries.CurationQueries.defs ++
       graft.queries.PiiQueries.defs ++
       graft.queries.ObservabilityQueries.defs
