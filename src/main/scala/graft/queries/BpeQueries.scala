@@ -31,5 +31,32 @@ object BpeQueries {
       Bpe.train(Tables.documents(s, dir))._2
         .select(col("word"), trim(col("s")).as("symbols"),
           size(split(trim(col("s")), " ")).as("n_syms"), col("cnt"))
+    },
+
+    // Apply the learned tokenizer: per-doc token counts under the trained
+    // BPE vocab — what a packing/budget pass consumes. The dictionary is
+    // vocab-sized and broadcasts; the corpus side is one explode +
+    // groupBy, so the scan cost is the same as whitespace counting.
+    QueryDef(
+      "q_bpe_token_count",
+      s"""WITH ${Bpe.trainSql},
+         |wd AS (
+         |  SELECT doc_id, unnest(${graft.operators.TextOps.wordsSql("text")}) AS word
+         |  FROM documents)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(len(string_split(trim(d.s), ' '))) AS BIGINT) AS bpe_tokens
+         |FROM wd JOIN bd${Bpe.Rounds} d USING (word)
+         |WHERE word != ''
+         |GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val dict = Bpe.train(docs)._2
+        .select(col("word"), size(split(trim(col("s")), " ")).as("n_syms"))
+      docs.select(col("doc_id"),
+          explode(graft.operators.TextOps.words(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+        .join(broadcast(dict), "word")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_syms")).as("bpe_tokens"))
     })
 }
