@@ -141,6 +141,19 @@ object Dedup {
       .distinct()
   }
 
+  /** Persist the corpus band table BUCKETED on exactly the probe-join
+    * keys (band, key). At 100 TB this is what makes corpus-extension
+    * dedup incremental in practice, not just in plan shape: the probe
+    * join reuses the write-time bucketing, so only the NEW BATCH's band
+    * rows shuffle — the corpus-sized index is read in place, never
+    * re-partitioned (asserted in BucketingSpec).
+    */
+  def writeBandIndex(bands: DataFrame, table: String, path: String,
+                     buckets: Int = 64): Unit =
+    bands.write.mode("overwrite").option("path", path)
+      .bucketBy(buckets, "band", "key").sortBy("band", "key")
+      .saveAsTable(table)
+
   /** Exact Jaccard for given pairs, from the shingle-hash sets. */
   def jaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))

@@ -42,4 +42,44 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS t_profiles")
     }
   }
+
+  test("persisted LSH band index probes without re-shuffling the corpus side") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("graft_bandidx").toString
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      def bands(docs: Seq[(Long, String)]) =
+        Dedup.bandKeys(Dedup.minhashSignatures(Dedup.shingleHashes(
+          docs.toDF("id", "text"), col("id"), col("text"), 3)))
+      val corpusDocs = (0L until 40L).map(i =>
+        (i, s"the quick brown fox jumps over dog number ${i % 5} again and again"))
+      val batchDocs = (100L until 110L).map(i =>
+        (i, s"the quick brown fox jumps over dog number ${i % 5} again and again"))
+      Dedup.writeBandIndex(bands(corpusDocs), "t_band_index", s"$dir/idx", buckets = 8)
+      val index = spark.table("t_band_index")
+      val got = Dedup.candidatePairsAcross(index, bands(batchDocs))
+      val plan = got.queryExecution.executedPlan.toString
+      // the corpus-side scan must be bucketed and feed the join with NO
+      // exchange; only the probe side may shuffle
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"index scan must report bucketed read:\n$plan")
+      // the index child prints first under the SMJ: no Exchange may occur
+      // between the join and the bucketed corpus scan
+      val indexSide = plan.substring(plan.indexOf("SortMergeJoin"),
+        plan.indexOf("Bucketed: true"))
+      assert(!indexSide.contains("Exchange"),
+        s"corpus-side index must not re-shuffle:\n$plan")
+      // parity: same candidates as the unbucketed in-memory index
+      val want = Dedup.candidatePairsAcross(bands(corpusDocs), bands(batchDocs))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val gotSet = got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gotSet == want && want.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS t_band_index")
+    }
+  }
 }
