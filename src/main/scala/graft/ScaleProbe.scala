@@ -114,6 +114,7 @@ object ScaleProbe {
     // doc count by k, so this is exactly the hot-span stress case
     timeDf("dedup_spans")(graft.queries.DedupQueries.dupSpans(docs))
     timeDf("dedup_span_runs")(graft.queries.DedupQueries.spanRuns(docs))
+    timeDf("dedup_span_survivors")(graft.queries.DedupQueries.spanSurvivors(docs))
     timeDf("unigram_logprob")(graft.queries.TextAnalytics.unigramLogprob(docs))
     // PII scrub is map-only — the flattest curve in the suite; any
     // superlinearity here means a shuffle crept into a per-row regex op

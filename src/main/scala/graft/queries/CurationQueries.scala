@@ -36,20 +36,35 @@ object CurationQueries {
     },
 
     // End-to-end curation manifest — the composed pass a pre-training data
-    // pipeline runs: exact dedup (keep min id per content hash) → quality
-    // filter (the q_text_quality score, cut at 0.5 on the rounded value so
-    // the boundary is engine-exact) → salted hash split → per-(lang,
-    // split) doc/token counts. Map-only except the dedup shuffle and the
-    // final small agg.
+    // pipeline runs, in production order: PII scrub FIRST (the corpus is
+    // the same PII-injected variant the standalone q_pii_scan/q_pii_redact
+    // audit, redacted with the same pattern chain) → exact dedup on the
+    // REDACTED text (keep min id per content hash — two docs differing
+    // only in stripped PII collapse, which is the point of scrubbing
+    // before dedup) → quality filter (the q_text_quality score, cut at
+    // 0.5 on the rounded value so the boundary is engine-exact) → salted
+    // hash split → per-(lang, split) doc/token counts with the PII audit
+    // (docs touched by redaction, chars removed). Map-only except the
+    // dedup shuffle and the final small agg.
     QueryDef(
       "q_corpus_curation",
-      s"""WITH keep AS (
-         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      s"""WITH inj AS (
+         |  SELECT doc_id, lang,
+         |         ${graft.queries.PiiQueries.piiTextSql} AS text
+         |  FROM documents),
+         |scrub AS (
+         |  SELECT doc_id, lang,
+         |         ${graft.queries.PiiQueries.redactSql("text")} AS text,
+         |         length(text) - length(${graft.queries.PiiQueries.redactSql("text")})
+         |           AS chars_redacted
+         |  FROM inj),
+         |keep AS (
+         |  SELECT min(doc_id) AS doc_id FROM scrub GROUP BY md5(text)),
          |d AS (
-         |  SELECT doc_id, lang, text FROM documents
+         |  SELECT doc_id, lang, text, chars_redacted FROM scrub
          |  WHERE doc_id IN (SELECT doc_id FROM keep)),
          |q AS (
-         |  SELECT doc_id, lang, text,
+         |  SELECT doc_id, lang, text, chars_redacted,
          |         len(${TextOps.wordsSql("text")}) AS n_tokens
          |  FROM d
          |  WHERE round(0.4 * least(len(${TextOps.wordsSql("text")}) / 50.0, 1.0)
@@ -59,18 +74,28 @@ object CurationQueries {
          |      + 0.3 * (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0
          |               / length(text)) + 0.00000025, 4) >= 0.5),
          |a AS (
-         |  SELECT lang, n_tokens,
+         |  SELECT lang, n_tokens, chars_redacted,
          |         CASE WHEN ${TextOps.hash64Sql(s"concat('$SplitSalt', doc_id)")} % 100 < 80 THEN 'train'
          |              WHEN ${TextOps.hash64Sql(s"concat('$SplitSalt', doc_id)")} % 100 < 90 THEN 'valid'
          |              ELSE 'test' END AS split
          |  FROM q)
          |SELECT lang, split, count(*) AS n_docs,
-         |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |       CAST(sum(CASE WHEN chars_redacted > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_pii_docs,
+         |       CAST(sum(chars_redacted) AS BIGINT) AS chars_redacted
          |FROM a GROUP BY lang, split""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
+      import graft.queries.PiiQueries
       val stop = Seq("the", "a", "of", "and", "data", "value")
       val ws = TextOps.words(col("text"))
-      val deduped = Tables.documents(s, dir)
+      val scrubbed = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), PiiQueries.piiText.as("text"))
+        .withColumn("n0", length(col("text")))
+        .withColumn("text", PiiQueries.redactExpr(col("text")))
+        .withColumn("chars_redacted", col("n0") - length(col("text")))
+        .drop("n0")
+      val deduped = scrubbed
         .withColumn("rn", row_number().over(
           Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
         .filter(col("rn") === 1) // == min(doc_id) per content hash
@@ -86,9 +111,13 @@ object CurationQueries {
         .filter(quality >= 0.5)
         .select(col("lang"),
           size(ws).cast("long").as("n_tokens"),
+          col("chars_redacted"),
           when(h < 80, "train").when(h < 90, "valid").otherwise("test").as("split"))
         .groupBy(col("lang"), col("split"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(when(col("chars_redacted") > 0, 1L).otherwise(0L)).as("n_pii_docs"),
+          sum(col("chars_redacted")).as("chars_redacted"))
     },
 
     // Train/valid/test split 80/10/10 with per-split doc and token counts

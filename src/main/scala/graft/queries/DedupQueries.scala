@@ -38,6 +38,18 @@ object DedupQueries {
     */
   private val JaccardThreshold = 0.35
 
+  /** ExactSubstr cut threshold: a verbatim shared run of >= this many
+    * tokens gets removed from the doc (Lee et al. 2021 use 50). Shared by
+    * q_dedup_span_runs (`cut50` evidence) and q_dedup_span_survivors (the
+    * materialized cut).
+    */
+  private val CutTokens = 50
+
+  /** A doc trimmed below this many remaining tokens is dropped outright
+    * rather than kept as a fragment.
+    */
+  private val MinKeepTokens = 20
+
   /** Verified near-dup clusters over the truncated-copies corpus —
     * (node, component), shared by q_dedup_clusters / q_dedup_survivors so
     * the clustering contract lives in one place on BOTH sides (SQL twin:
@@ -90,6 +102,25 @@ object DedupQueries {
   private def withTruncatedCopies(s: SparkSession, dir: String): DataFrame =
     base(s, dir).unionAll(truncatedCopiesOnly(s, dir))
 
+  /** Variant for q_dedup_span_survivors: every 5th doc gains a copy whose
+    * text is the FULL original plus 25 filler words unique to the copy
+    * (`f1x<id> .. f25x<id>` — no filler 6-gram can repeat). The original's
+    * entire text becomes a verbatim shared run (docs >= 50 words → the cut
+    * drops them), while the copy keeps its 25 filler tokens (>= the
+    * 20-token floor → trimmed, not dropped) — so keep/trim/drop all occur
+    * and the cut arithmetic is exercised at both boundaries.
+    */
+  private val FillerWords = 25
+
+  private def withSharedPrefixCopies(s: SparkSession, dir: String): DataFrame = {
+    val docs = base(s, dir)
+    val filler = concat(col("text") +: (1 to FillerWords).flatMap(i =>
+      Seq(lit(s" f${i}x"), col("id").cast("string"))): _*)
+    docs.unionAll(
+      docs.filter(col("id") % 5 === 0)
+        .select((col("id") + IdOffset).as("id"), filler.as("text")))
+  }
+
   private def withFirstWordReplaced(s: SparkSession, dir: String): DataFrame = {
     val ws = TextOps.words(col("text"))
     base(s, dir).unionAll(
@@ -116,6 +147,16 @@ object DedupQueries {
        |  SELECT doc_id + $IdOffset,
        |         array_to_string(ws[1:CAST(ceil(len(ws) / 2.0) AS INT)], ' ')
        |  FROM (SELECT doc_id, $wsSql AS ws FROM documents WHERE doc_id % 5 = 0))""".stripMargin
+
+  private val sharedPrefixBaseSql = {
+    val fillerSql = (1 to FillerWords)
+      .map(i => s"' f${i}x' || CAST(doc_id AS VARCHAR)").mkString(" || ")
+    s"""base AS (
+       |  SELECT doc_id AS id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $IdOffset, text || $fillerSql
+       |  FROM documents WHERE doc_id % 5 = 0)""".stripMargin
+  }
 
   private val firstWordBaseSql =
     s"""base AS (
@@ -362,9 +403,152 @@ object DedupQueries {
          |SELECT d.doc_id,
          |       CAST(COALESCE(p.n_runs, 0) AS BIGINT) AS n_runs,
          |       CAST(COALESCE(p.longest, 0) AS BIGINT) AS longest_run_tokens,
-         |       COALESCE(p.longest, 0) >= 50 AS cut50
+         |       COALESCE(p.longest, 0) >= $CutTokens AS cut50
          |FROM documents d LEFT JOIN per_doc p ON p.id = d.doc_id""".stripMargin) {
       (s, dir) => spanRuns(Tables.documents(s, dir))
+    },
+
+    // The ExactSubstr CUT materialized (the consumer of q_dedup_span_runs'
+    // evidence — together they are the full Lee-et-al. pipeline): tokens
+    // inside any >= 50-token verbatim shared run are removed; a doc
+    // trimmed below 20 remaining tokens is dropped. Occurrence-linear like
+    // the other span queries: long runs are islands of consecutive
+    // duplicated-6-gram starts (gaps-and-islands), and the removed-token
+    // count is the same fixed-width interval union (lead + clamp) the
+    // coverage query uses, restricted to starts inside long islands — the
+    // clamp makes overlap between adjacent long runs exact, never
+    // double-counted. Per-doc output is the cleaned-corpus manifest:
+    // keep / trim (with exact kept-token count) / drop. Input is the
+    // shared-prefix variant corpus (see withSharedPrefixCopies) so all
+    // three actions genuinely occur — the raw corpus's long runs only
+    // come from near-total duplicates, which never trim.
+    QueryDef(
+      "q_dedup_span_survivors",
+      s"""WITH $sharedPrefixBaseSql,
+         |${Dedup.shinglePosSql(SpanN)},
+         |duph AS (
+         |  SELECT h FROM (SELECT h, count(DISTINCT id) AS nd FROM spans GROUP BY h)
+         |  WHERE nd >= 2),
+         |starts AS (SELECT id, pos FROM spans JOIN duph USING (h)),
+         |runs AS (
+         |  SELECT id, pos,
+         |         pos - row_number() OVER (PARTITION BY id ORDER BY pos) AS island
+         |  FROM starts),
+         |long_islands AS (
+         |  SELECT id, island
+         |  FROM (SELECT id, island, count(*) AS cnt FROM runs GROUP BY id, island)
+         |  WHERE cnt + ${SpanN - 1} >= $CutTokens),
+         |long_starts AS (
+         |  SELECT r.id, r.pos
+         |  FROM runs r JOIN long_islands li
+         |    ON li.id = r.id AND li.island = r.island),
+         |cov AS (
+         |  SELECT id, pos, lead(pos) OVER (PARTITION BY id ORDER BY pos) AS nxt
+         |  FROM long_starts),
+         |cut AS (
+         |  SELECT id,
+         |         sum(CASE WHEN nxt IS NULL OR nxt - pos >= $SpanN
+         |                  THEN $SpanN ELSE nxt - pos END) AS n_cut
+         |  FROM cov GROUP BY id),
+         |totals AS (SELECT id AS doc_id, len($wsSql) AS n_words FROM base)
+         |SELECT t.doc_id, CAST(t.n_words AS BIGINT) AS n_words,
+         |       CAST(COALESCE(c.n_cut, 0) AS BIGINT) AS n_cut_tokens,
+         |       CAST(t.n_words - COALESCE(c.n_cut, 0) AS BIGINT) AS n_kept_tokens,
+         |       CASE WHEN COALESCE(c.n_cut, 0) = 0 THEN 'keep'
+         |            WHEN t.n_words - COALESCE(c.n_cut, 0) < $MinKeepTokens THEN 'drop'
+         |            ELSE 'trim' END AS action
+         |FROM totals t LEFT JOIN cut c ON c.id = t.doc_id""".stripMargin) { (s, dir) =>
+      spanSurvivors(
+        withSharedPrefixCopies(s, dir).select(col("id").as("doc_id"), col("text")))
+    },
+
+    // Source-level (corpus-vs-corpus) similarity matrix: each source's
+    // shingle SET gets a 12-register MinHash signature — the registers are
+    // MERGEABLE (signature of a union = elementwise min), so at 100 TB
+    // per-day/per-shard signatures fold into per-source ones without ever
+    // rescanning raw text, and the pairwise overlap audit between any two
+    // corpora costs 12 integer compares. The exact Jaccard runs alongside
+    // as the eval: an inverted-index equijoin on the shingle hash whose
+    // cost is sum_h k_h^2 with k_h <= |sources| (occurrence-bounded, never
+    // |docs|^2), aggregated map-side to a sources^2-sized table. All
+    // pairwise joins after aggregation are over source-cardinality inputs
+    // (bounded, broadcast).
+    QueryDef(
+      "q_source_similarity", {
+        val agreeSql = (0 until Dedup.NumHashes)
+          .map(i => s"CASE WHEN l.m$i = r.m$i THEN 1 ELSE 0 END")
+          .mkString(" +\n         ")
+        val minsSql = (0 until Dedup.NumHashes)
+          .map(i => s"min((h * ${Dedup.hashA(i)} + ${Dedup.hashB(i)}) % ${Dedup.P}) AS m$i")
+          .mkString(",\n         ")
+        // shingles MUST be computed per doc (shinglePosSql windows by id,
+        // and a source-keyed id would let lead() cross doc boundaries);
+        // the source-level set is the doc-level set mapped through
+        // doc -> source and dedup'd
+        s"""WITH base AS (SELECT doc_id AS id, text FROM documents),
+           |${Dedup.shingleSql(ShingleN)},
+           |ssh AS (
+           |  SELECT DISTINCT d.source AS id, sh.h
+           |  FROM sh JOIN documents d ON d.doc_id = sh.id),
+           |sig AS (
+           |  SELECT id,
+           |         $minsSql
+           |  FROM ssh GROUP BY id),
+           |sz AS (SELECT id, count(*) AS sz FROM ssh GROUP BY id),
+           |inter AS (
+           |  SELECT x.id AS a, y.id AS b, count(*) AS n_common
+           |  FROM ssh x JOIN ssh y ON x.h = y.h AND x.id < y.id
+           |  GROUP BY x.id, y.id),
+           |agree AS (
+           |  SELECT l.id AS a, r.id AS b,
+           |         $agreeSql AS n_agree
+           |  FROM sig l JOIN sig r ON l.id < r.id),
+           |pairs AS (
+           |  SELECT sa.id AS a, sb.id AS b, sa.sz AS sz_a, sb.sz AS sz_b
+           |  FROM sz sa JOIN sz sb ON sa.id < sb.id)
+           |SELECT p.a AS source_a, p.b AS source_b,
+           |       CAST(COALESCE(i.n_common, 0) AS BIGINT) AS n_common,
+           |       CAST(p.sz_a + p.sz_b - COALESCE(i.n_common, 0) AS BIGINT) AS n_union,
+           |       ${Num.r4Sql(
+                     "COALESCE(i.n_common, 0) * 1.0 / (p.sz_a + p.sz_b - COALESCE(i.n_common, 0))")}
+           |         AS true_jaccard,
+           |       CAST(g.n_agree AS BIGINT) AS n_agree,
+           |       ${Num.r4Sql(s"g.n_agree * 1.0 / ${Dedup.NumHashes}")} AS est_jaccard
+           |FROM pairs p
+           |LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+           |JOIN agree g ON g.a = p.a AND g.b = p.b""".stripMargin
+      }) { (s, dir) =>
+      // distinct (source, h): the per-SOURCE shingle set (shingleHashes
+      // already dedups within a doc; sources need one more distinct)
+      val sh = Dedup.shingleHashes(
+        Tables.documents(s, dir), col("source"), col("text"), ShingleN)
+        .distinct().cache()
+      val sig = Dedup.minhashSignatures(sh)
+      val sz = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+      val inter = sh.as("x")
+        .join(sh.as("y"), col("x.h") === col("y.h") && col("x.id") < col("y.id"))
+        .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+        .agg(count(lit(1)).as("n_common"))
+      val agree = (0 until Dedup.NumHashes)
+        .map(i => when(col(s"l.m$i") === col(s"r.m$i"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      val sigPairs = sig.as("l")
+        .join(broadcast(sig.as("r")), col("l.id") < col("r.id"))
+        .select(col("l.id").as("a"), col("r.id").as("b"), agree.as("n_agree"))
+      val pairs = sz.as("sa")
+        .join(broadcast(sz.as("sb")), col("sa.id") < col("sb.id"))
+        .select(col("sa.id").as("a"), col("sb.id").as("b"),
+          col("sa.sz").as("sz_a"), col("sb.sz").as("sz_b"))
+      val nCommon = coalesce(col("n_common"), lit(0L))
+      val nUnion = col("sz_a") + col("sz_b") - nCommon
+      pairs
+        .join(broadcast(inter), Seq("a", "b"), "left")
+        .join(broadcast(sigPairs), Seq("a", "b"))
+        .select(col("a").as("source_a"), col("b").as("source_b"),
+          nCommon.as("n_common"), nUnion.as("n_union"),
+          Num.r4(nCommon * 1.0 / nUnion).as("true_jaccard"),
+          col("n_agree"),
+          Num.r4(col("n_agree") * 1.0 / Dedup.NumHashes).as("est_jaccard"))
     })
 
   /** Duplicated-span starts (id, pos) over an arbitrary documents relation:
@@ -401,7 +585,41 @@ object DedupQueries {
       .select(col("doc_id"),
         coalesce(col("n_runs"), lit(0L)).as("n_runs"),
         coalesce(col("longest"), lit(0L)).as("longest_run_tokens"),
-        (coalesce(col("longest"), lit(0L)) >= 50).as("cut50"))
+        (coalesce(col("longest"), lit(0L)) >= CutTokens).as("cut50"))
+  }
+
+  /** q_dedup_span_survivors body (shared with the scale probe): materialize
+    * the ExactSubstr cut as a per-doc keep/trim/drop manifest with exact
+    * cut-token counts.
+    */
+  def spanSurvivors(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val runs = dupStarts(docs)
+      .withColumn("island", col("pos") - row_number().over(win))
+    // long islands: cnt consecutive starts cover cnt + SpanN - 1 tokens
+    val longIslands = runs.groupBy(col("id"), col("island"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") + lit(SpanN - 1) >= CutTokens)
+      .select(col("id"), col("island"))
+    val longStarts = runs.join(longIslands, Seq("id", "island"), "left_semi")
+    // exact union of the fixed-width intervals rooted at long-run starts:
+    // lead + clamp (adjacent long runs can overlap by up to SpanN-1 tokens)
+    val cut = longStarts
+      .withColumn("nxt", lead(col("pos"), 1).over(win))
+      .groupBy(col("id"))
+      .agg(sum(when(col("nxt").isNull || col("nxt") - col("pos") >= SpanN, SpanN)
+        .otherwise(col("nxt") - col("pos"))).cast("long").as("n_cut"))
+    val totals = docs.select(col("doc_id"),
+      size(TextOps.words(col("text"))).cast("long").as("n_words"))
+    val nCut = coalesce(col("n_cut"), lit(0L))
+    totals.join(cut, totals("doc_id") === cut("id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        nCut.as("n_cut_tokens"),
+        (col("n_words") - nCut).as("n_kept_tokens"),
+        when(nCut === 0L, "keep")
+          .when(col("n_words") - nCut < MinKeepTokens, "drop")
+          .otherwise("trim").as("action"))
   }
 
   /** q_dedup_spans body over an arbitrary documents relation (shared with

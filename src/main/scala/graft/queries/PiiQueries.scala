@@ -42,48 +42,72 @@ object PiiQueries {
 
   // --- deterministic PII injection (identical composition both engines) ---
 
-  // NOTE: this string is interpolated into queries that call .stripMargin
+  // NOTE: these strings are interpolated into queries that call .stripMargin
   // on the combined text — no line here may start (post-indent) with `|`,
   // or the outer stripMargin eats one pipe of a `||`. Concatenation
   // operators therefore sit at line ENDS.
+
+  /** The PII-injected text as a SQL expression (columns `doc_id`, `text`
+    * in scope) — shared with q_corpus_curation so the composed curation
+    * pass scrubs the exact corpus the standalone scan/redact queries see.
+    */
+  val piiTextSql: String =
+    s"""text ||
+       |CASE WHEN doc_id % 5 = 0 THEN ' mail u' || CAST(doc_id AS VARCHAR) ||
+       |        '@ex' || CAST(doc_id % 10 AS VARCHAR) || '.com' ELSE '' END ||
+       |CASE WHEN doc_id % 7 = 0 THEN ' tel +1-' ||
+       |        CAST(100 + doc_id % 900 AS VARCHAR) || '-555-' ||
+       |        CAST(1000 + doc_id % 9000 AS VARCHAR) ELSE '' END ||
+       |CASE WHEN doc_id % 11 = 0 THEN ' ip 10.' ||
+       |        CAST(doc_id % 256 AS VARCHAR) || '.' ||
+       |        CAST((doc_id * 7) % 256 AS VARCHAR) || '.' ||
+       |        CAST(1 + doc_id % 250 AS VARCHAR) ELSE '' END ||
+       |CASE WHEN doc_id % 13 = 0 THEN ' key AKIA' ||
+       |        upper(substr(md5(CAST(doc_id AS VARCHAR)), 1, 16)) ELSE '' END ||
+       |CASE WHEN doc_id % 17 = 0 THEN ' secret ' ||
+       |        md5(CAST(doc_id AS VARCHAR)) ELSE '' END""".stripMargin
+      .replace("\n", "\n         ")
+
   private val baseSql: String =
     s"""base AS (
        |  SELECT doc_id,
-       |         text ||
-       |         CASE WHEN doc_id % 5 = 0 THEN ' mail u' || CAST(doc_id AS VARCHAR) ||
-       |                 '@ex' || CAST(doc_id % 10 AS VARCHAR) || '.com' ELSE '' END ||
-       |         CASE WHEN doc_id % 7 = 0 THEN ' tel +1-' ||
-       |                 CAST(100 + doc_id % 900 AS VARCHAR) || '-555-' ||
-       |                 CAST(1000 + doc_id % 9000 AS VARCHAR) ELSE '' END ||
-       |         CASE WHEN doc_id % 11 = 0 THEN ' ip 10.' ||
-       |                 CAST(doc_id % 256 AS VARCHAR) || '.' ||
-       |                 CAST((doc_id * 7) % 256 AS VARCHAR) || '.' ||
-       |                 CAST(1 + doc_id % 250 AS VARCHAR) ELSE '' END ||
-       |         CASE WHEN doc_id % 13 = 0 THEN ' key AKIA' ||
-       |                 upper(substr(md5(CAST(doc_id AS VARCHAR)), 1, 16)) ELSE '' END ||
-       |         CASE WHEN doc_id % 17 = 0 THEN ' secret ' ||
-       |                 md5(CAST(doc_id AS VARCHAR)) ELSE '' END
+       |         $piiTextSql
        |         AS text
        |  FROM documents)""".stripMargin
 
-  private def withPii(documents: DataFrame): DataFrame = {
+  /** DuckDB redaction chain over an arbitrary text expression — every
+    * class replaced by its token, in the fixed pattern order.
+    */
+  def redactSql(inner: String): String =
+    Redactions.foldLeft(inner) { case (acc, (pat, tok)) =>
+      s"regexp_replace($acc, '$pat', '$tok', 'g')"
+    }
+
+  /** The PII-injected text as a Column (needs `doc_id` and `text`). */
+  def piiText: org.apache.spark.sql.Column = {
     val id = col("doc_id")
     def num(c: org.apache.spark.sql.Column) = c.cast("string")
-    documents.select(
-      id.as("doc_id"),
-      concat(
-        col("text"),
-        when(id % 5 === 0, concat(lit(" mail u"), num(id),
-          lit("@ex"), num(id % 10), lit(".com"))).otherwise(""),
-        when(id % 7 === 0, concat(lit(" tel +1-"), num(id % 900 + 100),
-          lit("-555-"), num(id % 9000 + 1000))).otherwise(""),
-        when(id % 11 === 0, concat(lit(" ip 10."), num(id % 256), lit("."),
-          num((id * 7) % 256), lit("."), num(id % 250 + 1))).otherwise(""),
-        when(id % 13 === 0, concat(lit(" key AKIA"),
-          upper(substring(md5(num(id)), 1, 16)))).otherwise(""),
-        when(id % 17 === 0, concat(lit(" secret "), md5(num(id)))).otherwise("")
-      ).as("text"))
+    concat(
+      col("text"),
+      when(id % 5 === 0, concat(lit(" mail u"), num(id),
+        lit("@ex"), num(id % 10), lit(".com"))).otherwise(""),
+      when(id % 7 === 0, concat(lit(" tel +1-"), num(id % 900 + 100),
+        lit("-555-"), num(id % 9000 + 1000))).otherwise(""),
+      when(id % 11 === 0, concat(lit(" ip 10."), num(id % 256), lit("."),
+        num((id * 7) % 256), lit("."), num(id % 250 + 1))).otherwise(""),
+      when(id % 13 === 0, concat(lit(" key AKIA"),
+        upper(substring(md5(num(id)), 1, 16)))).otherwise(""),
+      when(id % 17 === 0, concat(lit(" secret "), md5(num(id)))).otherwise(""))
   }
+
+  /** Spark redaction chain over an arbitrary text column. */
+  def redactExpr(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    Redactions.foldLeft(c) {
+      case (acc, (pat, tok)) => regexp_replace(acc, pat, tok)
+    }
+
+  private def withPii(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), piiText.as("text"))
 
   /** Query bodies over an arbitrary documents relation — the scale probe
     * feeds replicated inputs through the same code the registered queries
@@ -99,9 +123,7 @@ object PiiQueries {
       size(regexp_extract_all(col("text"), lit(HexSecret), lit(0))).as("n_secret"))
 
   def redact(documents: DataFrame): DataFrame = {
-    val redacted = Redactions.foldLeft(col("text")) {
-      case (acc, (pat, tok)) => regexp_replace(acc, pat, tok)
-    }
+    val redacted = redactExpr(col("text"))
     withPii(documents).select(
       col("doc_id"), redacted.as("redacted"),
       (length(col("text")) - length(redacted)).as("chars_removed"))
@@ -130,9 +152,7 @@ object PiiQueries {
     // (redaction tokens are shorter than everything they replace here).
     QueryDef(
       "q_pii_redact", {
-        val redacted = Redactions.foldLeft("text") { case (acc, (pat, tok)) =>
-          s"regexp_replace($acc, '$pat', '$tok', 'g')"
-        }
+        val redacted = redactSql("text")
         s"""WITH $baseSql
            |SELECT doc_id, $redacted AS redacted,
            |       length(text) - length($redacted) AS chars_removed

@@ -217,11 +217,52 @@ class PlanSpec extends SparkSpec {
       s"the run windows partition by doc, never globally:\n$p")
   }
 
+  test("q_dedup_span_survivors: cut stays occurrence-linear, doc-partitioned") {
+    val p = plan("q_dedup_span_survivors")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span marking must be an equijoin on h:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"dup-hash and long-island marking must be semi-joins:\n$p")
+    assert(!p.contains("Exchange SinglePartition") &&
+      !p.contains("rangepartitioning(1,"),
+      s"the island/coverage windows partition by doc, never globally:\n$p")
+  }
+
+  test("q_source_similarity: exact side is an h-equijoin; pairwise joins broadcast") {
+    val p = plan("q_source_similarity")
+    assert(!p.contains("CartesianProduct"),
+      s"no unbounded cross product (source-bounded sides must broadcast):\n$p")
+    // the inverted-index intersection must be an EQUIjoin keyed on the
+    // shingle hash (AQE may pick any hash-join flavor at test scale), not
+    // a nested loop over the corpus-sized shingle table
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[h#".r
+      .findFirstIn(p).isDefined,
+      s"exact-Jaccard side must equijoin on the shingle hash:\n$p")
+    val scan = p.split("\n").find(_.contains("FileScan parquet")).get
+    assert(!scan.contains("lang") && !scan.contains("n_chars"),
+      s"documents scan must read only (source, text):\n$scan")
+  }
+
   test("q_dedup_survivors: keep decision is a broadcast join against the corpus") {
     val p = plan("q_dedup_survivors")
     assert(!p.contains("CartesianProduct"), s"survivors must not cross-join:\n$p")
     assert(p.contains("BroadcastHashJoin"),
       s"the near-dup-sized cluster mapping must broadcast:\n$p")
+  }
+
+  test("q_corpus_curation: scrub+dedup+filter+split composes without joins") {
+    // PII scrub and quality/split are map-only projections; the only
+    // shuffles are the dedup window (hash by content md5) and the final
+    // (lang, split) agg — no join of any kind belongs in this plan
+    val p = plan("q_corpus_curation")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")
+      && !p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"curation manifest must be projection+window+agg, no joins:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no global funnel in the manifest:\n$p")
+    val scan = p.split("\n").find(_.contains("FileScan parquet")).get
+    assert(!scan.contains("source") && !scan.contains("n_chars"),
+      s"documents scan must read only (doc_id, lang, text):\n$scan")
   }
 
   test("q_pii_scan / q_pii_redact: map-only regex projection, zero exchanges") {
