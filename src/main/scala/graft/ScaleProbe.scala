@@ -116,6 +116,9 @@ object ScaleProbe {
     timeDf("dedup_span_runs")(graft.queries.DedupQueries.spanRuns(docs))
     timeDf("dedup_span_survivors")(graft.queries.DedupQueries.spanSurvivors(docs))
     timeDf("unigram_logprob")(graft.queries.TextAnalytics.unigramLogprob(docs))
+    timeDf("dsir_weights")(graft.queries.TextAnalytics.dsirWeights(docs))
+    // chunking is pure map-side explode — must track the scan exactly
+    timeDf("chunk_manifest")(graft.queries.PackingQueries.chunkManifest(docs))
     // PII scrub is map-only — the flattest curve in the suite; any
     // superlinearity here means a shuffle crept into a per-row regex op
     timeDf("pii_redact")(graft.queries.PiiQueries.redact(docs))

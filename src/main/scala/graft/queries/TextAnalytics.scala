@@ -89,6 +89,11 @@ object TextAnalytics {
         col("s.top_word_n").as("top_word_n"),
         Num.r4(col("s.top_word_n") * 1.0 / col("s.n_words")).as("top_word_frac"))
 
+  /** Target domain for q_dsir_weights (declared before `defs` — the
+    * oracle SQL interpolates it at object-init time).
+    */
+  private val DsirTarget = "src0"
+
   val defs: Seq[QueryDef] = Seq(
 
     // Language ID: score = #words in each language profile; argmax with
@@ -390,6 +395,46 @@ object TextAnalytics {
          |             JOIN st ON st.source = t.source
          |GROUP BY t.source, nd.n_docs, st.ts""".stripMargin) { (s, dir) =>
       sourceMixKl(Tables.documents(s, dir))
+    },
+
+    // DSIR-style importance weights (Xie et al. 2023, data selection via
+    // importance resampling): per doc, the log-likelihood ratio of the
+    // doc's tokens under an add-one-smoothed unigram model of a TARGET
+    // domain (here source = 'src0') vs the RAW corpus model. Positive
+    // log-ratio = the doc looks more like the target than like the
+    // average corpus — the selection signal a targeted-pretraining pass
+    // resamples by. Shape: both models are dictionary-sized count tables
+    // (broadcast); scoring is one equijoin of the token stream against
+    // the merged model + a per-doc sum — at 100 TB the corpus tokenizes
+    // once and nothing ever materializes beyond vocab size. The keep
+    // decision derives from the ROUNDED score so the boundary is
+    // engine-exact.
+    QueryDef(
+      "q_dsir_weights",
+      s"""WITH wpos AS (
+         |  SELECT doc_id, source, unnest(${TextOps.wordsSql("text")}) AS w
+         |  FROM documents),
+         |raw AS (SELECT w, count(*) AS cr FROM wpos GROUP BY w),
+         |tgt AS (
+         |  SELECT w, count(*) AS ct FROM wpos WHERE source = '$DsirTarget'
+         |  GROUP BY w),
+         |tot AS (
+         |  SELECT CAST(sum(cr) AS BIGINT) AS tr, CAST(count(*) AS BIGINT) AS v
+         |  FROM raw),
+         |ttot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt FROM tgt),
+         |lm AS (
+         |  SELECT raw.w,
+         |         ln((COALESCE(tgt.ct, 0) + 1) * 1.0 / (ttot.tt + tot.v))
+         |         - ln((raw.cr + 1) * 1.0 / (tot.tr + tot.v)) AS lr
+         |  FROM raw LEFT JOIN tgt ON tgt.w = raw.w, tot, ttot),
+         |sc AS (
+         |  SELECT doc_id, count(*) AS n_words,
+         |         round(sum(lr) + 0.00000025, 4) AS dsir_logratio
+         |  FROM wpos JOIN lm ON lm.w = wpos.w GROUP BY doc_id)
+         |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, dsir_logratio,
+         |       dsir_logratio > 0 AS kept
+         |FROM sc""".stripMargin) { (s, dir) =>
+      dsirWeights(Tables.documents(s, dir))
     })
 
   /** q_unigram_logprob body over an arbitrary documents relation (shared
@@ -409,6 +454,32 @@ object TextAnalytics {
       .agg(count(lit(1)).as("n_words"),
         Num.r4(avg(col("logp"))).as("avg_logp"),
         Num.r4(exp(-avg(col("logp")))).as("ppl"))
+  }
+
+  /** q_dsir_weights body over an arbitrary documents relation (shared
+    * with the scale probe).
+    */
+  def dsirWeights(docs: DataFrame): DataFrame = {
+    // wpos feeds the raw model, the target model, and the scoring join —
+    // cache so the corpus tokenizes once
+    val wpos = docs
+      .select(col("doc_id"), col("source"), explode(TextOps.words(col("text"))).as("w"))
+      .cache()
+    val raw = wpos.groupBy(col("w")).agg(count(lit(1)).as("cr"))
+    val tgt = wpos.filter(col("source") === DsirTarget)
+      .groupBy(col("w")).agg(count(lit(1)).as("ct"))
+    val tot = raw.agg(sum(col("cr")).as("tr"), count(lit(1)).as("v"))
+    val ttot = tgt.agg(sum(col("ct")).as("tt"))
+    val lm = raw.join(tgt, Seq("w"), "left")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(ttot))
+      .select(col("w"),
+        (log((coalesce(col("ct"), lit(0L)) + 1) * 1.0 / (col("tt") + col("v")))
+          - log((col("cr") + 1) * 1.0 / (col("tr") + col("v")))).as("lr"))
+    wpos.join(broadcast(lm), "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        Num.r4(sum(col("lr"))).as("dsir_logratio"))
+      .withColumn("kept", col("dsir_logratio") > 0)
   }
 
   /** q_source_mix_kl body over an arbitrary documents relation (shared

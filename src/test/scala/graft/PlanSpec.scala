@@ -265,6 +265,24 @@ class PlanSpec extends SparkSpec {
       s"documents scan must read only (doc_id, lang, text):\n$scan")
   }
 
+  test("q_chunk_manifest: map-side explode, zero exchanges") {
+    val p = plan("q_chunk_manifest")
+    assert(!p.contains("Exchange"), s"chunking must be map-only:\n$p")
+    assert(p.contains("Generate explode"),
+      s"chunk starts come from one explode, not a join:\n$p")
+    val scan = p.split("\n").find(_.contains("FileScan parquet")).get
+    assert(!scan.contains("lang") && !scan.contains("source"),
+      s"documents scan must read only (doc_id, text):\n$scan")
+  }
+
+  test("q_dsir_weights: dictionary-sized model broadcasts into the token join") {
+    val p = plan("q_dsir_weights")
+    assert(!p.contains("CartesianProduct"),
+      s"only 1-row totals may cross (as broadcast):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the vocab-sized model must broadcast against the token stream:\n$p")
+  }
+
   test("q_pii_scan / q_pii_redact: map-only regex projection, zero exchanges") {
     // the scrub pass is one codegen'd projection over the scan — any
     // Exchange means something introduced a shuffle into a per-row regex op
