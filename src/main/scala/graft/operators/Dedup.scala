@@ -201,14 +201,20 @@ object Dedup {
     s"""${shinglePosSql(n)},
        |sh AS (SELECT DISTINCT id, h FROM spans)""".stripMargin
 
-  def signatureSql: String = {
+  def signatureSql: String = signatureSql("sh")
+
+  /** Same register layout over an arbitrary (id, h) CTE — ONE place for
+    * the register formula; a second inline copy would let a future change
+    * fork the oracle from `minhashSignatures`.
+    */
+  def signatureSql(from: String): String = {
     val mins = (0 until NumHashes)
       .map(i => s"min((h * ${hashA(i)} + ${hashB(i)}) % $P) AS m$i")
       .mkString(",\n       |         ")
     s"""sig AS (
        |  SELECT id,
        |         $mins
-       |  FROM sh GROUP BY id)""".stripMargin
+       |  FROM $from GROUP BY id)""".stripMargin
   }
 
   def bandsSql: String = {

@@ -52,12 +52,13 @@ object CurationQueries {
          |  SELECT doc_id, lang,
          |         ${graft.queries.PiiQueries.piiTextSql} AS text
          |  FROM documents),
-         |scrub AS (
-         |  SELECT doc_id, lang,
-         |         ${graft.queries.PiiQueries.redactSql("text")} AS text,
-         |         length(text) - length(${graft.queries.PiiQueries.redactSql("text")})
-         |           AS chars_redacted
+         |red AS (
+         |  SELECT doc_id, lang, length(text) AS n0,
+         |         ${graft.queries.PiiQueries.redactSql("text")} AS text
          |  FROM inj),
+         |scrub AS (
+         |  SELECT doc_id, lang, text, n0 - length(text) AS chars_redacted
+         |  FROM red),
          |keep AS (
          |  SELECT min(doc_id) AS doc_id FROM scrub GROUP BY md5(text)),
          |d AS (

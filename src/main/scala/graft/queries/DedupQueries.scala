@@ -478,9 +478,6 @@ object DedupQueries {
         val agreeSql = (0 until Dedup.NumHashes)
           .map(i => s"CASE WHEN l.m$i = r.m$i THEN 1 ELSE 0 END")
           .mkString(" +\n         ")
-        val minsSql = (0 until Dedup.NumHashes)
-          .map(i => s"min((h * ${Dedup.hashA(i)} + ${Dedup.hashB(i)}) % ${Dedup.P}) AS m$i")
-          .mkString(",\n         ")
         // shingles MUST be computed per doc (shinglePosSql windows by id,
         // and a source-keyed id would let lead() cross doc boundaries);
         // the source-level set is the doc-level set mapped through
@@ -490,10 +487,7 @@ object DedupQueries {
            |ssh AS (
            |  SELECT DISTINCT d.source AS id, sh.h
            |  FROM sh JOIN documents d ON d.doc_id = sh.id),
-           |sig AS (
-           |  SELECT id,
-           |         $minsSql
-           |  FROM ssh GROUP BY id),
+           |${Dedup.signatureSql("ssh")},
            |sz AS (SELECT id, count(*) AS sz FROM ssh GROUP BY id),
            |inter AS (
            |  SELECT x.id AS a, y.id AS b, count(*) AS n_common
@@ -595,8 +589,13 @@ object DedupQueries {
   def spanSurvivors(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val win = Window.partitionBy(col("id")).orderBy(col("pos"))
+    // runs feeds both the island-length aggregation and the semi-join back
+    // — cache it, or the dup-hash groupBy + semi-join + window sort
+    // upstream execute twice (at scale: persist the marked-starts table
+    // once per cut pass)
     val runs = dupStarts(docs)
       .withColumn("island", col("pos") - row_number().over(win))
+      .cache()
     // long islands: cnt consecutive starts cover cnt + SpanN - 1 tokens
     val longIslands = runs.groupBy(col("id"), col("island"))
       .agg(count(lit(1)).as("cnt"))

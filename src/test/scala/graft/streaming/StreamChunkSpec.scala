@@ -21,10 +21,12 @@ class StreamChunkSpec extends SparkSpec {
 
     def doc(id: Long, n: Int): (Long, String) =
       (id, (1 to n).map(i => s"w${id}_$i").mkString(" "))
-    // lengths straddle the stride/width boundaries: 30 (one full stride),
-    // 31 (second 1-token chunk), 40 (width), 41, 61, 95, 1, 10
+    // lengths straddle the stride/width boundaries: 30 (one full stride,
+    // single chunk), 31 (second chunk of exactly 1 token at start 31),
+    // 40 (width, clamped second chunk), 41, 61 (1-token third chunk),
+    // 95, 1, 10
     val docs = Seq(doc(1, 10), doc(2, 30), doc(3, 40), doc(4, 41),
-      doc(5, 61), doc(6, 95), doc(7, 1))
+      doc(5, 61), doc(6, 95), doc(7, 1), doc(8, 31))
 
     val input = MemoryStream[(Long, String)]
     val out = PackingQueries.chunkManifest(input.toDF().toDF("doc_id", "text"))
