@@ -178,19 +178,26 @@ object Dedup {
     * this, so tokenization and the rolling-hash composition live in ONE
     * string.
     */
-  def shinglePosSql(n: Int): String = {
+  def shinglePosSql(n: Int): String = shinglePosSql(n, "base", "")
+
+  /** Same positional-shingle CTE chain over an arbitrary (id, text)
+    * relation, with a CTE-name prefix so a composed query (e.g. the
+    * curation funnel) can shingle a SECOND corpus stage without name
+    * collisions — one place for the rolling-hash formula.
+    */
+  def shinglePosSql(n: Int, from: String, prefix: String): String = {
     val ws = TextOps.wordsSql("text")
     val h = (0 until n).map(j => if (j == 0) "wh" else s"lead(wh, $j) OVER win")
       .reduce((acc, whj) => s"(($acc) * $ShingleB + $whj) % $P")
-    s"""wpos AS (
+    s"""${prefix}wpos AS (
        |  SELECT id, unnest(range(1, len(ws) + 1)) AS pos, unnest(ws) AS w
-       |  FROM (SELECT id, $ws AS ws FROM base)),
-       |wh AS (
-       |  SELECT id, pos, ${TextOps.hash64Sql("w")} % $P AS wh FROM wpos),
-       |spans AS (
+       |  FROM (SELECT id, $ws AS ws FROM $from)),
+       |${prefix}wh AS (
+       |  SELECT id, pos, ${TextOps.hash64Sql("w")} % $P AS wh FROM ${prefix}wpos),
+       |${prefix}spans AS (
        |  SELECT id, pos, h FROM (
        |    SELECT id, pos, $h AS h, lead(wh, ${n - 1}) OVER win AS g
-       |    FROM wh WINDOW win AS (PARTITION BY id ORDER BY pos))
+       |    FROM ${prefix}wh WINDOW win AS (PARTITION BY id ORDER BY pos))
        |  WHERE g IS NOT NULL)""".stripMargin
   }
 

@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.operators.{Num, TextOps}
+import graft.operators.{Dedup, Num, TextOps}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Dataset-curation operators for a training-data pipeline: deterministic
@@ -19,6 +20,46 @@ object CurationQueries {
   private val SplitSalt = "spl"
   private val BalanceSalt = "bal"
   private val MixSalt = "mix"
+
+  /** Funnel variant-corpus id offsets (distinct so an id hit by both the
+    * %10 exact-copy and %5 truncation rules stays unique).
+    */
+  private val FunnelExactOff = 100000L
+  private val FunnelTruncOff = 200000L
+
+  /** 55 unique boilerplate tokens appended IN PLACE to every 13th doc of
+    * the funnel corpus: boilerplated docs share a 55-token verbatim run
+    * (>= the 50-token cut) while their pairwise Jaccard stays ~50/(n1+n2+50)
+    * — under the 0.35 near-dup threshold for typical doc lengths — so they
+    * SURVIVE the near-dup stage and get trimmed by the span stage. This is
+    * precisely the shared-boilerplate case ExactSubstr dedup exists for
+    * (near-dup clustering can't see it, span cutting can).
+    */
+  private val FunnelBp = (1 to 55).map(i => s"bp$i").mkString(" ")
+
+  /** The q_text_quality score as a rounded Column over `text` — shared by
+    * the curation manifest and the funnel so the cut lives in one place.
+    */
+  private def qualityCol: org.apache.spark.sql.Column = {
+    val stop = Seq("the", "a", "of", "and", "data", "value")
+    val ws = TextOps.words(col("text"))
+    Num.r4(
+      lit(0.4) * least(size(ws) / 50.0, lit(1.0))
+        + lit(0.3) * (size(filter(ws,
+            w => stop.foldLeft(lit(false))((acc, v) => acc || (w === v)))) * 1.0 / size(ws))
+        + lit(0.3) * (lit(1.0) -
+            size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))) * 1.0
+              / length(col("text"))))
+  }
+
+  /** SQL twin of `qualityCol` over a text expression. */
+  private def qualitySql(t: String): String =
+    s"""round(0.4 * least(len(${TextOps.wordsSql(t)}) / 50.0, 1.0)
+       |      + 0.3 * (len(list_filter(${TextOps.wordsSql(t)},
+       |                w -> w IN ('the', 'a', 'of', 'and', 'data', 'value'))) * 1.0
+       |               / len(${TextOps.wordsSql(t)}))
+       |      + 0.3 * (1.0 - len(regexp_extract_all($t, '[^A-Za-z0-9\\s]')) * 1.0
+       |               / length($t)) + 0.00000025, 4)""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -68,12 +109,7 @@ object CurationQueries {
          |  SELECT doc_id, lang, text, chars_redacted,
          |         len(${TextOps.wordsSql("text")}) AS n_tokens
          |  FROM d
-         |  WHERE round(0.4 * least(len(${TextOps.wordsSql("text")}) / 50.0, 1.0)
-         |      + 0.3 * (len(list_filter(${TextOps.wordsSql("text")},
-         |                w -> w IN ('the', 'a', 'of', 'and', 'data', 'value'))) * 1.0
-         |               / len(${TextOps.wordsSql("text")}))
-         |      + 0.3 * (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0
-         |               / length(text)) + 0.00000025, 4) >= 0.5),
+         |  WHERE ${qualitySql("text")} >= 0.5),
          |a AS (
          |  SELECT lang, n_tokens, chars_redacted,
          |         CASE WHEN ${TextOps.hash64Sql(s"concat('$SplitSalt', doc_id)")} % 100 < 80 THEN 'train'
@@ -88,7 +124,6 @@ object CurationQueries {
          |FROM a GROUP BY lang, split""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       import graft.queries.PiiQueries
-      val stop = Seq("the", "a", "of", "and", "data", "value")
       val ws = TextOps.words(col("text"))
       val scrubbed = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), PiiQueries.piiText.as("text"))
@@ -100,16 +135,9 @@ object CurationQueries {
         .withColumn("rn", row_number().over(
           Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
         .filter(col("rn") === 1) // == min(doc_id) per content hash
-      val quality = graft.operators.Num.r4(
-        lit(0.4) * least(size(ws) / 50.0, lit(1.0))
-          + lit(0.3) * (size(filter(ws,
-              w => stop.foldLeft(lit(false))((acc, v) => acc || (w === v)))) * 1.0 / size(ws))
-          + lit(0.3) * (lit(1.0) -
-              size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))) * 1.0
-                / length(col("text"))))
       val h = TextOps.hash64(concat(lit(SplitSalt), col("doc_id"))) % 100
       deduped
-        .filter(quality >= 0.5)
+        .filter(qualityCol >= 0.5)
         .select(col("lang"),
           size(ws).cast("long").as("n_tokens"),
           col("chars_redacted"),
@@ -329,6 +357,148 @@ object CurationQueries {
           max(col("wq")).as("w_sqrt"),
           sum(col("keep")).as("n_kept"),
           Num.r4(sum(col("keep")) * 1.0 / count(lit(1))).as("kept_frac"))
+    },
+
+    // The curation FUNNEL: the complete dedup-attrition pipeline as one
+    // declarative DAG — raw corpus → exact dedup (md5 keep-min) → verified
+    // near-dup survivors (MinHash LSH → Jaccard verify → connected
+    // components → per-cluster keeper) → ExactSubstr span cut (>=50-token
+    // verbatim runs removed, sub-20-token remnants dropped) → quality cut
+    // — reporting per-stage doc and token counts, the attrition report a
+    // data team reads before a training run. Every stage reuses the
+    // standalone operator's exact contract (verifiedClusters,
+    // spanSurvivors, qualityCol — and their SQL twins), so the funnel IS
+    // the composition proof. Input is the combined variant corpus (exact
+    // copies, truncated halves, and in-place 55-token boilerplate tails —
+    // see FunnelBp) so each stage has real work to do, and in particular
+    // the span stage trims shared boilerplate the near-dup stage cannot
+    // see. Token counts after the span stage
+    // are POST-CUT tokens. At 100 TB: each stage's survivor set is either
+    // map-side-filtered (exact/quality) or derived from a broadcastable
+    // near-dup-sized mapping — the funnel costs one LSH pass plus one
+    // span pass, never a per-stage corpus rewrite.
+    QueryDef(
+      "q_curation_funnel", {
+        val DQ = DedupQueries
+        val ws = TextOps.wordsSql("text")
+        // corpus/base/surv2 are each consumed by several downstream CTEs;
+        // MATERIALIZED stops DuckDB's default inlining from re-expanding
+        // the whole upstream pipeline (and re-opening the parquet) per
+        // consumer — without it the funnel exhausts the fd limit
+        s"""WITH RECURSIVE src AS MATERIALIZED (
+           |  SELECT doc_id,
+           |         CASE WHEN doc_id % 13 = 3 THEN text || ' $FunnelBp'
+           |              ELSE text END AS text
+           |  FROM documents),
+           |corpus AS MATERIALIZED (
+           |  SELECT doc_id AS id, text FROM src
+           |  UNION ALL
+           |  SELECT doc_id + $FunnelExactOff, text FROM src WHERE doc_id % 10 = 0
+           |  UNION ALL
+           |  SELECT doc_id + $FunnelTruncOff,
+           |         array_to_string(ws[1:CAST(ceil(len(ws) / 2.0) AS INT)], ' ')
+           |  FROM (SELECT doc_id, $ws AS ws FROM src WHERE doc_id % 5 = 0)),
+           |keep1 AS (SELECT min(id) AS id FROM corpus GROUP BY md5(text)),
+           |base AS MATERIALIZED (
+           |  SELECT c.id, c.text FROM corpus c JOIN keep1 USING (id)),
+           |${Dedup.shingleSql(DQ.ShingleN)},
+           |${Dedup.signatureSql},
+           |${Dedup.bandsSql},
+           |${Dedup.candidateSql},
+           |${Dedup.jaccardSql},
+           |${Dedup.vpairsSql(DQ.JaccardThreshold)},
+           |${Dedup.clustersSql},
+           |keepers AS (SELECT cluster, min(id) AS keeper FROM clusters GROUP BY cluster),
+           |surv2 AS MATERIALIZED (
+           |  SELECT b.id, b.text FROM base b
+           |  LEFT JOIN clusters c ON c.id = b.id
+           |  LEFT JOIN keepers k ON k.cluster = c.cluster
+           |  WHERE c.id IS NULL OR k.keeper = b.id),
+           |${Dedup.shinglePosSql(DQ.SpanN, "surv2", "s2_")},
+           |s2_duph AS (
+           |  SELECT h FROM (SELECT h, count(DISTINCT id) AS nd FROM s2_spans GROUP BY h)
+           |  WHERE nd >= 2),
+           |s2_starts AS (SELECT id, pos FROM s2_spans JOIN s2_duph USING (h)),
+           |s2_runs AS (
+           |  SELECT id, pos,
+           |         pos - row_number() OVER (PARTITION BY id ORDER BY pos) AS island
+           |  FROM s2_starts),
+           |s2_long AS (
+           |  SELECT id, island
+           |  FROM (SELECT id, island, count(*) AS cnt FROM s2_runs GROUP BY id, island)
+           |  WHERE cnt + ${DQ.SpanN - 1} >= ${DQ.CutTokens}),
+           |s2_lstarts AS (
+           |  SELECT r.id, r.pos FROM s2_runs r
+           |  JOIN s2_long li ON li.id = r.id AND li.island = r.island),
+           |s2_cov AS (
+           |  SELECT id, pos, lead(pos) OVER (PARTITION BY id ORDER BY pos) AS nxt
+           |  FROM s2_lstarts),
+           |s2_cut AS (
+           |  SELECT id,
+           |         sum(CASE WHEN nxt IS NULL OR nxt - pos >= ${DQ.SpanN}
+           |                  THEN ${DQ.SpanN} ELSE nxt - pos END) AS n_cut
+           |  FROM s2_cov GROUP BY id),
+           |sp AS (
+           |  SELECT s.id, len($ws) AS n_words, COALESCE(c.n_cut, 0) AS n_cut
+           |  FROM surv2 s LEFT JOIN s2_cut c ON c.id = s.id),
+           |surv3 AS (
+           |  SELECT id, n_words - n_cut AS n_kept FROM sp
+           |  WHERE NOT (n_cut > 0 AND n_words - n_cut < ${DQ.MinKeepTokens})),
+           |qual AS (
+           |  SELECT s3.id, s3.n_kept FROM surv3 s3 JOIN surv2 s ON s.id = s3.id
+           |  WHERE ${qualitySql("s.text")} >= 0.5),
+           |stages AS (
+           |  SELECT 'a_raw' AS stage, count(*) AS n_docs, sum(len($ws)) AS toks
+           |  FROM corpus
+           |  UNION ALL SELECT 'b_exact_dedup', count(*), sum(len($ws)) FROM base
+           |  UNION ALL SELECT 'c_near_dup', count(*), sum(len($ws)) FROM surv2
+           |  UNION ALL SELECT 'd_span_cut', count(*), sum(n_kept) FROM surv3
+           |  UNION ALL SELECT 'e_quality', count(*), sum(n_kept) FROM qual)
+           |SELECT stage, n_docs, CAST(toks AS BIGINT) AS total_tokens
+           |FROM stages""".stripMargin
+      }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val DQ = DedupQueries
+      val wsz = size(TextOps.words(col("text"))).cast("long")
+      val ws0 = TextOps.words(col("text"))
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id").as("id"),
+          when(col("doc_id") % 13 === 3, concat(col("text"), lit(" " + FunnelBp)))
+            .otherwise(col("text")).as("text"))
+      val corpus = docs
+        .unionAll(docs.filter(col("id") % 10 === 0)
+          .select((col("id") + FunnelExactOff).as("id"), col("text")))
+        .unionAll(docs.filter(col("id") % 5 === 0)
+          .select((col("id") + FunnelTruncOff).as("id"),
+            concat_ws(" ",
+              slice(ws0, lit(1), ceil(size(ws0) / 2.0).cast("int"))).as("text")))
+        .cache()
+      val deduped = corpus
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(md5(col("text"))).orderBy(col("id"))))
+        .filter(col("rn") === 1).select(col("id"), col("text")).cache()
+      val clusters = DQ.verifiedClusters(s, deduped)
+        .select(col("node").as("cid"), col("component").as("cluster"))
+      val keepers = clusters.groupBy(col("cluster")).agg(min(col("cid")).as("keeper"))
+      val surv2 = deduped
+        .join(broadcast(clusters), col("id") === col("cid"), "left")
+        .join(broadcast(keepers), Seq("cluster"), "left")
+        .filter(col("cid").isNull || col("keeper") === col("id"))
+        .select(col("id"), col("text")).cache()
+      val surv3 = DQ.spanSurvivors(surv2.select(col("id").as("doc_id"), col("text")))
+        .filter(col("action") =!= "drop")
+        .select(col("doc_id").as("id"), col("n_kept_tokens")).cache()
+      val qual = surv2.join(surv3, "id").filter(qualityCol >= 0.5)
+        .select(col("id"), col("n_kept_tokens"))
+      def stage(name: String, df: DataFrame,
+                toks: org.apache.spark.sql.Column): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"), sum(toks).cast("long").as("total_tokens"))
+          .select(lit(name).as("stage"), col("n_docs"), col("total_tokens"))
+      stage("a_raw", corpus, wsz)
+        .unionAll(stage("b_exact_dedup", deduped, wsz))
+        .unionAll(stage("c_near_dup", surv2, wsz))
+        .unionAll(stage("d_span_cut", surv3, col("n_kept_tokens")))
+        .unionAll(stage("e_quality", qual, col("n_kept_tokens")))
     })
 
   /** q_train_eval_contamination body over an arbitrary documents relation

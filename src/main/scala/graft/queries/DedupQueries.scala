@@ -22,8 +22,9 @@ object DedupQueries {
     * 3-word shingles collide across unrelated docs (the inverted index
     * degenerates toward n^2 candidates); 5-word shingles make random
     * collisions rare while truncated near-dups keep Jaccard ~0.5.
+    * (private[queries]: the curation funnel composes the same pipeline.)
     */
-  private val ShingleN = 5
+  private[queries] val ShingleN = 5
 
   /** Word n-gram width for q_dedup_spans. 6: long enough that a repeat is
     * a copied passage, not a small-vocabulary collision (4-grams mark 70%+
@@ -31,37 +32,37 @@ object DedupQueries {
     * text). Declared before `defs` — the oracle SQL interpolates it at
     * object-init time.
     */
-  private val SpanN = 6
+  private[queries] val SpanN = 6
 
   /** Verified-pair Jaccard cut for the clustering queries (before `defs`
     * for the same init-order reason).
     */
-  private val JaccardThreshold = 0.35
+  private[queries] val JaccardThreshold = 0.35
 
   /** ExactSubstr cut threshold: a verbatim shared run of >= this many
     * tokens gets removed from the doc (Lee et al. 2021 use 50). Shared by
     * q_dedup_span_runs (`cut50` evidence) and q_dedup_span_survivors (the
     * materialized cut).
     */
-  private val CutTokens = 50
+  private[queries] val CutTokens = 50
 
   /** A doc trimmed below this many remaining tokens is dropped outright
     * rather than kept as a fragment.
     */
-  private val MinKeepTokens = 20
+  private[queries] val MinKeepTokens = 20
 
-  /** Verified near-dup clusters over the truncated-copies corpus —
-    * (node, component), shared by q_dedup_clusters / q_dedup_survivors so
-    * the clustering contract lives in one place on BOTH sides (SQL twin:
-    * `Dedup.vpairsSql` + `Dedup.clustersSql`). Adaptive CC: verified
+  /** Verified near-dup clusters over an arbitrary (id, text) corpus —
+    * (node, component), shared by q_dedup_clusters / q_dedup_survivors /
+    * the curation funnel so the clustering contract lives in one place on
+    * BOTH sides (SQL twin: `Dedup.vpairsSql` + `Dedup.clustersSql`).
+    * Adaptive CC: verified
     * near-dup pairs are sparse, so the common case is the driver-local
     * union-find kernel; a pair set past the bound falls back to
     * distributed propagation.
     */
-  private def verifiedClusters(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def verifiedClusters(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    val sh = Dedup.shingleHashes(
-      withTruncatedCopies(s, dir), col("id"), col("text"), ShingleN).cache()
+    val sh = Dedup.shingleHashes(docs, col("id"), col("text"), ShingleN).cache()
     // cand feeds both sides of Dedup.jaccard — cache, or the band
     // self-join subplan executes twice
     val cand = Dedup.candidatePairs(Dedup.bandKeys(Dedup.minhashSignatures(sh)))
@@ -254,7 +255,7 @@ object DedupQueries {
          |SELECT id, cluster, count(*) OVER (PARTITION BY cluster) AS n_cluster
          |FROM clusters""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      verifiedClusters(s, dir)
+      verifiedClusters(s, withTruncatedCopies(s, dir))
         .select(col("node").as("id"), col("component").as("cluster"))
         .withColumn("n_cluster", count(lit(1)).over(Window.partitionBy(col("cluster"))))
     },
@@ -284,7 +285,7 @@ object DedupQueries {
          |LEFT JOIN clusters c ON c.id = b.id
          |LEFT JOIN keepers k ON k.cluster = c.cluster""".stripMargin) { (s, dir) =>
       val ids = withTruncatedCopies(s, dir).select(col("id"))
-      val clusters = verifiedClusters(s, dir)
+      val clusters = verifiedClusters(s, withTruncatedCopies(s, dir))
         .select(col("node").as("cid"), col("component").as("cluster"))
       val keepers = clusters.groupBy(col("cluster")).agg(min(col("cid")).as("keeper"))
       ids

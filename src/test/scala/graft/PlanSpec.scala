@@ -265,6 +265,14 @@ class PlanSpec extends SparkSpec {
       s"documents scan must read only (doc_id, lang, text):\n$scan")
   }
 
+  test("q_curation_funnel: stage survivorship via broadcast mappings, no cartesian") {
+    val p = plan("q_curation_funnel")
+    assert(!p.contains("CartesianProduct"),
+      s"funnel stages must never cross-join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the near-dup-sized cluster/keeper mappings must broadcast:\n$p")
+  }
+
   test("q_chunk_manifest: map-side explode, zero exchanges") {
     val p = plan("q_chunk_manifest")
     assert(!p.contains("Exchange"), s"chunking must be map-only:\n$p")
