@@ -115,6 +115,7 @@ object ScaleProbe {
     timeDf("dedup_spans")(graft.queries.DedupQueries.dupSpans(docs))
     timeDf("dedup_span_runs")(graft.queries.DedupQueries.spanRuns(docs))
     timeDf("dedup_span_survivors")(graft.queries.DedupQueries.spanSurvivors(docs))
+    timeDf("curation_funnel")(graft.queries.CurationQueries.funnel(spark, docs))
     timeDf("unigram_logprob")(graft.queries.TextAnalytics.unigramLogprob(docs))
     timeDf("dsir_weights")(graft.queries.TextAnalytics.dsirWeights(docs))
     // chunking is pure map-side explode — must track the scan exactly

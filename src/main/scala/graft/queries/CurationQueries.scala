@@ -457,11 +457,18 @@ object CurationQueries {
            |SELECT stage, n_docs, CAST(toks AS BIGINT) AS total_tokens
            |FROM stages""".stripMargin
       }) { (s, dir) =>
+      funnel(s, Tables.documents(s, dir))
+    })
+
+  /** q_curation_funnel body over an arbitrary documents relation (shared
+    * with the scale probe).
+    */
+  def funnel(s: org.apache.spark.sql.SparkSession, documents: DataFrame): DataFrame = {
       import org.apache.spark.sql.expressions.Window
       val DQ = DedupQueries
       val wsz = size(TextOps.words(col("text"))).cast("long")
       val ws0 = TextOps.words(col("text"))
-      val docs = Tables.documents(s, dir)
+      val docs = documents
         .select(col("doc_id").as("id"),
           when(col("doc_id") % 13 === 3, concat(col("text"), lit(" " + FunnelBp)))
             .otherwise(col("text")).as("text"))
@@ -499,7 +506,7 @@ object CurationQueries {
         .unionAll(stage("c_near_dup", surv2, wsz))
         .unionAll(stage("d_span_cut", surv3, col("n_kept_tokens")))
         .unionAll(stage("e_quality", qual, col("n_kept_tokens")))
-    })
+  }
 
   /** q_train_eval_contamination body over an arbitrary documents relation
     * (the scale probe feeds replicated inputs through the same code the
