@@ -71,6 +71,71 @@ class RandomizedParitySpec extends SparkSpec {
     }
   }
 
+  test("ExactSubstr cut == brute-force interval-union oracle on random corpora") {
+    // spanSurvivors computes removed tokens via lead+clamp over starts in
+    // long islands — the subtle bits are island detection and the overlap
+    // of ADJACENT long runs. The oracle here is structurally different:
+    // a boolean mask over token positions (true set union), over corpora
+    // with PLANTED shared passages of random lengths (some below the
+    // 50-token cut, some above) at random positions.
+    import spark.implicits._
+    val N = 6; val Cut = 50; val MinKeep = 20 // = DedupQueries' constants
+    for (seed <- 0 until 8) {
+      val rnd = new Random(7000 + seed)
+      val passages = (0 until 3 + rnd.nextInt(4)).map { j =>
+        (0 until 30 + rnd.nextInt(45)).map(t => s"p${j}_$t")
+      }
+      val docsW = (0 until 6 + rnd.nextInt(8)).map { d =>
+        var w = Vector[String]()
+        def priv(k: Int): Unit =
+          w ++= (0 until k).map(i => s"d${d}_${w.size + i}")
+        priv(3 + rnd.nextInt(15))
+        (0 until rnd.nextInt(3)).foreach { _ =>
+          w ++= passages(rnd.nextInt(passages.size))
+          priv(1 + rnd.nextInt(15))
+        }
+        (d.toLong, w)
+      }
+      // which docs contain each N-gram (dup = present in >= 2 docs)
+      val gramDocs = scala.collection.mutable.Map[Seq[String], Set[Long]]()
+      docsW.foreach { case (id, w) =>
+        w.sliding(N).filter(_.size == N).foreach { g =>
+          gramDocs(g.toList) = gramDocs.getOrElse(g.toList, Set()) + id
+        }
+      }
+      val want = docsW.map { case (id, w) =>
+        val starts = (0 to w.size - N)
+          .filter(p => gramDocs(w.slice(p, p + N).toList).size >= 2)
+        val islands = starts.foldLeft(Vector[Vector[Int]]()) { (acc, p) =>
+          if (acc.nonEmpty && acc.last.last == p - 1) acc.init :+ (acc.last :+ p)
+          else acc :+ Vector(p)
+        }
+        val mask = Array.fill(w.size)(false)
+        islands.filter(_.size + N - 1 >= Cut)
+          .foreach(_.foreach(p => (p until p + N).foreach(mask(_) = true)))
+        val nCut = mask.count(identity).toLong
+        val nKept = w.size - nCut
+        val action =
+          if (nCut == 0) "keep" else if (nKept < MinKeep) "drop" else "trim"
+        id -> ((w.size.toLong, nCut, nKept, action))
+      }.toMap
+      val got = graft.queries.DedupQueries.spanSurvivors(
+          docsW.map { case (id, w) => (id, w.mkString(" ")) }.toDF("doc_id", "text"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+        .toMap
+      assert(got == want,
+        s"seed=$seed diff=${(got.toSet -- want.toSet) ++ (want.toSet -- got.toSet)}")
+      // the generator must actually exercise all three actions somewhere
+      // across the seeds (checked in aggregate below via actionsSeen)
+      got.values.foreach(v => actionsSeen += v._4)
+    }
+    assert(actionsSeen == Set("keep", "trim", "drop"),
+      s"generator never produced: ${Set("keep", "trim", "drop") -- actionsSeen}")
+  }
+
+  private val actionsSeen = scala.collection.mutable.Set[String]()
+
   test("hash split fractions are stable and partitioning-independent") {
     import spark.implicits._
     val ids = (0 until 5000).map(_.toLong).toDF("doc_id")
