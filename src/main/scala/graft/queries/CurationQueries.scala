@@ -20,6 +20,7 @@ object CurationQueries {
   private val SplitSalt = "spl"
   private val BalanceSalt = "bal"
   private val MixSalt = "mix"
+  private val EpochSalt = "epo"
 
   /** Funnel variant-corpus id offsets (distinct so an id hit by both the
     * %10 exact-copy and %5 truncation rules stays unique).
@@ -357,6 +358,67 @@ object CurationQueries {
           max(col("wq")).as("w_sqrt"),
           sum(col("keep")).as("n_kept"),
           Num.r4(sum(col("keep")) * 1.0 / count(lit(1))).as("kept_frac"))
+    },
+
+    // Epoch plan with REPEAT factors (the data-constrained-scaling shape:
+    // small domains are seen multiple times per epoch, big ones
+    // subsampled): a 2x-total doc budget is allocated across langs
+    // (the corpus's genuinely skewed domain: en is ~44%)
+    // ∝ floor(sqrt(n)) (same IEEE-exact damping as q_mixture_sample),
+    // then each source's target T splits into a guaranteed floor(T/n)
+    // repeats for EVERY doc plus one extra for ~T mod n docs chosen by
+    // the salted-hash inequality — so one integer-exact rule yields
+    // repeats >= 2 for boosted domains, 0/1 keeps for damped ones.
+    // Unlike q_mixture_sample (keep/drop only) this emits the repeat
+    // multiplicity a training loader consumes. Map-only after one
+    // broadcast of the source-sized weight table.
+    QueryDef(
+      "q_epoch_plan",
+      s"""WITH counts AS (
+         |  SELECT lang, count(*) AS n_g FROM documents GROUP BY lang),
+         |w AS (
+         |  SELECT lang, n_g, CAST(floor(sqrt(n_g)) AS BIGINT) AS wq FROM counts),
+         |tot AS (
+         |  SELECT CAST(sum(wq) AS BIGINT) AS tw, CAST(sum(n_g) AS BIGINT) AS total
+         |  FROM w),
+         |tgt AS (
+         |  SELECT lang, n_g, wq, (2 * t.total * wq) // t.tw AS target
+         |  FROM w, tot t),
+         |perdoc AS (
+         |  SELECT d.lang, g.wq, g.target,
+         |         g.target // g.n_g +
+         |         CASE WHEN (${TextOps.hash64Sql(s"concat('$EpochSalt', doc_id)")} % 1000000)
+         |                     * g.n_g < (g.target % g.n_g) * 1000000
+         |              THEN 1 ELSE 0 END AS repeats
+         |  FROM documents d JOIN tgt g ON g.lang = d.lang)
+         |SELECT lang, count(*) AS n_docs,
+         |       CAST(max(wq) AS BIGINT) AS w_sqrt,
+         |       CAST(max(target) AS BIGINT) AS target,
+         |       CAST(sum(repeats) AS BIGINT) AS n_emitted,
+         |       CAST(max(repeats) AS BIGINT) AS max_repeat,
+         |       CAST(sum(CASE WHEN repeats = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_dropped
+         |FROM perdoc GROUP BY lang""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_g"))
+        .withColumn("wq", floor(sqrt(col("n_g"))).cast("long"))
+      val tot = counts.agg(sum(col("wq")).as("tw"), sum(col("n_g")).as("total"))
+      val tgt = counts.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_g"), col("wq"),
+          expr("(2 * total * wq) div tw").as("target"))
+      val h = TextOps.hash64(concat(lit(EpochSalt), col("doc_id"))) % 1000000L
+      docs.join(broadcast(tgt), "lang")
+        .select(col("lang"), col("wq"), col("target"),
+          (expr("target div n_g") +
+            when(h * col("n_g") < (col("target") % col("n_g")) * 1000000L, 1L)
+              .otherwise(0L)).as("repeats"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("wq")).as("w_sqrt"),
+          max(col("target")).as("target"),
+          sum(col("repeats")).as("n_emitted"),
+          max(col("repeats")).as("max_repeat"),
+          sum(when(col("repeats") === 0, 1L).otherwise(0L)).as("n_dropped"))
     },
 
     // The curation FUNNEL: the complete dedup-attrition pipeline as one

@@ -265,6 +265,16 @@ class PlanSpec extends SparkSpec {
       s"documents scan must read only (doc_id, lang, text):\n$scan")
   }
 
+  test("q_epoch_plan: weight table broadcasts, decision is map-side") {
+    val p = plan("q_epoch_plan")
+    assert(!p.contains("CartesianProduct"),
+      s"only the 1-row totals may cross (as broadcast):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the lang-sized target table must broadcast against the scan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing in the epoch plan justifies a shuffle join:\n$p")
+  }
+
   test("q_curation_funnel: stage survivorship via broadcast mappings, no cartesian") {
     val p = plan("q_curation_funnel")
     assert(!p.contains("CartesianProduct"),
