@@ -221,6 +221,54 @@ object CurationQueries {
       contamination(Tables.documents(s, dir))
     },
 
+    // DECONTAMINATION — the action the check above informs, in the
+    // direction production actually runs it: drop TRAIN docs that overlap
+    // the held-out eval set (so the benchmark stays meaningful), rather
+    // than editing the benchmark. Same inverted-index shape with the
+    // sides swapped: the eval (test-split) shingle set is the small build
+    // side, each train doc's overlap = fraction of its own shingles found
+    // there, drop at >= 0.2 ON THE ROUNDED value (engine-exact boundary).
+    // The hot-shingle cap now applies to EVAL shingles (>10% of eval docs
+    // = boilerplate, not contamination); per-train-doc cost is its own
+    // shingle count, never train x eval.
+    QueryDef(
+      "q_decontam_train",
+      s"""WITH base AS (SELECT doc_id AS id, text FROM documents),
+         |${graft.operators.Dedup.shingleSql(3)},
+         |split AS (
+         |  SELECT doc_id AS id,
+         |         CASE WHEN ${TextOps.hash64Sql(s"concat('$SplitSalt', doc_id)")} % 100 < 80 THEN 'train'
+         |              WHEN ${TextOps.hash64Sql(s"concat('$SplitSalt', doc_id)")} % 100 < 90 THEN 'valid'
+         |              ELSE 'test' END AS split
+         |  FROM documents),
+         |eval_doc_n AS (
+         |  SELECT count(*) AS n_eval FROM split WHERE split = 'test'),
+         |eval_freq AS (
+         |  SELECT h, count(DISTINCT id) AS nd FROM sh JOIN split USING (id)
+         |  WHERE split = 'test' GROUP BY h),
+         |eval_h AS (
+         |  SELECT h FROM eval_freq, eval_doc_n WHERE nd * 10 <= n_eval),
+         |hot_h AS (
+         |  SELECT h FROM eval_freq, eval_doc_n WHERE nd * 10 > n_eval),
+         |tr AS (
+         |  SELECT sh.id, sh.h FROM sh JOIN split ON split.id = sh.id
+         |  WHERE split.split = 'train'),
+         |totals AS (SELECT id, count(*) AS n_shingles FROM tr GROUP BY id),
+         |hits AS (
+         |  SELECT t.id, count(*) AS n_hit
+         |  FROM tr t JOIN eval_h e ON e.h = t.h
+         |  WHERE t.h NOT IN (SELECT h FROM hot_h)
+         |  GROUP BY t.id)
+         |SELECT totals.id AS doc_id, n_shingles,
+         |       CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+         |       round(COALESCE(n_hit, 0) * 1.0 / n_shingles
+         |             + 0.00000025, 4) AS overlap,
+         |       round(COALESCE(n_hit, 0) * 1.0 / n_shingles
+         |             + 0.00000025, 4) >= 0.2 AS dropped
+         |FROM totals LEFT JOIN hits ON hits.id = totals.id""".stripMargin) { (s, dir) =>
+      decontamTrain(Tables.documents(s, dir))
+    },
+
     // Sketch-driven length filter — curation composed ON TOP of the
     // histogram quantile sketch: per-language p5/p95 char-length bounds
     // come from the mergeable bucket table (at 100 TB: yesterday's
@@ -521,6 +569,40 @@ object CurationQueries {
       }) { (s, dir) =>
       funnel(s, Tables.documents(s, dir))
     })
+
+  /** q_decontam_train body over an arbitrary documents relation — the
+    * contamination check with the sides swapped: eval shingles build, train
+    * docs probe, and the rounded overlap drives the drop decision.
+    */
+  def decontamTrain(docs: DataFrame): DataFrame = {
+    val h = TextOps.hash64(concat(lit(SplitSalt), col("doc_id"))) % 100
+    val split = docs.select(col("doc_id").as("id"),
+      when(h < 80, "train").when(h < 90, "valid").otherwise("test").as("split"))
+    // sh feeds both sides — cache (at scale: persist the shingle table)
+    val sh = graft.operators.Dedup.shingleHashes(
+      docs.select(col("doc_id").as("id"), col("text")),
+      col("id"), col("text"), n = 3).cache()
+    val nEval = split.filter(col("split") === "test")
+      .agg(count(lit(1)).as("n_eval"))
+    val evalFreq = sh.join(split.filter(col("split") === "test"), "id")
+      .groupBy(col("h")).agg(countDistinct(col("id")).as("nd"))
+      .crossJoin(broadcast(nEval))
+    val evalH = evalFreq.filter(col("nd") * 10 <= col("n_eval")).select("h")
+    // hot eval shingles stripped off the probe side pre-join (skew guard)
+    val hotH = evalFreq.filter(col("nd") * 10 > col("n_eval")).select("h")
+    val tr = sh.join(split.filter(col("split") === "train"), "id")
+      .select("id", "h")
+    val totals = tr.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
+    val hits = tr.join(broadcast(hotH), Seq("h"), "left_anti")
+      .join(evalH, "h")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_hit"))
+    val overlap = Num.r4(coalesce(col("n_hit"), lit(0L)) * 1.0 / col("n_shingles"))
+    totals.join(hits, Seq("id"), "left")
+      .select(col("id").as("doc_id"), col("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        overlap.as("overlap"),
+        (overlap >= 0.2).as("dropped"))
+  }
 
   /** q_curation_funnel body over an arbitrary documents relation (shared
     * with the scale probe).

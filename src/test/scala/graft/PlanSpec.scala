@@ -265,6 +265,17 @@ class PlanSpec extends SparkSpec {
       s"documents scan must read only (doc_id, lang, text):\n$scan")
   }
 
+  test("q_decontam_train: eval set builds, train probes, hot shingles anti-joined") {
+    val p = plan("q_decontam_train")
+    assert(!p.contains("CartesianProduct"),
+      s"decontamination candidates must come from the shingle-hash equijoin:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"hot eval shingles must be anti-joined off the probe side:\n$p")
+    val scan = p.split("\n").find(_.contains("FileScan parquet")).get
+    assert(!scan.contains("lang") && !scan.contains("source"),
+      s"documents scan must read only (doc_id, text):\n$scan")
+  }
+
   test("q_epoch_plan: weight table broadcasts, decision is map-side") {
     val p = plan("q_epoch_plan")
     assert(!p.contains("CartesianProduct"),
