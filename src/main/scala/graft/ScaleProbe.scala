@@ -92,8 +92,13 @@ object ScaleProbe {
     // the clock stopped BEFORE the (untimed, column-pruned) row count —
     // count()-timing would skip final projections, and counting inside the
     // timed region would double-execute the query
-    def timeDf(name: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+    // by-name: construction happens INSIDE the clock — query bodies that
+    // execute eagerly while building (the funnel's clustering stage
+    // localCheckpoints + collects) would otherwise run before t0 and the
+    // probe would time only the lazy tail
+    def timeDf(name: String)(mkDf: => org.apache.spark.sql.DataFrame): Unit = {
       val t0 = System.nanoTime()
+      val df = mkDf
       df.write.format("noop").mode("overwrite").save()
       val secs = (System.nanoTime() - t0) / 1e9
       val n = df.count()

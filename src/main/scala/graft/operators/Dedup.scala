@@ -126,6 +126,40 @@ object Dedup {
       .distinct()
   }
 
+  /** Candidate pairs with a HOT-BUCKET cap: band buckets holding more than
+    * `maxBucket` ids are dropped from candidate generation entirely. A
+    * bucket's pair count grows quadratically in its size, and oversized
+    * buckets are almost always a shared-boilerplate artifact (many docs
+    * agreeing on a band because a common passage dominates their minhash
+    * registers) — their pairs overwhelmingly FAIL the Jaccard verify while
+    * costing |bucket|² to check. Genuine near-dup pairs keep colliding in
+    * other, cooler bands (each of the `Bands` bands is an independent
+    * chance), so the recall cost is small and bounded. This is the
+    * standard production mitigation for LSH candidate explosion at scale.
+    */
+  def candidatePairsCapped(bands: DataFrame, maxBucket: Int): DataFrame = {
+    val cool = bands.join(
+      bands.groupBy(col("band"), col("key"))
+        .agg(count(lit(1)).as("bn")).filter(col("bn") <= maxBucket)
+        .select(col("band"), col("key")),
+      Seq("band", "key"), "left_semi")
+    candidatePairs(cool)
+  }
+
+  /** SQL twin of `candidatePairsCapped` -> CTE `cand(a, b)` (drop-in for
+    * `candidateSql`).
+    */
+  def candidateCappedSql(maxBucket: Int): String =
+    s"""cool AS (
+       |  SELECT b.id, b.band, b.key FROM bands b
+       |  JOIN (SELECT band, key FROM bands GROUP BY band, key
+       |        HAVING count(*) <= $maxBucket) ok
+       |    ON ok.band = b.band AND ok.key = b.key),
+       |cand AS (
+       |  SELECT DISTINCT l.id AS a, r.id AS b
+       |  FROM cool l JOIN cool r
+       |    ON l.band = r.band AND l.key = r.key AND l.id < r.id)""".stripMargin
+
   /** Cross-set candidates: distinct (a = index id, b = probe id) sharing
     * a band bucket — the INCREMENTAL shape. `index` is the persisted
     * corpus band table (in production written once, bucketed on

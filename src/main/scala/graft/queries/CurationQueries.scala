@@ -253,18 +253,23 @@ object CurationQueries {
          |tr AS (
          |  SELECT sh.id, sh.h FROM sh JOIN split ON split.id = sh.id
          |  WHERE split.split = 'train'),
-         |totals AS (SELECT id, count(*) AS n_shingles FROM tr GROUP BY id),
+         |train_ids AS (SELECT id FROM split WHERE split = 'train'),
+         |sh_counts AS (SELECT id, count(*) AS n_sh FROM tr GROUP BY id),
+         |totals AS (
+         |  SELECT train_ids.id, CAST(COALESCE(n_sh, 0) AS BIGINT) AS n_shingles
+         |  FROM train_ids LEFT JOIN sh_counts ON sh_counts.id = train_ids.id),
          |hits AS (
          |  SELECT t.id, count(*) AS n_hit
          |  FROM tr t JOIN eval_h e ON e.h = t.h
-         |  WHERE t.h NOT IN (SELECT h FROM hot_h)
          |  GROUP BY t.id)
          |SELECT totals.id AS doc_id, n_shingles,
          |       CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
-         |       round(COALESCE(n_hit, 0) * 1.0 / n_shingles
-         |             + 0.00000025, 4) AS overlap,
-         |       round(COALESCE(n_hit, 0) * 1.0 / n_shingles
-         |             + 0.00000025, 4) >= 0.2 AS dropped
+         |       CASE WHEN n_shingles = 0 THEN 0.0
+         |            ELSE round(COALESCE(n_hit, 0) * 1.0 / n_shingles
+         |                       + 0.00000025, 4) END AS overlap,
+         |       CASE WHEN n_shingles = 0 THEN 0.0
+         |            ELSE round(COALESCE(n_hit, 0) * 1.0 / n_shingles
+         |                       + 0.00000025, 4) END >= 0.2 AS dropped
          |FROM totals LEFT JOIN hits ON hits.id = totals.id""".stripMargin) { (s, dir) =>
       decontamTrain(Tables.documents(s, dir))
     },
@@ -514,7 +519,7 @@ object CurationQueries {
            |${Dedup.shingleSql(DQ.ShingleN)},
            |${Dedup.signatureSql},
            |${Dedup.bandsSql},
-           |${Dedup.candidateSql},
+           |${Dedup.candidateCappedSql(DQ.LshBucketCap)},
            |${Dedup.jaccardSql},
            |${Dedup.vpairsSql(DQ.JaccardThreshold)},
            |${Dedup.clustersSql},
@@ -525,29 +530,7 @@ object CurationQueries {
            |  LEFT JOIN keepers k ON k.cluster = c.cluster
            |  WHERE c.id IS NULL OR k.keeper = b.id),
            |${Dedup.shinglePosSql(DQ.SpanN, "surv2", "s2_")},
-           |s2_duph AS (
-           |  SELECT h FROM (SELECT h, count(DISTINCT id) AS nd FROM s2_spans GROUP BY h)
-           |  WHERE nd >= 2),
-           |s2_starts AS (SELECT id, pos FROM s2_spans JOIN s2_duph USING (h)),
-           |s2_runs AS (
-           |  SELECT id, pos,
-           |         pos - row_number() OVER (PARTITION BY id ORDER BY pos) AS island
-           |  FROM s2_starts),
-           |s2_long AS (
-           |  SELECT id, island
-           |  FROM (SELECT id, island, count(*) AS cnt FROM s2_runs GROUP BY id, island)
-           |  WHERE cnt + ${DQ.SpanN - 1} >= ${DQ.CutTokens}),
-           |s2_lstarts AS (
-           |  SELECT r.id, r.pos FROM s2_runs r
-           |  JOIN s2_long li ON li.id = r.id AND li.island = r.island),
-           |s2_cov AS (
-           |  SELECT id, pos, lead(pos) OVER (PARTITION BY id ORDER BY pos) AS nxt
-           |  FROM s2_lstarts),
-           |s2_cut AS (
-           |  SELECT id,
-           |         sum(CASE WHEN nxt IS NULL OR nxt - pos >= ${DQ.SpanN}
-           |                  THEN ${DQ.SpanN} ELSE nxt - pos END) AS n_cut
-           |  FROM s2_cov GROUP BY id),
+           |${DQ.spanCutSql("s2_")},
            |sp AS (
            |  SELECT s.id, len($ws) AS n_words, COALESCE(c.n_cut, 0) AS n_cut
            |  FROM surv2 s LEFT JOIN s2_cut c ON c.id = s.id),
@@ -584,19 +567,30 @@ object CurationQueries {
       col("id"), col("text"), n = 3).cache()
     val nEval = split.filter(col("split") === "test")
       .agg(count(lit(1)).as("n_eval"))
+    // evalFreq feeds both the build set and the hot set — cache, or the
+    // eval-side join + countDistinct executes twice
     val evalFreq = sh.join(split.filter(col("split") === "test"), "id")
       .groupBy(col("h")).agg(countDistinct(col("id")).as("nd"))
       .crossJoin(broadcast(nEval))
+      .cache()
     val evalH = evalFreq.filter(col("nd") * 10 <= col("n_eval")).select("h")
-    // hot eval shingles stripped off the probe side pre-join (skew guard)
+    // hot eval shingles stripped off the probe side pre-join — a
+    // Spark-side SKEW guard only (evalH already excludes them, so the
+    // oracle needs no twin predicate)
     val hotH = evalFreq.filter(col("nd") * 10 > col("n_eval")).select("h")
     val tr = sh.join(split.filter(col("split") === "train"), "id")
       .select("id", "h")
-    val totals = tr.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
+    // totals start from the SPLIT, not the shingle table: a train doc too
+    // short to have any 3-gram still gets its manifest row (kept,
+    // overlap 0) — the output is the complete per-train-doc decision list
+    val totals = split.filter(col("split") === "train").select(col("id"))
+      .join(tr.groupBy(col("id")).agg(count(lit(1)).as("n_sh")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_sh"), lit(0L)).as("n_shingles"))
     val hits = tr.join(broadcast(hotH), Seq("h"), "left_anti")
       .join(evalH, "h")
       .groupBy(col("id")).agg(count(lit(1)).as("n_hit"))
-    val overlap = Num.r4(coalesce(col("n_hit"), lit(0L)) * 1.0 / col("n_shingles"))
+    val overlap = when(col("n_shingles") === 0, lit(0.0))
+      .otherwise(Num.r4(coalesce(col("n_hit"), lit(0L)) * 1.0 / col("n_shingles")))
     totals.join(hits, Seq("id"), "left")
       .select(col("id").as("doc_id"), col("n_shingles"),
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),
@@ -608,6 +602,13 @@ object CurationQueries {
     * with the scale probe).
     */
   def funnel(s: org.apache.spark.sql.SparkSession, documents: DataFrame): DataFrame = {
+      // NOTE: the stage caches (corpus/deduped/surv2/surv3) stay pinned
+      // until the returned DataFrame is materialized — the result is lazy,
+      // so unlike verifiedClusters (which materializes eagerly and can
+      // unpersist before returning) there is no safe unpersist point here.
+      // Verify/Bench/ScaleProbe clear the cache after each query; a
+      // long-lived session embedding the funnel should clearCache() or
+      // unpersist after consuming the 5-row result.
       import org.apache.spark.sql.expressions.Window
       val DQ = DedupQueries
       val wsz = size(TextOps.words(col("text"))).cast("long")
@@ -628,7 +629,7 @@ object CurationQueries {
         .withColumn("rn", row_number().over(
           Window.partitionBy(md5(col("text"))).orderBy(col("id"))))
         .filter(col("rn") === 1).select(col("id"), col("text")).cache()
-      val clusters = DQ.verifiedClusters(s, deduped)
+      val clusters = DQ.verifiedClusters(s, deduped, Some(DQ.LshBucketCap))
         .select(col("node").as("cid"), col("component").as("cluster"))
       val keepers = clusters.groupBy(col("cluster")).agg(min(col("cid")).as("keeper"))
       val surv2 = deduped

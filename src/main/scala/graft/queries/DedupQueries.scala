@@ -60,12 +60,23 @@ object DedupQueries {
     * union-find kernel; a pair set past the bound falls back to
     * distributed propagation.
     */
-  private[queries] def verifiedClusters(s: SparkSession, docs: DataFrame): DataFrame = {
+  /** LSH hot-bucket cap for the curation funnel (see
+    * `Dedup.candidatePairsCapped`): its boilerplate-sharing docs would
+    * otherwise funnel into giant band buckets whose candidate pairs all
+    * fail the verify. The standalone dedup queries stay uncapped — their
+    * variant corpora have no shared-boilerplate class.
+    */
+  private[queries] val LshBucketCap = 50
+
+  private[queries] def verifiedClusters(s: SparkSession, docs: DataFrame,
+                                        bucketCap: Option[Int] = None): DataFrame = {
     import s.implicits._
     val sh = Dedup.shingleHashes(docs, col("id"), col("text"), ShingleN).cache()
+    val bk = Dedup.bandKeys(Dedup.minhashSignatures(sh))
     // cand feeds both sides of Dedup.jaccard — cache, or the band
     // self-join subplan executes twice
-    val cand = Dedup.candidatePairs(Dedup.bandKeys(Dedup.minhashSignatures(sh)))
+    val cand = bucketCap.fold(Dedup.candidatePairs(bk))(
+        Dedup.candidatePairsCapped(bk, _))
       .cache()
     val verified = Dedup.jaccard(cand, sh)
       .filter(col("jaccard") >= JaccardThreshold)
@@ -427,30 +438,7 @@ object DedupQueries {
       "q_dedup_span_survivors",
       s"""WITH $sharedPrefixBaseSql,
          |${Dedup.shinglePosSql(SpanN)},
-         |duph AS (
-         |  SELECT h FROM (SELECT h, count(DISTINCT id) AS nd FROM spans GROUP BY h)
-         |  WHERE nd >= 2),
-         |starts AS (SELECT id, pos FROM spans JOIN duph USING (h)),
-         |runs AS (
-         |  SELECT id, pos,
-         |         pos - row_number() OVER (PARTITION BY id ORDER BY pos) AS island
-         |  FROM starts),
-         |long_islands AS (
-         |  SELECT id, island
-         |  FROM (SELECT id, island, count(*) AS cnt FROM runs GROUP BY id, island)
-         |  WHERE cnt + ${SpanN - 1} >= $CutTokens),
-         |long_starts AS (
-         |  SELECT r.id, r.pos
-         |  FROM runs r JOIN long_islands li
-         |    ON li.id = r.id AND li.island = r.island),
-         |cov AS (
-         |  SELECT id, pos, lead(pos) OVER (PARTITION BY id ORDER BY pos) AS nxt
-         |  FROM long_starts),
-         |cut AS (
-         |  SELECT id,
-         |         sum(CASE WHEN nxt IS NULL OR nxt - pos >= $SpanN
-         |                  THEN $SpanN ELSE nxt - pos END) AS n_cut
-         |  FROM cov GROUP BY id),
+         |${spanCutSql("")},
          |totals AS (SELECT id AS doc_id, len($wsSql) AS n_words FROM base)
          |SELECT t.doc_id, CAST(t.n_words AS BIGINT) AS n_words,
          |       CAST(COALESCE(c.n_cut, 0) AS BIGINT) AS n_cut_tokens,
@@ -545,6 +533,37 @@ object DedupQueries {
           col("n_agree"),
           Num.r4(col("n_agree") * 1.0 / Dedup.NumHashes).as("est_jaccard"))
     })
+
+  /** The ExactSubstr cut CTE chain `${p}spans` -> `${p}cut(id, n_cut)`:
+    * duplicated-start marking, gaps-and-islands, long-island selection,
+    * and the lead+clamp interval union — ONE place for the cut arithmetic,
+    * shared by q_dedup_span_survivors (no prefix) and the curation
+    * funnel ("s2_"), mirroring `spanSurvivors` on the Spark side.
+    */
+  private[queries] def spanCutSql(p: String): String =
+    s"""${p}duph AS (
+       |  SELECT h FROM (SELECT h, count(DISTINCT id) AS nd FROM ${p}spans GROUP BY h)
+       |  WHERE nd >= 2),
+       |${p}starts AS (SELECT id, pos FROM ${p}spans JOIN ${p}duph USING (h)),
+       |${p}runs AS (
+       |  SELECT id, pos,
+       |         pos - row_number() OVER (PARTITION BY id ORDER BY pos) AS island
+       |  FROM ${p}starts),
+       |${p}long_islands AS (
+       |  SELECT id, island
+       |  FROM (SELECT id, island, count(*) AS cnt FROM ${p}runs GROUP BY id, island)
+       |  WHERE cnt + ${SpanN - 1} >= $CutTokens),
+       |${p}long_starts AS (
+       |  SELECT r.id, r.pos FROM ${p}runs r
+       |  JOIN ${p}long_islands li ON li.id = r.id AND li.island = r.island),
+       |${p}cov AS (
+       |  SELECT id, pos, lead(pos) OVER (PARTITION BY id ORDER BY pos) AS nxt
+       |  FROM ${p}long_starts),
+       |${p}cut AS (
+       |  SELECT id,
+       |         sum(CASE WHEN nxt IS NULL OR nxt - pos >= $SpanN
+       |                  THEN $SpanN ELSE nxt - pos END) AS n_cut
+       |  FROM ${p}cov GROUP BY id)""".stripMargin
 
   /** Duplicated-span starts (id, pos) over an arbitrary documents relation:
     * positions whose `SpanN`-gram hash occurs in >= 2 docs. Shared by

@@ -287,6 +287,12 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q_curation_funnel: stage survivorship via broadcast mappings, no cartesian") {
+    // SCOPE: the clustering stage runs eagerly inside
+    // connectedComponentsAdaptive (localCheckpoint + collect), so this
+    // plan starts AFTER it — the assertions here cover the exact-dedup,
+    // span-cut, quality, and stage-aggregate plans. The LSH/verify plan
+    // shape itself is guarded by the q_dedup_minhash_lsh/q_dedup_survivors
+    // tests, which run the same Dedup primitives lazily.
     val p = plan("q_curation_funnel")
     assert(!p.contains("CartesianProduct"),
       s"funnel stages must never cross-join:\n$p")
