@@ -66,6 +66,31 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("hot-bucket cap cuts boilerplate candidate explosion, keeps true pairs") {
+    import spark.implicits._
+    // 40 docs sharing a 60-token boilerplate tail (their minhash registers
+    // are boilerplate-dominated -> giant band buckets -> quadratic
+    // candidates, all failing the verify) + one genuine near-dup pair
+    // whose bucket is tiny
+    val bp = (1 to 60).map(i => s"bp$i").mkString(" ")
+    val base = (1 to 40).map(j => s"x$j").mkString(" ")
+    val docs = ((0 until 40).map { i =>
+      (i.toLong, (1 to 30).map(j => s"d${i}_$j").mkString(" ") + " " + bp)
+    } ++ Seq((100L, base), (101L, base + " tail extra words appended here")))
+      .toDF("id", "text")
+    val bands = Dedup.bandKeys(Dedup.minhashSignatures(
+      Dedup.shingleHashes(docs, col("id"), col("text"), 5)))
+    val uncapped = Dedup.candidatePairs(bands).count()
+    val capped = Dedup.candidatePairsCapped(bands, maxBucket = 10)
+    val cappedPairs = capped.as[(Long, Long)].collect().toSet
+    assert(uncapped > 100,
+      s"generator must actually explode uncapped: $uncapped pairs")
+    assert(cappedPairs.size < uncapped / 4,
+      s"cap must cut the quadratic bulk: ${cappedPairs.size} vs $uncapped")
+    assert(cappedPairs.contains((100L, 101L)),
+      s"the genuine near-dup pair must survive the cap: $cappedPairs")
+  }
+
   test("simhash: identical docs distance 0; chunk blocking finds them") {
     import spark.implicits._
     val text = (1 to 30).map(i => s"w$i").mkString(" ")
