@@ -63,6 +63,20 @@ object Dedup {
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  /** Streaming CORPUS-EXTENSION exact dedup: intra-stream copies collapse
+    * via the watermark store, then arrivals whose content hash already
+    * exists in the persisted corpus index are dropped by a stream-static
+    * anti-join — the streaming twin of q_dedup_incremental's admit path.
+    * `corpusHashes` is a static (text_hash) relation; in production the
+    * write-time-bucketed index (cf. writeBandIndex) so the per-batch
+    * anti-join prunes to the probed buckets instead of re-scanning the
+    * corpus. State stays bounded: only the watermark dedup store.
+    */
+  def exactStreamAgainstIndex(docs: DataFrame, text: Column, delay: String,
+                              corpusHashes: DataFrame): DataFrame =
+    exactStream(docs, text, delay)
+      .join(corpusHashes, Seq("text_hash"), "left_anti")
+
   // -------------------------------------------------------------- minhash
 
   /** Base for positional rolling-hash composition of shingles. */
