@@ -549,20 +549,19 @@ object DedupQueries {
        |  SELECT id, pos,
        |         pos - row_number() OVER (PARTITION BY id ORDER BY pos) AS island
        |  FROM ${p}starts),
+       |${p}islands AS (
+       |  SELECT id, island, count(*) AS cnt, min(pos) AS lo, max(pos) AS hi
+       |  FROM ${p}runs GROUP BY id, island),
        |${p}long_islands AS (
-       |  SELECT id, island
-       |  FROM (SELECT id, island, count(*) AS cnt FROM ${p}runs GROUP BY id, island)
+       |  SELECT id, lo, hi FROM ${p}islands
        |  WHERE cnt + ${SpanN - 1} >= $CutTokens),
-       |${p}long_starts AS (
-       |  SELECT r.id, r.pos FROM ${p}runs r
-       |  JOIN ${p}long_islands li ON li.id = r.id AND li.island = r.island),
        |${p}cov AS (
-       |  SELECT id, pos, lead(pos) OVER (PARTITION BY id ORDER BY pos) AS nxt
-       |  FROM ${p}long_starts),
+       |  SELECT id, lo, hi, lead(lo) OVER (PARTITION BY id ORDER BY lo) AS nxt_lo
+       |  FROM ${p}long_islands),
        |${p}cut AS (
        |  SELECT id,
-       |         sum(CASE WHEN nxt IS NULL OR nxt - pos >= $SpanN
-       |                  THEN $SpanN ELSE nxt - pos END) AS n_cut
+       |         sum(CASE WHEN nxt_lo IS NULL OR nxt_lo - hi >= $SpanN
+       |                  THEN hi - lo + $SpanN ELSE nxt_lo - lo END) AS n_cut
        |  FROM ${p}cov GROUP BY id)""".stripMargin
 
   /** Duplicated-span starts (id, pos) over an arbitrary documents relation:
@@ -609,26 +608,28 @@ object DedupQueries {
   def spanSurvivors(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val win = Window.partitionBy(col("id")).orderBy(col("pos"))
-    // runs feeds both the island-length aggregation and the semi-join back
-    // — cache it, or the dup-hash groupBy + semi-join + window sort
-    // upstream execute twice (at scale: persist the marked-starts table
-    // once per cut pass)
-    val runs = dupStarts(docs)
+    // island-level interval union: an island of cnt consecutive starts
+    // [lo..hi] covers tokens [lo, hi + SpanN - 1]; adjacent long islands
+    // can overlap by up to SpanN - 1 tokens, handled by clamping each
+    // island's coverage at the NEXT long island's lo (lead over islands).
+    // Equivalent to the per-start lead+clamp union (randomized
+    // differential test) but the second window runs over ISLANDS —
+    // bounded by doc count — instead of every duplicated start, which in
+    // the full-corpus-duplication worst case is the entire token stream.
+    val islands = dupStarts(docs)
       .withColumn("island", col("pos") - row_number().over(win))
-      .cache()
-    // long islands: cnt consecutive starts cover cnt + SpanN - 1 tokens
-    val longIslands = runs.groupBy(col("id"), col("island"))
-      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("id"), col("island"))
+      .agg(count(lit(1)).as("cnt"), min(col("pos")).as("lo"), max(col("pos")).as("hi"))
+    val longIslands = islands
       .filter(col("cnt") + lit(SpanN - 1) >= CutTokens)
-      .select(col("id"), col("island"))
-    val longStarts = runs.join(longIslands, Seq("id", "island"), "left_semi")
-    // exact union of the fixed-width intervals rooted at long-run starts:
-    // lead + clamp (adjacent long runs can overlap by up to SpanN-1 tokens)
-    val cut = longStarts
-      .withColumn("nxt", lead(col("pos"), 1).over(win))
+      .select(col("id"), col("lo"), col("hi"))
+    val islandWin = Window.partitionBy(col("id")).orderBy(col("lo"))
+    val cut = longIslands
+      .withColumn("nxt_lo", lead(col("lo"), 1).over(islandWin))
       .groupBy(col("id"))
-      .agg(sum(when(col("nxt").isNull || col("nxt") - col("pos") >= SpanN, SpanN)
-        .otherwise(col("nxt") - col("pos"))).cast("long").as("n_cut"))
+      .agg(sum(when(col("nxt_lo").isNull || col("nxt_lo") - col("hi") >= SpanN,
+          col("hi") - col("lo") + SpanN)
+        .otherwise(col("nxt_lo") - col("lo"))).cast("long").as("n_cut"))
     val totals = docs.select(col("doc_id"),
       size(TextOps.words(col("text"))).cast("long").as("n_words"))
     val nCut = coalesce(col("n_cut"), lit(0L))
