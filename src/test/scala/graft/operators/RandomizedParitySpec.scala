@@ -136,6 +136,73 @@ class RandomizedParitySpec extends SparkSpec {
 
   private val actionsSeen = scala.collection.mutable.Set[String]()
 
+  test("duplicated-span coverage == mask-union oracle on random corpora") {
+    // dupSpans' lead+clamp interval union over ALL duplicated starts,
+    // against the position-mask oracle — shorter passages than the cut
+    // test so coverage is dense but runs stay below the 50-token cut
+    import spark.implicits._
+    val N = 6
+    for (seed <- 0 until 6) {
+      val rnd = new Random(9000 + seed)
+      val passages = (0 until 4 + rnd.nextInt(4)).map { j =>
+        (0 until 8 + rnd.nextInt(30)).map(t => s"q${j}_$t")
+      }
+      val docsW = (0 until 6 + rnd.nextInt(8)).map { d =>
+        var w = Vector[String]()
+        def priv(k: Int): Unit =
+          w ++= (0 until k).map(i => s"d${d}_${w.size + i}")
+        priv(3 + rnd.nextInt(10))
+        (0 until rnd.nextInt(4)).foreach { _ =>
+          w ++= passages(rnd.nextInt(passages.size))
+          priv(1 + rnd.nextInt(10))
+        }
+        (d.toLong, w)
+      }
+      val gramDocs = scala.collection.mutable.Map[Seq[String], Set[Long]]()
+      docsW.foreach { case (id, w) =>
+        w.sliding(N).filter(_.size == N).foreach { g =>
+          gramDocs(g.toList) = gramDocs.getOrElse(g.toList, Set()) + id
+        }
+      }
+      val want = docsW.map { case (id, w) =>
+        val starts = (0 to w.size - N)
+          .filter(p => gramDocs(w.slice(p, p + N).toList).size >= 2)
+        val mask = Array.fill(w.size)(false)
+        starts.foreach(p => (p until p + N).foreach(mask(_) = true))
+        id -> ((w.size.toLong, starts.size.toLong, mask.count(identity).toLong))
+      }.toMap
+      val got = graft.queries.DedupQueries.dupSpans(
+          docsW.map { case (id, w) => (id, w.mkString(" ")) }.toDF("doc_id", "text"))
+        .select("doc_id", "n_words", "n_dup_starts", "n_dup_tokens")
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got == want,
+        s"seed=$seed diff=${(got.toSet -- want.toSet) ++ (want.toSet -- got.toSet)}")
+    }
+  }
+
+  test("chunk manifest == arithmetic oracle across random doc lengths") {
+    import spark.implicits._
+    import graft.queries.PackingQueries.{ChunkSize, ChunkStride}
+    val rnd = new Random(11000)
+    val docsW = (0 until 60).map { d =>
+      (d.toLong, (1 to 1 + rnd.nextInt(130)).map(i => s"c${d}_$i").toVector)
+    }
+    val want = docsW.flatMap { case (id, w) =>
+      Iterator.from(0).map(k => 1 + k * ChunkStride).takeWhile(_ <= w.size)
+        .zipWithIndex.map { case (start, k) =>
+          val end = math.min(start + ChunkSize - 1, w.size)
+          (id, (k + 1).toLong, start.toLong, end.toLong,
+            (end - start + 1).toLong, w.slice(start - 1, end).mkString(" "))
+        }
+    }.toSet
+    val got = graft.queries.PackingQueries.chunkManifest(
+        docsW.map { case (id, w) => (id, w.mkString(" ")) }.toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Long, Long, String)].collect().toSet
+    assert(got == want,
+      s"diff=${(got -- want).take(3)} / ${(want -- got).take(3)}")
+  }
+
   test("hash split fractions are stable and partitioning-independent") {
     import spark.implicits._
     val ids = (0 until 5000).map(_.toLong).toDF("doc_id")
