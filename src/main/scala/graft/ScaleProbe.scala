@@ -123,6 +123,14 @@ object ScaleProbe {
     timeDf("curation_funnel")(graft.queries.CurationQueries.funnel(spark, docs))
     timeDf("unigram_logprob")(graft.queries.TextAnalytics.unigramLogprob(docs))
     timeDf("dsir_weights")(graft.queries.TextAnalytics.dsirWeights(docs))
+    // LM filters: model tables are dictionary-sized (vocab / vocab²) and
+    // broadcast — cost must track the token-stream scan, never the model
+    timeDf("bigram_logprob")(graft.queries.LmQueries.bigramLogprob(docs))
+    timeDf("classifier_filter")(graft.queries.LmQueries.classifierFilter(docs))
+    // block dedup is occurrence-linear: replication multiplies every
+    // block's occurrence count by k, the worst (boilerplate) shape
+    timeDf("dedup_block_rebuild")(graft.queries.BlockDedupQueries.blockRebuild(
+      docs.select(col("doc_id").as("id"), col("text"))))
     // chunking is pure map-side explode — must track the scan exactly
     timeDf("chunk_manifest")(graft.queries.PackingQueries.chunkManifest(docs))
     // PII scrub is map-only — the flattest curve in the suite; any

@@ -31,7 +31,9 @@ object SparkEntry {
       graft.queries.BpeQueries.defs ++
       graft.queries.CurationQueries.defs ++
       graft.queries.PiiQueries.defs ++
-      graft.queries.ObservabilityQueries.defs
+      graft.queries.ObservabilityQueries.defs ++
+      graft.queries.LmQueries.defs ++
+      graft.queries.BlockDedupQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -111,7 +111,7 @@ object DedupQueries {
           slice(ws, lit(1), ceil(size(ws) / 2.0).cast("int"))).as("text"))
   }
 
-  private def withTruncatedCopies(s: SparkSession, dir: String): DataFrame =
+  private[queries] def withTruncatedCopies(s: SparkSession, dir: String): DataFrame =
     base(s, dir).unionAll(truncatedCopiesOnly(s, dir))
 
   /** Variant for q_dedup_span_survivors: every 5th doc gains a copy whose
@@ -152,7 +152,7 @@ object DedupQueries {
        |  UNION ALL
        |  SELECT doc_id + $IdOffset, text FROM documents WHERE doc_id % 10 = 0)""".stripMargin
 
-  private val truncatedBaseSql =
+  private[queries] val truncatedBaseSql =
     s"""base AS (
        |  SELECT doc_id AS id, text FROM documents
        |  UNION ALL

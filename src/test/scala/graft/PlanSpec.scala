@@ -365,4 +365,32 @@ class PlanSpec extends SparkSpec {
         p.contains("ShuffledHashJoin"), s"$q dictionary join must be on w:\n$p")
     }
   }
+
+  test("q_bigram_logprob / q_classifier_filter: corpus cached once, models broadcast") {
+    Seq("q_bigram_logprob", "q_classifier_filter").foreach { q =>
+      val p = plan(q)
+      // five streams (model counts, vocab, scoring, first tokens) share
+      // ONE cached tokenized projection — without InMemoryTableScan the
+      // corpus text re-splits per stream (the tfidf round-6 lesson)
+      assert(p.contains("InMemoryTableScan"),
+        s"$q must reuse the cached tokenized corpus:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q model tables are dictionary-sized and must broadcast:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q scoring must be a broadcast equijoin on the model:\n$p")
+    }
+  }
+
+  test("q_dedup_blocks / q_dedup_block_rebuild: occurrence-linear keeper join") {
+    Seq("q_dedup_blocks", "q_dedup_block_rebuild").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+        s"$q block membership must be an equijoin on the block hash:\n$p")
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$q must never funnel to one partition:\n$p")
+      assert(p.contains("partial_min"),
+        s"$q keeper ordinal must combine map-side before the exchange:\n$p")
+    }
+  }
 }
