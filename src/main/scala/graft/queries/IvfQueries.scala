@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.operators.{Ivf, Similarity}
+import graft.operators.{Ivf, Similarity, TextOps}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -20,6 +20,9 @@ object IvfQueries {
   // SemDeDup cosine threshold: the synthetic embeddings plant near-dups
   // well above 0.4 (same corpus contract as q_embed_cosine_pairs)
   private val SemThreshold = 0.4
+  // q_cluster_sample hash salt (content-independent draw, as in
+  // CurationQueries' sampling family)
+  private val DivSalt = "div"
 
   private def quantizer(s: SparkSession, dir: String) = {
     val prep = Similarity.prepared(Tables.embeddings(s, dir)).cache()
@@ -139,5 +142,56 @@ object IvfQueries {
         .join(droppedBy.withColumnRenamed("bid", "vec_id"), Seq("vec_id"), "left")
         .select(col("vec_id"), col("cell"), col("dropped_by"),
           col("dropped_by").isNull.as("kept"))
+    },
+
+    // Cluster-balanced diversity sampling (the DataComp/DoReMi-shaped
+    // "sample across embedding clusters, not uniformly" pass): per-cell
+    // budgets follow the same sqrt-damped integer rule as q_epoch_plan
+    // (wq = floor(sqrt(n_cell)); quota = (B * wq) div sum(wq) with
+    // B = 25% of the corpus) so dense cells are down-weighted and sparse
+    // cells over-represented; membership inside a cell is the salted-hash
+    // rank — deterministic, partition-independent, append-stable. Shapes:
+    // one groupBy(cell) count, a 1-row broadcast total, a K-sized
+    // broadcast quota join, and a per-cell window rank — the window
+    // partitions on cell, so at 100 TB no single partition exceeds a
+    // cell's population (cells scale with the corpus; oversized cells
+    // would be sub-split exactly as in q_semdedup).
+    QueryDef(
+      "q_cluster_sample",
+      s"""WITH ${Ivf.cellsSql(K)},
+         |counts AS (
+         |  SELECT cell, count(*) AS n_cell FROM assign1 GROUP BY cell),
+         |w AS (
+         |  SELECT cell, n_cell, CAST(floor(sqrt(n_cell)) AS BIGINT) AS wq FROM counts),
+         |tot AS (
+         |  SELECT CAST(sum(wq) AS BIGINT) AS tw, CAST(sum(n_cell) AS BIGINT) AS total
+         |  FROM w),
+         |quota AS (
+         |  SELECT cell, n_cell, (t.total // 4 * wq) // t.tw AS quota
+         |  FROM w, tot t)
+         |SELECT vec_id, cell, n_cell, quota, rnk, rnk <= quota AS picked FROM (
+         |  SELECT a.vec_id, a.cell, q.n_cell, q.quota,
+         |         CAST(row_number() OVER (
+         |           PARTITION BY a.cell
+         |           ORDER BY ${TextOps.hash64Sql(s"concat('$DivSalt', a.vec_id)")} % 1000000,
+         |                    a.vec_id) AS INT) AS rnk
+         |  FROM assign1 a JOIN quota q ON q.cell = a.cell)""".stripMargin) { (s, dir) =>
+      val (prep, cents) = quantizer(s, dir)
+      val assigned = Ivf.assign(prep, cents.cache())
+        .select(col("vec_id"), col("cid").as("cell")).cache()
+      val counts = assigned.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_cell"))
+        .withColumn("wq", floor(sqrt(col("n_cell"))).cast("long"))
+      val tot = counts.agg(sum(col("wq")).as("tw"), sum(col("n_cell")).as("total"))
+      val quota = counts.crossJoin(broadcast(tot))
+        .select(col("cell"), col("n_cell"),
+          expr("((total div 4) * wq) div tw").as("quota"))
+      assigned.join(broadcast(quota), "cell")
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("cell")).orderBy(
+            TextOps.hash64(concat(lit(DivSalt), col("vec_id"))) % 1000000L,
+            col("vec_id"))))
+        .select(col("vec_id"), col("cell"), col("n_cell"), col("quota"),
+          col("rnk"), (col("rnk") <= col("quota")).as("picked"))
     })
 }

@@ -365,6 +365,51 @@ object SimilarityQueries {
           col("aq") === col("q") && col("ab") === col("b"), "left")
         .groupBy(col("q"))
         .agg(Num.r4(count(col("ab")) / 5.0).as("recall"))
+    },
+
+    // Hard-negative mining for contrastive/embedding training: for each
+    // query vector, the top-5 most-similar vectors whose LABEL differs —
+    // the near-misses a retrieval trainer pairs against the positives.
+    // Same bounded broadcast kernel as q_knn_topk (query side is
+    // K-bounded, corpus side streams through codegen); the label
+    // restriction is a pushed filter on the joined side, so at 100 TB the
+    // cost is one corpus scan per mining batch. Rank on the rounded
+    // cosine with id tie-break so ordering is engine-independent.
+    QueryDef(
+      "q_hard_negatives",
+      s"""WITH $prepSql,
+         |lab AS (SELECT vec_id, label FROM embeddings)
+         |SELECT q, q_label, rank, b, b_label, cos FROM (
+         |  SELECT a.vec_id AS q, la.label AS q_label,
+         |         b.vec_id AS b, lb.label AS b_label,
+         |         round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm) + 0.00000025, 4) AS cos,
+         |         CAST(row_number() OVER (
+         |           PARTITION BY a.vec_id
+         |           ORDER BY round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm) + 0.00000025, 4) DESC,
+         |                    b.vec_id) AS INT) AS rank
+         |  FROM prep a
+         |  JOIN lab la ON la.vec_id = a.vec_id
+         |  JOIN prep b ON b.vec_id != a.vec_id
+         |  JOIN lab lb ON lb.vec_id = b.vec_id
+         |  WHERE a.vec_id < $MaxQueryId AND lb.label != la.label)
+         |WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir)
+      val lab = emb.select(col("vec_id"), col("label"))
+      val prep = Similarity.prepared(emb).join(lab, "vec_id")
+      val q = prep.filter(col("vec_id") < MaxQueryId)
+        .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"),
+          col("label").as("q_label"))
+      broadcast(q)
+        .join(prep.as("b"),
+          col("b.vec_id") =!= col("qid") && col("b.label") =!= col("q_label"))
+        .select(col("qid").as("q"), col("q_label"),
+          col("b.vec_id").as("b"), col("b.label").as("b_label"),
+          Num.r4(Similarity.cosine(col("qe"), col("b.e"), col("qn"), col("b.nrm"))).as("cos"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("q")).orderBy(col("cos").desc, col("b"))))
+        .filter(col("rank") <= 5)
+        .select(col("q"), col("q_label"), col("rank"), col("b"), col("b_label"), col("cos"))
     })
 
   /** q_embed_quantize body over an arbitrary embeddings relation (the
