@@ -26,16 +26,25 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
-  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark 4
-    * refuses to read (PARQUET_TYPE_ILLEGAL) unless the legacy nanosAsLong
-    * conf is on — then the column arrives as a nanosecond LongType. Convert
-    * to a µs TimestampType here with integer division (epoch-ns ≈ 1.7e18
-    * exceeds double's 2^53 mantissa, so `DIV`, never `/`).
+  /** events.parquet has shipped `ts` as either INT64 TIMESTAMP(NANOS) or
+    * plain timestamp[us] across testdata generations, so the loader is
+    * schema-adaptive:
+    *   - LongType (nanosAsLong legacy read of the NANOS encoding): convert to
+    *     a µs TimestampType with integer division — epoch-ns ≈ 1.7e18 exceeds
+    *     double's 2^53 mantissa, so `DIV`, never `/`.
+    *   - anything else (TIMESTAMP_NTZ / TimestampType): cast to the session
+    *     TimestampType. The session TZ is pinned to UTC (Sessions.scala), so
+    *     the NTZ→LTZ cast is value-preserving.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val df = load(spark, sfDir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
