@@ -35,9 +35,18 @@ object SparkEntry {
       graft.queries.LmQueries.defs ++
       graft.queries.BlockDedupQueries.defs
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    *
+    * Runs the full schema smoke gate first (Smoke.check: load + count +
+    * min/max over every table through the typed loaders) so a regenerated-
+    * testdata schema drift fails here, loudly and named, at round start —
+    * not as silently missing queries in the correctness artifact (which is
+    * exactly how round 7 lost its 32 events-table rows).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    Smoke.check(spark, "/root/testdata/sf0.001")
     allDefs.head.query(spark, "/root/testdata/sf0.001")
+  }
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

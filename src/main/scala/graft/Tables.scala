@@ -48,4 +48,12 @@ object Tables {
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
+
+  /** Name → the typed loader queries actually use (events goes through the
+    * schema-adaptive ts conversion, everything else is a plain read).
+    */
+  def loaderFor(table: String): (SparkSession, String) => DataFrame = table match {
+    case "events" => events
+    case other    => (s, dir) => load(s, dir, other)
+  }
 }

@@ -146,9 +146,10 @@ object IvfQueries {
 
     // Cluster-balanced diversity sampling (the DataComp/DoReMi-shaped
     // "sample across embedding clusters, not uniformly" pass): per-cell
-    // budgets follow the same sqrt-damped integer rule as q_epoch_plan
-    // (wq = floor(sqrt(n_cell)); quota = (B * wq) div sum(wq) with
-    // B = 25% of the corpus) so dense cells are down-weighted and sparse
+    // budgets follow the same sqrt-damped multiply-then-integer-divide
+    // rule as q_epoch_plan (wq = floor(sqrt(n_cell));
+    // quota = (total * wq) div (4 * sum(wq)), i.e. a 25%-of-corpus budget
+    // apportioned by wq) so dense cells are down-weighted and sparse
     // cells over-represented; membership inside a cell is the salted-hash
     // rank — deterministic, partition-independent, append-stable. Shapes:
     // one groupBy(cell) count, a 1-row broadcast total, a K-sized
@@ -167,7 +168,7 @@ object IvfQueries {
          |  SELECT CAST(sum(wq) AS BIGINT) AS tw, CAST(sum(n_cell) AS BIGINT) AS total
          |  FROM w),
          |quota AS (
-         |  SELECT cell, n_cell, (t.total // 4 * wq) // t.tw AS quota
+         |  SELECT cell, n_cell, (t.total * wq) // (4 * t.tw) AS quota
          |  FROM w, tot t)
          |SELECT vec_id, cell, n_cell, quota, rnk, rnk <= quota AS picked FROM (
          |  SELECT a.vec_id, a.cell, q.n_cell, q.quota,
@@ -185,7 +186,7 @@ object IvfQueries {
       val tot = counts.agg(sum(col("wq")).as("tw"), sum(col("n_cell")).as("total"))
       val quota = counts.crossJoin(broadcast(tot))
         .select(col("cell"), col("n_cell"),
-          expr("((total div 4) * wq) div tw").as("quota"))
+          expr("(total * wq) div (4 * tw)").as("quota"))
       assigned.join(broadcast(quota), "cell")
         .withColumn("rnk", row_number().over(
           Window.partitionBy(col("cell")).orderBy(

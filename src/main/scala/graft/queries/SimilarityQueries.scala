@@ -370,11 +370,20 @@ object SimilarityQueries {
     // Hard-negative mining for contrastive/embedding training: for each
     // query vector, the top-5 most-similar vectors whose LABEL differs —
     // the near-misses a retrieval trainer pairs against the positives.
-    // Same bounded broadcast kernel as q_knn_topk (query side is
-    // K-bounded, corpus side streams through codegen); the label
-    // restriction is a pushed filter on the joined side, so at 100 TB the
-    // cost is one corpus scan per mining batch. Rank on the rounded
-    // cosine with id tie-break so ordering is engine-independent.
+    // Shape: a broadcast nested-loop join (query side is MaxQueryId-
+    // bounded and broadcast; the label restriction is a per-pair
+    // predicate, since q_label varies per query row) followed by a
+    // window rank partitioned by query over the |queries| x |corpus|
+    // pair space — the same window formulation as q_knn_topk's SQL
+    // variant, not the knnTopK mapPartitions selection kernel. At 100 TB
+    // the corpus side is one scan, but the rank shuffles the pair space;
+    // for very large mining batches, reuse Similarity.knnTopK with a
+    // label-aware candidate filter to keep selection partition-local.
+    // Rank on the rounded cosine with id tie-break so ordering is
+    // engine-independent. Label contract: the synthetic embeddings table
+    // has a non-null label; a query vector with NULL label would emit
+    // zero rows in both engines (NULL != x is never true) — intentional
+    // drop, visible here rather than silent.
     QueryDef(
       "q_hard_negatives",
       s"""WITH $prepSql,
