@@ -1,7 +1,9 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.streaming.{CdpEvent, CdpPipeline}
+import graft.operators.TextOps
+import graft.streaming.{CdpEvent, CdpPipeline, Watermarks}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Oracle coverage for the CDP pipeline's stateful core: the events table
@@ -16,6 +18,11 @@ import org.apache.spark.sql.functions._
 object CdpReplay {
 
   private val kTagSql = """regexp_extract(props, '"k":\s*(\d+)', 1)"""
+
+  // W2 two-tier thresholds (reference CdpEventProcessor defaults:
+  // processingWindow 5 s, lateEventGracePeriod 120 s)
+  private val SoftLagSec = 5
+  private val GraceSec = 120
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
@@ -78,5 +85,46 @@ object CdpReplay {
           unix_millis(col("lastSeen")).as("last_seen_ms"),
           array_contains(col("segments"), "power_user").as("power_user"),
           array_contains(col("segments"), "pro_plan").as("pro_plan"))
+    },
+
+    // W2 two-tier lateness replay (reference CdpEventProcessor.kt:188-217):
+    // each event's arrival is its event time plus a deterministic
+    // per-event network delay (hash-derived, 0-180 s); the processor clock
+    // at submit is the running max of arrivals over that profile's queue
+    // in arrival (event_id) order — monotone, like the reference's
+    // clock.instant(). Classified strictly: > 120 s behind the clock →
+    // dropped, > 5 s → late, else normal — via the SAME
+    // Watermarks.lateClass expression the streaming path uses. Scale
+    // shape: one window partitioned by user_id (the reference's per-profile
+    // queue), no global ordering, no shuffle beyond the user_id hash.
+    QueryDef(
+      "q_lateness_classes",
+      s"""WITH a AS (
+         |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         |         epoch_us(ts) + (${TextOps.hash64Sql("'late#' || CAST(event_id AS VARCHAR)")} % 181) * 1000000 AS arr_us
+         |  FROM events),
+         |c AS (
+         |  SELECT event_id, user_id, ts_us,
+         |         max(arr_us) OVER (PARTITION BY user_id ORDER BY event_id
+         |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS clock_us
+         |  FROM a)
+         |SELECT event_id, user_id,
+         |       (clock_us - ts_us) // 1000000 AS lateness_s,
+         |       CASE WHEN ts_us < clock_us - ${GraceSec}000000 THEN 'dropped'
+         |            WHEN ts_us < clock_us - ${SoftLagSec}000000 THEN 'late'
+         |            ELSE 'normal' END AS class
+         |FROM c""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+        .withColumn("arr_us", col("ts_us") +
+          TextOps.hash64(concat(lit("late#"), col("event_id").cast("string"))) % 181 * 1000000L)
+        .withColumn("clock_us", max(col("arr_us")).over(w))
+        .select(col("event_id"), col("user_id"),
+          expr("(clock_us - ts_us) div 1000000").as("lateness_s"),
+          Watermarks.lateClass(
+            timestamp_micros(col("ts_us")), timestamp_micros(col("clock_us")),
+            SoftLagSec, GraceSec).as("class"))
     })
 }

@@ -35,4 +35,18 @@ object Watermarks {
     df.withColumn("is_late",
         col(tsCol) < now - expr(s"INTERVAL $softLagSec SECONDS"))
       .observe("lateness", sum(when(col("is_late"), 1L).otherwise(0L)).as("late_count"))
+
+  /** W2 full two-tier classification (reference
+    * `CdpEventProcessor.kt:188-217`, strict `isBefore` on both cutoffs):
+    * dropped if ts is more than graceSec behind the processing clock,
+    * late if more than softLagSec behind, else normal. Shared by the
+    * streaming observability path and the batch replay oracle
+    * (q_lateness_classes), so the oracle checks the same expression the
+    * pipeline would evaluate.
+    */
+  def lateClass(ts: org.apache.spark.sql.Column, now: org.apache.spark.sql.Column,
+                softLagSec: Int, graceSec: Int): org.apache.spark.sql.Column =
+    when(ts < now - expr(s"INTERVAL $graceSec SECONDS"), "dropped")
+      .when(ts < now - expr(s"INTERVAL $softLagSec SECONDS"), "late")
+      .otherwise("normal")
 }
