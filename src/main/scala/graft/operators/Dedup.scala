@@ -218,6 +218,68 @@ object Dedup {
         col("inter") * 1.0 / (col("sza") + col("szb") - col("inter")))
   }
 
+  // ------------------------------------------- streaming near-dup guard
+
+  /** Per-ROW minhash signatures — the stateless twin of
+    * `shingleHashes` → `minhashSignatures`: the per-doc distinct shingle
+    * set comes out of the codegen'd ShingleHashArray expression where the
+    * row already is, and each register m_i = array_min of (h*a_i+b_i) % P
+    * over that array. Same integers as the groupBy path (parity asserted
+    * in StreamNearDupSpec), but computed entirely map-side — which is what
+    * makes the STREAMING band probe possible: a streaming groupBy would
+    * put a state store in the plan; this needs none. Docs with < n words
+    * have no shingles and are excluded, mirroring the batch path (they
+    * produce no shingle rows there).
+    */
+  def minhashSignaturesRowwise(docs: DataFrame, id: Column, text: Column,
+                               n: Int): DataFrame = {
+    val regs = (0 until NumHashes).map { i =>
+      array_min(transform(col("hs"),
+        h => (h * hashA(i) + hashB(i)) % P)).as(s"m$i")
+    }
+    docs.select(id.as("id"),
+        org.apache.spark.sql.graft.ArrayExpressions.shingleHashes(text, n).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("id") +: regs: _*)
+  }
+
+  /** Streaming corpus-extension near-dup probe: each arriving doc's band
+    * keys (computed map-only via `minhashSignaturesRowwise`) are equi-
+    * joined against the PERSISTED corpus band index — the stream-static
+    * analogue of `candidatePairsAcross`, and the near-dup twin of
+    * `exactStreamAgainstIndex`. Emits (a = corpus id, b = probe id, band)
+    * candidate hits in append mode; a pair colliding in k bands appears k
+    * times (k <= Bands) — the downstream Jaccard verify deduplicates,
+    * exactly as the batch funnel's `distinct()` does. The plan is
+    * stateless (no watermark, no state store — asserted in
+    * StreamNearDupSpec): at 100 TB the per-batch cost is the NEW batch's
+    * band rows probed into the write-time-bucketed index
+    * (`writeBandIndex`), never a re-pass over the corpus.
+    */
+  def bandProbeStream(docs: DataFrame, id: Column, text: Column, n: Int,
+                      index: DataFrame): DataFrame = {
+    val probe = bandKeys(minhashSignaturesRowwise(docs, id, text, n))
+    probe.as("r").join(index.as("l"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key"))
+      .select(col("l.id").as("a"), col("r.id").as("b"), col("r.band").as("band"))
+  }
+
+  /** Doc-level near-dup ADMIT for one micro-batch (run inside
+    * `foreachBatch`): arrivals none of whose bands hit the corpus index
+    * are admitted. The any-band OR needs a per-doc aggregation (distinct
+    * hit ids + anti-join), which streaming append mode cannot express
+    * without state — foreachBatch gives it batch semantics per
+    * micro-batch with zero streaming state, the idiomatic Spark shape for
+    * a guarded admit stage.
+    */
+  def nearDupAdmitBatch(batch: DataFrame, id: Column, text: Column, n: Int,
+                        index: DataFrame): DataFrame = {
+    val hits = candidatePairsAcross(index,
+      bandKeys(minhashSignaturesRowwise(batch, id, text, n)))
+    batch.join(hits.select(col("b").as("__hit_id")).distinct(),
+      id === col("__hit_id"), "left_anti")
+  }
+
   // ---------------------------------------------------- minhash oracle SQL
 
   /** Positional shingle CTEs: `spans(id, pos, h)` with pos = 1-based
