@@ -57,7 +57,7 @@ object Bench {
     * ~0.4 s idle at 4 cores. Its only variable is box load, so drift in
     * its timing is direct evidence of contention.
     */
-  private def sentinelOnce(spark: org.apache.spark.sql.SparkSession): Double = {
+  private[graft] def sentinelOnce(spark: org.apache.spark.sql.SparkSession): Double = {
     val t0 = System.nanoTime()
     spark.range(4000000)
       .selectExpr("id % 1024 AS k", "md5(CAST(id AS STRING)) AS h")

@@ -33,9 +33,12 @@ object StreamBench {
   /** Regression floors (events/s) at the standard config (>=100k events,
     * 20k batches, <=8 state partitions): measured healthy numbers are
     * ~21k CDP / ~38k entity on this box, so a run below floor means a
-    * real slowdown (2x margin), not noise. Below floor -> exit 1. Set
-    * SPARK_GRAFT_STREAM_FLOOR=0 to disable (e.g. on a loaded box), or to
-    * "cdp,entity" to override both floors.
+    * real slowdown (2x margin), not noise. Below floor with a STABLE
+    * sentinel -> exit 1 (regression); below floor with a drifted sentinel
+    * -> exit 0 with `load_suspect:true` in the artifact (external box
+    * load — mechanically distinguished, like Bench). Set
+    * SPARK_GRAFT_STREAM_FLOOR=0 to disable, or "cdp,entity" to override
+    * both floors.
     */
   val CdpFloorPerSec = 15000.0
   val EntityFloorPerSec = 25000.0
@@ -152,6 +155,27 @@ object StreamBench {
     }
     val guardActive = n >= 100000 && batchSize >= 20000 && parts <= 8
     val maxAttempts = if (guardActive) 3 else 1
+
+    // Sentinel probes bracket every attempt (same pure-compute probe as
+    // Bench — its only variable is box load): a sample drifting ≥2× above
+    // the session best marks the run `load_suspect`. A floor failure on a
+    // load-suspect run is then reported as INTERFERENCE (artifact says so,
+    // exit 0) instead of a regression (exit 1) — retrying alone can't make
+    // that call, because under sustained external load all three attempts
+    // fail the floor with healthy code.
+    spark.range(1000).write.format("noop").mode("overwrite").save() // warm sink
+    Bench.sentinelOnce(spark) // discarded: first run pays JIT, not load
+    val sentinels = scala.collection.mutable.ArrayBuffer[Double]()
+    // each bracket point: short settle + best-of-2 — right after an attempt
+    // the pipeline's own after-effects (RocksDB maintenance threads, GC of
+    // the memory sink) inflate a single immediate sample, which is INTERNAL
+    // noise, not the external load the sentinel is meant to witness
+    def sentinelSample(): Double = {
+      Thread.sleep(500)
+      math.min(Bench.sentinelOnce(spark), Bench.sentinelOnce(spark))
+    }
+    sentinels += sentinelSample()
+
     var attempt = 0
     var bestCdp = 0.0
     var bestEntity = 0.0
@@ -160,6 +184,7 @@ object StreamBench {
     while (attempt < maxAttempts && belowFloor) {
       attempt += 1
       last = measureOnce(attempt)
+      sentinels += sentinelSample()
       bestCdp = math.max(bestCdp, n / last._1)
       bestEntity = math.max(bestEntity, n / last._3)
       belowFloor = guardActive &&
@@ -169,13 +194,23 @@ object StreamBench {
           f"(cdp ${n / last._1}%.0f/s entity ${n / last._3}%.0f/s) — retrying")
     }
     val (secs, emitted, esecs, alerts) = last
+    val sentBest = sentinels.min
+    val sentWorst = sentinels.max
+    val loadSuspect = sentWorst >= 2.0 * sentBest
+    val sentSeries = sentinels.map(v => f"$v%.3f").mkString("[", ",", "]")
 
-    println(f"""{"metric":"stream_throughput","events":$n,"batch_size":$batchSize,"cdp_seconds":${secs}%.2f,"cdp_events_per_sec":${n / secs}%.0f,"segment_events":$emitted,"entity_seconds":${esecs}%.2f,"entity_events_per_sec":${n / esecs}%.0f,"alerts":$alerts,"identity_edges":$nEdges,"identity_batches":${batches.length},"identity_sec_per_batch":${isecs / nIdBatches}%.2f,"identity_edges_per_sec":${nEdges / math.max(isecs, 1e-9)}%.0f,"identity_mapped":$mapped,"best_cdp_events_per_sec":${bestCdp}%.0f,"best_entity_events_per_sec":${bestEntity}%.0f,"attempts":$attempt,"floor_cdp":${cdpFloor}%.0f,"floor_entity":${entityFloor}%.0f,"floor_active":$guardActive,"below_floor":$belowFloor}""")
+    println(f"""{"metric":"stream_throughput","events":$n,"batch_size":$batchSize,"cdp_seconds":${secs}%.2f,"cdp_events_per_sec":${n / secs}%.0f,"segment_events":$emitted,"entity_seconds":${esecs}%.2f,"entity_events_per_sec":${n / esecs}%.0f,"alerts":$alerts,"identity_edges":$nEdges,"identity_batches":${batches.length},"identity_sec_per_batch":${isecs / nIdBatches}%.2f,"identity_edges_per_sec":${nEdges / math.max(isecs, 1e-9)}%.0f,"identity_mapped":$mapped,"best_cdp_events_per_sec":${bestCdp}%.0f,"best_entity_events_per_sec":${bestEntity}%.0f,"attempts":$attempt,"floor_cdp":${cdpFloor}%.0f,"floor_entity":${entityFloor}%.0f,"floor_active":$guardActive,"below_floor":$belowFloor,"sentinel":{"best":${sentBest}%.3f,"worst":${sentWorst}%.3f,"series":$sentSeries},"load_suspect":$loadSuspect}""")
     spark.stop()
-    if (belowFloor) {
+    if (belowFloor && loadSuspect) {
+      System.err.println(f"[streambench] below floor after $attempt attempts " +
+        f"but sentinel drifted ${sentWorst / sentBest}%.1fx " +
+        f"(${sentBest}%.3f s → ${sentWorst}%.3f s): external box load, " +
+        "not a regression — artifact marked load_suspect")
+    } else if (belowFloor) {
       System.err.println(f"[streambench] BELOW FLOOR after $attempt attempts: " +
         f"best cdp ${bestCdp}%.0f/s (floor ${cdpFloor}%.0f) " +
-        f"best entity ${bestEntity}%.0f/s (floor ${entityFloor}%.0f)")
+        f"best entity ${bestEntity}%.0f/s (floor ${entityFloor}%.0f); " +
+        f"sentinel stable (${sentBest}%.3f s → ${sentWorst}%.3f s) — regression")
       sys.exit(1)
     }
   }
