@@ -340,6 +340,46 @@ object DedupQueries {
           Num.r4(col("jaccard")).as("jaccard"))
     },
 
+    // Doc-level near-dup ADMIT over the persisted index — the batch twin
+    // of the STREAMING guard (Dedup.bandProbeStream/nearDupAdmitBatch,
+    // StreamNearDupSpec): each probe doc's bands come from the PER-ROW
+    // signature path (map-only, the one the stateless stream probe uses;
+    // parity with the groupBy path is exactly what the oracle certifies,
+    // since the SQL side computes registers via GROUP BY), hits are the
+    // stream-static candidatePairsAcross equijoin, and a doc is admitted
+    // iff NO corpus band bucket matched. Cost ∝ the probe batch against
+    // the bucketed index — never a corpus re-pass.
+    QueryDef(
+      "q_neardup_admit",
+      s"""WITH $truncatedBaseSql,
+         |${Dedup.shingleSql(ShingleN)},
+         |${Dedup.signatureSql},
+         |${Dedup.bandsSql},
+         |hits AS (
+         |  SELECT DISTINCT l.id AS a, r.id AS b
+         |  FROM bands l JOIN bands r
+         |    ON l.band = r.band AND l.key = r.key
+         |   AND l.id < $IdOffset AND r.id >= $IdOffset),
+         |nh AS (SELECT b AS id, CAST(count(*) AS BIGINT) AS n_hits
+         |       FROM hits GROUP BY b)
+         |SELECT p.id, COALESCE(nh.n_hits, 0) AS n_hits,
+         |       nh.id IS NULL AS admitted
+         |FROM (SELECT id FROM base WHERE id >= $IdOffset) p
+         |LEFT JOIN nh ON nh.id = p.id""".stripMargin) { (s, dir) =>
+      val index = Dedup.bandKeys(Dedup.minhashSignatures(
+        Dedup.shingleHashes(base(s, dir), col("id"), col("text"), ShingleN)))
+      val probe = truncatedCopiesOnly(s, dir)
+      val probeBands = Dedup.bandKeys(
+        Dedup.minhashSignaturesRowwise(probe, col("id"), col("text"), ShingleN))
+      val nh = Dedup.candidatePairsAcross(index, probeBands)
+        .groupBy(col("b")).agg(count(lit(1)).as("n_hits"))
+        .withColumnRenamed("b", "id")
+      probe.select(col("id"))
+        .join(nh, Seq("id"), "left")
+        .select(col("id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          col("n_hits").isNull.as("admitted"))
+    },
+
     // SimHash signatures + chunk-blocked near-identical pairs (ham <= 3).
     QueryDef(
       "q_dedup_simhash",
