@@ -120,37 +120,13 @@ object Similarity {
         // margin below the kth ROUNDED cosine cannot displace it, so the
         // expensive BigDecimal rounding runs only for candidates near or
         // above the current cut — the ranking is bit-identical
-        val RoundMargin = 5.1e-5
         it.flatMap { case (qid, qe0, qn) =>
           val qe = qe0.toArray
           // selection of top-k under (cosr desc, b asc): candidates arrive
           // in ascending b, so on equal cosr the earlier (smaller) b wins
           val top = new java.util.ArrayList[(Double, Long)](k + 1)
           all.foreach { case (bid, be, bn) =>
-            if (bid != qid) {
-              var s = 0.0
-              var i = 0
-              while (i < qe.length) { s += qe(i) * be(i); i += 1 }
-              val raw = s / (qn * bn)
-              // keep bad data LOUD: a zero-norm embedding used to surface
-              // as BigDecimal's NaN exception; the prefilter must not turn
-              // it into silently-missing neighbors
-              if (java.lang.Double.isNaN(raw))
-                throw new IllegalArgumentException(
-                  s"NaN cosine between vec $qid and $bid — zero-norm embedding?")
-              val kth =
-                if (top.size == k) top.get(k - 1)._1 else Double.NegativeInfinity
-              if (raw + RoundMargin >= kth) {
-                val cosr = BigDecimal.valueOf(raw + Num.Eps)
-                  .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-                if (top.size < k || cosr > top.get(top.size - 1)._1) {
-                  var pos = top.size
-                  while (pos > 0 && cosr > top.get(pos - 1)._1) pos -= 1
-                  top.add(pos, (cosr, bid))
-                  if (top.size > k) top.remove(k)
-                }
-              }
-            }
+            if (bid != qid) offer(top, k, qid, qe, qn, bid, be, bn)
           }
           (0 until top.size).map { r =>
             val (cosr, bid) = top.get(r)
@@ -159,6 +135,92 @@ object Similarity {
         }
       }
       .toDF("q", "rank", "b", "cosr")
+  }
+
+  /** r4(x) <= x + 5e-5 + Eps (+ ulps): a raw cosine more than this margin
+    * below the kth ROUNDED cosine cannot displace it, so the expensive
+    * BigDecimal rounding runs only for candidates near or above the
+    * current cut — the ranking stays bit-identical to the rounded order.
+    */
+  private val RoundMargin = 5.1e-5
+
+  /** One candidate step of the top-k selection under (cosr desc, b asc):
+    * computes the raw cosine in a primitive loop and inserts into `top`
+    * only if the rounded value can place. Candidates MUST be offered in
+    * ascending b so ties keep the earlier id. Shared by `knnTopK` and
+    * `knnTopKDiffLabel` so the ranking contract lives in one place.
+    */
+  private def offer(top: java.util.ArrayList[(Double, Long)], k: Int,
+                    qid: Long, qe: Array[Double], qn: Double,
+                    bid: Long, be: Array[Double], bn: Double): Unit = {
+    var s = 0.0
+    var i = 0
+    while (i < qe.length) { s += qe(i) * be(i); i += 1 }
+    val raw = s / (qn * bn)
+    // keep bad data LOUD: a zero-norm embedding used to surface as
+    // BigDecimal's NaN exception; the prefilter must not turn it into
+    // silently-missing neighbors
+    if (java.lang.Double.isNaN(raw))
+      throw new IllegalArgumentException(
+        s"NaN cosine between vec $qid and $bid — zero-norm embedding?")
+    val kth =
+      if (top.size == k) top.get(k - 1)._1 else Double.NegativeInfinity
+    if (raw + RoundMargin >= kth) {
+      val cosr = BigDecimal.valueOf(raw + Num.Eps)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (top.size < k || cosr > top.get(top.size - 1)._1) {
+        var pos = top.size
+        while (pos > 0 && cosr > top.get(pos - 1)._1) pos -= 1
+        top.add(pos, (cosr, bid))
+        if (top.size > k) top.remove(k)
+      }
+    }
+  }
+
+  /** Hard-negative selection kernel: exact top-k among corpus vectors
+    * whose LABEL DIFFERS from the query's — the same broadcast +
+    * partition-local bounded selection as `knnTopK` (no pair-space
+    * shuffle; the window-rank formulation this replaces shuffled
+    * |queries| × |corpus| rows). Label contract mirrors the SQL
+    * `lb.label != la.label` predicate under ternary logic: a NULL-label
+    * query emits no rows, a NULL-label corpus vector is never a
+    * candidate. Input relations carry (vec_id, e, nrm, label); output
+    * (q, q_label, rank, b, b_label, cosr).
+    */
+  def knnTopKDiffLabel(spark: org.apache.spark.sql.SparkSession,
+                       prep: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
+    val n = corpus.select(col("vec_id")).count()
+    require(n <= MaxBroadcastVectors,
+      s"knnTopKDiffLabel corpus has $n vectors > $MaxBroadcastVectors; use IVF probing")
+    val collected = corpus
+      .select(col("vec_id"), col("e"), col("nrm"), col("label"))
+      .as[(Long, Seq[Double], Double, Option[Int])]
+      .collect()
+    val side: Array[(Long, Array[Double], Double, Option[Int])] =
+      collected.sortBy(_._1).map { case (id, e, nn, l) => (id, e.toArray, nn, l) }
+    val bc = spark.sparkContext.broadcast(side)
+    prep.select(col("vec_id"), col("e"), col("nrm"), col("label"))
+      .as[(Long, Seq[Double], Double, Option[Int])]
+      .mapPartitions { it =>
+        val all = bc.value
+        val labelOf = all.collect { case (id, _, _, Some(l)) => id -> l }.toMap
+        it.flatMap {
+          case (_, _, _, None) => Iterator.empty // NULL != x is never true
+          case (qid, qe0, qn, Some(ql)) =>
+            val qe = qe0.toArray
+            val top = new java.util.ArrayList[(Double, Long)](k + 1)
+            all.foreach { case (bid, be, bn, bl) =>
+              if (bid != qid && bl.exists(_ != ql))
+                offer(top, k, qid, qe, qn, bid, be, bn)
+            }
+            (0 until top.size).iterator.map { r =>
+              val (cosr, bid) = top.get(r)
+              (qid, ql, r + 1, bid, labelOf(bid), cosr)
+            }
+        }
+      }
+      .toDF("q", "q_label", "rank", "b", "b_label", "cosr")
   }
 
   def bruteForcePairs(spark: org.apache.spark.sql.SparkSession,

@@ -370,20 +370,15 @@ object SimilarityQueries {
     // Hard-negative mining for contrastive/embedding training: for each
     // query vector, the top-5 most-similar vectors whose LABEL differs —
     // the near-misses a retrieval trainer pairs against the positives.
-    // Shape: a broadcast nested-loop join (query side is MaxQueryId-
-    // bounded and broadcast; the label restriction is a per-pair
-    // predicate, since q_label varies per query row) followed by a
-    // window rank partitioned by query over the |queries| x |corpus|
-    // pair space — the same window formulation as q_knn_topk's SQL
-    // variant, not the knnTopK mapPartitions selection kernel. At 100 TB
-    // the corpus side is one scan, but the rank shuffles the pair space;
-    // for very large mining batches, reuse Similarity.knnTopK with a
-    // label-aware candidate filter to keep selection partition-local.
-    // Rank on the rounded cosine with id tie-break so ordering is
-    // engine-independent. Label contract: the synthetic embeddings table
-    // has a non-null label; a query vector with NULL label would emit
-    // zero rows in both engines (NULL != x is never true) — intentional
-    // drop, visible here rather than silent.
+    // Spark side: the `knnTopKDiffLabel` selection kernel — broadcast
+    // corpus, partition-local bounded top-k with the label predicate
+    // inside the scan, NO pair-space shuffle (the window-rank
+    // formulation the ORACLE uses shuffles |queries| × |corpus| rows;
+    // the hash match proves the two agree). Rank on the rounded cosine
+    // with id tie-break so ordering is engine-independent. Label
+    // contract (both sides, ternary logic): a NULL-label query emits
+    // zero rows, a NULL-label corpus vector is never a candidate —
+    // intentional drop, visible here rather than silent.
     QueryDef(
       "q_hard_negatives",
       s"""WITH $prepSql,
@@ -402,23 +397,13 @@ object SimilarityQueries {
          |  JOIN lab lb ON lb.vec_id = b.vec_id
          |  WHERE a.vec_id < $MaxQueryId AND lb.label != la.label)
          |WHERE rank <= 5""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val emb = Tables.embeddings(s, dir)
       val lab = emb.select(col("vec_id"), col("label"))
-      val prep = Similarity.prepared(emb).join(lab, "vec_id")
+      val prep = Similarity.prepared(emb).join(lab, "vec_id").cache()
       val q = prep.filter(col("vec_id") < MaxQueryId)
-        .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"),
-          col("label").as("q_label"))
-      broadcast(q)
-        .join(prep.as("b"),
-          col("b.vec_id") =!= col("qid") && col("b.label") =!= col("q_label"))
-        .select(col("qid").as("q"), col("q_label"),
-          col("b.vec_id").as("b"), col("b.label").as("b_label"),
-          Num.r4(Similarity.cosine(col("qe"), col("b.e"), col("qn"), col("b.nrm"))).as("cos"))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy(col("q")).orderBy(col("cos").desc, col("b"))))
-        .filter(col("rank") <= 5)
-        .select(col("q"), col("q_label"), col("rank"), col("b"), col("b_label"), col("cos"))
+      Similarity.knnTopKDiffLabel(s, q, prep, 5)
+        .select(col("q"), col("q_label"), col("rank"), col("b"),
+          col("b_label"), col("cosr").as("cos"))
     })
 
   /** q_embed_quantize body over an arbitrary embeddings relation (the
