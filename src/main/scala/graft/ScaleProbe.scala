@@ -152,6 +152,61 @@ object ScaleProbe {
       graft.operators.Pq.encode(sv, graft.operators.Pq.codebook(sv))
     }
     timeDf("source_mix_kl")(graft.queries.TextAnalytics.sourceMixKl(docs))
+    // corpus-extension near-dup admit, both index layouts (persisted
+    // before the clock starts, as production does):
+    //  - bucket-only (writeBandIndex): no corpus shuffle/sort per probe,
+    //    but every probe still SCANS the whole index — this curve tracks
+    //    the corpus LINEARLY (sequential columnar read; measured 1.45 s
+    //    at 10x -> 5.48 s at 30x for the same fixed batch). That is the
+    //    honest cost of a scan-based probe.
+    //  - key-slot-partitioned (writeBandIndexPruned) + a SMALL batch (the
+    //    per-micro-batch streaming-guard shape): the probe prunes the
+    //    read to its key slots, so this curve must stay near-FLAT as the
+    //    corpus replicates — a curve tracking k here means partition
+    //    pruning broke.
+    locally {
+      val idxDir = java.nio.file.Files.createTempDirectory("sp_bandidx").toString
+      val corpusBands = graft.operators.Dedup.bandKeys(
+        graft.operators.Dedup.minhashSignatures(graft.operators.Dedup.shingleHashes(
+          docs.select(col("doc_id").as("id"), col("text")),
+          col("id"), col("text"), 5))).cache()
+      graft.operators.Dedup.writeBandIndex(
+        corpusBands, "sp_band_index", s"$idxDir/bands")
+      val index = spark.table("sp_band_index")
+      val probe = Tables.documents(spark, dir)
+        .select((col("doc_id") + 900000000L).as("id"), col("text")).cache()
+      probe.count()
+      def admitAgainst(idx: DataFrame, pr: DataFrame,
+                       pruned: Boolean): DataFrame = {
+        val pb = graft.operators.Dedup.bandKeys(
+          graft.operators.Dedup.minhashSignaturesRowwise(
+            pr, col("id"), col("text"), 5))
+        val cand =
+          if (pruned) graft.operators.Dedup.candidatePairsAcrossPruned(idx, pb)
+          else graft.operators.Dedup.candidatePairsAcross(idx, pb)
+        val nh = cand.groupBy(col("b")).agg(count(lit(1)).as("n_hits"))
+          .withColumnRenamed("b", "id")
+        pr.select(col("id")).join(nh, Seq("id"), "left")
+          .select(col("id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            col("n_hits").isNull.as("admitted"))
+      }
+      timeDf("neardup_admit_batch") {
+        admitAgainst(index, probe, pruned = false)
+      }
+      graft.operators.Dedup.writeBandIndexPruned(
+        corpusBands, "sp_band_index_p", s"$idxDir/bands_p")
+      val indexP = spark.table("sp_band_index_p")
+      val probeSmall = Tables.documents(spark, dir)
+        .filter(col("doc_id") % 500 === 0)
+        .select((col("doc_id") + 950000000L).as("id"), col("text")).cache()
+      probeSmall.count()
+      timeDf("neardup_admit_pruned") {
+        admitAgainst(indexP, probeSmall, pruned = true)
+      }
+      corpusBands.unpersist()
+      spark.sql("DROP TABLE IF EXISTS sp_band_index")
+      spark.sql("DROP TABLE IF EXISTS sp_band_index_p")
+    }
     // sketch family: all bounded-state one-shuffle shapes — the register
     // tables must stay constant-size as k grows, so time should track the
     // scan, not the output

@@ -202,6 +202,51 @@ object Dedup {
       .bucketBy(buckets, "band", "key").sortBy("band", "key")
       .saveAsTable(table)
 
+  /** Key-slot count for the PRUNED band-index layout. Size it so expected
+    * probe-batch keys ≪ slots (each slot is a partition directory; at
+    * 100 TB use thousands — a slot directory is still huge there, and a
+    * batch of B docs probes ≤ B×Bands slots regardless of corpus size).
+    */
+  val IndexKeyParts = 256
+
+  /** A band key's partition slot: Spark-native xxhash64 mod `parts`. Both
+    * sides of a probe are Spark, so cross-engine portability (the reason
+    * shingles use md5-prefix hashing) is not needed here.
+    */
+  def keyPart(key: Column, parts: Int): Column =
+    pmod(xxhash64(key), lit(parts.toLong)).cast("int")
+
+  /** Persist the band index PARTITIONED by key slot and bucketed on
+    * (band, key). `writeBandIndex`'s bucket-only layout already avoids
+    * re-shuffling the corpus per probe, but every probe still SCANS the
+    * whole index (the ScaleProbe curve tracks corpus size even for a
+    * fixed batch). With this layout a probe batch prunes the read to the
+    * partition directories its keys hash into — admission cost tracks
+    * the BATCH's key-slot count, not the corpus (PartitionPruningSpec
+    * asserts files read ⊆ probed slots).
+    */
+  def writeBandIndexPruned(bands: DataFrame, table: String, path: String,
+                           keyParts: Int = IndexKeyParts,
+                           buckets: Int = 8): Unit =
+    bands.withColumn("kp", keyPart(col("key"), keyParts))
+      .write.mode("overwrite").option("path", path)
+      .partitionBy("kp")
+      .bucketBy(buckets, "band", "key").sortBy("band", "key")
+      .saveAsTable(table)
+
+  /** Cross-set candidates against a PRUNED index: collect the probe's
+    * distinct key slots (bounded by min(keyParts, probe keys) ints —
+    * driver-safe) and restrict the index scan to those partitions with a
+    * literal IN, which Spark turns into static partition pruning.
+    */
+  def candidatePairsAcrossPruned(index: DataFrame, probe: DataFrame,
+                                 keyParts: Int = IndexKeyParts): DataFrame = {
+    val slots = probe.select(keyPart(col("key"), keyParts).as("kp"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    candidatePairsAcross(
+      index.filter(col("kp").isin(slots: _*)).drop("kp"), probe)
+  }
+
   /** Exact Jaccard for given pairs, from the shingle-hash sets. */
   def jaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))

@@ -82,4 +82,51 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS t_band_index")
     }
   }
+
+  test("PRUNED band index: small probe reads only its key-slot partitions") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("graft_bandidx_p").toString
+    try {
+      def bands(docs: Seq[(Long, String)]) =
+        Dedup.bandKeys(Dedup.minhashSignatures(Dedup.shingleHashes(
+          docs.toDF("id", "text"), col("id"), col("text"), 3)))
+      // 120 distinct texts -> 720 band keys spread over the 64 slots; the
+      // 2-doc probe carries <= 12 keys -> <= 12 slots
+      val corpusDocs = (0L until 120L).map(i =>
+        (i, s"corpus document number $i speaks about topic ${i % 40} at length"))
+      val batchDocs = Seq(
+        (500L, "corpus document number 7 speaks about topic 7 at length"),
+        (501L, "an entirely novel probe document about something else entirely"))
+      val keyParts = 64
+      Dedup.writeBandIndexPruned(bands(corpusDocs), "t_band_index_p",
+        s"$dir/idx", keyParts = keyParts, buckets = 4)
+      val index = spark.table("t_band_index_p")
+      val probe = bands(batchDocs).cache()
+      val got = Dedup.candidatePairsAcrossPruned(index, probe, keyParts)
+      // parity with the unpruned in-memory probe
+      val want = Dedup.candidatePairsAcross(bands(corpusDocs), probe)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val gotSet = got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gotSet == want && want.nonEmpty, s"got $gotSet want $want")
+      // the files actually read lie ONLY in the probed slot directories
+      val slots = probe.select(Dedup.keyPart(col("key"), keyParts).as("kp"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      assert(slots.size <= 12, s"probe should touch few slots: $slots")
+      val files = index.filter(col("kp").isin(slots.toSeq: _*))
+        .select(input_file_name().as("f")).distinct()
+        .collect().map(_.getString(0))
+      assert(files.nonEmpty &&
+        files.forall(f => slots.exists(s => f.contains(s"kp=$s/"))),
+        s"read outside probed slots: ${files.mkString(", ")}")
+      // and the corpus occupies far more slots than the probe touches,
+      // so the pruned read demonstrably skips most of the index
+      val corpusSlots = spark.table("t_band_index_p")
+        .select("kp").distinct().count()
+      assert(corpusSlots > slots.size * 2,
+        s"corpus slots $corpusSlots vs probe slots ${slots.size}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS t_band_index_p")
+    }
+  }
 }

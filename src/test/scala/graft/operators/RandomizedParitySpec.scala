@@ -218,4 +218,27 @@ class RandomizedParitySpec extends SparkSpec {
     assert(math.abs(c1("train") - 4000L) < 200, c1.toString)
     assert(math.abs(c1("valid") - 500L) < 100, c1.toString)
   }
+
+  test("rowwise minhash signatures == groupBy signatures on random corpora") {
+    // the streaming band probe computes signatures per row (array_min over
+    // the shingle array) instead of the batch groupBy min — the paths
+    // share the shingle expression, so what this pins is the register
+    // arithmetic and the short-doc/empty-text exclusions across corpora
+    // with shared shingles, repeated words, and sub-n-word docs
+    import spark.implicits._
+    for (seed <- 0 until 10) {
+      val rnd = new Random(9000 + seed)
+      val vocab = Vector.tabulate(25)(i => s"w${i % (5 + rnd.nextInt(20))}")
+      val docs = (0 until 40).map { i =>
+        val len = rnd.nextInt(13) // includes 0..4-word docs (no 5-shingles)
+        (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("id", "text")
+      val viaGroupBy = Dedup.minhashSignatures(
+        Dedup.shingleHashes(docs, col("id"), col("text"), 5))
+      val viaRowwise = Dedup.minhashSignaturesRowwise(
+        docs, col("id"), col("text"), 5)
+      assert(viaGroupBy.except(viaRowwise).isEmpty
+        && viaRowwise.except(viaGroupBy).isEmpty, s"seed=$seed")
+    }
+  }
 }
