@@ -153,17 +153,20 @@ object ScaleProbe {
     }
     timeDf("source_mix_kl")(graft.queries.TextAnalytics.sourceMixKl(docs))
     // corpus-extension near-dup admit, both index layouts (persisted
-    // before the clock starts, as production does):
+    // before the clock starts, as production does). The claims here are
+    // STRUCTURAL (read volume, asserted by BucketingSpec's file-
+    // containment checks), not wall-clock: at probe SFs both reads are
+    // sub-second and box noise dominates the timings (a back-to-back
+    // 10x/30x pair read 1.99 s vs 1.90 s for the batch probe; an earlier
+    // load-contaminated sample read 5.48 s at 30x).
     //  - bucket-only (writeBandIndex): no corpus shuffle/sort per probe,
-    //    but every probe still SCANS the whole index — this curve tracks
-    //    the corpus LINEARLY (sequential columnar read; measured 1.45 s
-    //    at 10x -> 5.48 s at 30x for the same fixed batch). That is the
-    //    honest cost of a scan-based probe.
+    //    but every probe SCANS the whole index — O(corpus) read volume
+    //    per batch.
     //  - key-slot-partitioned (writeBandIndexPruned) + a SMALL batch (the
-    //    per-micro-batch streaming-guard shape): the probe prunes the
-    //    read to its key slots, so this curve must stay near-FLAT as the
-    //    corpus replicates — a curve tracking k here means partition
-    //    pruning broke.
+    //    per-micro-batch streaming-guard shape): read volume drops to the
+    //    batch's slot fraction (≤ |batch keys| / keyParts of the index).
+    //    In production size keyParts ≫ expected batch keys — slots are
+    //    partition directories, and at 100 TB each is still huge.
     locally {
       val idxDir = java.nio.file.Files.createTempDirectory("sp_bandidx").toString
       val corpusBands = graft.operators.Dedup.bandKeys(

@@ -319,8 +319,17 @@ object Dedup {
     */
   def nearDupAdmitBatch(batch: DataFrame, id: Column, text: Column, n: Int,
                         index: DataFrame): DataFrame = {
-    val hits = candidatePairsAcross(index,
-      bandKeys(minhashSignaturesRowwise(batch, id, text, n)))
+    val probeBands = bandKeys(minhashSignaturesRowwise(batch, id, text, n))
+    // a pruned-layout index (writeBandIndexPruned) carries its key-slot
+    // column; probe it with partition pruning so each micro-batch reads
+    // only the slots its keys hash into, not the whole corpus index.
+    // The auto path assumes the default IndexKeyParts — an index written
+    // with a custom slot count must be probed via
+    // candidatePairsAcrossPruned(index, probe, itsKeyParts) directly
+    val hits =
+      if (index.columns.contains("kp"))
+        candidatePairsAcrossPruned(index, probeBands)
+      else candidatePairsAcross(index, probeBands)
     batch.join(hits.select(col("b").as("__hit_id")).distinct(),
       id === col("__hit_id"), "left_anti")
   }
