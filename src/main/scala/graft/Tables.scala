@@ -28,22 +28,48 @@ object Tables {
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
   /** events.parquet has shipped `ts` as either INT64 TIMESTAMP(NANOS) or
     * plain timestamp[us] across testdata generations, so the loader is
-    * schema-adaptive:
-    *   - LongType (nanosAsLong legacy read of the NANOS encoding): convert to
-    *     a µs TimestampType with integer division — epoch-ns ≈ 1.7e18 exceeds
-    *     double's 2^53 mantissa, so `DIV`, never `/`.
+    * schema-adaptive. The NANOS case is detected from the parquet FOOTER,
+    * not from the arrival type: a first read with nanosAsLong=false throws
+    * on a TIMESTAMP(NANOS) annotation (that IS the footer evidence), while
+    * a plain un-annotated INT64 `ts` arrives as LongType either way — for
+    * that ambiguous case the unit is decided by MAGNITUDE (epoch-ns ≈
+    * 1.8e18, -µs ≈ 1.8e15, -ms ≈ 1.8e12, -s ≈ 1.8e9; one bounded max(abs)
+    * action), never silently assumed, because a wrong assumption scales
+    * every timestamp 1000×.
+    *   - NANOS (footer-annotated): legacy LongType read, then integer
+    *     division to µs — epoch-ns exceeds double's 2^53 mantissa, so
+    *     `DIV`, never `/`.
     *   - anything else (TIMESTAMP_NTZ / TimestampType): cast to the session
     *     TimestampType. The session TZ is pinned to UTC (Sessions.scala), so
     *     the NTZ→LTZ cast is value-preserving.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = load(spark, sfDir, "events")
-    df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case _ =>
-        df.withColumn("ts", col("ts").cast("timestamp"))
+  def events(spark: SparkSession, sfDir: String): DataFrame = synchronized {
+    // synchronized: Verify loads tables from several threads, and the
+    // footer probe below toggles a session-level conf around the read
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    scala.util.Try { val d = load(spark, sfDir, "events"); d.schema; d } match {
+      case scala.util.Success(df) =>
+        df.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            // un-annotated INT64: decide the epoch unit by magnitude
+            val m = df.select(max(abs(col("ts")))).head.getLong(0)
+            val toMicros =
+              if (m > 1e17) expr("ts DIV 1000")            // nanoseconds
+              else if (m > 1e14) col("ts")                 // microseconds
+              else if (m > 1e11) expr("ts * 1000")         // milliseconds
+              else if (m > 1e8) expr("ts * 1000000")       // seconds
+              else throw new IllegalStateException(
+                s"events.ts is INT64 with max |ts| = $m — not a plausible " +
+                  "epoch in s/ms/us/ns; refusing to guess the unit")
+            df.withColumn("ts", timestamp_micros(toMicros))
+          case _ =>
+            df.withColumn("ts", col("ts").cast("timestamp"))
+        }
+      case scala.util.Failure(_) =>
+        // the footer says TIMESTAMP(NANOS): re-read via the legacy long path
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        load(spark, sfDir, "events")
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")

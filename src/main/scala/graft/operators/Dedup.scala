@@ -216,31 +216,90 @@ object Dedup {
   def keyPart(key: Column, parts: Int): Column =
     pmod(xxhash64(key), lit(parts.toLong)).cast("int")
 
+  /** Column-metadata key carrying the slot count an index was written
+    * with. The modulus is part of the LAYOUT: probing with a different
+    * one computes wrong slot sets and silently ADMITS true near-dups, so
+    * it must travel with the index, not live in a code comment.
+    */
+  val KeyPartsMetaKey = "graft.keyParts"
+
   /** Persist the band index PARTITIONED by key slot and bucketed on
     * (band, key). `writeBandIndex`'s bucket-only layout already avoids
     * re-shuffling the corpus per probe, but every probe still SCANS the
     * whole index (the ScaleProbe curve tracks corpus size even for a
     * fixed batch). With this layout a probe batch prunes the read to the
     * partition directories its keys hash into — admission cost tracks
-    * the BATCH's key-slot count, not the corpus (PartitionPruningSpec
-    * asserts files read ⊆ probed slots).
+    * the BATCH's key-slot count, not the corpus (BucketingSpec asserts
+    * the production probe's scan reads files ⊆ probed slots).
+    *
+    * `keyParts` is recorded as metadata on the `kp` column (it survives
+    * saveAsTable's catalog schema), so table-read probes resolve the
+    * written modulus instead of assuming the default.
     */
   def writeBandIndexPruned(bands: DataFrame, table: String, path: String,
                            keyParts: Int = IndexKeyParts,
-                           buckets: Int = 8): Unit =
-    bands.withColumn("kp", keyPart(col("key"), keyParts))
+                           buckets: Int = 8): Unit = {
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(KeyPartsMetaKey, keyParts.toLong).build()
+    bands.withColumn("kp", keyPart(col("key"), keyParts).as("kp", meta))
       .write.mode("overwrite").option("path", path)
       .partitionBy("kp")
       .bucketBy(buckets, "band", "key").sortBy("band", "key")
       .saveAsTable(table)
+  }
 
-  /** Cross-set candidates against a PRUNED index: collect the probe's
-    * distinct key slots (bounded by min(keyParts, probe keys) ints —
-    * driver-safe) and restrict the index scan to those partitions with a
-    * literal IN, which Spark turns into static partition pruning.
+  /** The slot count a pruned index was written with, from the `kp`
+    * column's metadata; None for an index whose read path lost the
+    * metadata (e.g. a raw `spark.read.parquet` over the directory, where
+    * partition columns are inferred from directory names).
+    */
+  def indexKeyParts(index: DataFrame): Option[Int] = {
+    val f = index.schema.fields.find(_.name == "kp")
+    f.collect {
+      case sf if sf.metadata.contains(KeyPartsMetaKey) =>
+        sf.metadata.getLong(KeyPartsMetaKey).toInt
+    }
+  }
+
+  /** Resolve the modulus to probe a pruned index with: its persisted
+    * metadata when present, else the default — VERIFIED against a bounded
+    * sample of (key, kp) rows, because probing with the wrong modulus
+    * silently admits near-duplicates (a key written mod 64 agrees with
+    * mod 256 on only ~1/4 of rows, so a 1000-row sample catches a
+    * mismatch with overwhelming probability).
+    */
+  private def resolveKeyParts(index: DataFrame): Int =
+    indexKeyParts(index).getOrElse {
+      val bad = index.select(col("key"), col("kp")).limit(1000)
+        .filter(keyPart(col("key"), IndexKeyParts) =!= col("kp")).count()
+      require(bad == 0,
+        s"pruned band index carries no $KeyPartsMetaKey metadata and its kp " +
+          s"values are inconsistent with the default keyParts=$IndexKeyParts " +
+          "— pass the written keyParts to candidatePairsAcrossPruned explicitly")
+      IndexKeyParts
+    }
+
+  /** Cross-set candidates against a PRUNED index, resolving the written
+    * key-slot modulus from the index itself (metadata, else a verified
+    * default — see `resolveKeyParts`).
+    */
+  def candidatePairsAcrossPruned(index: DataFrame, probe: DataFrame): DataFrame =
+    candidatePairsAcrossPruned(index, probe, resolveKeyParts(index))
+
+  /** Cross-set candidates against a PRUNED index with an explicit slot
+    * modulus: collect the probe's distinct key slots (bounded by
+    * min(keyParts, probe keys) ints — driver-safe) and restrict the index
+    * scan to those partitions with a literal IN, which Spark turns into
+    * static partition pruning. `keyParts` MUST equal the value the index
+    * was written with; when the index carries metadata the two are
+    * cross-checked.
     */
   def candidatePairsAcrossPruned(index: DataFrame, probe: DataFrame,
-                                 keyParts: Int = IndexKeyParts): DataFrame = {
+                                 keyParts: Int): DataFrame = {
+    indexKeyParts(index).foreach { written =>
+      require(written == keyParts,
+        s"index written with keyParts=$written but probed with $keyParts")
+    }
     val slots = probe.select(keyPart(col("key"), keyParts).as("kp"))
       .distinct().collect().map(_.getInt(0)).toSeq
     candidatePairsAcross(
@@ -322,10 +381,9 @@ object Dedup {
     val probeBands = bandKeys(minhashSignaturesRowwise(batch, id, text, n))
     // a pruned-layout index (writeBandIndexPruned) carries its key-slot
     // column; probe it with partition pruning so each micro-batch reads
-    // only the slots its keys hash into, not the whole corpus index.
-    // The auto path assumes the default IndexKeyParts — an index written
-    // with a custom slot count must be probed via
-    // candidatePairsAcrossPruned(index, probe, itsKeyParts) directly
+    // only the slots its keys hash into, not the whole corpus index. The
+    // written modulus is resolved from the index's kp-column metadata
+    // (else verified against the default) — see resolveKeyParts.
     val hits =
       if (index.columns.contains("kp"))
         candidatePairsAcrossPruned(index, probeBands)

@@ -105,7 +105,10 @@ object SimilarityQueries {
          |GROUP BY la.label""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val emb = Tables.embeddings(s, dir)
-      val prep = Similarity.prepared(emb).cache()
+      // deliberately NOT cached: the kernel's guard count is column-pruned
+      // and each other consumer scans prep exactly once, so a cache would
+      // only pin executor memory for the rest of a Verify/Bench run
+      val prep = Similarity.prepared(emb)
       val lab = emb.select(col("vec_id"), col("label"))
       // leave-one-out top-5 via the broadcast selection kernel — same
       // (rounded cos desc, b asc) order as the window-rank formulation,
@@ -399,7 +402,11 @@ object SimilarityQueries {
          |WHERE rank <= 5""".stripMargin) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       val lab = emb.select(col("vec_id"), col("label"))
-      val prep = Similarity.prepared(emb).join(lab, "vec_id").cache()
+      // not cached (same reasoning as q_knn_label_accuracy): the guard
+      // count is pruned to vec_id and the collect + the q-side mapPartitions
+      // each scan this cheap projection+join once — a cache would leak
+      // into the rest of the run
+      val prep = Similarity.prepared(emb).join(lab, "vec_id")
       val q = prep.filter(col("vec_id") < MaxQueryId)
       Similarity.knnTopKDiffLabel(s, q, prep, 5)
         .select(col("q"), col("q_label"), col("rank"), col("b"),

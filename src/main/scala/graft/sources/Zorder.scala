@@ -47,6 +47,11 @@ object Zorder {
     */
   def zvalue(bucketCols: Seq[Column], bits: Int): Column = {
     val k = bucketCols.size
+    // Long shifts wrap mod 64: k*bits > 63 would silently produce
+    // colliding z-values (a meaningless clustering), so fail loudly
+    require(k * bits <= 63,
+      s"zvalue needs ${k * bits} bits ($k cols x $bits) but a Long holds 63; " +
+        "lower bits or drop columns")
     (0 until bits).flatMap { i =>
       bucketCols.zipWithIndex.map { case (b, j) =>
         shiftright(b, i).bitwiseAND(lit(1L)) * lit(1L << (i * k + j))
