@@ -145,7 +145,23 @@ object Bench {
       }
       val total = snap.collect { case (_, Right(v)) => v.median }.sum
       val best = if (sentinelBest == Double.MaxValue) 0.0 else sentinelBest
-      println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"queries_detail":$detail,"sentinel":{"best":${f(best)},"series":$sentinelJson},"load_suspect_count":$suspects,"sf":"$sfDir","failed":$failedCount,"aborted":$aborted}""")
+      val full =
+        s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"queries_detail":$detail,"sentinel":{"best":${f(best)},"series":$sentinelJson},"load_suspect_count":$suspects,"sf":"$sfDir","failed":$failedCount,"aborted":$aborted}"""
+      println(full)
+      // The full line above outgrew the round driver's 2000-char stdout
+      // tail capture (BENCH_r08 landed parsed:null), so the artifact is
+      // ALSO (a) written whole to a committed file and (b) summarized in a
+      // compact headline printed as the FINAL stdout line — any tail
+      // window parses it. `hottest` names the 5 slowest medians.
+      val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), full + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+      }
+      val hottest = snap.collect { case (k, Right(v)) => (k, v.median) }
+        .sortBy(-_._2).take(5)
+        .map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
+      println(s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","queries_run":${snap.size},"failed":$failedCount,"load_suspect_count":$suspects,"sentinel_best":${f(best)},"aborted":$aborted,"hottest":$hottest,"detail_file":"$outFile"}""")
       System.out.flush()
     }
     Runtime.getRuntime.addShutdownHook(new Thread(() => emit(aborted = true)))
