@@ -34,11 +34,19 @@ object Multimodal {
       n_frames: Int,
       sampled_frames: Seq[Int])
 
+  /** Decoder contract: one object per codec family, initialized once per
+    * partition by `decodeFeatures`, rows streamed through it. Serializable
+    * because the singleton ships inside the mapPartitions closure.
+    */
+  trait AssetDecoder extends Serializable {
+    def decode(assetId: Long, payload: Array[Byte], mediaType: String): AssetFeatures
+  }
+
   /** Deterministic stand-in for a real codec: all "decoded" properties are
     * pure functions of the payload bytes, so results are reproducible and
     * oracle-checkable. A real implementation replaces ONLY this object.
     */
-  object StubDecoder {
+  object StubDecoder extends AssetDecoder {
     def decode(assetId: Long, payload: Array[Byte], mediaType: String): AssetFeatures = {
       // 60-bit md5-prefix hash of the payload bytes — the same basis as
       // TextOps.hash64, so an oracle can replay it from the source text.
@@ -51,6 +59,52 @@ object Multimodal {
       val step = math.max(1, nFrames / 4)
       AssetFeatures(assetId, payload.length, mediaType, width, height, nFrames,
         (0 until nFrames by step).take(8))
+    }
+  }
+
+  /** REAL image decode via `javax.imageio` — PNG/JPEG/BMP/GIF ship with
+    * the JDK, zero external jars, fully headless. Dimensions come from the
+    * actual decoded raster, so this is a working production decode path
+    * for the still-image media types; only video/audio remain stubbed
+    * (no codecs in the JDK). Corrupt or unsupported bytes fail LOUDLY
+    * (ImageIO returns null, we throw) — a curation pipeline must count
+    * undecodable assets, not silently fabricate metadata for them.
+    */
+  object ImageIoDecoder extends AssetDecoder {
+    def decode(assetId: Long, payload: Array[Byte], mediaType: String): AssetFeatures = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      require(img != null,
+        s"asset $assetId ($mediaType, ${payload.length} bytes): not a decodable image")
+      AssetFeatures(assetId, payload.length, mediaType,
+        img.getWidth, img.getHeight, n_frames = 1, sampled_frames = Seq(0))
+    }
+
+    /** Real resize to the `resizePlan` bounding box: decode → Graphics2D
+      * bilinear scale → PNG re-encode. Pure JDK, runs inside the same
+      * partition-local batch as decode at scale. Returns the re-encoded
+      * bytes plus the output dims (which match `resizePlan`'s integer
+      * arithmetic for the same inputs).
+      */
+    def resize(payload: Array[Byte], maxDim: Int): (Array[Byte], Int, Int) = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      require(img != null, s"resize input (${payload.length} bytes) not decodable")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val longest = math.max(w, h)
+      val (ow, oh) =
+        if (longest <= maxDim) (w, h)
+        else ((w.toLong * maxDim / longest).toInt.max(1),
+              (h.toLong * maxDim / longest).toInt.max(1))
+      val out = new java.awt.image.BufferedImage(ow, oh,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, ow, oh, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      (bos.toByteArray, ow, oh)
     }
   }
 
@@ -81,15 +135,19 @@ object Multimodal {
 
   /** Partition-local batch decode: one decoder per partition, rows
     * streamed. The repartition bound keeps each decode batch within
-    * executor memory no matter the table size.
+    * executor memory no matter the table size. The decoder is pluggable —
+    * `StubDecoder` for the oracle queries, `ImageIoDecoder` for real
+    * still-image bytes (MultimodalRealSpec drives real PNGs through this
+    * exact path) — and the plan shape is identical either way.
     */
-  def decodeFeatures(spark: SparkSession, assets: DataFrame): DataFrame = {
+  def decodeFeatures(spark: SparkSession, assets: DataFrame,
+                     decoder: AssetDecoder = StubDecoder): DataFrame = {
     import spark.implicits._
     assets.select(col("asset_id"), col("payload"), col("media_type"))
       .as[(Long, Array[Byte], String)]
       .mapPartitions { rows =>
-        // real codecs initialize per-partition state here (JNI context etc.)
-        rows.map { case (id, bytes, mt) => StubDecoder.decode(id, bytes, mt) }
+        // stateful codecs initialize per-partition state here (JNI context etc.)
+        rows.map { case (id, bytes, mt) => decoder.decode(id, bytes, mt) }
       }
       .toDF()
   }

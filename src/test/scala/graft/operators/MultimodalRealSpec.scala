@@ -1,0 +1,75 @@
+package graft.operators
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.Row
+
+import graft.SparkSpec
+
+/** The REAL image decode path: in-test ImageIO-generated PNG/JPEG/BMP
+  * bytes driven through the SAME `decodeFeatures` mapPartitions plumbing
+  * the stub uses — only the decoder object differs. This is the evidence
+  * that the multimodal surface is real plumbing + a pluggable codec, with
+  * only video/audio (absent from the JDK) still stubbed.
+  */
+class MultimodalRealSpec extends SparkSpec {
+
+  /** Encode a solid-color w×h image with the given ImageIO format. */
+  private def imageBytes(w: Int, h: Int, rgb: Int, fmt: String): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try { g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h) }
+    finally g.dispose()
+    val bos = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, fmt, bos), s"no ImageIO writer for $fmt")
+    bos.toByteArray
+  }
+
+  test("ImageIoDecoder decodes real PNG/JPEG/BMP bytes via decodeFeatures") {
+    val dims = Seq((1L, 320, 200, "png"), (2L, 17, 43, "jpg"), (3L, 64, 64, "bmp"))
+    val rows = dims.map { case (id, w, h, fmt) =>
+      Row(id, imageBytes(w, h, 0x3366cc, fmt), s"image/$fmt")
+    }
+    val assets = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.assetSchema)
+    val got = Multimodal
+      .decodeFeatures(spark, assets, Multimodal.ImageIoDecoder)
+      .collect().map(r => (r.getAs[Long]("asset_id"),
+        r.getAs[Int]("width"), r.getAs[Int]("height"),
+        r.getAs[Int]("n_frames"))).toSet
+    assert(got == dims.map { case (id, w, h, _) => (id, w, h, 1) }.toSet)
+  }
+
+  test("ImageIoDecoder fails loudly on undecodable bytes") {
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.ImageIoDecoder.decode(9L, Array[Byte](1, 2, 3, 4), "image/png")
+    }
+    assert(e.getMessage.contains("asset 9"))
+  }
+
+  test("real resize matches resizePlan's dims and preserves pixel content") {
+    import org.apache.spark.sql.functions._
+    val bytes = imageBytes(200, 100, 0x00ff00, "png")
+    val (outBytes, ow, oh) = Multimodal.ImageIoDecoder.resize(bytes, 50)
+    assert((ow, oh) == (50, 25))
+    // the integer arithmetic of the declarative resizePlan agrees
+    val planned = Multimodal.resizePlan(
+      spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        Row(1L, 4242, "image/png", 200, 100, 1, Seq(0)))),
+        org.apache.spark.sql.types.StructType(
+          org.apache.spark.sql.Encoders.product[Multimodal.AssetFeatures].schema)),
+      maxDim = 50)
+      .select(col("out_width"), col("out_height")).head
+    assert((planned.getInt(0), planned.getInt(1)) == (ow, oh))
+    // re-decoded output: right dims, solid green survived the scale
+    val out = ImageIO.read(new java.io.ByteArrayInputStream(outBytes))
+    assert(out.getWidth == 50 && out.getHeight == 25)
+    assert((out.getRGB(25, 12) & 0xffffff) == 0x00ff00)
+    // an image already inside the box is not upscaled
+    val (_, sw, sh) = Multimodal.ImageIoDecoder.resize(imageBytes(30, 20, 0, "png"), 50)
+    assert((sw, sh) == (30, 20))
+  }
+}
