@@ -43,12 +43,20 @@ object Serving {
         |       count(*) AS cnt,
         |       round(count(*) / 5.0 + 0.00000025, 4) AS rate_per_min
         |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
-      Tables.events(s, dir)
-        .groupBy(col("event_type"),
-          unix_timestamp(window(col("ts"), "5 minutes").getField("start")).as("bucket_s"))
-        .agg(
-          countDistinct(col("user_id")).as("uniq_users"),
-          count(lit(1)).as("cnt"))
-        .withColumn("rate_per_min", graft.operators.Num.r4(col("cnt") / 5.0))
+      uniqueUsers5m(Tables.events(s, dir))
     })
+
+  /** q_unique_users_5m's body over an arbitrary events relation — shared
+    * with ZorderSpec, which runs the same registered shape over
+    * alternative storage layouts (integer-exact output, so layout
+    * invariance is a strict equality check).
+    */
+  def uniqueUsers5m(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    events
+      .groupBy(col("event_type"),
+        unix_timestamp(window(col("ts"), "5 minutes").getField("start")).as("bucket_s"))
+      .agg(
+        countDistinct(col("user_id")).as("uniq_users"),
+        count(lit(1)).as("cnt"))
+      .withColumn("rate_per_min", graft.operators.Num.r4(col("cnt") / 5.0))
 }

@@ -65,4 +65,59 @@ class ZorderSpec extends SparkSpec {
       .filter(col("y") >= 0.40 && col("y") < 0.45 && col("x") < 0.25).count()
     assert(rows(s"$dir/z") == rows(s"$dir/linear_x"))
   }
+
+  test("REAL events table: z-layout is query-invariant and scan-local") {
+    val sf = "/root/testdata/sf0.01"
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder_ev").toString
+    val events = graft.Tables.events(spark, sf)
+    // two physical layouts of the same table: z-ordered on (user_id, ts)
+    // vs the natural single-key time clustering
+    Zorder.write(events, s"$dir/z", Seq("user_id", "ts"), bits = 8, numFiles = 16)
+    events.repartitionByRange(16, col("ts")).sortWithinPartitions(col("ts"))
+      .write.mode("overwrite").parquet(s"$dir/by_ts")
+    val zEvents = spark.read.parquet(s"$dir/z")
+    val tsEvents = spark.read.parquet(s"$dir/by_ts")
+
+    // (a) LAYOUT INVARIANCE on a registered query shape: q_unique_users_5m's
+    // body (integer-exact output) over all three layouts, strict equality
+    def result(df: org.apache.spark.sql.DataFrame): Set[String] =
+      graft.queries.Serving.uniqueUsers5m(df).collect()
+        .map(_.mkString("|")).toSet
+    val want = result(events)
+    assert(result(zEvents) == want, "z layout changed query results")
+    assert(result(tsEvents) == want, "ts layout changed query results")
+
+    // (b) SCAN LOCALITY: a user-band predicate. The ts layout spreads every
+    // user over all 16 files; the z layout confines a user band to a
+    // fraction of them. Evidence from the EXECUTED plan's parquet scan
+    // (numOutputRows = rows surviving row-group/page skipping) plus the
+    // matching rows' file spread.
+    val Row2 = events.agg(min("user_id"), max("user_id")).head
+    val (mnU, mxU) = (Row2.getLong(0), Row2.getLong(1))
+    val loU = mnU + (mxU - mnU) * 2 / 5
+    val hiU = mnU + (mxU - mnU) * 9 / 20 // a 5% user band
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    def scanStats(df: org.apache.spark.sql.DataFrame, path: String): (Long, Long, Long) =
+      try {
+        val q = df.filter(col("user_id") >= loU && col("user_id") < hiU)
+        val matched = q.count()
+        val scans = q.queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+              if f.metadata.get("Location").exists(_.contains(path)) => f
+        }
+        assert(scans.nonEmpty, s"no parquet scan over $path in plan")
+        val files = q.select(input_file_name()).distinct().count()
+        (matched, scans.map(_.metrics("numOutputRows").value).sum, files)
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    val (zMatch, zScanRows, zFiles) = scanStats(zEvents, s"$dir/z")
+    val (tMatch, tScanRows, tFiles) = scanStats(tsEvents, s"$dir/by_ts")
+    assert(zMatch == tMatch && zMatch > 0, s"band rows differ: $zMatch vs $tMatch")
+    // the ts layout cannot skip anything for a user predicate: its scan
+    // surfaces (nearly) the whole table; the z scan skips most row groups
+    assert(zScanRows * 2 <= tScanRows,
+      s"z scan should skip most row groups: z=$zScanRows ts=$tScanRows")
+    assert(zFiles * 2 <= tFiles,
+      s"z should confine the user band to few files: z=$zFiles ts=$tFiles")
+  }
 }
