@@ -8,12 +8,18 @@ import org.apache.spark.sql.functions._
   * operators — a cheap check that their cost curves stay near-linear
   * before anyone runs them on a real cluster.
   *
-  * `runMain graft.ScaleProbe [k] [cores]`
+  * `runMain graft.ScaleProbe [k] [cores] [nameFilter...]` — with name
+  * filters only matching probes run (substring match, like Bench), which
+  * is what makes the 100x flagship runs practical: replication and the
+  * unrelated probes are skipped instead of paying 100x everywhere.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val k = if (args.length > 0) args(0).toInt else 10
     val cores = if (args.length > 1) args(1).toInt else 16
+    val filters = args.drop(2).toSeq
+    def on(name: String): Boolean =
+      filters.isEmpty || filters.exists(name.contains)
     val spark = Sessions.batch("graft-scale-probe", cores)
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
@@ -27,7 +33,7 @@ object ScaleProbe {
     val docs = replicate(Tables.documents(spark, dir), Seq("doc_id")).cache()
     println(s"events=${events.count()} docs=${docs.count()} (k=$k)")
 
-    def time(name: String)(f: => Long): Unit = {
+    def time(name: String)(f: => Long): Unit = if (on(name)) {
       val t0 = System.nanoTime()
       val n = f
       println(f"$name%-24s rows=$n%-10d ${(System.nanoTime() - t0) / 1e9}%6.2fs")
@@ -67,8 +73,11 @@ object ScaleProbe {
     time("sessionization") {
       SparkEntry.queries("q_sessionization")(spark, dir).count() // 1x baseline
     }
-    val embeddings = replicate(Tables.embeddings(spark, dir), Seq("vec_id")).cache()
-    println(s"embeddings=${embeddings.count()} (k=$k)")
+    lazy val embeddings = {
+      val e = replicate(Tables.embeddings(spark, dir), Seq("vec_id")).cache()
+      println(s"embeddings=${e.count()} (k=$k)")
+      e
+    }
     time("ivf_build_search") {
       val prep = graft.operators.Similarity.prepared(embeddings).cache()
       val cents = graft.operators.Ivf.centroids(prep, 64).cache()
@@ -96,7 +105,7 @@ object ScaleProbe {
     // execute eagerly while building (the funnel's clustering stage
     // localCheckpoints + collects) would otherwise run before t0 and the
     // probe would time only the lazy tail
-    def timeDf(name: String)(mkDf: => org.apache.spark.sql.DataFrame): Unit = {
+    def timeDf(name: String)(mkDf: => org.apache.spark.sql.DataFrame): Unit = if (on(name)) {
       val t0 = System.nanoTime()
       val df = mkDf
       df.write.format("noop").mode("overwrite").save()
@@ -167,18 +176,12 @@ object ScaleProbe {
     //    batch's slot fraction (≤ |batch keys| / keyParts of the index).
     //    In production size keyParts ≫ expected batch keys — slots are
     //    partition directories, and at 100 TB each is still huge.
-    locally {
+    if (on("neardup_admit_batch") || on("neardup_admit_pruned")) {
       val idxDir = java.nio.file.Files.createTempDirectory("sp_bandidx").toString
       val corpusBands = graft.operators.Dedup.bandKeys(
         graft.operators.Dedup.minhashSignatures(graft.operators.Dedup.shingleHashes(
           docs.select(col("doc_id").as("id"), col("text")),
           col("id"), col("text"), 5))).cache()
-      graft.operators.Dedup.writeBandIndex(
-        corpusBands, "sp_band_index", s"$idxDir/bands")
-      val index = spark.table("sp_band_index")
-      val probe = Tables.documents(spark, dir)
-        .select((col("doc_id") + 900000000L).as("id"), col("text")).cache()
-      probe.count()
       def admitAgainst(idx: DataFrame, pr: DataFrame,
                        pruned: Boolean): DataFrame = {
         val pb = graft.operators.Dedup.bandKeys(
@@ -193,18 +196,28 @@ object ScaleProbe {
           .select(col("id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
             col("n_hits").isNull.as("admitted"))
       }
-      timeDf("neardup_admit_batch") {
-        admitAgainst(index, probe, pruned = false)
+      if (on("neardup_admit_batch")) {
+        graft.operators.Dedup.writeBandIndex(
+          corpusBands, "sp_band_index", s"$idxDir/bands")
+        val index = spark.table("sp_band_index")
+        val probe = Tables.documents(spark, dir)
+          .select((col("doc_id") + 900000000L).as("id"), col("text")).cache()
+        probe.count()
+        timeDf("neardup_admit_batch") {
+          admitAgainst(index, probe, pruned = false)
+        }
       }
-      graft.operators.Dedup.writeBandIndexPruned(
-        corpusBands, "sp_band_index_p", s"$idxDir/bands_p")
-      val indexP = spark.table("sp_band_index_p")
-      val probeSmall = Tables.documents(spark, dir)
-        .filter(col("doc_id") % 500 === 0)
-        .select((col("doc_id") + 950000000L).as("id"), col("text")).cache()
-      probeSmall.count()
-      timeDf("neardup_admit_pruned") {
-        admitAgainst(indexP, probeSmall, pruned = true)
+      if (on("neardup_admit_pruned")) {
+        graft.operators.Dedup.writeBandIndexPruned(
+          corpusBands, "sp_band_index_p", s"$idxDir/bands_p")
+        val indexP = spark.table("sp_band_index_p")
+        val probeSmall = Tables.documents(spark, dir)
+          .filter(col("doc_id") % 500 === 0)
+          .select((col("doc_id") + 950000000L).as("id"), col("text")).cache()
+        probeSmall.count()
+        timeDf("neardup_admit_pruned") {
+          admitAgainst(indexP, probeSmall, pruned = true)
+        }
       }
       corpusBands.unpersist()
       spark.sql("DROP TABLE IF EXISTS sp_band_index")
@@ -230,7 +243,7 @@ object ScaleProbe {
     // streaming IVF maintenance throughput: replicated vectors through the
     // maintainer in MemoryStream batches; cost per batch is one assignment
     // pass + a K x Dim register update, so vec/s should hold as k grows
-    locally {
+    if (on("ivf_stream_maintain")) {
       import spark.implicits._
       implicit val sq = spark.sqlContext
       val prep = graft.operators.Similarity.prepared(embeddings).cache()

@@ -17,6 +17,7 @@ import graft.streaming.{CdpEvent, CdpPipeline, ProfileSnapshot}
   *
   *   POST /sim/start|stop, /sim/config, /profile  — simulator control
   *   POST /cdp/ingest                              — CDP event ingestion
+  *   POST /corpus/ingest, GET /corpus/stats        — curation ingest funnel
   *   GET  /sse/alerts | /sse/cdp/segments | /sse/cdp/profiles
   *   GET  /health | /stats/overview | /stats/cdp
   *
@@ -99,10 +100,29 @@ object ServeMain {
       profilesIn.addData(e)
       ()
     })
+
+    // live corpus-curation ingest: PII scrub -> exact dedup -> near-dup
+    // admit, per micro-batch, extending the persisted index logs with
+    // every admission (see CurationPipeline)
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft_corpus").toString
+    val corpusStats = new CurationPipeline.Stats
+    val corpusIn =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp, String)]
+    val corpusQuery = corpusIn.toDF().toDF("doc_id", "ts", "text")
+      .writeStream.queryName("serve_corpus").outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        CurationPipeline.admitBatch(spark, batch,
+          s"$corpusDir/hashes", s"$corpusDir/bands", corpusStats)
+      }
+      .start()
+    val corpusIngest = new CorpusIngest(
+      (id, ts, text) => { corpusIn.addData((id, ts, text)); () }, corpusStats)
+
     val server = new ApiServer(alertsHub, segmentsHub, profilesHub, stats, sim,
       port = port, heartbeatMs = heartbeatMs,
-      ingest = Some(ingest), cdpMetrics = Some(cdpMetrics)).start()
-    App(server, spark, Seq(segmentQuery, profileQuery), sim,
+      ingest = Some(ingest), cdpMetrics = Some(cdpMetrics),
+      corpusIngest = Some(corpusIngest), corpusStats = Some(corpusStats)).start()
+    App(server, spark, Seq(segmentQuery, profileQuery, corpusQuery), sim,
       alertsHub, segmentsHub, profilesHub, cdpMetrics)
   }
 

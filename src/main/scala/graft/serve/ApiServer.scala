@@ -34,7 +34,9 @@ final class ApiServer(
     port: Int = 0,
     heartbeatMs: Long = 10000L,
     ingest: Option[CdpIngest] = None,
-    cdpMetrics: Option[CdpMetrics] = None) {
+    cdpMetrics: Option[CdpMetrics] = None,
+    corpusIngest: Option[CorpusIngest] = None,
+    corpusStats: Option[CurationPipeline.Stats] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   private val pool = Executors.newCachedThreadPool()
@@ -214,6 +216,30 @@ final class ApiServer(
         }
     }
   })
+
+  server.createContext("/corpus/ingest", (ex: HttpExchange) => {
+    if (ex.getRequestMethod != "POST")
+      respond(ex, 405, Json.obj("status" -> "error", "message" -> "POST required"))
+    else corpusIngest match {
+      case None =>
+        respond(ex, 503, Json.obj("status" -> "error", "message" -> "corpus ingest not configured"))
+      case Some(ing) =>
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        ing.handle(body) match {
+          case Right(docId) => // async funnel: decision lands in /corpus/stats
+            respond(ex, 202, Json.obj("status" -> "accepted", "docId" -> docId))
+          case Left(message) =>
+            respond(ex, 400, Json.obj("status" -> "error", "message" -> message))
+        }
+    }
+  })
+
+  server.createContext("/corpus/stats", (ex: HttpExchange) =>
+    corpusStats match {
+      case Some(s) => respond(ex, 200, s.json)
+      case None => respond(ex, 404,
+        Json.obj("status" -> "error", "message" -> "corpus pipeline not attached"))
+    })
 
   server.createContext("/sse/alerts", (ex: HttpExchange) => sse(ex, alertsHub, "alerts"))
   server.createContext("/sse/cdp/segments", (ex: HttpExchange) => sse(ex, segmentsHub, "segments"))

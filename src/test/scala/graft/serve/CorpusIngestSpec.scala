@@ -1,0 +1,142 @@
+package graft.serve
+
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** End-to-end streaming curation ingest: real HTTP server, real streaming
+  * query, the full admit funnel (PII scrub → exact dedup within batch and
+  * vs the persisted index → near-dup LSH guard), with the persisted
+  * indexes EXTENDED by each admission so later batches are guarded
+  * against earlier ones.
+  */
+class CorpusIngestSpec extends SparkSpec {
+
+  private def http(method: String, url: String, body: Option[String] = None): (Int, String) = {
+    val conn = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod(method)
+    conn.setConnectTimeout(5000)
+    conn.setReadTimeout(10000)
+    body.foreach { b =>
+      conn.setDoOutput(true)
+      conn.getOutputStream.write(b.getBytes(StandardCharsets.UTF_8))
+    }
+    val code = conn.getResponseCode
+    val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val out = new String(is.readAllBytes(), StandardCharsets.UTF_8)
+    conn.disconnect()
+    (code, out)
+  }
+
+  private def stat(body: String, name: String): Long =
+    ("\"" + java.util.regex.Pattern.quote(name) + "\":(\\d+)").r
+      .findFirstMatchIn(body).map(_.group(1).toLong).getOrElse(-1L)
+
+  test("/corpus/ingest: scrub, exact + near-dup guards, index extension, stats") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_e2e").toString
+    val stats = new CurationPipeline.Stats
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val query = input.toDF().toDF("doc_id", "ts", "text")
+      .writeStream.queryName("corpus_e2e").outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        CurationPipeline.admitBatch(spark, batch,
+          s"$dir/hashes", s"$dir/bands", stats)
+      }
+      .start()
+    val ingest = new CorpusIngest((id, t, text) => { input.addData((id, t, text)); () }, stats)
+    val server = new ApiServer(new EventHub, new EventHub, new EventHub,
+      new StatsService, new NoSim, port = 0, heartbeatMs = 0L,
+      corpusIngest = Some(ingest), corpusStats = Some(stats)).start()
+    val base = s"http://localhost:${server.boundPort}"
+
+    val baseText = "the quick brown fox jumps over the lazy dog while seventeen " +
+      "other animals watch from the hill and discuss the weather in great detail"
+    def post(id: Long, text: String): (Int, String) =
+      http("POST", s"$base/corpus/ingest", Some(
+        s"""{"docId":$id,"text":"$text"}"""))
+
+    try {
+      // -- validation surface (no pipeline involvement)
+      assert(http("POST", s"$base/corpus/ingest", Some("{not json"))._1 == 400)
+      assert(post(7L, " ")._1 == 400)
+      val (cNoId, bNoId) = http("POST", s"$base/corpus/ingest",
+        Some("""{"text":"missing id"}"""))
+      assert(cNoId == 400 && bNoId.contains("docId"))
+      assert(http("GET", s"$base/corpus/ingest")._1 == 405)
+
+      // -- batch 1: a clean doc + its exact duplicate in the SAME batch
+      val (c1, b1) = post(1L, baseText)
+      assert(c1 == 202 && b1.contains("\"status\":\"accepted\"") && b1.contains("\"docId\":1"))
+      assert(post(2L, baseText)._1 == 202)
+      query.processAllAvailable()
+      var s = http("GET", s"$base/corpus/stats")._2
+      assert(stat(s, "admitted") == 1, s)
+      assert(stat(s, "rejected_exact_batch") == 1, s)
+
+      // -- batch 2: exact dup vs the now-extended corpus index, a near-dup
+      // (same text + one extra word -> ~26/27 shingle Jaccard), a PII doc,
+      // and a short doc (< 5 words, passes the band guard trivially)
+      assert(post(3L, baseText)._1 == 202)
+      assert(post(4L, baseText + " afterword")._1 == 202)
+      assert(post(5L, "please contact alice at alice@example.com about the " +
+        "training data license terms")._1 == 202)
+      assert(post(6L, "tiny doc here")._1 == 202)
+      query.processAllAvailable()
+      s = http("GET", s"$base/corpus/stats")._2
+      assert(stat(s, "received") == 6, s)
+      assert(stat(s, "admitted") == 3, s)
+      assert(stat(s, "rejected_exact_batch") == 1, s)
+      assert(stat(s, "rejected_exact_corpus") == 1, s)
+      assert(stat(s, "rejected_near_dup") == 1, s)
+      // the email was redacted before admission
+      assert(stat(s, "chars_redacted") > 0, s)
+      assert(s.contains("\"docId\":3,\"decision\":\"rejected\",\"reason\":\"exact_dup_corpus\""), s)
+      assert(s.contains("\"docId\":4,\"decision\":\"rejected\",\"reason\":\"near_dup_corpus\""), s)
+      assert(s.contains("\"docId\":6,\"decision\":\"admitted\""), s)
+
+      // -- the persisted index holds the REDACTED text's hash: re-posting
+      // the PII doc with the PII already stripped is an exact corpus dup
+      assert(post(8L, "please contact alice at <EMAIL> about the " +
+        "training data license terms")._1 == 202)
+      query.processAllAvailable()
+      s = http("GET", s"$base/corpus/stats")._2
+      assert(stat(s, "rejected_exact_corpus") == 2, s)
+
+      // -- a near-dup of the batch-2 admission (doc 5's scrubbed text):
+      // the index extension guards later batches against earlier ones
+      assert(post(9L, "please contact alice at bob@example.org about the " +
+        "training data license terms")._1 == 202)
+      query.processAllAvailable()
+      s = http("GET", s"$base/corpus/stats")._2
+      // identical after redaction (<EMAIL> token) -> exact, not near
+      assert(stat(s, "rejected_exact_corpus") == 3, s)
+
+      // genuinely new content still flows through
+      assert(post(10L, "a completely different report about glacier movement " +
+        "measured across four decades of satellite observation")._1 == 202)
+      query.processAllAvailable()
+      s = http("GET", s"$base/corpus/stats")._2
+      assert(stat(s, "admitted") == 4, s)
+    } finally {
+      query.stop()
+      server.stop()
+    }
+  }
+}
+
+/** Inert SimControl for servers that only exercise non-sim endpoints. */
+final class NoSim extends SimControl {
+  def start(profile: Option[String], rps: Double, latenessSec: Long): Boolean = false
+  def stop(): Boolean = false
+  def isRunning: Boolean = false
+  def currentProfile: String = "NONE"
+  def rps: Double = 0.0
+  def latenessSec: Long = 0L
+  def setProfile(p: String): Unit = ()
+  def setConfig(rps: Option[Double], latenessSec: Option[Long]): Unit = ()
+}
