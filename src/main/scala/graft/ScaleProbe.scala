@@ -78,6 +78,13 @@ object ScaleProbe {
       println(s"embeddings=${e.count()} (k=$k)")
       e
     }
+    // force the lazy replication/cache OUTSIDE any timed region when an
+    // embeddings probe will run — otherwise the first such probe's clock
+    // absorbs the replicate().cache().count() init cost and skews exactly
+    // the curve the probe measures (laziness still skips the cost entirely
+    // on filtered runs that touch no embeddings probe)
+    if (on("ivf_build_search") || on("quantize") || on("pq_encode") ||
+        on("ivf_stream_maintain")) { embeddings; () }
     time("ivf_build_search") {
       val prep = graft.operators.Similarity.prepared(embeddings).cache()
       val cents = graft.operators.Ivf.centroids(prep, 64).cache()

@@ -111,8 +111,7 @@ object ServeMain {
     val corpusQuery = corpusIn.toDF().toDF("doc_id", "ts", "text")
       .writeStream.queryName("serve_corpus").outputMode(OutputMode.Append())
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        CurationPipeline.admitBatch(spark, batch,
-          s"$corpusDir/hashes", s"$corpusDir/bands", corpusStats)
+        CurationPipeline.admitBatch(spark, batch, s"$corpusDir/index", corpusStats)
       }
       .start()
     val corpusIngest = new CorpusIngest(

@@ -43,30 +43,53 @@ object Tables {
     *     TimestampType. The session TZ is pinned to UTC (Sessions.scala), so
     *     the NTZ→LTZ cast is value-preserving.
     */
+  /** Resolved ts strategy per sfDir, so the footer probe and (for the
+    * un-annotated INT64 case) the max(abs) magnitude job run ONCE per
+    * table directory, not on every `events` call — Bench/Verify load the
+    * table per query and the probe was a full-table Spark job each time.
+    */
+  private sealed trait TsUnit
+  private case object TsNative extends TsUnit           // timestamp-typed
+  private case object TsNanosFooter extends TsUnit      // INT64 TIMESTAMP(NANOS)
+  private final case class TsInt64(divToMicros: String) extends TsUnit
+  private val tsUnits = new java.util.concurrent.ConcurrentHashMap[String, TsUnit]()
+
   def events(spark: SparkSession, sfDir: String): DataFrame = synchronized {
     // synchronized: Verify loads tables from several threads, and the
     // footer probe below toggles a session-level conf around the read
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
-    scala.util.Try { val d = load(spark, sfDir, "events"); d.schema; d } match {
-      case scala.util.Success(df) =>
-        df.schema("ts").dataType match {
-          case org.apache.spark.sql.types.LongType =>
-            // un-annotated INT64: decide the epoch unit by magnitude
-            val m = df.select(max(abs(col("ts")))).head.getLong(0)
-            val toMicros =
-              if (m > 1e17) expr("ts DIV 1000")            // nanoseconds
-              else if (m > 1e14) col("ts")                 // microseconds
-              else if (m > 1e11) expr("ts * 1000")         // milliseconds
-              else if (m > 1e8) expr("ts * 1000000")       // seconds
+    val unit = tsUnits.computeIfAbsent(sfDir, _ => {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+      scala.util.Try { val d = load(spark, sfDir, "events"); d.schema; d } match {
+        case scala.util.Success(df) =>
+          df.schema("ts").dataType match {
+            case org.apache.spark.sql.types.LongType =>
+              // un-annotated INT64: decide the epoch unit by magnitude
+              val row = df.select(max(abs(col("ts")))).head
+              if (row.isNullAt(0)) throw new IllegalStateException(
+                s"events.ts in $sfDir is INT64 but the table is empty or " +
+                  "all-null — cannot infer the epoch unit")
+              val m = row.getLong(0)
+              if (m > 1e17) TsInt64("ts DIV 1000")            // nanoseconds
+              else if (m > 1e14) TsInt64("ts")                // microseconds
+              else if (m > 1e11) TsInt64("ts * 1000")         // milliseconds
+              else if (m > 1e8) TsInt64("ts * 1000000")       // seconds
               else throw new IllegalStateException(
                 s"events.ts is INT64 with max |ts| = $m — not a plausible " +
                   "epoch in s/ms/us/ns; refusing to guess the unit")
-            df.withColumn("ts", timestamp_micros(toMicros))
-          case _ =>
-            df.withColumn("ts", col("ts").cast("timestamp"))
-        }
-      case scala.util.Failure(_) =>
-        // the footer says TIMESTAMP(NANOS): re-read via the legacy long path
+            case _ => TsNative
+          }
+        // the footer says TIMESTAMP(NANOS): legacy long path
+        case scala.util.Failure(_) => TsNanosFooter
+      }
+    })
+    unit match {
+      case TsNative =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+        load(spark, sfDir, "events").withColumn("ts", col("ts").cast("timestamp"))
+      case TsInt64(div) =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+        load(spark, sfDir, "events").withColumn("ts", timestamp_micros(expr(div)))
+      case TsNanosFooter =>
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         load(spark, sfDir, "events")
           .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))

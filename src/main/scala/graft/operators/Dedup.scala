@@ -262,14 +262,27 @@ object Dedup {
   }
 
   /** Resolve the modulus to probe a pruned index with: its persisted
-    * metadata when present, else the default — VERIFIED against a bounded
-    * sample of (key, kp) rows, because probing with the wrong modulus
-    * silently admits near-duplicates (a key written mod 64 agrees with
-    * mod 256 on only ~1/4 of rows, so a 1000-row sample catches a
-    * mismatch with overwhelming probability).
+    * metadata when present, else the default — VERIFIED two ways, because
+    * probing with the wrong modulus silently admits near-duplicates:
+    *  - max(kp) < default: an index written with a MULTIPLE of the default
+    *    (e.g. 512) has rows in slots ≥ 256, but every row in a slot < 256
+    *    is consistent with the default (hash ≡ kp mod 512 ⇒ hash mod 256 =
+    *    kp there) — an unordered sample drawn from low-slot partition
+    *    directories would false-pass, so the multiple case needs the max.
+    *  - a 1000-row consistency sample: an index written with a DIVISOR of
+    *    the default (e.g. 64) disagrees with it on 3/4 of rows in every
+    *    slot, so any sample region catches it with overwhelming
+    *    probability (and max(kp) would pass).
     */
   private def resolveKeyParts(index: DataFrame): Int =
     indexKeyParts(index).getOrElse {
+      val mxRow = index.agg(max(col("kp"))).head
+      require(!mxRow.isNullAt(0) && mxRow.getInt(0) < IndexKeyParts,
+        s"pruned band index carries no $KeyPartsMetaKey metadata and holds " +
+          s"key slots ≥ the default keyParts=$IndexKeyParts (max kp = " +
+          s"${if (mxRow.isNullAt(0)) "none" else mxRow.getInt(0)}) — it was " +
+          "written with a larger modulus; pass the written keyParts to " +
+          "candidatePairsAcrossPruned explicitly")
       val bad = index.select(col("key"), col("kp")).limit(1000)
         .filter(keyPart(col("key"), IndexKeyParts) =!= col("kp")).count()
       require(bad == 0,

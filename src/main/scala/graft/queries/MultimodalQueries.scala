@@ -78,6 +78,64 @@ object MultimodalQueries {
           col("frame_idx").cast("long").as("frame_idx"))
     },
 
+    // REAL decode, oracle-gated: deterministic PNGs are synthesized
+    // per-partition (dims derived from doc_id by pure integer arithmetic),
+    // then the full production still-image path runs on genuine bytes —
+    // ImageIO encode → ImageIoDecoder.decode (dims from the actual decoded
+    // raster) → ImageIoDecoder.resize (bounding box 16, bilinear,
+    // PNG re-encode) → a second real decode of the resized bytes. The
+    // oracle replays only the arithmetic; every pixel byte in between is
+    // real codec output, so a decode/resize regression breaks the hash.
+    QueryDef(
+      "q_multimodal_real_decode",
+      """WITH d AS (
+        |  SELECT doc_id AS asset_id,
+        |         CAST(8 + doc_id % 40 AS INT) AS width,
+        |         CAST(8 + (doc_id // 7) % 32 AS INT) AS height
+        |  FROM documents WHERE doc_id % 25 = 0)
+        |SELECT asset_id, width, height,
+        |       CAST(CASE WHEN greatest(width, height) <= 16 THEN width
+        |            ELSE greatest(width * 16 // greatest(width, height), 1)
+        |            END AS INT) AS out_width,
+        |       CAST(CASE WHEN greatest(width, height) <= 16 THEN height
+        |            ELSE greatest(height * 16 // greatest(width, height), 1)
+        |            END AS INT) AS out_height
+        |FROM d""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val gen = Tables.documents(s, dir)
+        .filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val w = (8 + id % 40).toInt
+            val h = (8 + (id / 7) % 32).toInt
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            img.setRGB(0, 0, (id * 2654435761L).toInt) // content is irrelevant
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            (id, bos.toByteArray, "image")
+          }
+        }.toDF("asset_id", "payload", "media_type")
+      val feats = Multimodal.decodeFeatures(s, gen, Multimodal.ImageIoDecoder)
+        .select(col("asset_id"), col("width"), col("height"))
+      val resized = gen.select(col("asset_id"), col("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { rows =>
+          rows.map { case (id, bytes) =>
+            val (outBytes, ow, oh) = Multimodal.ImageIoDecoder.resize(bytes, 16)
+            // the reported dims must be what a consumer DECODES, not what
+            // the resizer claims — re-decode the re-encoded output
+            val verify = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(outBytes))
+            require(verify != null && verify.getWidth == ow && verify.getHeight == oh,
+              s"resized asset $id round-trip mismatch")
+            (id, verify.getWidth, verify.getHeight)
+          }
+        }.toDF("asset_id", "out_width", "out_height")
+      feats.join(resized, "asset_id")
+    },
+
     // Resize plan: bounding-box 224 preserving aspect ratio, integer
     // arithmetic only — the dims a real codec would be handed.
     QueryDef(

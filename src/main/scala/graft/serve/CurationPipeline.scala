@@ -8,8 +8,10 @@ import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.ObjectMapper
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 import graft.operators.Dedup
 import graft.queries.PiiQueries
@@ -26,27 +28,70 @@ import graft.queries.PiiQueries
   *   2. exact dedup: md5 content hash, first occurrence per hash inside
   *      the batch wins (min doc_id), then arrivals whose hash exists in
   *      the PERSISTED corpus hash index are rejected;
-  *   3. near-dup guard: rowwise minhash band keys probed against the
-  *      persisted band index (`Dedup.bandProbeStream`'s shape) — any band
-  *      hit rejects;
+  *   3. near-dup guard, two layers:
+  *      a. INTRA-BATCH: band keys self-collide within the batch — any doc
+  *         band-colliding with a smaller-id doc of the same batch is
+  *         rejected (`near_dup_batch`), regardless of that smaller doc's
+  *         own fate (deterministic, stricter-never-looser). Without this,
+  *         back-to-back near-dup posts — the common scrape pattern —
+  *         would batch together and both pass;
+  *      b. CORPUS: band keys probed against the persisted band index —
+  *         any band hit rejects (`near_dup_corpus`);
   *   4. admitted docs EXTEND both indexes (hash + band rows appended), so
-  *      later batches are guarded against earlier admissions — true
-  *      corpus extension, not a static snapshot.
+  *      later batches are guarded against earlier ones — true corpus
+  *      extension, not a static snapshot.
   *
-  * The indexes here are plain parquet append logs — the serving-side
-  * shape. At 100 TB the logs compact periodically into the bucketed,
-  * key-slot-partitioned layout (`Dedup.writeBandIndexPruned`) that the
-  * batch funnel probes with partition pruning; the per-batch append and
-  * the probe join are unchanged by that swap.
+  * INDEX MEMBERSHIP IS SCAN-ONLY, NEVER SHUFFLE: the exact-dup corpus
+  * check is `index ⋉ broadcast(batch hashes)` (left semi with the
+  * micro-batch side broadcast), and the band probe broadcasts the batch's
+  * band keys the same way. The corpus-sized side is read in place — no
+  * distinct(), no HashAggregate, no Exchange over it, per batch
+  * (PlanSpec asserts the shape). The direction matters: a batch-side-left
+  * semi join would have to BUILD the index (broadcast or shuffle it);
+  * putting the index on the left keeps it streaming through the join.
+  *
+  * INDEX LAYOUT + COMPACTION (`indexRoot`):
+  *   hash_tail/   append-only (text_hash) parquet — one file set per
+  *                admitting batch
+  *   band_tail/   append-only (id, band, key) parquet
+  *   gen_<v>/     a compacted generation: `hash/` (distinct hashes),
+  *                `bands/` (partitioned by key slot `kp` — the
+  *                `Dedup.writeBandIndexPruned` pruning layout, probed with
+  *                partition pruning so a batch reads only its own key
+  *                slots), and a `_COMMITTED` marker recording the written
+  *                keyParts and the tail files the generation absorbed.
+  * Readers resolve latest committed generation ∪ non-absorbed tail files
+  * per batch; `compact()` folds gen + tail snapshot into gen_{v+1} and
+  * retires the absorbed tail files with a one-generation grace window
+  * (IdentityStream's generation-retire pattern: files a concurrent reader
+  * may still hold are excluded from new reads immediately but deleted only
+  * at the NEXT compaction). Appends racing a compaction land in new tail
+  * files outside the snapshot and stay visible. Membership semantics make
+  * the gen/tail overlap during the grace window harmless: both indexes are
+  * probed for EXISTENCE (semi-join / band hit), so a row present in both a
+  * generation and a not-yet-deleted tail file changes no decision.
+  * `admitBatch` auto-compacts every `CompactEveryBatches` admitting
+  * batches; serving cost per batch stays ∝ batch size between compactions
+  * because tail probes are also broadcast-batch joins.
   *
   * Docs shorter than the shingle width (n=5 words) produce no band keys:
-  * they pass the near-dup guard trivially but are still exact-dedup'd by
+  * they pass the near-dup guards trivially but are still exact-dedup'd by
   * content hash — same contract as the batch funnel.
   */
 object CurationPipeline {
 
   val ShingleN = 5
   val MaxDecisions = 200
+
+  /** Auto-compaction cadence: every this-many admitting batches the tail
+    * logs fold into a new pruned generation. Between compactions the tail
+    * holds at most this many batches' rows, so the plain tail probe stays
+    * micro-batch-scale while the corpus bulk lives in the pruned layout.
+    */
+  val CompactEveryBatches = 64
+
+  private val HashSchema = "text_hash STRING"
+  private val BandSchema = "id BIGINT, band INT, key STRING"
 
   final case class Decision(docId: Long, decision: String, reason: String,
                             charsRedacted: Long)
@@ -59,8 +104,11 @@ object CurationPipeline {
     val admitted = new AtomicLong
     val rejectedExactBatch = new AtomicLong
     val rejectedExactCorpus = new AtomicLong
+    val rejectedNearDupBatch = new AtomicLong
     val rejectedNearDup = new AtomicLong
     val charsRedacted = new AtomicLong
+    val batches = new AtomicLong
+    val compactions = new AtomicLong
     private val decisions = new ConcurrentLinkedDeque[Decision]()
 
     def record(d: Decision): Unit = {
@@ -69,6 +117,7 @@ object CurationPipeline {
         case _ => d.reason match {
           case "exact_dup_batch"  => rejectedExactBatch.incrementAndGet()
           case "exact_dup_corpus" => rejectedExactCorpus.incrementAndGet()
+          case "near_dup_batch"   => rejectedNearDupBatch.incrementAndGet()
           case "near_dup_corpus"  => rejectedNearDup.incrementAndGet()
         }
       }
@@ -84,29 +133,141 @@ object CurationPipeline {
       val recentJson = recent.take(50).map { d =>
         s"""{"docId":${d.docId},"decision":"${d.decision}","reason":"${d.reason}","charsRedacted":${d.charsRedacted}}"""
       }.mkString("[", ",", "]")
-      s"""{"received":${received.get},"admitted":${admitted.get},"rejected_exact_batch":${rejectedExactBatch.get},"rejected_exact_corpus":${rejectedExactCorpus.get},"rejected_near_dup":${rejectedNearDup.get},"chars_redacted":${charsRedacted.get},"decisions":$recentJson}"""
+      s"""{"received":${received.get},"admitted":${admitted.get},"rejected_exact_batch":${rejectedExactBatch.get},"rejected_exact_corpus":${rejectedExactCorpus.get},"rejected_near_dup_batch":${rejectedNearDupBatch.get},"rejected_near_dup":${rejectedNearDup.get},"chars_redacted":${charsRedacted.get},"batches":${batches.get},"compactions":${compactions.get},"decisions":$recentJson}"""
+    }
+  }
+
+  // ------------------------------------------------------------ index I/O
+
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Data part files of a flat parquet append directory (no markers). */
+  private def partFiles(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new Path(dir)
+    val f = fs(spark, dir)
+    if (!f.exists(p)) Nil
+    else f.listStatus(p).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("part-")).map(_.toString).sorted
+  }
+
+  /** Latest committed generation marker, parsed. The marker is written
+    * LAST, so a half-written generation (crash mid-compaction) is invisible
+    * — readers fall back to the previous generation + the full tail, which
+    * is stricter-never-looser (nothing absorbed, nothing lost).
+    */
+  final case class Generation(version: Long, dir: String, keyParts: Int,
+                              absorbedHash: Set[String], absorbedBand: Set[String])
+
+  private val marker = new ObjectMapper()
+
+  private def genDirs(spark: SparkSession, root: String): Seq[Path] = {
+    val p = new Path(root)
+    val f = fs(spark, root)
+    if (!f.exists(p)) Nil
+    else f.listStatus(p).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("gen_"))
+  }
+
+  def currentGeneration(spark: SparkSession, root: String): Option[Generation] = {
+    val f = fs(spark, root)
+    val committed = genDirs(spark, root)
+      .filter(d => f.exists(new Path(d, "_COMMITTED")))
+      .map(d => (d.getName.stripPrefix("gen_").toLong, d))
+    committed.sortBy(-_._1).headOption.map { case (v, d) =>
+      val in = f.open(new Path(d, "_COMMITTED"))
+      val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val node = marker.readTree(body)
+      def files(field: String): Set[String] =
+        node.path(field).elements().asScala.map(_.asText).toSet
+      Generation(v, d.toString, node.path("keyParts").asInt,
+        files("absorbedHash"), files("absorbedBand"))
     }
   }
 
   private def emptyDf(spark: SparkSession, schemaDdl: String): DataFrame =
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
+      StructType.fromDDL(schemaDdl))
 
-  // Try-guarded: the log directory may not exist yet, or may hold only a
-  // _SUCCESS marker (an all-rejected batch appends zero part files)
-  private def readOrEmpty(spark: SparkSession, path: String,
-                          schemaDdl: String): DataFrame =
-    if (!new java.io.File(path).exists()) emptyDf(spark, schemaDdl)
-    else scala.util.Try(spark.read.parquet(path))
-      .getOrElse(emptyDf(spark, schemaDdl))
+  /** Read a set of tail part files with an EXPLICIT schema: an empty file
+    * list and a _SUCCESS-only directory both yield an empty frame without
+    * schema inference, while genuine read failures (corrupt file,
+    * transient FS error) PROPAGATE and fail the micro-batch — the guard
+    * must get stricter on failure, never looser.
+    */
+  private def readFiles(spark: SparkSession, files: Seq[String],
+                        schemaDdl: String): DataFrame =
+    if (files.isEmpty) emptyDf(spark, schemaDdl)
+    else spark.read.schema(StructType.fromDDL(schemaDdl)).parquet(files: _*)
+
+  /** Tail files not yet absorbed by the current generation. */
+  private def liveTail(spark: SparkSession, dir: String,
+                       absorbed: Set[String]): Seq[String] =
+    partFiles(spark, dir).filterNot(absorbed.contains)
+
+  /** The hash index visible to a batch: generation hashes ∪ live tail. */
+  def hashIndex(spark: SparkSession, root: String): DataFrame = {
+    val gen = currentGeneration(spark, root)
+    val tail = readFiles(spark,
+      liveTail(spark, s"$root/hash_tail", gen.map(_.absorbedHash).getOrElse(Set.empty)),
+      HashSchema)
+    gen match {
+      case Some(g) =>
+        spark.read.schema(StructType.fromDDL(HashSchema))
+          .parquet(s"${g.dir}/hash").unionAll(tail)
+      case None => tail
+    }
+  }
+
+  /** Corpus exact-dup hits for a batch's content hashes:
+    * `index ⋉ broadcast(batch hashes)` — a left-semi join with the
+    * micro-batch side broadcast, so the corpus-sized index STREAMS through
+    * the join (scan-only: no distinct, no HashAggregate, no Exchange over
+    * it; CompactionSpec asserts the shape on the executed plan). Output is
+    * ≤ batch-sized; the trailing distinct folds the grace-window gen/tail
+    * overlap and costs one exchange of that tiny set.
+    */
+  def corpusHashHits(spark: SparkSession, root: String,
+                     batchHashes: DataFrame): DataFrame =
+    hashIndex(spark, root)
+      .join(broadcast(batchHashes.distinct()), Seq("text_hash"), "left_semi")
+      .distinct()
+
+  /** Corpus band-collision hits for a batch's band keys: the pruned
+    * generation probed with partition pruning (read volume ∝ the batch's
+    * key slots) ∪ the plain tail probed with the batch broadcast. This is
+    * THE production probe — CompactionSpec runs it directly and asserts
+    * the generation scan's files from the executed plan.
+    */
+  def corpusBandHits(spark: SparkSession, root: String,
+                     probeBands: DataFrame): DataFrame = {
+    val gen = currentGeneration(spark, root)
+    val tailBands = readFiles(spark,
+      liveTail(spark, s"$root/band_tail", gen.map(_.absorbedBand).getOrElse(Set.empty)),
+      BandSchema)
+    val tailHits = Dedup.candidatePairsAcross(tailBands, broadcast(probeBands))
+    gen match {
+      case Some(g) =>
+        // the partition column kp arrives via directory discovery; the
+        // written modulus comes from the commit marker, not metadata
+        val genBands = spark.read
+          .schema(StructType.fromDDL(s"$BandSchema, kp INT"))
+          .option("basePath", s"${g.dir}/bands")
+          .parquet(s"${g.dir}/bands")
+        Dedup.candidatePairsAcrossPruned(genBands, broadcast(probeBands), g.keyParts)
+          .unionAll(tailHits)
+      case None => tailHits
+    }
+  }
 
   /** Admit one micro-batch (columns doc_id, ts, text) through the full
     * funnel; records a Decision per doc and appends admitted docs' hash
-    * and band rows to the index logs.
+    * and band rows to the tail logs. Auto-compacts every
+    * `CompactEveryBatches` admitting batches.
     */
   def admitBatch(spark: SparkSession, batch: DataFrame,
-                 hashPath: String, bandPath: String, stats: Stats): Unit = {
+                 indexRoot: String, stats: Stats): Unit = {
     if (batch.isEmpty) return
     // 1. scrub (map-only)
     val scrubbed = batch
@@ -119,55 +280,156 @@ object CurationPipeline {
     // 2a. intra-batch exact: first arrival (min doc_id) per hash wins
     val keeper = scrubbed.groupBy(col("text_hash"))
       .agg(min(col("doc_id")).as("__keeper"))
-    // 2b. corpus exact: hash present in the persisted index
-    val idxHash = readOrEmpty(spark, hashPath, "text_hash STRING")
+    // 2b. corpus exact: index ⋉ broadcast(batch hashes) — the corpus side
+    // is scanned in place (no distinct, no shuffle); output ≤ batch size
+    val corpusHits = corpusHashHits(spark, indexRoot,
+        scrubbed.select(col("text_hash")))
+      .withColumn("__in_corpus", lit(true))
     val flagged = scrubbed
       .join(keeper, "text_hash")
-      .join(idxHash.select(col("text_hash"), lit(true).as("__in_corpus")).distinct(),
-        Seq("text_hash"), "left")
+      .join(broadcast(corpusHits), Seq("text_hash"), "left")
       .select(col("doc_id"), col("text"), col("text_hash"), col("chars_redacted"),
         (col("doc_id") =!= col("__keeper")).as("batch_dup"),
         coalesce(col("__in_corpus"), lit(false)).as("corpus_dup"))
       .localCheckpoint()
-    // 3. near-dup guard for exact survivors: band keys vs the band index
+    // 3. near-dup guards for exact survivors
     val survivors = flagged.filter(!col("batch_dup") && !col("corpus_dup"))
-    val idxBands = readOrEmpty(spark, bandPath, "id BIGINT, band INT, key STRING")
     val probeBands = Dedup.bandKeys(Dedup.minhashSignaturesRowwise(
       survivors, col("doc_id"), col("text"), ShingleN))
-    val nearHit = Dedup.candidatePairsAcross(idxBands, probeBands)
+      .localCheckpoint() // probed three ways below; micro-batch-sized
+    // 3a. intra-batch: a band collision with a SMALLER-id doc of the same
+    // batch rejects the larger id (min-id-wins, deterministic; the smaller
+    // doc's own corpus fate does not un-reject it — stricter, never looser)
+    val intraHit = Dedup.candidatePairs(probeBands)
+      .select(col("b").as("doc_id")).distinct()
+      .withColumn("__near_batch", lit(true))
+    // 3b. corpus: any band hit against generation + tail indexes
+    val nearHit = corpusBandHits(spark, indexRoot, probeBands)
       .select(col("b").as("doc_id")).distinct()
       .withColumn("__near", lit(true))
     val decided = flagged
-      .join(nearHit, Seq("doc_id"), "left")
+      .join(broadcast(intraHit), Seq("doc_id"), "left")
+      .join(broadcast(nearHit), Seq("doc_id"), "left")
       .select(col("doc_id"), col("text"), col("text_hash"), col("chars_redacted"),
         col("batch_dup"), col("corpus_dup"),
+        coalesce(col("__near_batch"), lit(false)).as("near_dup_batch"),
         coalesce(col("__near"), lit(false)).as("near_dup"))
       .localCheckpoint()
     // 4. extend the indexes with the admissions BEFORE recording decisions
     // (a crash between the two leaves the guard stricter, never looser)
-    val admitted = decided
-      .filter(!col("batch_dup") && !col("corpus_dup") && !col("near_dup"))
+    val admitted = decided.filter(!col("batch_dup") && !col("corpus_dup") &&
+      !col("near_dup_batch") && !col("near_dup"))
     if (!admitted.isEmpty) {
       admitted.select(col("text_hash"))
-        .write.mode("append").parquet(hashPath)
+        .write.mode("append").parquet(s"$indexRoot/hash_tail")
       val newBands = Dedup.bandKeys(Dedup.minhashSignaturesRowwise(
         admitted, col("doc_id"), col("text"), ShingleN))
       // all-short-doc batches produce no band rows; an empty append would
       // leave a schema-less directory behind
-      if (!newBands.isEmpty) newBands.write.mode("append").parquet(bandPath)
+      if (!newBands.isEmpty) newBands.write.mode("append").parquet(s"$indexRoot/band_tail")
+      if (stats.batches.incrementAndGet() % CompactEveryBatches == 0) {
+        compact(spark, indexRoot)
+        stats.compactions.incrementAndGet()
+        ()
+      }
     }
-    decided.select("doc_id", "batch_dup", "corpus_dup", "near_dup", "chars_redacted")
+    decided.select("doc_id", "batch_dup", "corpus_dup", "near_dup_batch",
+        "near_dup", "chars_redacted")
       .collect()
       .sortBy(_.getLong(0))
       .foreach { r =>
-        val (id, cr) = (r.getLong(0), r.getLong(4))
+        val (id, cr) = (r.getLong(0), r.getLong(5))
         val d =
           if (r.getBoolean(1)) Decision(id, "rejected", "exact_dup_batch", cr)
           else if (r.getBoolean(2)) Decision(id, "rejected", "exact_dup_corpus", cr)
-          else if (r.getBoolean(3)) Decision(id, "rejected", "near_dup_corpus", cr)
+          else if (r.getBoolean(3)) Decision(id, "rejected", "near_dup_batch", cr)
+          else if (r.getBoolean(4)) Decision(id, "rejected", "near_dup_corpus", cr)
           else Decision(id, "admitted", "", cr)
         stats.record(d)
       }
+  }
+
+  /** Compact the append logs into a new committed generation:
+    * gen_{v+1} = current generation ∪ a snapshot of the live tail files,
+    * hashes distinct'd, bands rewritten into the key-slot-partitioned
+    * pruning layout. The marker commits LAST (readers never see a partial
+    * generation); the absorbed tail files and the superseded generation
+    * directory are excluded from reads immediately but PHYSICALLY deleted
+    * only by the NEXT compaction (grace window for a reader that resolved
+    * the old generation just before the commit). Safe to run concurrently
+    * with appends: files appended after the snapshot stay live tail.
+    */
+  def compact(spark: SparkSession, root: String,
+              keyParts: Int = Dedup.IndexKeyParts): Generation = {
+    val f = fs(spark, root)
+    val prev = currentGeneration(spark, root)
+
+    // grace-window reclamation FIRST (single compacting writer — the
+    // admitting thread): anything only a pre-`prev` reader could still
+    // reference has had a full compaction interval of grace. Readers at
+    // `prev` never touch these — prev's marker excludes its absorbed tail
+    // files from liveTail, and older/uncommitted generation dirs are
+    // invisible to resolution. Their CONTENT is already folded into prev's
+    // data, so nothing is lost.
+    prev.foreach { g =>
+      (g.absorbedHash ++ g.absorbedBand).foreach(p => f.delete(new Path(p), false))
+      genDirs(spark, root)
+        .filter(d => d.toString != g.dir)
+        .filter { d =>
+          d.getName.stripPrefix("gen_").toLong < g.version ||
+            !f.exists(new Path(d, "_COMMITTED")) // crashed half-compaction
+        }
+        .foreach(d => f.delete(d, true))
+    }
+
+    val nextVer = genDirs(spark, root)
+      .map(_.getName.stripPrefix("gen_").toLong).foldLeft(-1L)(math.max) + 1L
+    val dir = s"$root/gen_$nextVer"
+
+    // snapshot of what this generation absorbs; prev's absorbed files are
+    // gone from disk by now, so the new marker stays bounded (it lists one
+    // compaction interval's worth of tail files, never the full history)
+    val hashSnap = liveTail(spark, s"$root/hash_tail",
+      prev.map(_.absorbedHash).getOrElse(Set.empty))
+    val bandSnap = liveTail(spark, s"$root/band_tail",
+      prev.map(_.absorbedBand).getOrElse(Set.empty))
+
+    val allHashes = prev match {
+      case Some(g) => spark.read.schema(StructType.fromDDL(HashSchema))
+        .parquet(s"${g.dir}/hash").unionAll(readFiles(spark, hashSnap, HashSchema))
+      case None => readFiles(spark, hashSnap, HashSchema)
+    }
+    // distinct belongs HERE, in the offline compaction, not the serving
+    // path: the tail is unique by construction, but gen ∪ tail may overlap
+    // within a grace window and a rewrite is the one place to fold it
+    allHashes.distinct().write.mode("overwrite").parquet(s"$dir/hash")
+
+    val allBands = prev match {
+      case Some(g) => spark.read
+        .schema(StructType.fromDDL(s"$BandSchema, kp INT"))
+        .parquet(s"${g.dir}/bands")
+        .select(col("id"), col("band"), col("key"))
+        .unionAll(readFiles(spark, bandSnap, BandSchema))
+      case None => readFiles(spark, bandSnap, BandSchema)
+    }
+    allBands.distinct()
+      .withColumn("kp", Dedup.keyPart(col("key"), keyParts))
+      .write.mode("overwrite").partitionBy("kp").parquet(s"$dir/bands")
+
+    // commit marker LAST; the absorbed-file lists make the new generation
+    // self-describing (a restarted process resolves them from disk). The
+    // previous generation DIRECTORY stays on disk until the next
+    // compaction's reclamation pass — a reader that resolved it just
+    // before this commit keeps working through the grace window.
+    val body = marker.createObjectNode()
+    body.put("keyParts", keyParts)
+    val ah = body.putArray("absorbedHash")
+    hashSnap.sorted.foreach(ah.add)
+    val ab = body.putArray("absorbedBand")
+    bandSnap.sorted.foreach(ab.add)
+    val out = f.create(new Path(s"$dir/_COMMITTED"), true)
+    try out.write(marker.writeValueAsBytes(body)) finally out.close()
+    Generation(nextVer, dir, keyParts, hashSnap.toSet, bandSnap.toSet)
   }
 }
 

@@ -44,8 +44,7 @@ class CorpusIngestSpec extends SparkSpec {
     val query = input.toDF().toDF("doc_id", "ts", "text")
       .writeStream.queryName("corpus_e2e").outputMode(OutputMode.Append())
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        CurationPipeline.admitBatch(spark, batch,
-          s"$dir/hashes", s"$dir/bands", stats)
+        CurationPipeline.admitBatch(spark, batch, s"$dir/index", stats)
       }
       .start()
     val ingest = new CorpusIngest((id, t, text) => { input.addData((id, t, text)); () }, stats)
@@ -122,6 +121,30 @@ class CorpusIngestSpec extends SparkSpec {
       query.processAllAvailable()
       s = http("GET", s"$base/corpus/stats")._2
       assert(stat(s, "admitted") == 4, s)
+
+      // -- INTRA-batch near-dup guard: two near-duplicate (non-exact) docs
+      // arriving in the SAME micro-batch — the back-to-back scrape pattern.
+      // Neither is in the corpus; without the batch self-probe both would
+      // be admitted. Min doc_id wins, the larger is rejected near_dup_batch.
+      val freshText = "mountain weather stations recorded unusual pressure " +
+        "gradients throughout the spring season prompting researchers to " +
+        "revisit their forecasting models entirely"
+      assert(post(11L, freshText)._1 == 202)
+      assert(post(12L, freshText + " postscript")._1 == 202)
+      query.processAllAvailable()
+      s = http("GET", s"$base/corpus/stats")._2
+      assert(stat(s, "admitted") == 5, s)
+      assert(stat(s, "rejected_near_dup_batch") == 1, s)
+      assert(s.contains("\"docId\":11,\"decision\":\"admitted\""), s)
+      assert(s.contains("\"docId\":12,\"decision\":\"rejected\",\"reason\":\"near_dup_batch\""), s)
+
+      // the intra-batch rejection did NOT extend the index: the admitted
+      // smaller doc did, so re-posting its near-dup alone is now a CORPUS
+      // near-dup (and the guard state survives purely on disk)
+      assert(post(13L, freshText + " afterthought")._1 == 202)
+      query.processAllAvailable()
+      s = http("GET", s"$base/corpus/stats")._2
+      assert(stat(s, "rejected_near_dup") == 2, s)
     } finally {
       query.stop()
       server.stop()
