@@ -190,6 +190,24 @@ object CurationPipeline {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType.fromDDL(schemaDdl))
 
+  /** Generation reads cached by directory: a committed generation is
+    * IMMUTABLE, so its DataFrame (and the file/partition listing inside
+    * its FileIndex) is reused across micro-batches instead of re-listing
+    * every key-slot directory per batch — at production slot counts
+    * (thousands of directories) per-batch re-discovery would dwarf the
+    * pruned read itself. Superseded generations are evicted when a newer
+    * one resolves for the same root.
+    */
+  private val genReads =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def cachedGenRead(root: String, genDir: String, kind: String,
+                            mk: => DataFrame): DataFrame = {
+    genReads.keySet().removeIf(k =>
+      k.startsWith(root + "|") && !k.startsWith(s"$root|$genDir|"))
+    genReads.computeIfAbsent(s"$root|$genDir|$kind", _ => mk)
+  }
+
   /** Read a set of tail part files with an EXPLICIT schema: an empty file
     * list and a _SUCCESS-only directory both yield an empty frame without
     * schema inference, while genuine read failures (corrupt file,
@@ -214,8 +232,9 @@ object CurationPipeline {
       HashSchema)
     gen match {
       case Some(g) =>
-        spark.read.schema(StructType.fromDDL(HashSchema))
-          .parquet(s"${g.dir}/hash").unionAll(tail)
+        cachedGenRead(root, g.dir, "hash",
+          spark.read.schema(StructType.fromDDL(HashSchema))
+            .parquet(s"${g.dir}/hash")).unionAll(tail)
       case None => tail
     }
   }
@@ -251,10 +270,11 @@ object CurationPipeline {
       case Some(g) =>
         // the partition column kp arrives via directory discovery; the
         // written modulus comes from the commit marker, not metadata
-        val genBands = spark.read
-          .schema(StructType.fromDDL(s"$BandSchema, kp INT"))
-          .option("basePath", s"${g.dir}/bands")
-          .parquet(s"${g.dir}/bands")
+        val genBands = cachedGenRead(root, g.dir, "bands",
+          spark.read
+            .schema(StructType.fromDDL(s"$BandSchema, kp INT"))
+            .option("basePath", s"${g.dir}/bands")
+            .parquet(s"${g.dir}/bands"))
         Dedup.candidatePairsAcrossPruned(genBands, broadcast(probeBands), g.keyParts)
           .unionAll(tailHits)
       case None => tailHits
@@ -412,8 +432,14 @@ object CurationPipeline {
         .unionAll(readFiles(spark, bandSnap, BandSchema))
       case None => readFiles(spark, bandSnap, BandSchema)
     }
+    // repartition BY the partition column before partitionBy: without it
+    // every shuffle partition writes into every kp directory — up to
+    // shufflePartitions × keyParts tiny files, and the probe pays file-open
+    // cost instead of the pruning win. With it each slot directory holds
+    // one file per owning task (~1).
     allBands.distinct()
       .withColumn("kp", Dedup.keyPart(col("key"), keyParts))
+      .repartition(col("kp"))
       .write.mode("overwrite").partitionBy("kp").parquet(s"$dir/bands")
 
     // commit marker LAST; the absorbed-file lists make the new generation
