@@ -43,7 +43,67 @@ object StreamBench {
   val CdpFloorPerSec = 15000.0
   val EntityFloorPerSec = 25000.0
 
+  /** `runMain graft.StreamBench stateprobe [nEvents] [cores]` — the
+    * state-SCALE curve: the same CDP pipeline and event volume pumped
+    * against geometrically growing keyed-profile populations, recording
+    * throughput alongside the state store's own metrics (rows, memory,
+    * RocksDB SST bytes, per-batch update/commit ms from `lastProgress`).
+    * The claim under test for 100 TB state: per-batch cost tracks the
+    * BATCH's updates, not the accumulated profile count — throughput may
+    * pay state-store constants but must not degrade multiplicatively as
+    * resident state grows 50×. (State partitions stay fixed at 8, the
+    * measured-healthy config, so the only variable is state volume.)
+    */
+  def stateProbe(n: Int, cores: Int): Unit = {
+    val spark = Sessions.streaming("stream-state-probe", cores)
+    spark.conf.set("spark.sql.shuffle.partitions", 8)
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+
+    for (profiles <- Seq(2000, 10000, 40000, 100000)) {
+      val events = (0 until n).map { i =>
+        CdpEvent(
+          eventId = s"e$i",
+          ts = new Timestamp(1704067200000L + i.toLong * 10),
+          eventType = if (i % 10 == 0) "IDENTIFY" else "TRACK",
+          userId = Some(s"u${i % profiles}"), anonymousId = None, email = None,
+          name = Some("feature_used"),
+          traits = if (i % 10 == 0)
+            Map("plan" -> (if (i % 20 == 0) "pro" else "free")) else Map.empty)
+      }
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[CdpEvent]
+      val query = CdpPipeline.segmentEvents(spark, input.toDS())
+        .writeStream.format("noop").outputMode(OutputMode.Append()).start()
+      val t0 = System.nanoTime()
+      events.grouped(20000).foreach { b =>
+        input.addData(b)
+        query.processAllAvailable()
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      val progs = query.asInstanceOf[org.apache.spark.sql.streaming.StreamingQuery]
+        .recentProgress.filter(_.numInputRows > 0)
+      val ops = progs.flatMap(_.stateOperators)
+      val last = query.lastProgress.stateOperators
+      def sumLast(f: org.apache.spark.sql.streaming.StateOperatorProgress => Long): Long =
+        last.map(f).sum
+      val sst = last.flatMap(o =>
+        Option(o.customMetrics.get("rocksdbSstFileSize")).map(_.longValue)).sum
+      val avgUpdateMs = if (ops.isEmpty) 0.0 else ops.map(_.allUpdatesTimeMs).sum.toDouble / progs.length
+      val avgCommitMs = if (ops.isEmpty) 0.0 else ops.map(_.commitTimeMs).sum.toDouble / progs.length
+      query.stop()
+      println(f"""{"metric":"cdp_state_scale","profiles":$profiles,"events":$n,"events_per_sec":${n / secs}%.0f,"state_rows":${sumLast(_.numRowsTotal)},"state_memory_bytes":${sumLast(_.memoryUsedBytes)},"rocksdb_sst_bytes":$sst,"avg_update_ms_per_batch":$avgUpdateMs%.0f,"avg_commit_ms_per_batch":$avgCommitMs%.0f,"batches":${progs.length}}""")
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("stateprobe")) {
+      stateProbe(
+        if (args.length > 1) args(1).toInt else 200000,
+        if (args.length > 2) args(2).toInt else 8)
+      return
+    }
     val n = if (args.length > 0) args(0).toInt else 200000
     val cores = if (args.length > 1) args(1).toInt else 8
     val batchSize = if (args.length > 2) args(2).toInt else 20000
