@@ -21,6 +21,34 @@ object CurationQueries {
   private val BalanceSalt = "bal"
   private val MixSalt = "mix"
   private val EpochSalt = "epo"
+  private val PrioSalt = "pri"
+
+  /** Sample size per source for q_weighted_sample (priority sampling). */
+  private val PrioK = 10
+
+  /** Priority sampling (DLT) over (source, doc_id, n_chars) — the
+    * q_weighted_sample body, factored so the spec can drive synthetic
+    * corpora through the exact production plan (see the QueryDef comment
+    * for semantics and the 100 TB shape).
+    */
+  private[queries] def prioritySample(docs: DataFrame, k: Int, salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = TextOps.hash64(concat(lit(salt), col("doc_id"))) % 1000000L + 1L
+    val byP = Window.partitionBy(col("source")).orderBy(col("p").desc, col("doc_id"))
+    val bySource = Window.partitionBy(col("source"))
+    docs
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        (col("n_chars").cast("double") / u).as("p"))
+      .withColumn("rn", row_number().over(byP))
+      .filter(col("rn") <= k + 1)
+      .withColumn("tau",
+        max(when(col("rn") === k + 1, col("p")).otherwise(lit(0.0)))
+          .over(bySource))
+      .filter(col("rn") <= k)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        Num.r4(col("p")).as("priority"),
+        Num.r4(greatest(col("n_chars").cast("double"), col("tau"))).as("w_hat"))
+  }
 
   /** Funnel variant-corpus id offsets (distinct so an id hit by both the
     * %10 exact-copy and %5 truncation rules stays unique).
@@ -472,6 +500,52 @@ object CurationQueries {
           sum(col("repeats")).as("n_emitted"),
           max(col("repeats")).as("max_repeat"),
           sum(when(col("repeats") === 0, 1L).otherwise(0L)).as("n_dropped"))
+    },
+
+    // Weighted sampling WITHOUT replacement: priority sampling
+    // (Duffield–Lund–Thorup 2007) — per doc, priority p = w / u with
+    // weight w = n_chars and u a salted-hash uniform draw in [1, 1e6];
+    // the top-K priorities per source are the sample, and tau (the
+    // (K+1)-th priority) yields the unbiased subset-sum estimator
+    // w_hat = max(w, tau): E[sum of w_hat over the sample] = sum of w,
+    // so downstream token-budget accounting works off the SAMPLE. Unlike
+    // q_mixture_sample (independent keep/drop) this draws an exact-size
+    // without-replacement sample; unlike q_stratified_sample the
+    // inclusion probability is proportional to doc weight. Deterministic
+    // across engines: u is integer hash arithmetic and p is ONE IEEE
+    // division of two integers — correctly rounded, so DuckDB and the
+    // JVM agree bit-for-bit (the reason this uses w/u priorities rather
+    // than the u^(1/w) exponential-keys formulation, whose pow() is not
+    // correctly rounded). At 100 TB: the rn <= K+1 filter directly over
+    // row_number triggers Catalyst's WindowGroupLimit, so each map
+    // partition keeps only its local top-(K+1) BEFORE the source shuffle
+    // — no global per-source sort ever materializes; tau rides a second
+    // window over the same partitioning (no extra shuffle), and the
+    // whole query is one shuffle of K+1 rows per source per partition.
+    QueryDef(
+      "q_weighted_sample",
+      s"""WITH pri AS (
+         |  SELECT source, doc_id, n_chars,
+         |         CAST(n_chars AS DOUBLE)
+         |           / ((${TextOps.hash64Sql(s"concat('$PrioSalt', doc_id)")} % 1000000) + 1)
+         |           AS p
+         |  FROM documents),
+         |topk AS (
+         |  SELECT * FROM (
+         |    SELECT source, doc_id, n_chars, p,
+         |           row_number() OVER (PARTITION BY source
+         |                              ORDER BY p DESC, doc_id) AS rn
+         |    FROM pri) WHERE rn <= ${PrioK + 1}),
+         |taued AS (
+         |  SELECT source, doc_id, n_chars, p, rn,
+         |         max(CASE WHEN rn = ${PrioK + 1} THEN p ELSE 0 END)
+         |           OVER (PARTITION BY source) AS tau
+         |  FROM topk)
+         |SELECT source, doc_id, n_chars,
+         |       ${Num.r4Sql("p")} AS priority,
+         |       ${Num.r4Sql("greatest(CAST(n_chars AS DOUBLE), tau)")} AS w_hat
+         |FROM taued WHERE rn <= $PrioK""".stripMargin) { (s, dir) =>
+      prioritySample(Tables.documents(s, dir), PrioK, PrioSalt)
     },
 
     // The curation FUNNEL: the complete dedup-attrition pipeline as one

@@ -133,6 +133,49 @@ object DedupQueries {
         .select((col("id") + IdOffset).as("id"), filler.as("text")))
   }
 
+  /** Variant for q_dedup_containment: every 7th doc of >= 40 words gains
+    * an EXCERPT copy — its first fifth of words (id offset). The excerpt's
+    * shingles are all present in the original, so containment(excerpt in
+    * original) = 1.0, while Jaccard ≈ len/5 / len ≈ 0.2 — BELOW the 0.3
+    * symmetric near-dup cut. This is the quote-inclusion / sub-document
+    * shape Jaccard dedup structurally misses and the asymmetric measure
+    * exists for (Broder 1997 distinguishes resemblance from containment).
+    * The >= 40-word floor keeps excerpts at >= 8 words = >= 4 five-word
+    * shingles, clear of the degenerate 0-shingle case.
+    */
+  private val ExcerptMinWords = 40
+
+  private def withExcerptCopies(s: SparkSession, dir: String): DataFrame = {
+    val ws = TextOps.words(col("text"))
+    base(s, dir).unionAll(
+      base(s, dir).filter(col("id") % 7 === 0 && size(ws) >= ExcerptMinWords)
+        .select((col("id") + IdOffset).as("id"),
+          concat_ws(" ",
+            slice(ws, lit(1), ceil(size(ws) / 5.0).cast("int"))).as("text")))
+  }
+
+  /** Directed n-gram containment pairs over an arbitrary (id, text)
+    * corpus — the q_dedup_containment body, factored so the spec can
+    * drive synthetic corpora through the exact production plan (see the
+    * QueryDef comment for semantics and thresholds).
+    */
+  private[queries] def containmentPairs(docs: DataFrame): DataFrame = {
+    val sh = Dedup.shingleHashes(docs, col("id"), col("text"), ShingleN).cache()
+    val nsh = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("x")
+      .join(sh.as("y"), col("x.h") === col("y.h") && col("x.id") =!= col("y.id"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(count(lit(1)).as("ninter")).filter(col("ninter") >= 2)
+    inter
+      .join(nsh.select(col("id").as("a"), col("n").as("n_a")), "a")
+      .join(nsh.select(col("id").as("b"), col("n").as("n_b")), "b")
+      .filter(col("ninter") * 5 >= col("n_a") * 4)
+      .select(col("a"), col("b"),
+        Num.r4(col("ninter") * 1.0 / col("n_a")).as("containment"),
+        Num.r4(col("ninter") * 1.0 / (col("n_a") + col("n_b") - col("ninter")))
+          .as("jaccard"))
+  }
+
   private def withFirstWordReplaced(s: SparkSession, dir: String): DataFrame = {
     val ws = TextOps.words(col("text"))
     base(s, dir).unionAll(
@@ -169,6 +212,15 @@ object DedupQueries {
        |  SELECT doc_id + $IdOffset, text || $fillerSql
        |  FROM documents WHERE doc_id % 5 = 0)""".stripMargin
   }
+
+  private val excerptBaseSql =
+    s"""base AS (
+       |  SELECT doc_id AS id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $IdOffset,
+       |         array_to_string(ws[1:CAST(ceil(len(ws) / 5.0) AS INT)], ' ')
+       |  FROM (SELECT doc_id, $wsSql AS ws FROM documents WHERE doc_id % 7 = 0)
+       |  WHERE len(ws) >= $ExcerptMinWords)""".stripMargin
 
   private val firstWordBaseSql =
     s"""base AS (
@@ -246,6 +298,34 @@ object DedupQueries {
       Dedup.jaccard(cand, sh)
         .filter(col("jaccard") >= 0.3)
         .select(col("a"), col("b"), Num.r4(col("jaccard")).as("jaccard"))
+    },
+
+    // n-gram CONTAINMENT — the asymmetric twin of q_dedup_ngram_jaccard:
+    // |A∩B| / |A| over the same shingle inverted index, emitting directed
+    // pairs (a contained in b) at containment >= 0.8. Catches excerpts,
+    // quote inclusions, and sub-documents whose symmetric Jaccard sits far
+    // below any sane near-dup cut (the variant corpus's 20% excerpts score
+    // containment 1.0 / Jaccard ~0.2). Threshold is an integer
+    // cross-multiplication (5*ninter >= 4*nA) — no float compare in the
+    // keep decision. Shape: one inverted-index equijoin on shingle hash +
+    // one per-doc count groupBy + a pair-sized metric projection — the
+    // contamination query's scale story (hot-shingle cap, Bloom pre-join)
+    // applies verbatim if the corpus has boilerplate-heavy shingles.
+    QueryDef(
+      "q_dedup_containment",
+      s"""WITH $excerptBaseSql,
+         |${Dedup.shingleSql(ShingleN)},
+         |nsh AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+         |inter AS (
+         |  SELECT x.id AS a, y.id AS b, count(*) AS ninter
+         |  FROM sh x JOIN sh y ON x.h = y.h AND x.id <> y.id
+         |  GROUP BY x.id, y.id HAVING count(*) >= 2)
+         |SELECT a, b,
+         |       ${Num.r4Sql("ninter * 1.0 / na.n")} AS containment,
+         |       ${Num.r4Sql("ninter * 1.0 / (na.n + nb.n - ninter)")} AS jaccard
+         |FROM inter JOIN nsh na ON na.id = a JOIN nsh nb ON nb.id = b
+         |WHERE 5 * ninter >= 4 * na.n""".stripMargin) { (s, dir) =>
+      containmentPairs(withExcerptCopies(s, dir))
     },
 
     // Dedup clustering: connected components over the verified MinHash

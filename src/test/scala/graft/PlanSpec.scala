@@ -79,6 +79,21 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 3, s"expected <= 3 shuffles, got $exchanges:\n$p")
   }
 
+  test("q_weighted_sample: partial top-k before the one source shuffle") {
+    val p = plan("q_weighted_sample")
+    // the rn <= K+1 filter over row_number must trigger WindowGroupLimit,
+    // so each map partition keeps its local top-(K+1) BEFORE the shuffle —
+    // without it this is a full per-source sort of the corpus
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter must push a partial top-k below the exchange:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"priority sampling must shuffle once (by source), got $exchanges:\n$p")
+    val scan = p.split("\n").find(_.contains("FileScan parquet")).get
+    assert(scan.contains("doc_id") && scan.contains("n_chars") && !scan.contains("text"),
+      s"documents scan must not read text:\n$scan")
+  }
+
   test("q_multimodal_resize: documents scan pruned to (doc_id, text)") {
     val p = plan("q_multimodal_resize")
     val scan = p.split("\n").find(_.contains("FileScan parquet")).get

@@ -1,0 +1,148 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Behavioral tests for q_weighted_sample (priority sampling) and
+  * q_dedup_containment beyond their DuckDB oracle rows: randomized
+  * differential checks against in-memory oracles (the sampling draw is
+  * deterministic given the salted hash, so the compare is exact), the
+  * n <= K small-source edge where tau = 0 and the estimator degrades to
+  * the exact weight, and directionality of the containment measure.
+  */
+class SamplingContainmentSpec extends SparkSpec {
+
+  private def hash64(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  // ----- priority sampling -----
+
+  private val K = 4
+  private val Salt = "tst"
+
+  /** In-memory DLT oracle: top-K per source by p = w/u desc (doc_id
+    * tiebreak), tau = (K+1)-th priority or 0, w_hat = max(w, tau).
+    */
+  private def dltOracle(docs: Seq[(String, Long, Long)])
+      : Map[(String, Long), (Double, Double)] =
+    docs.groupBy(_._1).flatMap { case (_, ds) =>
+      val byP = ds.map { case (src, id, w) =>
+        val u = hash64(Salt + id) % 1000000L + 1L
+        (src, id, w, w.toDouble / u)
+      }.sortBy(t => (-t._4, t._2))
+      val tau = if (byP.size > K) byP(K)._4 else 0.0
+      byP.take(K).map { case (src, id, w, p) =>
+        (src, id) -> ((p, math.max(w.toDouble, tau)))
+      }
+    }
+
+  test("priority sample == in-memory DLT oracle on 10 random weighted corpora") {
+    import spark.implicits._
+    for (seed <- 0 until 10) {
+      val rnd = new Random(seed)
+      // three sources: one big, one exactly K, one smaller than K
+      val sizes = Seq("big" -> (K + 3 + rnd.nextInt(20)), "atk" -> K,
+        "small" -> (1 + rnd.nextInt(K - 1)))
+      val docs = sizes.flatMap { case (src, n) =>
+        (0 until n).map(i =>
+          (src, seed * 1000L + src.hashCode.abs % 97 * 100L + i,
+            1L + rnd.nextInt(900000)))
+      }
+      val want = dltOracle(docs)
+      val got = CurationQueries.prioritySample(
+          docs.toDF("source", "doc_id", "n_chars").repartition(4), K, Salt)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getDouble(3), r.getDouble(4)))).toMap
+      assert(got.keySet == want.keySet, s"seed=$seed sampled-id sets differ")
+      // outputs are r4-rounded: tolerance is the rounding quantum
+      for ((k, (p, wh)) <- want) {
+        assert(math.abs(got(k)._1 - p) < 1e-4, s"seed=$seed $k priority")
+        assert(math.abs(got(k)._2 - wh) < 1e-4, s"seed=$seed $k w_hat")
+      }
+    }
+  }
+
+  test("source with n <= K: whole source sampled, w_hat is the exact weight") {
+    import spark.implicits._
+    val docs = Seq(("s", 1L, 100L), ("s", 2L, 7L)).toDF("source", "doc_id", "n_chars")
+    val got = CurationQueries.prioritySample(docs, K, Salt)
+      .select("doc_id", "n_chars", "w_hat").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // tau = 0 (no (K+1)-th priority) so max(w, tau) = w: the estimator is
+    // exact when the "sample" is a census
+    assert(got == Set((1L, 100L, 100.0), (2L, 7L, 7.0)))
+  }
+
+  // ----- n-gram containment -----
+
+  /** Brute-force oracle on shingle STRING sets (the operator uses 64-bit
+    * shingle hashes; collisions at these sizes are negligible).
+    */
+  private def containOracle(docs: Seq[(Long, String)])
+      : Map[(Long, Long), (Double, Double)] = {
+    val sets = docs.map { case (id, t) =>
+      id -> t.trim.split("\\s+").toSeq.sliding(5).filter(_.size == 5)
+        .map(_.mkString(" ")).toSet
+    }.toMap
+    (for {
+      (a, sa) <- sets.toSeq; if sa.nonEmpty
+      (b, sb) <- sets.toSeq; if a != b
+      inter = (sa intersect sb).size
+      if inter >= 2 && 5 * inter >= 4 * sa.size
+    } yield (a, b) -> ((inter.toDouble / sa.size,
+      inter.toDouble / (sa.size + sb.size - inter)))).toMap
+  }
+
+  test("containment == brute-force oracle on 12 random corpora with planted excerpts") {
+    import spark.implicits._
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h", "i", "j", "k", "m")
+    for (seed <- 0 until 12) {
+      val rnd = new Random(seed)
+      val nDocs = 4 + rnd.nextInt(8)
+      val raw = (0 until nDocs).map { i =>
+        (i.toLong, Seq.fill(20 + rnd.nextInt(60))(vocab(rnd.nextInt(vocab.size))))
+      }
+      // plant excerpts: a contiguous slice of an earlier doc (pure subset)
+      val planted = raw ++ raw.filter(_._1 % 3 == 0).map { case (id, ws) =>
+        val start = rnd.nextInt(ws.size / 2)
+        (id + 1000L, ws.slice(start, start + 8 + rnd.nextInt(ws.size - start)))
+      }
+      val docs = planted.map { case (id, ws) => (id, ws.mkString(" ")) }
+      val want = containOracle(docs)
+      val got = DedupQueries.containmentPairs(docs.toDF("id", "text"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getDouble(2), r.getDouble(3)))).toMap
+      assert(got.keySet == want.keySet,
+        s"seed=$seed pair sets differ: got=${got.keySet} want=${want.keySet}")
+      for ((k, (c, j)) <- want) {
+        assert(math.abs(got(k)._1 - c) < 1e-3, s"seed=$seed $k containment")
+        assert(math.abs(got(k)._2 - j) < 1e-3, s"seed=$seed $k jaccard")
+      }
+    }
+  }
+
+  test("containment is directional: excerpt->original only, Jaccard below the near-dup cut") {
+    import spark.implicits._
+    // 60 distinct words; the excerpt is the first 12 — all its shingles
+    // appear in the original, but symmetric Jaccard is 8/56 ~ 0.14
+    val original = (1 to 60).map(i => s"w$i").mkString(" ")
+    val excerpt = (1 to 12).map(i => s"w$i").mkString(" ")
+    val rows = DedupQueries.containmentPairs(
+        Seq((1L, original), (2L, excerpt), (3L, "x1 x2 x3 x4 x5 x6 x7"))
+          .toDF("id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length == 1)
+    val (a, b, c, j) = rows.head
+    assert(a == 2L && b == 1L, "only the excerpt is contained in the original")
+    assert(c == 1.0, "every excerpt shingle appears in the original")
+    assert(j < 0.3, "the symmetric measure sits below the near-dup cut " +
+      "(this pair is invisible to q_dedup_ngram_jaccard)")
+  }
+}
