@@ -136,6 +136,22 @@ object ScaleProbe {
     timeDf("dedup_spans")(graft.queries.DedupQueries.dupSpans(docs))
     timeDf("dedup_span_runs")(graft.queries.DedupQueries.spanRuns(docs))
     timeDf("dedup_span_survivors")(graft.queries.DedupQueries.spanSurvivors(docs))
+    // containment inherits the funnel discipline: exact-dedup FIRST. The
+    // replicated corpus is pure exact copies, on which enumerating all
+    // containment pairs is Ω(k²) BY DEFINITION of the output; production
+    // collapses copies before the asymmetric pass, so this curve must
+    // stay flat in k past the linear dedup scan.
+    timeDf("dedup_containment") {
+      val base = docs.select(col("doc_id").as("id"), col("text"))
+      val keep = graft.operators.Dedup.exact(base, col("id"), col("text"))
+        .select(col("keep_id").as("id"))
+      graft.queries.DedupQueries.containmentPairs(base.join(keep, "id"))
+    }
+    // priority sampling: one scan + WindowGroupLimit partial top-k —
+    // output is sources x K rows regardless of k, so time must track the
+    // (doc_id, n_chars, source) column scan only
+    timeDf("weighted_sample")(
+      graft.queries.CurationQueries.prioritySample(docs, 10, "pri"))
     timeDf("curation_funnel")(graft.queries.CurationQueries.funnel(spark, docs))
     timeDf("unigram_logprob")(graft.queries.TextAnalytics.unigramLogprob(docs))
     timeDf("dsir_weights")(graft.queries.TextAnalytics.dsirWeights(docs))
