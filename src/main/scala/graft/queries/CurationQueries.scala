@@ -31,7 +31,7 @@ object CurationQueries {
     * corpora through the exact production plan (see the QueryDef comment
     * for semantics and the 100 TB shape).
     */
-  private[graft] def prioritySample(docs: DataFrame, k: Int, salt: String): DataFrame = {
+  def prioritySample(docs: DataFrame, k: Int, salt: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val u = TextOps.hash64(concat(lit(salt), col("doc_id"))) % 1000000L + 1L
     val byP = Window.partitionBy(col("source")).orderBy(col("p").desc, col("doc_id"))

@@ -159,7 +159,7 @@ object DedupQueries {
     * drive synthetic corpora through the exact production plan (see the
     * QueryDef comment for semantics and thresholds).
     */
-  private[graft] def containmentPairs(docs: DataFrame): DataFrame = {
+  def containmentPairs(docs: DataFrame): DataFrame = {
     val sh = Dedup.shingleHashes(docs, col("id"), col("text"), ShingleN).cache()
     val nsh = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("x")

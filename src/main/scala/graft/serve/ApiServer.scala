@@ -241,6 +241,13 @@ final class ApiServer(
         Json.obj("status" -> "error", "message" -> "corpus pipeline not attached"))
     })
 
+  server.createContext("/corpus/sample", (ex: HttpExchange) =>
+    corpusStats match {
+      case Some(s) => respond(ex, 200, s.sampleJson)
+      case None => respond(ex, 404,
+        Json.obj("status" -> "error", "message" -> "corpus pipeline not attached"))
+    })
+
   server.createContext("/sse/alerts", (ex: HttpExchange) => sse(ex, alertsHub, "alerts"))
   server.createContext("/sse/cdp/segments", (ex: HttpExchange) => sse(ex, segmentsHub, "segments"))
   server.createContext("/sse/cdp/profiles", (ex: HttpExchange) => sse(ex, profilesHub, "profiles"))

@@ -96,6 +96,12 @@ object CurationPipeline {
   final case class Decision(docId: Long, decision: String, reason: String,
                             charsRedacted: Long)
 
+  /** Size of the live admitted-corpus priority sample served at
+    * `GET /corpus/sample`.
+    */
+  val SampleK = 10
+  private val SampleSalt = "corpus"
+
   /** Driver-side counters + a bounded recent-decision log for the REST
     * surface (the reference's in-memory stats pattern).
     */
@@ -128,6 +134,36 @@ object CurationPipeline {
     }
 
     def recent: Seq[Decision] = decisions.iterator().asScala.toSeq
+
+    /** Live weight-proportional sample of the ADMITTED corpus: the DLT
+      * priority-sample sketch (StreamSample's semantics with a single
+      * global key, weight = admitted text length) maintained driver-side —
+      * the candidate set is K+1 entries, so this is a k-bounded kernel
+      * exactly like the decision log above, not corpus state. Because the
+      * draw is the same salted doc_id hash the batch operator uses, the
+      * served sample equals `CurationQueries.prioritySample` over the
+      * admitted set, whatever order batches arrived in.
+      */
+    private var sampleCands = Vector.empty[(Long, Long, Double)] // (id, w, p)
+
+    def offerSample(docId: Long, nChars: Long): Unit = synchronized {
+      if (!sampleCands.exists(_._1 == docId)) {
+        val u = org.apache.spark.sql.graft.Md5Prefix64.hash(
+          org.apache.spark.sql.graft.Md5Prefix64.threadLocalMd(),
+          (SampleSalt + docId).getBytes("UTF-8")) % 1000000L + 1L
+        val p = nChars.toDouble / u
+        sampleCands = ((docId, nChars, p) +: sampleCands)
+          .sortBy(t => (-t._3, t._1)).take(SampleK + 1)
+      }
+    }
+
+    def sampleJson: String = synchronized {
+      val tau = if (sampleCands.size > SampleK) sampleCands(SampleK)._3 else 0.0
+      val rows = sampleCands.take(SampleK).map { case (id, w, p) =>
+        s"""{"docId":$id,"nChars":$w,"priority":${"%.4f".format(p)},"wHat":${"%.4f".format(math.max(w.toDouble, tau))}}"""
+      }.mkString("[", ",", "]")
+      s"""{"k":$SampleK,"tau":${"%.4f".format(tau)},"sample":$rows}"""
+    }
 
     def json: String = {
       val recentJson = recent.take(50).map { d =>
@@ -353,8 +389,9 @@ object CurationPipeline {
         ()
       }
     }
-    decided.select("doc_id", "batch_dup", "corpus_dup", "near_dup_batch",
-        "near_dup", "chars_redacted")
+    decided.select(col("doc_id"), col("batch_dup"), col("corpus_dup"),
+        col("near_dup_batch"), col("near_dup"), col("chars_redacted"),
+        length(col("text")).cast("long").as("n_chars"))
       .collect()
       .sortBy(_.getLong(0))
       .foreach { r =>
@@ -365,6 +402,7 @@ object CurationPipeline {
           else if (r.getBoolean(3)) Decision(id, "rejected", "near_dup_batch", cr)
           else if (r.getBoolean(4)) Decision(id, "rejected", "near_dup_corpus", cr)
           else Decision(id, "admitted", "", cr)
+        if (d.decision == "admitted") stats.offerSample(id, r.getLong(6))
         stats.record(d)
       }
   }

@@ -47,7 +47,21 @@ class CorpusIngestSpec extends SparkSpec {
         CurationPipeline.admitBatch(spark, batch, s"$dir/index", stats)
       }
       .start()
-    val ingest = new CorpusIngest((id, t, text) => { input.addData((id, t, text)); () }, stats)
+    // Posts buffer here and reach the MemoryStream in ONE addData per
+    // flush: the assertions below encode which docs share a micro-batch
+    // (intra-batch guards vs corpus guards), and feeding the stream
+    // directly from the HTTP thread races the query's trigger — the first
+    // post of a group can land in its own batch and flip a same-batch
+    // rejection into a corpus one.
+    val pending = new scala.collection.mutable.ArrayBuffer[(Long, java.sql.Timestamp, String)]
+    val ingest = new CorpusIngest((id, t, text) => {
+      pending.synchronized { pending += ((id, t, text)) }; ()
+    }, stats)
+    def flush(): Unit = {
+      val batch = pending.synchronized { val b = pending.toSeq; pending.clear(); b }
+      if (batch.nonEmpty) input.addData(batch)
+      query.processAllAvailable()
+    }
     val server = new ApiServer(new EventHub, new EventHub, new EventHub,
       new StatsService, new NoSim, port = 0, heartbeatMs = 0L,
       corpusIngest = Some(ingest), corpusStats = Some(stats)).start()
@@ -72,7 +86,7 @@ class CorpusIngestSpec extends SparkSpec {
       val (c1, b1) = post(1L, baseText)
       assert(c1 == 202 && b1.contains("\"status\":\"accepted\"") && b1.contains("\"docId\":1"))
       assert(post(2L, baseText)._1 == 202)
-      query.processAllAvailable()
+      flush()
       var s = http("GET", s"$base/corpus/stats")._2
       assert(stat(s, "admitted") == 1, s)
       assert(stat(s, "rejected_exact_batch") == 1, s)
@@ -85,7 +99,7 @@ class CorpusIngestSpec extends SparkSpec {
       assert(post(5L, "please contact alice at alice@example.com about the " +
         "training data license terms")._1 == 202)
       assert(post(6L, "tiny doc here")._1 == 202)
-      query.processAllAvailable()
+      flush()
       s = http("GET", s"$base/corpus/stats")._2
       assert(stat(s, "received") == 6, s)
       assert(stat(s, "admitted") == 3, s)
@@ -102,7 +116,7 @@ class CorpusIngestSpec extends SparkSpec {
       // the PII doc with the PII already stripped is an exact corpus dup
       assert(post(8L, "please contact alice at <EMAIL> about the " +
         "training data license terms")._1 == 202)
-      query.processAllAvailable()
+      flush()
       s = http("GET", s"$base/corpus/stats")._2
       assert(stat(s, "rejected_exact_corpus") == 2, s)
 
@@ -110,7 +124,7 @@ class CorpusIngestSpec extends SparkSpec {
       // the index extension guards later batches against earlier ones
       assert(post(9L, "please contact alice at bob@example.org about the " +
         "training data license terms")._1 == 202)
-      query.processAllAvailable()
+      flush()
       s = http("GET", s"$base/corpus/stats")._2
       // identical after redaction (<EMAIL> token) -> exact, not near
       assert(stat(s, "rejected_exact_corpus") == 3, s)
@@ -118,7 +132,7 @@ class CorpusIngestSpec extends SparkSpec {
       // genuinely new content still flows through
       assert(post(10L, "a completely different report about glacier movement " +
         "measured across four decades of satellite observation")._1 == 202)
-      query.processAllAvailable()
+      flush()
       s = http("GET", s"$base/corpus/stats")._2
       assert(stat(s, "admitted") == 4, s)
 
@@ -131,7 +145,7 @@ class CorpusIngestSpec extends SparkSpec {
         "revisit their forecasting models entirely"
       assert(post(11L, freshText)._1 == 202)
       assert(post(12L, freshText + " postscript")._1 == 202)
-      query.processAllAvailable()
+      flush()
       s = http("GET", s"$base/corpus/stats")._2
       assert(stat(s, "admitted") == 5, s)
       assert(stat(s, "rejected_near_dup_batch") == 1, s)
@@ -142,9 +156,30 @@ class CorpusIngestSpec extends SparkSpec {
       // smaller doc did, so re-posting its near-dup alone is now a CORPUS
       // near-dup (and the guard state survives purely on disk)
       assert(post(13L, freshText + " afterthought")._1 == 202)
-      query.processAllAvailable()
+      flush()
       s = http("GET", s"$base/corpus/stats")._2
       assert(stat(s, "rejected_near_dup") == 2, s)
+
+      // -- live admitted-corpus priority sample: 5 admitted docs ≤ K, so
+      // the sketch is a census — every admitted doc present, tau = 0, the
+      // subset-sum estimator exact (wHat == nChars) — and doc 1's priority
+      // matches the salted-hash draw the batch operator uses
+      val sample = http("GET", s"$base/corpus/sample")._2
+      val ids = "\"docId\":(\\d+)".r.findAllMatchIn(sample).map(_.group(1).toLong).toSet
+      assert(ids == Set(1L, 5L, 6L, 10L, 11L), sample)
+      assert(sample.contains("\"tau\":0.0000"), sample)
+      val entry = ("\\{\"docId\":(\\d+),\"nChars\":(\\d+)," +
+        "\"priority\":([0-9.]+),\"wHat\":([0-9.]+)\\}").r
+      val parsed = entry.findAllMatchIn(sample).toSeq
+      assert(parsed.size == 5, sample)
+      for (m <- parsed)
+        assert(math.abs(m.group(2).toDouble - m.group(4).toDouble) < 1e-9, sample)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(("corpus" + 1L).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val u1 = java.lang.Long.parseLong(hex.substring(0, 15), 16) % 1000000L + 1L
+      val p1 = parsed.find(_.group(1) == "1").get.group(3).toDouble
+      assert(math.abs(p1 - baseText.length.toDouble / u1) < 1e-3, sample)
     } finally {
       query.stop()
       server.stop()
