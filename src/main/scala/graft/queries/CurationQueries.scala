@@ -201,6 +201,59 @@ object CurationQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
     },
 
+    // LEAKAGE-SAFE split: q_hash_split's per-doc rule, but near-dup
+    // clusters move as a unit — every member takes the split of the
+    // cluster REPRESENTATIVE (the numerically-smallest member, i.e. the
+    // component label the clustering already emits). The naive doc-level
+    // rule puts ~1/3 of near-dup copies in a different split than their
+    // original (0.8²+0.1²+0.1² = 66% same-bucket odds), silently leaking
+    // train text into test — the documented failure mode this operator
+    // exists for; `leak_naive` marks exactly those docs. Runs over the
+    // truncated-copies variant corpus so real near-dup clusters exist.
+    // Unclustered docs fall back to their own id, so their assignment
+    // agrees with q_hash_split verbatim (same salt). At 100 TB: the
+    // cluster mapping is near-dup-sized (tiny) and broadcasts; the split
+    // decision is map-side hash arithmetic over the corpus scan — the
+    // funnel's LSH pass is the only real cost.
+    QueryDef(
+      "q_split_leakage_safe", {
+        val DQ = DedupQueries
+        def splitCase(e: String) =
+          s"""CASE WHEN ${TextOps.hash64Sql(s"concat('$SplitSalt', $e)")} % 100 < 80 THEN 'train'
+             |     WHEN ${TextOps.hash64Sql(s"concat('$SplitSalt', $e)")} % 100 < 90 THEN 'valid'
+             |     ELSE 'test' END""".stripMargin
+        s"""WITH RECURSIVE ${DQ.truncatedBaseSql},
+           |${Dedup.shingleSql(DQ.ShingleN)},
+           |${Dedup.signatureSql},
+           |${Dedup.bandsSql},
+           |${Dedup.candidateSql},
+           |${Dedup.jaccardSql},
+           |${Dedup.vpairsSql(DQ.JaccardThreshold)},
+           |${Dedup.clustersSql},
+           |reps AS (
+           |  SELECT b.id, coalesce(c.cluster, b.id) AS rep
+           |  FROM base b LEFT JOIN clusters c ON c.id = b.id)
+           |SELECT id, rep, ${splitCase("rep")} AS split,
+           |       (rep != id AND ${splitCase("id")} != ${splitCase("rep")})
+           |         AS leak_naive
+           |FROM reps""".stripMargin
+      }) { (s, dir) =>
+      val DQ = DedupQueries
+      val docs = DQ.withTruncatedCopies(s, dir)
+      val clusters = DQ.verifiedClusters(s, docs)
+        .select(col("node").as("id"), col("component").as("cluster"))
+      def splitOf(c: org.apache.spark.sql.Column) = {
+        val h = TextOps.hash64(concat(lit(SplitSalt), c)) % 100
+        when(h < 80, "train").when(h < 90, "valid").otherwise("test")
+      }
+      docs.select(col("id"))
+        .join(broadcast(clusters), Seq("id"), "left")
+        .select(col("id"), coalesce(col("cluster"), col("id")).as("rep"))
+        .select(col("id"), col("rep"), splitOf(col("rep")).as("split"),
+          (col("rep") =!= col("id") &&
+            splitOf(col("id")) =!= splitOf(col("rep"))).as("leak_naive"))
+    },
+
     // Benchmark-contamination check: for every held-out (test-split) doc,
     // the fraction of its 3-gram shingles that also occur ANYWHERE in the
     // train split. The candidate space is an inverted-index equijoin on

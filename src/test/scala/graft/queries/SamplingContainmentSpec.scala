@@ -79,6 +79,36 @@ class SamplingContainmentSpec extends SparkSpec {
     assert(got == Set((1L, 100L, 100.0), (2L, 7L, 7.0)))
   }
 
+  // ----- leakage-safe split -----
+
+  test("q_split_leakage_safe: clusters never straddle splits; unclustered docs match the naive rule") {
+    val rows = graft.SparkEntry.queries("q_split_leakage_safe")(
+        spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    // the variant corpus plants real near-dup clusters — the property is
+    // only meaningful if some exist
+    assert(rows.exists(t => t._1 != t._2), "expected clustered docs")
+    // THE property: every cluster representative maps to exactly one split
+    val bySplit = rows.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    assert(bySplit.forall(_._2.size == 1),
+      s"clusters straddling splits: ${bySplit.filter(_._2.size > 1).keys.toSeq.sorted}")
+    // unclustered docs agree with the per-doc hash rule (same salt as
+    // q_hash_split) and can never be flagged as naive leaks
+    def naive(id: Long): String = {
+      val h = hash64("spl" + id) % 100
+      if (h < 80) "train" else if (h < 90) "valid" else "test"
+    }
+    for ((id, rep, split, leak) <- rows) {
+      if (id == rep) {
+        assert(split == naive(id), s"unclustered doc $id split")
+        assert(!leak, s"unclustered doc $id flagged as leak")
+      } else
+        assert(leak == (naive(id) != naive(rep)), s"doc $id leak flag")
+    }
+  }
+
   // ----- n-gram containment -----
 
   /** Brute-force oracle on shingle STRING sets (the operator uses 64-bit

@@ -12,6 +12,13 @@ import scala.util.Random
   * emissions (≤ K per source per batch) and replay-dedup (a doc_id posted
   * twice occupies one candidate slot and counts once in n_seen).
   */
+object StreamSampleSpec {
+  // foreachBatch sink target (the memory sink cannot recover from a
+  // checkpoint); static so executors/driver share one buffer in local mode
+  val emissions =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long, Double, Double, Long)]()
+}
+
 class StreamSampleSpec extends SparkSpec {
 
   private val K = 4
@@ -66,6 +73,52 @@ class StreamSampleSpec extends SparkSpec {
       // bounded emissions: never more than K rows per source per batch
       assert(all.groupBy(t => (t._1, t._6)).forall(_._2.size <= K))
     } finally query.stop()
+  }
+
+  test("sampler state survives a query restart from checkpoint") {
+    import spark.implicits._
+    val inDir = java.nio.file.Files.createTempDirectory("psmp_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("psmp_ckpt").toString
+    val rnd = new Random(11)
+    val docs = (0 until 30).map(i => ("s", 100L + i, 1L + rnd.nextInt(900000)))
+    def writeBatch(name: String, b: Seq[(String, Long, Long)]): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Path.of(inDir, name),
+        b.map { case (s, id, w) =>
+          s"""{"source":"$s","doc_id":$id,"n_chars":$w}"""
+        }.mkString("", "\n", "\n"))
+    def startQuery() =
+      StreamSample.sample(spark,
+          spark.readStream.schema("source STRING, doc_id LONG, n_chars LONG")
+            .json(inDir).as[(String, Long, Long)], K, Salt)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[(String, Long, Long, Double, Double, Long)], _: Long) =>
+          b.collect().foreach(StreamSampleSpec.emissions.add)
+        }
+        .start()
+
+    writeBatch("b1.json", docs.take(20))
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+
+    writeBatch("b2.json", docs.drop(20))
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val all = StreamSampleSpec.emissions.asScala.toSeq
+      val current = all.filter(_._6 == all.map(_._6).max)
+      assert(current.head._6 == 30, "n_seen must count pre-restart docs")
+      // the post-restart sample equals the batch sample over ALL 30 docs —
+      // possible only if the pre-restart candidate ListState was restored
+      // (the final batch alone holds just 10 of the 30)
+      val want = CurationQueries.prioritySample(
+          docs.toDF("source", "doc_id", "n_chars"), K, Salt)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(current.map(_._2).toSet == want)
+    } finally q2.stop()
   }
 
   test("replayed doc_id occupies one slot and counts once in n_seen") {
