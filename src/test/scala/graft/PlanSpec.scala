@@ -94,6 +94,19 @@ class PlanSpec extends SparkSpec {
       s"documents scan must not read text:\n$scan")
   }
 
+  test("q_dedup_containment: inverted-index equijoin, never a cartesian") {
+    val p = plan("q_dedup_containment")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"containment pairs must come from the shingle-hash equijoin:\n$p")
+  }
+
+  test("q_split_leakage_safe: cluster mapping broadcasts, decision map-side") {
+    val p = plan("q_split_leakage_safe")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the near-dup-sized cluster mapping must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_multimodal_resize: documents scan pruned to (doc_id, text)") {
     val p = plan("q_multimodal_resize")
     val scan = p.split("\n").find(_.contains("FileScan parquet")).get
