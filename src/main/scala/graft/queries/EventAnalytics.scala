@@ -260,5 +260,55 @@ object EventAnalytics {
         unix_micros(col("t2")).as("t2_us"),
         unix_micros(col("t3")).as("t3_us"),
         expr("(unix_micros(t3) - unix_micros(t1)) div 1000000").as("span_s"))
+    },
+
+    // Sequence pattern with NEGATION (the CEP shape q_sequence_3step
+    // cannot express): each purchase matched to the LATEST preceding view
+    // within 24 h, flagged `clean` iff NO error event fell strictly
+    // between them — "A then B with no C between", the guard condition of
+    // multi-pattern event detection. No between-join anywhere: the
+    // negation is a running-error-count DIFFERENCE (errs at B minus errs
+    // at the matched A; neither endpoint is an error, so the delta counts
+    // exactly the strictly-between errors), and the A-match is one
+    // last_value(IGNORE NULLS) over the same per-user ordering. One
+    // shuffle (user), two window passes over one sort — at 100 TB this is
+    // a single keyed sort-scan however many patterns ride it, where the
+    // naive formulation is a per-pair interval join plus an anti-join.
+    QueryDef(
+      "q_pattern_negation",
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS errs
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, ts, event_type, errs,
+        |         last_value(CASE WHEN event_type = 'view'
+        |                    THEN struct_pack(vts := epoch_us(ts),
+        |                                     veid := event_id,
+        |                                     verrs := errs) END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS v
+        |  FROM o)
+        |SELECT user_id, v.veid AS view_event_id, event_id AS purchase_event_id,
+        |       (epoch_us(ts) - v.vts) // 1000000 AS gap_s,
+        |       (errs - v.verrs = 0) AS clean
+        |FROM m WHERE event_type = 'purchase' AND v IS NOT NULL
+        |  AND epoch_us(ts) - v.vts <= CAST(86400 AS BIGINT) * 1000000""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val o = Tables.events(s, dir).withColumn("errs",
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).over(w))
+      o.withColumn("v",
+          last(when(col("event_type") === "view",
+            struct(unix_micros(col("ts")).as("vts"),
+              col("event_id").as("veid"), col("errs").as("verrs"))),
+            ignoreNulls = true)
+            .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .filter(col("event_type") === "purchase" && col("v").isNotNull &&
+          unix_micros(col("ts")) - col("v.vts") <= 86400000000L)
+        .select(col("user_id"), col("v.veid").as("view_event_id"),
+          col("event_id").as("purchase_event_id"),
+          expr("(unix_micros(ts) - v.vts) div 1000000").as("gap_s"),
+          (col("errs") - col("v.verrs") === 0).as("clean"))
     })
 }

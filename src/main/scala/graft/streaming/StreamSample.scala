@@ -49,10 +49,13 @@ class StreamSampleProcessor(k: Int, salt: String)
       timerValues: TimerValues): Iterator[(String, Long, Long, Double, Double, Long)] = {
     val incoming = rows.map(r => (r._2, r._3)).toSeq
     // replays/duplicate posts must not occupy two candidate slots: the
-    // state list is unique by doc_id, so only genuinely new ids count
+    // state list is unique by doc_id, so only genuinely new ids count.
+    // Sorting before distinctBy makes the surviving weight deterministic
+    // (min) if a batch ever carries the same id with conflicting weights —
+    // partition iteration order must not decide the draw.
     val held = cands.get().toSeq
     val heldIds = held.map(_._1).toSet
-    val fresh = incoming.filter(d => !heldIds.contains(d._1)).distinctBy(_._1)
+    val fresh = incoming.filter(d => !heldIds.contains(d._1)).sorted.distinctBy(_._1)
     val merged = (held ++ fresh)
       .map { case (id, w) => (id, w, priority(id, w)) }
       .sortBy(t => (-t._3, t._1))

@@ -94,6 +94,16 @@ class PlanSpec extends SparkSpec {
       s"documents scan must not read text:\n$scan")
   }
 
+  test("q_pattern_negation: one keyed sort, no join of any kind") {
+    val p = plan("q_pattern_negation")
+    // the negation is a running-count difference and the A-match a
+    // last_value frame — any Join node means a regression to the
+    // per-pair interval-join + anti-join formulation
+    assert(!p.contains("Join"), s"pattern negation must be join-free:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected the single user-keyed shuffle, got $exchanges:\n$p")
+  }
+
   test("q_dedup_containment: inverted-index equijoin, never a cartesian") {
     val p = plan("q_dedup_containment")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
