@@ -310,5 +310,86 @@ object EventAnalytics {
           col("event_id").as("purchase_event_id"),
           expr("(unix_micros(ts) - v.vts) div 1000000").as("gap_s"),
           (col("errs") - col("v.verrs") === 0).as("clean"))
+    },
+
+    // SAX time-series sketch (Lin et al. 2003): each user's value series —
+    // ordered by event time — compresses to an 8-symbol word via PAA
+    // (equal-count segments) + z-normalization + the fixed N(0,1)
+    // quartile breakpoints (±0.6745), and users sharing a word are motif
+    // candidates (n_same_word). Deterministic across engines because the
+    // arithmetic is INTEGER until the last step: values are a 2-decimal
+    // grid, so v100 = round(value*100) is exact; segment/user sums and
+    // sum-of-squares are BIGINTs; the z-score is (segSum·n − S·segN) /
+    // (segN·√(Q·n − S²)) — one exact integer numerator, one correctly-
+    // rounded sqrt/multiply/divide — so no partial-agg float-sum ordering
+    // can flip a symbol. Zero-variance users (√ of 0) emit the middle
+    // symbol by definition. Shape: one keyed shuffle for the per-user
+    // window, then segment/user aggregates over the same key — the word
+    // build is a collect of at most 8 structs per user; at 100 TB this is
+    // the standard sketch profile (output rows = users, never events).
+    QueryDef(
+      "q_sax_words",
+      """WITH v AS (
+        |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v100,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY epoch_us(ts), event_id) AS rn,
+        |         count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events),
+        |seg AS (
+        |  SELECT user_id, ((rn - 1) * 8) // n AS s, n,
+        |         CAST(sum(v100) AS BIGINT) AS seg_sum,
+        |         CAST(count(*) AS BIGINT) AS seg_n
+        |  FROM v GROUP BY user_id, ((rn - 1) * 8) // n, n),
+        |u AS (
+        |  SELECT user_id, CAST(sum(v100) AS BIGINT) AS s_tot,
+        |         CAST(sum(v100 * v100) AS BIGINT) AS q_tot,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM v GROUP BY user_id),
+        |z AS (
+        |  SELECT seg.user_id, seg.s,
+        |         CASE WHEN u.q_tot * u.n - u.s_tot * u.s_tot = 0 THEN 'c'
+        |              WHEN CAST(seg.seg_sum * u.n - u.s_tot * seg.seg_n AS DOUBLE)
+        |                   / (seg.seg_n * sqrt(u.q_tot * u.n - u.s_tot * u.s_tot))
+        |                   < -0.6745 THEN 'a'
+        |              WHEN CAST(seg.seg_sum * u.n - u.s_tot * seg.seg_n AS DOUBLE)
+        |                   / (seg.seg_n * sqrt(u.q_tot * u.n - u.s_tot * u.s_tot))
+        |                   < 0 THEN 'b'
+        |              WHEN CAST(seg.seg_sum * u.n - u.s_tot * seg.seg_n AS DOUBLE)
+        |                   / (seg.seg_n * sqrt(u.q_tot * u.n - u.s_tot * u.s_tot))
+        |                   < 0.6745 THEN 'c'
+        |              ELSE 'd' END AS sym
+        |  FROM seg JOIN u ON u.user_id = seg.user_id),
+        |words AS (
+        |  SELECT user_id, string_agg(sym, '' ORDER BY s) AS sax FROM z
+        |  GROUP BY user_id)
+        |SELECT user_id, sax,
+        |       count(*) OVER (PARTITION BY sax) AS n_same_word
+        |FROM words""".stripMargin) { (s, dir) =>
+      val wU = Window.partitionBy(col("user_id"))
+      val v = Tables.events(s, dir)
+        .select(col("user_id"),
+          round(col("value") * 100).cast("long").as("v100"),
+          row_number().over(wU.orderBy(col("ts"), col("event_id"))).as("rn"),
+          count(lit(1)).over(wU).as("n"))
+      val seg = v.groupBy(col("user_id"),
+          expr("((rn - 1) * 8) div n").as("s"), col("n"))
+        .agg(sum(col("v100")).as("seg_sum"), count(lit(1)).as("seg_n"))
+      val u = v.groupBy(col("user_id"))
+        .agg(sum(col("v100")).as("s_tot"),
+          sum(col("v100") * col("v100")).as("q_tot"),
+          count(lit(1)).as("n_tot"))
+      val varInt = col("q_tot") * col("n_tot") - col("s_tot") * col("s_tot")
+      val z = (col("seg_sum") * col("n_tot") - col("s_tot") * col("seg_n"))
+        .cast("double") / (col("seg_n") * sqrt(varInt))
+      seg.join(u, "user_id")
+        .select(col("user_id"), col("s"),
+          when(varInt === 0, "c")
+            .when(z < -0.6745, "a").when(z < 0, "b").when(z < 0.6745, "c")
+            .otherwise("d").as("sym"))
+        .groupBy(col("user_id"))
+        .agg(array_join(expr("transform(array_sort(collect_list(struct(s, sym))), x -> x.sym)"), "")
+          .as("sax"))
+        .withColumn("n_same_word",
+          count(lit(1)).over(Window.partitionBy(col("sax"))))
     })
 }
