@@ -152,6 +152,12 @@ object ScaleProbe {
     // (doc_id, n_chars, source) column scan only
     timeDf("weighted_sample")(
       graft.queries.CurationQueries.prioritySample(docs, 10, "pri"))
+    // event-series ops: both are one user-keyed sort + window passes, so
+    // cost must track the keyed sort of the replicated event stream —
+    // replication offsets user_id, so key count multiplies with k while
+    // per-key series length stays constant: the partition-balance case
+    timeDf("pattern_negation")(graft.queries.EventAnalytics.patternNegation(events))
+    timeDf("sax_words")(graft.queries.EventAnalytics.saxWords(events))
     timeDf("curation_funnel")(graft.queries.CurationQueries.funnel(spark, docs))
     timeDf("unigram_logprob")(graft.queries.TextAnalytics.unigramLogprob(docs))
     timeDf("dsir_weights")(graft.queries.TextAnalytics.dsirWeights(docs))

@@ -295,21 +295,7 @@ object EventAnalytics {
         |       (errs - v.verrs = 0) AS clean
         |FROM m WHERE event_type = 'purchase' AND v IS NOT NULL
         |  AND epoch_us(ts) - v.vts <= CAST(86400 AS BIGINT) * 1000000""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val o = Tables.events(s, dir).withColumn("errs",
-        sum(when(col("event_type") === "error", 1L).otherwise(0L)).over(w))
-      o.withColumn("v",
-          last(when(col("event_type") === "view",
-            struct(unix_micros(col("ts")).as("vts"),
-              col("event_id").as("veid"), col("errs").as("verrs"))),
-            ignoreNulls = true)
-            .over(w.rowsBetween(Window.unboundedPreceding, -1)))
-        .filter(col("event_type") === "purchase" && col("v").isNotNull &&
-          unix_micros(col("ts")) - col("v.vts") <= 86400000000L)
-        .select(col("user_id"), col("v.veid").as("view_event_id"),
-          col("event_id").as("purchase_event_id"),
-          expr("(unix_micros(ts) - v.vts) div 1000000").as("gap_s"),
-          (col("errs") - col("v.verrs") === 0).as("clean"))
+      patternNegation(Tables.events(s, dir))
     },
 
     // SAX time-series sketch (Lin et al. 2003): each user's value series —
@@ -365,31 +351,59 @@ object EventAnalytics {
         |SELECT user_id, sax,
         |       count(*) OVER (PARTITION BY sax) AS n_same_word
         |FROM words""".stripMargin) { (s, dir) =>
-      val wU = Window.partitionBy(col("user_id"))
-      val v = Tables.events(s, dir)
-        .select(col("user_id"),
-          round(col("value") * 100).cast("long").as("v100"),
-          row_number().over(wU.orderBy(col("ts"), col("event_id"))).as("rn"),
-          count(lit(1)).over(wU).as("n"))
-      val seg = v.groupBy(col("user_id"),
-          expr("((rn - 1) * 8) div n").as("s"), col("n"))
-        .agg(sum(col("v100")).as("seg_sum"), count(lit(1)).as("seg_n"))
-      val u = v.groupBy(col("user_id"))
-        .agg(sum(col("v100")).as("s_tot"),
-          sum(col("v100") * col("v100")).as("q_tot"),
-          count(lit(1)).as("n_tot"))
-      val varInt = col("q_tot") * col("n_tot") - col("s_tot") * col("s_tot")
-      val z = (col("seg_sum") * col("n_tot") - col("s_tot") * col("seg_n"))
-        .cast("double") / (col("seg_n") * sqrt(varInt))
-      seg.join(u, "user_id")
-        .select(col("user_id"), col("s"),
-          when(varInt === 0, "c")
-            .when(z < -0.6745, "a").when(z < 0, "b").when(z < 0.6745, "c")
-            .otherwise("d").as("sym"))
-        .groupBy(col("user_id"))
-        .agg(array_join(expr("transform(array_sort(collect_list(struct(s, sym))), x -> x.sym)"), "")
-          .as("sax"))
-        .withColumn("n_same_word",
-          count(lit(1)).over(Window.partitionBy(col("sax"))))
+      saxWords(Tables.events(s, dir))
     })
+
+  /** q_pattern_negation body over an arbitrary events relation (the scale
+    * probe feeds replicated inputs through the same code the query runs).
+    */
+  def patternNegation(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val o = events.withColumn("errs",
+      sum(when(col("event_type") === "error", 1L).otherwise(0L)).over(w))
+    o.withColumn("v",
+        last(when(col("event_type") === "view",
+          struct(unix_micros(col("ts")).as("vts"),
+            col("event_id").as("veid"), col("errs").as("verrs"))),
+          ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .filter(col("event_type") === "purchase" && col("v").isNotNull &&
+        unix_micros(col("ts")) - col("v.vts") <= 86400000000L)
+      .select(col("user_id"), col("v.veid").as("view_event_id"),
+        col("event_id").as("purchase_event_id"),
+        expr("(unix_micros(ts) - v.vts) div 1000000").as("gap_s"),
+        (col("errs") - col("v.verrs") === 0).as("clean"))
+  }
+
+  /** q_sax_words body over an arbitrary events relation (same probe
+    * contract as patternNegation).
+    */
+  def saxWords(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val wU = Window.partitionBy(col("user_id"))
+    val v = events
+      .select(col("user_id"),
+        round(col("value") * 100).cast("long").as("v100"),
+        row_number().over(wU.orderBy(col("ts"), col("event_id"))).as("rn"),
+        count(lit(1)).over(wU).as("n"))
+    val seg = v.groupBy(col("user_id"),
+        expr("((rn - 1) * 8) div n").as("s"), col("n"))
+      .agg(sum(col("v100")).as("seg_sum"), count(lit(1)).as("seg_n"))
+    val u = v.groupBy(col("user_id"))
+      .agg(sum(col("v100")).as("s_tot"),
+        sum(col("v100") * col("v100")).as("q_tot"),
+        count(lit(1)).as("n_tot"))
+    val varInt = col("q_tot") * col("n_tot") - col("s_tot") * col("s_tot")
+    val z = (col("seg_sum") * col("n_tot") - col("s_tot") * col("seg_n"))
+      .cast("double") / (col("seg_n") * sqrt(varInt))
+    seg.join(u, "user_id")
+      .select(col("user_id"), col("s"),
+        when(varInt === 0, "c")
+          .when(z < -0.6745, "a").when(z < 0, "b").when(z < 0.6745, "c")
+          .otherwise("d").as("sym"))
+      .groupBy(col("user_id"))
+      .agg(array_join(expr("transform(array_sort(collect_list(struct(s, sym))), x -> x.sym)"), "")
+        .as("sax"))
+      .withColumn("n_same_word",
+        count(lit(1)).over(Window.partitionBy(col("sax"))))
+  }
 }
