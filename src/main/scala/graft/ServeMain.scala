@@ -106,6 +106,9 @@ object ServeMain {
     // every admission (see CurationPipeline)
     val corpusDir = java.nio.file.Files.createTempDirectory("graft_corpus").toString
     val corpusStats = new CurationPipeline.Stats
+    // restore the serving sample if this index root has prior admissions
+    // (a fresh temp dir here, but the attach contract is root-agnostic)
+    CurationPipeline.loadSample(spark, s"$corpusDir/index", corpusStats)
     val corpusIn =
       org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp, String)]
     val corpusQuery = corpusIn.toDF().toDF("doc_id", "ts", "text")

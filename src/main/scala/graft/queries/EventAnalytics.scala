@@ -315,12 +315,15 @@ object EventAnalytics {
     // the standard sketch profile (output rows = users, never events).
     QueryDef(
       "q_sax_words",
-      """WITH v AS (
-        |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v100,
+      """WITH v0 AS (
+        |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS vr,
         |         row_number() OVER (PARTITION BY user_id
         |                            ORDER BY epoch_us(ts), event_id) AS rn,
-        |         count(*) OVER (PARTITION BY user_id) AS n
+        |         count(*) OVER (PARTITION BY user_id) AS n,
+        |         min(CAST(round(value * 100) AS BIGINT))
+        |           OVER (PARTITION BY user_id) AS vmin
         |  FROM events),
+        |v AS (SELECT user_id, vr - vmin AS v100, rn, n FROM v0),
         |seg AS (
         |  SELECT user_id, ((rn - 1) * 8) // n AS s, n,
         |         CAST(sum(v100) AS BIGINT) AS seg_sum,
@@ -329,11 +332,14 @@ object EventAnalytics {
         |u AS (
         |  SELECT user_id, CAST(sum(v100) AS BIGINT) AS s_tot,
         |         CAST(sum(v100 * v100) AS BIGINT) AS q_tot,
+        |         CAST(max(v100) AS BIGINT) AS m,
         |         CAST(count(*) AS BIGINT) AS n
         |  FROM v GROUP BY user_id),
         |z AS (
         |  SELECT seg.user_id, seg.s,
-        |         CASE WHEN u.q_tot * u.n - u.s_tot * u.s_tot = 0 THEN 'c'
+        |         CASE WHEN CAST(u.n AS DOUBLE) * u.n * u.m * u.m >= 9.0e18
+        |              THEN error('q_sax_words: series too long/wide for integer-exact symbols; pre-scale or bucket')
+        |              WHEN u.q_tot * u.n - u.s_tot * u.s_tot = 0 THEN 'c'
         |              WHEN CAST(seg.seg_sum * u.n - u.s_tot * seg.seg_n AS DOUBLE)
         |                   / (seg.seg_n * sqrt(u.q_tot * u.n - u.s_tot * u.s_tot))
         |                   < -0.6745 THEN 'a'
@@ -380,24 +386,36 @@ object EventAnalytics {
     */
   def saxWords(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val wU = Window.partitionBy(col("user_id"))
+    // shift by the per-user MIN before squaring: z-scores are exactly
+    // shift-invariant in integer arithmetic, and the shrunken magnitudes
+    // keep the variance term inside int64 for any realistic series
     val v = events
       .select(col("user_id"),
-        round(col("value") * 100).cast("long").as("v100"),
+        round(col("value") * 100).cast("long").as("vr"),
         row_number().over(wU.orderBy(col("ts"), col("event_id"))).as("rn"),
         count(lit(1)).over(wU).as("n"))
+      .select(col("user_id"),
+        (col("vr") - min(col("vr")).over(wU)).as("v100"), col("rn"), col("n"))
     val seg = v.groupBy(col("user_id"),
         expr("((rn - 1) * 8) div n").as("s"), col("n"))
       .agg(sum(col("v100")).as("seg_sum"), count(lit(1)).as("seg_n"))
     val u = v.groupBy(col("user_id"))
       .agg(sum(col("v100")).as("s_tot"),
         sum(col("v100") * col("v100")).as("q_tot"),
+        max(col("v100")).as("m"),
         count(lit(1)).as("n_tot"))
     val varInt = col("q_tot") * col("n_tot") - col("s_tot") * col("s_tot")
     val z = (col("seg_sum") * col("n_tot") - col("s_tot") * col("seg_n"))
       .cast("double") / (col("seg_n") * sqrt(varInt))
+    // n²·m² bounds every intermediate product (q_tot·n, s_tot², seg_sum·n,
+    // per-row squares); past int64 the symbols would silently wrap in
+    // Spark and error in DuckDB — refuse to guess, loudly, in both
+    val overflow = col("n_tot").cast("double") * col("n_tot") * col("m") * col("m") >= 9.0e18
     seg.join(u, "user_id")
       .select(col("user_id"), col("s"),
-        when(varInt === 0, "c")
+        when(overflow, raise_error(lit(
+          "q_sax_words: series too long/wide for integer-exact symbols; pre-scale or bucket")))
+          .when(varInt === 0, "c")
           .when(z < -0.6745, "a").when(z < 0, "b").when(z < 0.6745, "c")
           .otherwise("d").as("sym"))
       .groupBy(col("user_id"))

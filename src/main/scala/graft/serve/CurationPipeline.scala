@@ -135,34 +135,45 @@ object CurationPipeline {
 
     def recent: Seq[Decision] = decisions.iterator().asScala.toSeq
 
-    /** Live weight-proportional sample of the ADMITTED corpus: the DLT
-      * priority-sample sketch (StreamSample's semantics with a single
-      * global key, weight = admitted text length) maintained driver-side —
-      * the candidate set is K+1 entries, so this is a k-bounded kernel
-      * exactly like the decision log above, not corpus state. Because the
-      * draw is the same salted doc_id hash the batch operator uses, the
-      * served sample equals `CurationQueries.prioritySample` over the
-      * admitted set, whatever order batches arrived in.
+    /** Live weight-proportional sample of the ADMITTED corpus: the shared
+      * DLT sketch kernel (`operators.PrioritySketch` — the SAME code the
+      * streaming twin folds, so parity with `CurationQueries
+      * .prioritySample` cannot drift) with a single global key, weight =
+      * admitted text length. K+1 entries — a k-bounded kernel exactly
+      * like the decision log above, not corpus state. Durable: admitBatch
+      * persists the candidates next to the dedup indexes and loadSample
+      * restores them on attach, so the equals-the-batch-operator claim
+      * survives a pipeline restart, same as the guard state.
       */
-    private var sampleCands = Vector.empty[(Long, Long, Double)] // (id, w, p)
+    private var sketch = graft.operators.PrioritySketch(SampleK, SampleSalt)
 
     def offerSample(docId: Long, nChars: Long): Unit = synchronized {
-      if (!sampleCands.exists(_._1 == docId)) {
-        val u = org.apache.spark.sql.graft.Md5Prefix64.hash(
-          org.apache.spark.sql.graft.Md5Prefix64.threadLocalMd(),
-          (SampleSalt + docId).getBytes("UTF-8")) % 1000000L + 1L
-        val p = nChars.toDouble / u
-        sampleCands = ((docId, nChars, p) +: sampleCands)
-          .sortBy(t => (-t._3, t._1)).take(SampleK + 1)
+      sketch = sketch.offer(docId, nChars)
+    }
+
+    /** Full candidate set (K+1), for persistence. */
+    def sampleCandidates: Vector[(Long, Long)] = synchronized {
+      sketch.cands.map(t => (t._1, t._2))
+    }
+
+    def restoreSample(cands: Seq[(Long, Long)]): Unit = synchronized {
+      sketch = cands.foldLeft(
+        graft.operators.PrioritySketch(SampleK, SampleSalt)) {
+        case (s, (id, w)) => s.offer(id, w)
       }
     }
 
+    // Locale.ROOT: default-locale %.4f renders a decimal COMMA on e.g.
+    // de_DE JVMs, which is malformed JSON
+    private def f4(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
+
     def sampleJson: String = synchronized {
-      val tau = if (sampleCands.size > SampleK) sampleCands(SampleK)._3 else 0.0
-      val rows = sampleCands.take(SampleK).map { case (id, w, p) =>
-        s"""{"docId":$id,"nChars":$w,"priority":${"%.4f".format(p)},"wHat":${"%.4f".format(math.max(w.toDouble, tau))}}"""
+      val tau = sketch.tau
+      val rows = sketch.sample.map { case (id, w, p) =>
+        s"""{"docId":$id,"nChars":$w,"priority":${f4(p)},"wHat":${f4(math.max(w.toDouble, tau))}}"""
       }.mkString("[", ",", "]")
-      s"""{"k":$SampleK,"tau":${"%.4f".format(tau)},"sample":$rows}"""
+      s"""{"k":$SampleK,"tau":${f4(tau)},"sample":$rows}"""
     }
 
     def json: String = {
@@ -389,6 +400,7 @@ object CurationPipeline {
         ()
       }
     }
+    var anyAdmitted = false
     decided.select(col("doc_id"), col("batch_dup"), col("corpus_dup"),
         col("near_dup_batch"), col("near_dup"), col("chars_redacted"),
         length(col("text")).cast("long").as("n_chars"))
@@ -402,10 +414,53 @@ object CurationPipeline {
           else if (r.getBoolean(3)) Decision(id, "rejected", "near_dup_batch", cr)
           else if (r.getBoolean(4)) Decision(id, "rejected", "near_dup_corpus", cr)
           else Decision(id, "admitted", "", cr)
-        if (d.decision == "admitted") stats.offerSample(id, r.getLong(6))
+        if (d.decision == "admitted") {
+          stats.offerSample(id, r.getLong(6))
+          anyAdmitted = true
+        }
         stats.record(d)
       }
+    if (anyAdmitted) persistSample(spark, indexRoot, stats)
   }
+
+  /** Persist the serving sample's candidate set next to the dedup
+    * indexes (tmp-write + rename), so `loadSample` on a restarted
+    * pipeline restores the sketch and the served sample keeps equalling
+    * the batch operator over ALL admissions — durability matching the
+    * guard state's. K+1 rows, so the write is trivially small.
+    */
+  def persistSample(spark: SparkSession, root: String, stats: Stats): Unit = {
+    val f = fs(spark, root)
+    val tmp = new Path(s"$root/sample.json.tmp")
+    val dst = new Path(s"$root/sample.json")
+    val body = stats.sampleCandidates
+      .map { case (id, w) => s"[$id,$w]" }
+      .mkString("""{"cands":[""", ",", "]}")
+    val out = f.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    f.delete(dst, false)
+    f.rename(tmp, dst)
+    ()
+  }
+
+  /** Restore the serving sample on pipeline attach. The sample is an
+    * OBSERVABILITY surface, not a guard: a missing or unreadable file
+    * restores an empty sketch (it refills from new admissions) instead of
+    * failing the pipeline — unlike the index reads, where failure must
+    * fail the batch.
+    */
+  def loadSample(spark: SparkSession, root: String, stats: Stats): Unit =
+    scala.util.Try {
+      val dst = new Path(s"$root/sample.json")
+      val f = fs(spark, root)
+      if (f.exists(dst)) {
+        val in = f.open(dst)
+        val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        val cands = marker.readTree(body).path("cands").elements().asScala
+          .map(e => (e.get(0).asLong, e.get(1).asLong)).toSeq
+        stats.restoreSample(cands)
+      }
+    }.getOrElse(())
 
   /** Compact the append logs into a new committed generation:
     * gen_{v+1} = current generation ∪ a snapshot of the live tail files,

@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
-import org.apache.spark.sql.graft.Md5Prefix64
 import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Streaming priority sampling — the sample-on-ingest twin of
@@ -38,38 +37,29 @@ class StreamSampleProcessor(k: Int, salt: String)
     seen = getHandle.getValueState[Long]("seen", Encoders.scalaLong, TTLConfig.NONE)
   }
 
-  private def priority(id: Long, w: Long): Double = {
-    val u = Md5Prefix64.hash(Md5Prefix64.threadLocalMd(),
-      (salt + id).getBytes("UTF-8")) % 1000000L + 1L
-    w.toDouble / u
-  }
-
   override def handleInputRows(
       key: String, rows: Iterator[(String, Long, Long)],
       timerValues: TimerValues): Iterator[(String, Long, Long, Double, Double, Long)] = {
     val incoming = rows.map(r => (r._2, r._3)).toSeq
     // replays/duplicate posts must not occupy two candidate slots: the
-    // state list is unique by doc_id, so only genuinely new ids count.
+    // sketch is unique by doc_id, so only genuinely new ids count.
     // Sorting before distinctBy makes the surviving weight deterministic
     // (min) if a batch ever carries the same id with conflicting weights —
     // partition iteration order must not decide the draw.
     val held = cands.get().toSeq
     val heldIds = held.map(_._1).toSet
     val fresh = incoming.filter(d => !heldIds.contains(d._1)).sorted.distinctBy(_._1)
-    val merged = (held ++ fresh)
-      .map { case (id, w) => (id, w, priority(id, w)) }
-      .sortBy(t => (-t._3, t._1))
-      .take(k + 1)
-    cands.put(merged.map(t => (t._1, t._2)).toArray)
+    val sketch = (held ++ fresh).foldLeft(
+      graft.operators.PrioritySketch(k, salt)) { case (sk, (id, w)) => sk.offer(id, w) }
+    cands.put(sketch.cands.map(t => (t._1, t._2)).toArray)
     // n_seen counts distinct ids ever offered, including ones evicted
     // from the candidate list (duplicates within reach of the held/fresh
     // sets are excluded; re-posts of long-evicted ids are inherently
     // indistinguishable from new docs under bounded state)
     val n = (if (seen.exists()) seen.get() else 0L) + fresh.size
     seen.update(n)
-    val tau = if (merged.size > k) merged(k)._3 else 0.0
-    merged.take(k).iterator
-      .map { case (id, w, p) => (key, id, w, p, tau, n) }
+    sketch.sample.iterator
+      .map { case (id, w, p) => (key, id, w, p, sketch.tau, n) }
   }
 }
 

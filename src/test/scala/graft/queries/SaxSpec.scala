@@ -44,4 +44,16 @@ class SaxSpec extends SparkSpec {
     assert(mono.sorted == mono && mono.head == 'a' && mono.last == 'd',
       s"monotone series must give non-decreasing symbols spanning a..d: $mono")
   }
+
+  test("series past the int64-exact envelope fails loudly instead of wrapping") {
+    // n=10, range 3e8 (values spanning 3,000,000.00): n²·m² = 9e18 ≥ the
+    // guard — without it Spark would wrap s_tot² silently and emit a
+    // wrong-but-plausible word while DuckDB errors
+    val wide = (1 to 10).map(i => if (i % 2 == 0) 3000000.0 else 0.0)
+    val e = intercept[Exception] { saxOf(Seq(9L -> wide)) }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("integer-exact")),
+      s"expected the refuse-to-guess error, got: ${msgs(e).mkString(" | ")}")
+  }
 }

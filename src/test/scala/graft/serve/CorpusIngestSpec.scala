@@ -180,6 +180,14 @@ class CorpusIngestSpec extends SparkSpec {
       val u1 = java.lang.Long.parseLong(hex.substring(0, 15), 16) % 1000000L + 1L
       val p1 = parsed.find(_.group(1) == "1").get.group(3).toDouble
       assert(math.abs(p1 - baseText.length.toDouble / u1) < 1e-3, sample)
+
+      // -- the sample is DURABLE like the guard state: a restarted
+      // pipeline's Stats restores the sketch from the persisted index
+      // root and serves the identical sample
+      val reborn = new CurationPipeline.Stats
+      CurationPipeline.loadSample(spark, s"$dir/index", reborn)
+      assert(reborn.sampleJson == stats.sampleJson,
+        s"restored=${reborn.sampleJson}\nlive=${stats.sampleJson}")
     } finally {
       query.stop()
       server.stop()
