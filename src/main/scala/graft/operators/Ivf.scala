@@ -54,28 +54,49 @@ object Ivf {
       .collect().sortBy(_._1).map { case (c, e, n) => (c, e.toArray, n) }
     require(side.nonEmpty, "empty centroid table")
     val bc = spark.sparkContext.broadcast(side)
-    def r4(x: Double): Double =
-      BigDecimal.valueOf(x + Num.Eps).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     prep.select(col("vec_id"), col("e"), col("nrm"))
       .as[(Long, Seq[Double], Double)]
       .mapPartitions { it =>
         val cs = bc.value
         it.map { case (id, e0, nrm) =>
           val e = e0.toArray
-          var bestCid = cs(0)._1
-          var bestCos = Double.NegativeInfinity
-          cs.foreach { case (cid, ce, cn) =>
-            var s = 0.0
-            var i = 0
-            while (i < e.length) { s += e(i) * ce(i); i += 1 }
-            val cos = r4(s / (nrm * cn))
-            // strict > keeps the smallest cid on ties (cs is cid-sorted)
-            if (cos > bestCos) { bestCos = cos; bestCid = cid }
-          }
-          (id, bestCid)
+          (id, nearestCid(cs, e, nrm))
         }
       }
       .toDF("vec_id", "cid")
+  }
+
+  /** Per-row nearest-centroid kernel — THE one implementation of the
+    * rounded-cosine + smallest-cid rule, shared by `assignBroadcast` and
+    * `streaming.IvfStream` so stream/batch assignment parity cannot
+    * drift; `assign`'s window argmax is its declarative twin. `cands`
+    * must be cid-sorted (strict > keeps the smallest cid on ties).
+    *
+    * Strict like the window twin: a zero-norm vector has no cosine (the
+    * declarative formulation raises ANSI DIVIDE_BY_ZERO there) and a
+    * dimension mismatch is data corruption — both fail loudly here with a
+    * named error instead of the old BigDecimal.valueOf(NaN) crash or a
+    * silent prefix dot-product. Streaming callers that must not wedge on
+    * a poison record VALIDATE AND DROP before calling (see
+    * `IvfStream.maintainer`), which keeps the kernel's semantics exact.
+    */
+  def nearestCid(cands: Array[(Long, Array[Double], Double)],
+                 e: Array[Double], nrm: Double): Long = {
+    require(nrm > 0.0, "zero-norm vector has no cosine; validate upstream")
+    var bestCid = cands(0)._1
+    var bestCos = Double.NegativeInfinity
+    cands.foreach { case (cid, ce, cn) =>
+      require(ce.length == e.length,
+        s"dimension mismatch: vector has ${e.length} dims, centroid $cid has ${ce.length}")
+      require(cn > 0.0, s"zero-norm centroid $cid has no cosine")
+      var s = 0.0
+      var i = 0
+      while (i < e.length) { s += e(i) * ce(i); i += 1 }
+      val c4 = BigDecimal.valueOf(s / (nrm * cn) + Num.Eps)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (c4 > bestCos) { bestCos = c4; bestCid = cid }
+    }
+    bestCid
   }
 
   /** One-Lloyd-iteration centroids: (cid, ce: array<double>, cn). */

@@ -45,7 +45,7 @@ object CdpPipeline {
       userIds: Set[String],
       emails: Set[String],
       anonymousIds: Set[String],
-      traits: Map[String, (String, Long)], // value, ts-micros of last write
+      traits: Map[String, (String, Long, String)], // value, ts-micros, eventId of last write
       lastSeenUs: Long, // event-time microseconds
       buckets: Map[Long, Long], // minute bucket -> TRACK count
       segments: Set[String],
@@ -64,22 +64,29 @@ object CdpPipeline {
       .getOrElse("event:" + e.eventId)
 
   /** Pure per-event transition WITHOUT dedup bookkeeping: `seenEventIds`
-    * passes through untouched. The streaming processors keep the dedup
-    * cache in a native-TTL `MapState` instead (see `CdpProcessors`), so
-    * they call this core directly; the batch replay wraps it with the
-    * hand-rolled sweep in `applyEvent`. Caller must feed events in
-    * (ts, eventId) order per profile and must have dedup-checked already.
+    * passes through untouched. Both the streaming processors and the
+    * batch replay reach it through `applyEvent` (dedup check + seen-id
+    * sweep) — the processors keep the dedup cache INLINE in their single
+    * ValueState row, see the CdpProcessors doc for the two rejected
+    * MapState designs. Caller must feed events in (ts, eventId) order per
+    * profile and must have dedup-checked already.
     */
   def applyCore(pid: String, st: ProfileState, e: CdpEvent): (ProfileState, Seq[SegmentEvent]) = {
     val t = micros(e.ts)
     val userIds = st.userIds ++ e.userId
     val emails = st.emails ++ e.email.map(_.trim.toLowerCase)
     val anons = st.anonymousIds ++ e.anonymousId
-    // LWW per trait key: apply iff ts >= last write's ts (tie: later arrival)
+    // LWW per trait key under the TOTAL order (ts, eventId) — the same
+    // order batch replay sorts the whole log by. Breaking equal-ts ties
+    // by arrival instead would let two equal-ts writes split across
+    // micro-batches resolve differently in stream vs replay (the replay
+    // fixpoint contract in the header), so the tie is data, not arrival:
+    // larger eventId wins.
     val traits = e.traits.foldLeft(st.traits) { case (acc, (k, v)) =>
       acc.get(k) match {
-        case Some((_, prevTs)) if t < prevTs => acc
-        case _ => acc.updated(k, (v, t))
+        case Some((_, prevTs, prevEid))
+          if t < prevTs || (t == prevTs && e.eventId < prevEid) => acc
+        case _ => acc.updated(k, (v, t, e.eventId))
       }
     }
     val lastSeen = math.max(st.lastSeenUs, t)
@@ -96,6 +103,7 @@ object CdpPipeline {
     val segs = Set.newBuilder[String]
     if (track24h >= PowerUserThreshold) segs += "power_user"
     if (traits.get("plan").exists(_._1 == "pro")) segs += "pro_plan"
+
     val newSegs = segs.result()
     val emits =
       (newSegs -- st.segments).toSeq.sorted.map(SegmentEvent(pid, _, "ENTER", e.ts)) ++
@@ -139,8 +147,9 @@ object CdpPipeline {
     }
   }
 
-  /** Streaming: segment ENTER/EXIT events (transformWithState; dedup cache
-    * in a native-TTL MapState — see `SegmentEventsProcessor`).
+  /** Streaming: segment ENTER/EXIT events (transformWithState; the dedup
+    * cache rides inline in the profile ValueState — see
+    * `SegmentEventsProcessor` and the CdpProcessors design note).
     */
   def segmentEvents(spark: SparkSession, events: Dataset[CdpEvent]): Dataset[SegmentEvent] = {
     import spark.implicits._
@@ -154,7 +163,7 @@ object CdpPipeline {
     ProfileSnapshot(pid,
       st.userIds.toSeq.sorted, st.emails.toSeq.sorted,
       st.anonymousIds.toSeq.sorted,
-      st.traits.map { case (k, (v, _)) => k -> v },
+      st.traits.map { case (k, (v, _, _)) => k -> v },
       st.buckets.valuesIterator.sum,
       new Timestamp(st.lastSeenUs / 1000L),
       st.segments.toSeq.sorted)

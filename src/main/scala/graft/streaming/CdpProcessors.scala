@@ -12,7 +12,7 @@ import CdpPipeline._
   * the profile's maps — including the `seenEventIds` dedup cache — are
   * stored as entry arrays and rebuilt on read.
   */
-case class TraitKV(k: String, v: String, ts: Long)
+case class TraitKV(k: String, v: String, ts: Long, eid: String)
 case class BucketKV(b: Long, n: Long)
 case class SeenKV(id: String, ts: Long)
 case class ProfilePacked(
@@ -58,7 +58,7 @@ private[streaming] abstract class CdpProcessorBase[O]
     ProfilePacked(
       st.userIds.toSeq.sorted, st.emails.toSeq.sorted,
       st.anonymousIds.toSeq.sorted,
-      st.traits.toSeq.map { case (k, (v, t)) => TraitKV(k, v, t) }.sortBy(_.k),
+      st.traits.toSeq.map { case (k, (v, t, eid)) => TraitKV(k, v, t, eid) }.sortBy(_.k),
       st.lastSeenUs,
       st.buckets.toSeq.map { case (b, n) => BucketKV(b, n) }.sortBy(_.b),
       st.segments.toSeq.sorted,
@@ -67,7 +67,7 @@ private[streaming] abstract class CdpProcessorBase[O]
   private def unpack(p: ProfilePacked): ProfileState =
     ProfileState(
       p.userIds.toSet, p.emails.toSet, p.anonymousIds.toSet,
-      p.traits.map(t => t.k -> (t.v, t.ts)).toMap,
+      p.traits.map(t => t.k -> ((t.v, t.ts, t.eid))).toMap,
       p.lastSeenUs,
       p.buckets.map(b => b.b -> b.n).toMap,
       p.segments.toSet,

@@ -122,6 +122,19 @@ object EntityPipeline {
   * the list. Point order in state is irrelevant: every window aggregate is
   * a filter over (ts ≤ anchor) — order sensitivity lives in the per-batch
   * event sort, not the deque.
+  *
+  * DEAD-KEY TRADEOFF (deliberate): an entity that stops sending pins its
+  * last window (≤ horizon of points) + EWMA register forever — total
+  * state is O(distinct keys ever seen), not O(live keys). Both eviction
+  * mechanisms were considered and rejected: processing-time `TTLConfig`
+  * forces `TimeMode.ProcessingTime`, whose never-quiescing empty batches
+  * and wall-clock nondeterminism the CdpProcessors doc details; and
+  * event-time cleanup timers (ReengageProcessor's pattern) require a
+  * watermark on THIS stream, which would make Spark drop exactly the
+  * late events the two-tier lateness machinery exists to classify. Under
+  * ephemeral-key workloads (session ids, NATed IPs) bound the key space
+  * upstream — pre-filter to entities worth tracking — rather than here.
+  * RollingCounterProcessor shares this contract.
   */
 class EntityAlertProcessor(cfg: EntityPipeline.RuleConfig)
   extends org.apache.spark.sql.streaming.StatefulProcessor[

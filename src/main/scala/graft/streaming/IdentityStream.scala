@@ -214,9 +214,15 @@ object IdentityStream {
                 .select(col("node"), col("newc").as("comp"))
               relabeledCanonicals.unionAll(relabeledStored)
             }
-          val nDelta = if (nContracted == 0) 0L else deltas.count()
+          // localCheckpoint before counting: count() + write would
+          // otherwise execute the relabel plan twice — including the
+          // broadcast join that scans the ENTIRE persisted mapping — on
+          // every merge batch of a 1 s trigger (deltas are merge-sized,
+          // so the materialization is tiny)
+          val deltasM = if (nContracted == 0) deltas else deltas.localCheckpoint()
+          val nDelta = if (nContracted == 0) 0L else deltasM.count()
           if (nDelta > 0) {
-            deltas.withColumn("ver", lit(ver))
+            deltasM.withColumn("ver", lit(ver))
               .write.mode("overwrite").parquet(s"$stateDir/delta_$ver")
             handle.invalidate() // the cached mapping no longer reflects disk
           }

@@ -37,6 +37,7 @@ object IvfStream {
     private[IvfStream] val ref = new AtomicReference[Array[Centroid]](initial)
     private[IvfStream] val ver = new AtomicLong(0L)
     private[IvfStream] val updates = new AtomicLong(0L)
+    private[IvfStream] val rejectedCount = new AtomicLong(0L)
     // running (weight, sum) register per cell, seeded so the initial
     // centroid participates with `priorWeight` pseudo-observations
     private[IvfStream] var weights: Map[Long, (Double, Array[Double])] = Map.empty
@@ -45,6 +46,9 @@ object IvfStream {
     def version: Long = ver.get
     def centroidUpdates: Long = updates.get
     def centroid(cid: Long): Option[Centroid] = ref.get.find(_.cid == cid)
+
+    /** Vectors dropped by ingest validation (zero-norm / wrong dims). */
+    def rejected: Long = rejectedCount.get
   }
 
   private def norm(v: Array[Double]): Double = {
@@ -82,25 +86,24 @@ object IvfStream {
       import spark.implicits._
       val cs = handle.ref.get
       val bc = spark.sparkContext.broadcast(cs)
-      // partition-local nearest-centroid assignment (same rounded-cosine +
-      // smallest-cid rule as Ivf.assignBroadcast)
+      // partition-local nearest-centroid assignment through the SHARED
+      // kernel (graft.operators.Ivf.nearestCid — the rounded-cosine +
+      // smallest-cid rule cannot drift from the batch). The kernel is
+      // strict, so ingest VALIDATES first: a zero-norm or wrong-dim
+      // vector is a poison record that would otherwise fail this batch on
+      // every checkpoint replay and wedge the maintainer forever — it is
+      // dropped and counted instead (handle.rejected), never guessed at.
+      val dim = if (cs.nonEmpty) cs(0).ce.length else 0
+      val rejectedAcc = spark.sparkContext.longAccumulator("ivf_ingest_rejected")
       val assigned = batch.select(col("vec_id"), col("e").cast("array<double>").as("e"))
         .as[(Long, Seq[Double])]
         .mapPartitions { it =>
-          val cands = bc.value
-          it.map { case (id, e0) =>
-            val e = e0.toArray
+          val cands = bc.value.map(c => (c.cid, c.ce, c.cn))
+          it.flatMap { case (id, e0) =>
+            val e = if (e0 == null) Array.empty[Double] else e0.toArray
             val en = norm(e)
-            var bestCid = cands(0).cid
-            var bestCos = Double.NegativeInfinity
-            cands.foreach { c =>
-              var s = 0.0; var i = 0
-              while (i < e.length) { s += e(i) * c.ce(i); i += 1 }
-              val cos = BigDecimal.valueOf(s / (en * c.cn) + Num.Eps)
-                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-              if (cos > bestCos) { bestCos = cos; bestCid = c.cid }
-            }
-            (bestCid, e)
+            if (e.length != dim || en == 0.0) { rejectedAcc.add(1L); None }
+            else Some((graft.operators.Ivf.nearestCid(cands, e, en), e))
           }
         }
         .toDF("cid", "e")
@@ -112,6 +115,7 @@ object IvfStream {
         .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
         .collect()
         .groupBy(_.getLong(0))
+      handle.rejectedCount.addAndGet(rejectedAcc.value)
       if (sums.nonEmpty) {
         var changed = false
         val next = handle.ref.get.map { c =>

@@ -13,6 +13,12 @@ import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor, 
   *
   * Emits one row per input event: (key, bucket, count-in-bucket,
   * trailing-24h total) — the streaming mirror of q_rolling_counter_24h.
+  *
+  * Dead-key tradeoff: a key that stops sending pins its last ≤ 1440
+  * buckets forever — state is O(distinct keys ever seen). Same deliberate
+  * decision, for the same reasons, as EntityAlertProcessor (see its doc:
+  * processing-time TTL and event-time cleanup timers were both rejected);
+  * bound the key space upstream for ephemeral-key workloads.
   */
 class RollingCounterProcessor
   extends StatefulProcessor[String, (String, Timestamp), (String, Long, Long, Long)] {

@@ -53,6 +53,45 @@ class IvfSpec extends SparkSpec {
     assert(viaBroadcast == viaWindow)
   }
 
+  test("zero-norm vector fails loudly in BOTH formulations (parity on the error too)") {
+    import spark.implicits._
+    val cents = Ivf.centroids(corpus, k = 3)
+    // a zero vector has no cosine: the window twin raises ANSI
+    // DIVIDE_BY_ZERO; the kernel must also refuse with a named error —
+    // not the old BigDecimal.valueOf(NaN) crash, and not a silent guess.
+    // (The streaming maintainer validates-and-drops BEFORE the kernel so
+    // a poison record cannot wedge it — IvfStreamSpec covers that half.)
+    val zero = Seq((999L, Seq.fill(8)(0.0)))
+      .toDF("vec_id", "e")
+      .select(col("vec_id"), col("e").cast("array<double>").as("e"))
+      .withColumn("nrm", Similarity.norm(col("e")))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val eWin = intercept[Exception] {
+      Ivf.assign(zero.unionByName(corpus), cents).collect()
+    }
+    assert(msgs(eWin).exists(_.contains("DIVIDE_BY_ZERO")))
+    val eKern = intercept[Exception] {
+      Ivf.assignBroadcast(spark, zero, cents).collect()
+    }
+    assert(msgs(eKern).exists(_.contains("zero-norm")))
+  }
+
+  test("dimension-mismatched vector fails loudly, not silently truncated") {
+    import spark.implicits._
+    val cents = Ivf.centroids(corpus, k = 3)
+    val bad = Seq((7L, Seq.fill(12)(1.0)))
+      .toDF("vec_id", "e")
+      .select(col("vec_id"), col("e").cast("array<double>").as("e"))
+      .withColumn("nrm", Similarity.norm(col("e")))
+    val e = intercept[Exception] {
+      Ivf.assignBroadcast(spark, bad, cents).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("dimension mismatch")))
+  }
+
   test("broadcast assignment runs on a stream (continuous index ingestion)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

@@ -49,6 +49,33 @@ class CdpPipelineSpec extends SparkSpec {
     assert(snap.head.segments.contains("pro_plan"))
   }
 
+  test("LWW equal-ts tie across MICRO-BATCHES matches batch replay (eventId order, not arrival)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // e2 (pro) arrives in batch 1, e1 (free) — same ts, SMALLER eventId —
+    // in batch 2: the replay fixpoint orders by (ts, eventId), so pro must
+    // survive e1's later arrival. Before the (ts, eventId)-total-order tie
+    // rule, arrival order decided and the stream diverged from replay.
+    val input = MemoryStream[CdpEvent]
+    val query = profileUpdates(spark, input.toDS())
+      .writeStream.format("memory").queryName("lww_xbatch")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(identify("e2", "2024-01-01T00:00:00Z", "u1", Map("plan" -> "pro")))
+      query.processAllAvailable()
+      input.addData(identify("e1", "2024-01-01T00:00:00Z", "u1", Map("plan" -> "free")))
+      query.processAllAvailable()
+      val rows = spark.table("lww_xbatch").as[ProfileSnapshot].collect()
+      assert(rows.nonEmpty && rows.forall(_.traits("plan") == "pro"),
+        s"equal-ts tie must resolve by eventId in the stream too: ${rows.toSeq}")
+      // and the batch replay of the same log agrees
+      val snap = profileSnapshots(spark, spark.createDataset(Seq(
+        identify("e2", "2024-01-01T00:00:00Z", "u1", Map("plan" -> "pro")),
+        identify("e1", "2024-01-01T00:00:00Z", "u1", Map("plan" -> "free"))))).collect()
+      assert(snap.head.traits("plan") == "pro")
+    } finally query.stop()
+  }
+
   test("older trait update does not overwrite newer one") {
     import spark.implicits._
     val events = Seq(

@@ -56,4 +56,32 @@ class IvfStreamSpec extends SparkSpec {
       assert(idx.centroidUpdates >= 1L)
     } finally query.stop()
   }
+
+  test("poison vectors (zero-norm, wrong dims) are dropped and counted, never wedge the query") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, Seq[Double])]
+    val (writer, idx) = IvfStream.maintainer(
+      spark, input.toDF().toDF("vec_id", "e"),
+      initial = Seq(0L -> vec(0, 1, 0.0), 1L -> vec(2, 3, 0.0)),
+      priorWeight = 10.0, driftCos = 0.999)
+    val query = writer.start()
+    try {
+      // a zero vector and a wrong-dim vector ride along with good ones;
+      // without ingest validation the strict kernel would fail this batch
+      // on every checkpoint replay — a permanent crash loop
+      input.addData(
+        (1L, vec(0, 1, 0.001)),
+        (2L, Seq.fill(8)(0.0)), // zero norm: no cosine
+        (3L, Seq.fill(12)(1.0)), // wrong dimensionality
+        (4L, vec(2, 3, 0.001)))
+      query.processAllAvailable()
+      assert(query.isActive, "the maintainer must survive poison records")
+      assert(idx.rejected == 2L, s"expected 2 rejects, got ${idx.rejected}")
+      // the good vectors were still folded into their cells' registers
+      input.addData(Seq((5L, vec(0, 1, 0.001))): _*)
+      query.processAllAvailable()
+      assert(idx.rejected == 2L)
+    } finally query.stop()
+  }
 }
