@@ -42,6 +42,12 @@ object AsofJoin {
       s"left side uses reserved column names: ${Reserved.intersect(left.columns).mkString(",")}")
     require(outNames.intersect(left.columns).isEmpty,
       s"payload output names collide with left columns: ${outNames.intersect(left.columns).mkString(",")}")
+    // an output named asof_ts would silently overwrite the operator's own
+    // match-timestamp column; "ts" would duplicate the packed struct's
+    // match-ts field and fail only at analysis time with a cryptic error
+    require(Reserved.intersect(outNames).isEmpty && !outNames.contains("ts"),
+      s"payload output names collide with the operator's own columns: " +
+        (Reserved.intersect(outNames) ++ outNames.filter(_ == "ts")).mkString(","))
 
     // pack the matched right row into one struct (ts first, then payloads)
     val packed = struct(

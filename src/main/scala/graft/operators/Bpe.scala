@@ -57,18 +57,28 @@ object Bpe {
   def bestPair(pairs: DataFrame): DataFrame =
     pairs.orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
 
-  /** Apply a merge: non-overlapping left-to-right replace of ' l r ' with
-    * ' lr ' — greedy, matching BPE ('a a a' + (a,a) → [aa, a]). A round
-    * with no pairs left (exhausted vocab) has an EMPTY best table; the
-    * left join + coalesce makes that round a no-op instead of
-    * annihilating the dictionary through a cross join.
+  /** Apply a merge: left-to-right replace of ' l r ' with ' lr ', applied
+    * TWICE. One pass under-merges chains: the match consumes the space
+    * that is also the next occurrence's leading delimiter, so in
+    * 'l r l r' only the first pair merges ([lr, l, r] instead of BPE's
+    * [lr, lr]). A skipped occurrence is never adjacent to another skip
+    * (its own leading space survives), so the second pass reaches the
+    * fixpoint — which for l ≠ r is EXACTLY BPE's greedy pairing
+    * (occurrences cannot overlap). For l == r runs the pair COUNT matches
+    * greedy but odd runs ≥ 5 place the unpaired symbol mid-run
+    * ('a a a a a' → [aa, a, aa]) where Sennrich's scan leaves it last
+    * ([aa, aa, a]) — a documented positional deviation, identical in both
+    * engines. A round with no pairs left (exhausted vocab) has an EMPTY
+    * best table; the left join + coalesce makes that round a no-op
+    * instead of annihilating the dictionary through a cross join.
     */
   def applyMerge(dict: DataFrame, best: DataFrame): DataFrame =
     dict.join(broadcast(best.select(col("l").as("bl"), col("r").as("br"))),
         lit(true), "left")
       .select(col("word"),
         coalesce(
-          expr("replace(s, concat(' ', bl, ' ', br, ' '), concat(' ', bl, br, ' '))"),
+          expr("replace(replace(s, concat(' ', bl, ' ', br, ' '), concat(' ', bl, br, ' '))," +
+            " concat(' ', bl, ' ', br, ' '), concat(' ', bl, br, ' '))"),
           col("s")).as("s"),
         col("cnt"))
 
@@ -112,7 +122,7 @@ object Bpe {
          |  SELECT l, r, cnt FROM bp$r ORDER BY cnt DESC, l, r LIMIT 1),
          |bd$r AS (
          |  SELECT d.word,
-         |         coalesce(replace(d.s, ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' '), d.s) AS s,
+         |         coalesce(replace(replace(d.s, ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' '), ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' '), d.s) AS s,
          |         d.cnt
          |  FROM bd${r - 1} d LEFT JOIN bb$r b ON true)""".stripMargin
     }

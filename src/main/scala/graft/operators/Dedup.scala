@@ -580,6 +580,7 @@ object Dedup {
        |  SELECT DISTINCT l.id AS a, r.id AS b,
        |         CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS ham
        |  FROM chunks l JOIN chunks r
-       |    ON l.c = r.c AND l.v = r.v AND l.id < r.id)""".stripMargin
+       |    ON l.c = r.c AND l.v = r.v AND l.id < r.id
+       |  WHERE bit_count(xor(l.simhash, r.simhash)) <= $maxHam)""".stripMargin
   }
 }

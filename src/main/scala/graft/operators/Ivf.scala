@@ -92,8 +92,7 @@ object Ivf {
       var s = 0.0
       var i = 0
       while (i < e.length) { s += e(i) * ce(i); i += 1 }
-      val c4 = BigDecimal.valueOf(s / (nrm * cn) + Num.Eps)
-        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val c4 = Num.r4Jvm(s / (nrm * cn))
       if (c4 > bestCos) { bestCos = c4; bestCid = cid }
     }
     bestCid

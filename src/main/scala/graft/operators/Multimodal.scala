@@ -123,14 +123,19 @@ object Multimodal {
     */
   def resizePlan(features: DataFrame, maxDim: Int): DataFrame = {
     // widen BEFORE multiplying: width * maxDim in 32-bit wraps silently
-    // for width > Int.MaxValue/maxDim — cast the operand, not the product
+    // for width > Int.MaxValue/maxDim — cast the operand, not the product.
+    // Clamp to >= 1 like ImageIoDecoder.resize: an extreme aspect ratio
+    // (1 x 4000 at maxDim 224) otherwise plans a zero-pixel dimension that
+    // the codec twin refuses (BufferedImage(0, h) throws)
     val longest = greatest(col("width"), col("height"))
     features.withColumn("out_width",
         when(longest <= maxDim, col("width"))
-          .otherwise(expr(s"CAST(width AS BIGINT) * $maxDim div greatest(width, height)").cast("int")))
+          .otherwise(greatest(lit(1),
+            expr(s"CAST(width AS BIGINT) * $maxDim div greatest(width, height)").cast("int"))))
       .withColumn("out_height",
         when(longest <= maxDim, col("height"))
-          .otherwise(expr(s"CAST(height AS BIGINT) * $maxDim div greatest(width, height)").cast("int")))
+          .otherwise(greatest(lit(1),
+            expr(s"CAST(height AS BIGINT) * $maxDim div greatest(width, height)").cast("int"))))
   }
 
   /** Partition-local batch decode: one decoder per partition, rows
@@ -147,7 +152,12 @@ object Multimodal {
       .as[(Long, Array[Byte], String)]
       .mapPartitions { rows =>
         // stateful codecs initialize per-partition state here (JNI context etc.)
-        rows.map { case (id, bytes, mt) => decoder.decode(id, bytes, mt) }
+        rows.map { case (id, bytes, mt) =>
+          // assetSchema allows a null payload; both decoders would NPE on
+          // it with no asset id — name the poison row instead
+          require(bytes != null, s"asset $id ($mt): null payload")
+          decoder.decode(id, bytes, mt)
+        }
       }
       .toDF()
   }

@@ -27,6 +27,15 @@ object Num {
   /** round(x + eps, 4) — use for every float output column. */
   def r4(c: Column): Column = round(c + Eps, 4)
 
+  /** JVM twin of `r4` for the partition-local kernels (IVF assignment,
+    * PQ encode, kNN offer): BigDecimal.valueOf goes through the shortest
+    * decimal repr + HALF_UP, which is what Spark's round() does — THE one
+    * implementation; a kernel hand-rolling this can silently fork from
+    * the declarative twins on a boundary.
+    */
+  def r4Jvm(x: Double): Double =
+    BigDecimal.valueOf(x + Eps).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   /** floor(x + eps) — floor's flip is a full unit, so bias is mandatory. */
   def floorB(c: Column): Column = floor(c + Eps)
 

@@ -88,16 +88,25 @@ object Packing {
 
   /** The packing manifest: per document, its token offsets and the
     * SeqLen-cut sequence range. All-integer arithmetic (offsets are
-    * non-negative, so truncating and flooring division agree).
+    * non-negative, so truncating and flooring division agree). A
+    * zero-token document (whitespace-only text) occupies NO sequence:
+    * n_seqs = 0 with seq_last pinned to seq_first — the (end_off - 1)
+    * formula would otherwise claim a training sequence for it, and at
+    * stream start would put a NEGATIVE operand under the division, the
+    * one case where truncating (Spark) and flooring (DuckDB //) div
+    * disagree.
     */
   def manifest(offsets: DataFrame): DataFrame =
     offsets
       .withColumn("start_off", col("end_off") - col("n_tokens"))
       .withColumn("seq_first", expr(s"start_off div $SeqLen"))
-      .withColumn("seq_last", expr(s"(end_off - 1) div $SeqLen"))
+      .withColumn("seq_last",
+        when(col("n_tokens") === 0, col("seq_first"))
+          .otherwise(expr(s"(end_off - 1) div $SeqLen")))
       .select(col("doc_id"), col("source"), col("n_tokens"),
         col("start_off"), col("seq_first"), col("seq_last"),
-        (col("seq_last") - col("seq_first") + 1).as("n_seqs"))
+        when(col("n_tokens") === 0, 0L)
+          .otherwise(col("seq_last") - col("seq_first") + 1).as("n_seqs"))
 
   /** Window-formulation twin of `endOffsets` — the spec baseline and the
     * shape the oracle SQL uses. Serializes each source through one task;

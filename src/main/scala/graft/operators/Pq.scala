@@ -123,15 +123,22 @@ object Pq {
   def encodeBroadcast(spark: org.apache.spark.sql.SparkSession,
                       vecs: DataFrame, cb: DataFrame): DataFrame = {
     import spark.implicits._
-    val bySub: Array[Array[(Long, Array[Double])]] = cb
+    // centroid self-dot-products precomputed once per codebook entry —
+    // recomputing ce·ce inside the per-vector loop would waste
+    // M·KPq·DSub multiply-adds on EVERY encoded vector of a stream
+    val bySub: Array[Array[(Long, Array[Double], Double)]] = cb
       .select(col("sub").cast("int"), col("cid").cast("long"), col("ce"))
       .as[(Int, Long, Seq[Double])].collect()
       .groupBy(_._1).toArray.sortBy(_._1)
-      .map(_._2.sortBy(_._2).map { case (_, c, e) => (c, e.toArray) })
+      .map(_._2.sortBy(_._2).map { case (_, c, e0) =>
+        val e = e0.toArray
+        var bb = 0.0
+        var j = 0
+        while (j < e.length) { bb += e(j) * e(j); j += 1 }
+        (c, e, bb)
+      })
     require(bySub.length == M, s"codebook must cover all $M subspaces")
     val bc = spark.sparkContext.broadcast(bySub)
-    def r4(x: Double): Double =
-      BigDecimal.valueOf(x + Num.Eps).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     vecs.select(col("vec_id"), col("e")).as[(Long, Seq[Double])]
       .mapPartitions { it =>
         val cbs = bc.value
@@ -146,14 +153,11 @@ object Pq {
             while (i < DSub) { val x = e(off + i); aa += x * x; i += 1 }
             var bestCid = cbs(s)(0)._1
             var bestD = Double.PositiveInfinity
-            cbs(s).foreach { case (cid, ce) =>
+            cbs(s).foreach { case (cid, ce, bb) =>
               var ab = 0.0
-              var bb = 0.0
               var j = 0
               while (j < DSub) { ab += e(off + j) * ce(j); j += 1 }
-              j = 0
-              while (j < DSub) { bb += ce(j) * ce(j); j += 1 }
-              val d = r4(aa - 2 * ab + bb)
+              val d = Num.r4Jvm(aa - 2 * ab + bb)
               // strict < keeps the smallest cid on ties (cid-sorted)
               if (d < bestD) { bestD = d; bestCid = cid }
             }

@@ -33,8 +33,8 @@ object RangeJoin {
     // must not break the parse) and pick an internal bucket name that
     // cannot clobber a real input column
     def q(n: String) = "`" + n.replace("`", "``") + "`"
-    val bucket = Iterator.from(0).map(i => s"__bucket$i")
-      .find(n => !points.columns.contains(n) && !intervals.columns.contains(n)).get
+    val bucket = TextOps.freshName("__bucket",
+      points.columns.toSet ++ intervals.columns)
     val pb = points.withColumn(bucket, expr(s"CAST(${q(p)} AS BIGINT) div $bucketW"))
     val ib = intervals.withColumn(bucket,
       explode(sequence(expr(s"CAST(${q(lo)} AS BIGINT) div $bucketW"),

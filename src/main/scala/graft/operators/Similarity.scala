@@ -166,8 +166,7 @@ object Similarity {
     val kth =
       if (top.size == k) top.get(k - 1)._1 else Double.NegativeInfinity
     if (raw + RoundMargin >= kth) {
-      val cosr = BigDecimal.valueOf(raw + Num.Eps)
-        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val cosr = Num.r4Jvm(raw)
       if (top.size < k || cosr > top.get(top.size - 1)._1) {
         var pos = top.size
         while (pos > 0 && cosr > top.get(pos - 1)._1) pos -= 1

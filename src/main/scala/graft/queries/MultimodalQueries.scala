@@ -143,10 +143,10 @@ object MultimodalQueries {
       s"""WITH $decodeSql
          |SELECT asset_id, width, height,
          |       CAST(CASE WHEN greatest(width, height) <= 224 THEN width
-         |            ELSE CAST(width AS BIGINT) * 224 // greatest(width, height)
+         |            ELSE greatest(1, CAST(width AS BIGINT) * 224 // greatest(width, height))
          |            END AS INT) AS out_width,
          |       CAST(CASE WHEN greatest(width, height) <= 224 THEN height
-         |            ELSE CAST(height AS BIGINT) * 224 // greatest(width, height)
+         |            ELSE greatest(1, CAST(height AS BIGINT) * 224 // greatest(width, height))
          |            END AS INT) AS out_height
          |FROM f""".stripMargin) { (s, dir) =>
       Multimodal.resizePlan(Multimodal.decodeFeatures(s, assets(s, dir)), maxDim = 224)

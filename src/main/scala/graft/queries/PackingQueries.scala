@@ -57,8 +57,11 @@ object PackingQueries {
          |SELECT doc_id, source, n_tokens,
          |       end_off - n_tokens AS start_off,
          |       (end_off - n_tokens) // $L AS seq_first,
-         |       (end_off - 1) // $L AS seq_last,
-         |       (end_off - 1) // $L - (end_off - n_tokens) // $L + 1 AS n_seqs
+         |       CASE WHEN n_tokens = 0 THEN (end_off - n_tokens) // $L
+         |            ELSE (end_off - 1) // $L END AS seq_last,
+         |       CASE WHEN n_tokens = 0 THEN 0
+         |            ELSE (end_off - 1) // $L - (end_off - n_tokens) // $L + 1
+         |            END AS n_seqs
          |FROM poffs""".stripMargin) { (s, dir) =>
       Packing.manifest(
         Packing.endOffsets(Packing.tokenCounts(Tables.documents(s, dir))))
@@ -73,7 +76,8 @@ object PackingQueries {
          |pm AS (
          |  SELECT doc_id, source, n_tokens,
          |         (end_off - n_tokens) // $L AS seq_first,
-         |         (end_off - 1) // $L AS seq_last,
+         |         CASE WHEN n_tokens = 0 THEN (end_off - n_tokens) // $L
+         |              ELSE (end_off - 1) // $L END AS seq_last,
          |         end_off
          |  FROM poffs)
          |SELECT source,

@@ -36,6 +36,26 @@ class BpeSpec extends SparkSpec {
     assert(t1.getString(1) == "a" && t1.getString(2) == "b")
   }
 
+  test("chained occurrences all merge: banana + (a,n) -> [b, an, an, a]") {
+    import spark.implicits._
+    // the single-pass replace consumed the space shared by back-to-back
+    // occurrences, leaving 'banana' as [b, an, a, n, a] — the second pass
+    // fixes exactly the skipped occurrence (real BPE greedy)
+    val dict = Seq(("banana", " b a n a n a ", 1L)).toDF("word", "s", "cnt")
+    val best = Seq(("a", "n")).toDF("l", "r")
+    val seg = Bpe.applyMerge(dict, best).head().getString(1)
+    assert(seg == " b an an a ", s"chain under-merged: '$seg'")
+    // l != r chains: every adjacent (l, r) pair merges
+    val dict2 = Seq(("lrlr", " l r l r ", 1L)).toDF("word", "s", "cnt")
+    val seg2 = Bpe.applyMerge(dict2, Seq(("l", "r")).toDF("l", "r")).head().getString(1)
+    assert(seg2 == " lr lr ", s"chain under-merged: '$seg2'")
+    // l == r runs: pair count matches greedy (odd runs ≥ 5 place the
+    // unpaired symbol mid-run — documented deviation)
+    val dict3 = Seq(("aaaaa", " a a a a a ", 1L)).toDF("word", "s", "cnt")
+    val seg3 = Bpe.applyMerge(dict3, Seq(("a", "a")).toDF("l", "r")).head().getString(1)
+    assert(seg3.trim.split(" ").count(_ == "aa") == 2, s"run pair count: '$seg3'")
+  }
+
   test("later rounds can merge onto learned symbols (chaining)") {
     val d = docs(Seq.fill(10)("abc").mkString(" "))
     val (merges, dict) = Bpe.train(d)
