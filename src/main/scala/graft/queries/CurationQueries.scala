@@ -26,6 +26,23 @@ object CurationQueries {
   /** Sample size per source for q_weighted_sample (priority sampling). */
   private val PrioK = 10
 
+  /** THE 80/10/10 salted split rule — one implementation for every
+    * surface that assigns train/valid/test (q_hash_split,
+    * q_corpus_curation, q_split_leakage_safe, contamination,
+    * decontamination): a boundary edited in one hand-rolled copy would
+    * silently fork e.g. decontamination's test set from the split
+    * manifest q_hash_split reports.
+    */
+  private[queries] def splitSql(expr: String): String =
+    s"""CASE WHEN ${TextOps.hash64Sql(s"concat('$SplitSalt', $expr)")} % 100 < 80 THEN 'train'
+       |     WHEN ${TextOps.hash64Sql(s"concat('$SplitSalt', $expr)")} % 100 < 90 THEN 'valid'
+       |     ELSE 'test' END""".stripMargin
+
+  private[queries] def splitCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h = TextOps.hash64(concat(lit(SplitSalt), c)) % 100
+    when(h < 80, "train").when(h < 90, "valid").otherwise("test")
+  }
+
   /** Priority sampling (DLT) over (source, doc_id, n_chars) — the
     * q_weighted_sample body, factored so the spec can drive synthetic
     * corpora through the exact production plan (see the QueryDef comment
@@ -141,9 +158,7 @@ object CurationQueries {
          |  WHERE ${qualitySql("text")} >= 0.5),
          |a AS (
          |  SELECT lang, n_tokens, chars_redacted,
-         |         CASE WHEN ${TextOps.hash64Sql(s"concat('$SplitSalt', doc_id)")} % 100 < 80 THEN 'train'
-         |              WHEN ${TextOps.hash64Sql(s"concat('$SplitSalt', doc_id)")} % 100 < 90 THEN 'valid'
-         |              ELSE 'test' END AS split
+         |         ${splitSql("doc_id")} AS split
          |  FROM q)
          |SELECT lang, split, count(*) AS n_docs,
          |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
@@ -164,13 +179,12 @@ object CurationQueries {
         .withColumn("rn", row_number().over(
           Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
         .filter(col("rn") === 1) // == min(doc_id) per content hash
-      val h = TextOps.hash64(concat(lit(SplitSalt), col("doc_id"))) % 100
       deduped
         .filter(qualityCol >= 0.5)
         .select(col("lang"),
           size(ws).cast("long").as("n_tokens"),
           col("chars_redacted"),
-          when(h < 80, "train").when(h < 90, "valid").otherwise("test").as("split"))
+          splitCol(col("doc_id")).as("split"))
         .groupBy(col("lang"), col("split"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("total_tokens"),
@@ -183,19 +197,15 @@ object CurationQueries {
     QueryDef(
       "q_hash_split",
       s"""WITH assigned AS (
-         |  SELECT CASE
-         |           WHEN ${TextOps.hash64Sql(s"concat('$SplitSalt', doc_id)")} % 100 < 80 THEN 'train'
-         |           WHEN ${TextOps.hash64Sql(s"concat('$SplitSalt', doc_id)")} % 100 < 90 THEN 'valid'
-         |           ELSE 'test' END AS split,
+         |  SELECT ${splitSql("doc_id")} AS split,
          |         len(${TextOps.wordsSql("text")}) AS n_tokens
          |  FROM documents)
          |SELECT split, count(*) AS n_docs,
          |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
          |FROM assigned GROUP BY split""".stripMargin) { (s, dir) =>
-      val h = TextOps.hash64(concat(lit(SplitSalt), col("doc_id"))) % 100
       Tables.documents(s, dir)
         .select(
-          when(h < 80, "train").when(h < 90, "valid").otherwise("test").as("split"),
+          splitCol(col("doc_id")).as("split"),
           size(TextOps.words(col("text"))).cast("long").as("n_tokens"))
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
@@ -218,10 +228,6 @@ object CurationQueries {
     QueryDef(
       "q_split_leakage_safe", {
         val DQ = DedupQueries
-        def splitCase(e: String) =
-          s"""CASE WHEN ${TextOps.hash64Sql(s"concat('$SplitSalt', $e)")} % 100 < 80 THEN 'train'
-             |     WHEN ${TextOps.hash64Sql(s"concat('$SplitSalt', $e)")} % 100 < 90 THEN 'valid'
-             |     ELSE 'test' END""".stripMargin
         s"""WITH RECURSIVE ${DQ.truncatedBaseSql},
            |${Dedup.shingleSql(DQ.ShingleN)},
            |${Dedup.signatureSql},
@@ -233,8 +239,8 @@ object CurationQueries {
            |reps AS (
            |  SELECT b.id, coalesce(c.cluster, b.id) AS rep
            |  FROM base b LEFT JOIN clusters c ON c.id = b.id)
-           |SELECT id, rep, ${splitCase("rep")} AS split,
-           |       (rep != id AND ${splitCase("id")} != ${splitCase("rep")})
+           |SELECT id, rep, ${splitSql("rep")} AS split,
+           |       (rep != id AND ${splitSql("id")} != ${splitSql("rep")})
            |         AS leak_naive
            |FROM reps""".stripMargin
       }) { (s, dir) =>
@@ -242,16 +248,12 @@ object CurationQueries {
       val docs = DQ.withTruncatedCopies(s, dir)
       val clusters = DQ.verifiedClusters(s, docs)
         .select(col("node").as("id"), col("component").as("cluster"))
-      def splitOf(c: org.apache.spark.sql.Column) = {
-        val h = TextOps.hash64(concat(lit(SplitSalt), c)) % 100
-        when(h < 80, "train").when(h < 90, "valid").otherwise("test")
-      }
       docs.select(col("id"))
         .join(broadcast(clusters), Seq("id"), "left")
         .select(col("id"), coalesce(col("cluster"), col("id")).as("rep"))
-        .select(col("id"), col("rep"), splitOf(col("rep")).as("split"),
+        .select(col("id"), col("rep"), splitCol(col("rep")).as("split"),
           (col("rep") =!= col("id") &&
-            splitOf(col("id")) =!= splitOf(col("rep"))).as("leak_naive"))
+            splitCol(col("id")) =!= splitCol(col("rep"))).as("leak_naive"))
     },
 
     // Benchmark-contamination check: for every held-out (test-split) doc,
@@ -275,10 +277,7 @@ object CurationQueries {
       s"""WITH base AS (SELECT doc_id AS id, text FROM documents),
          |${graft.operators.Dedup.shingleSql(3)},
          |split AS (
-         |  SELECT doc_id AS id,
-         |         CASE WHEN ${TextOps.hash64Sql(s"concat('$SplitSalt', doc_id)")} % 100 < 80 THEN 'train'
-         |              WHEN ${TextOps.hash64Sql(s"concat('$SplitSalt', doc_id)")} % 100 < 90 THEN 'valid'
-         |              ELSE 'test' END AS split
+         |  SELECT doc_id AS id, ${splitSql("doc_id")} AS split
          |  FROM documents),
          |train_doc_n AS (
          |  SELECT count(*) AS n_train FROM split WHERE split = 'train'),
@@ -317,10 +316,7 @@ object CurationQueries {
       s"""WITH base AS (SELECT doc_id AS id, text FROM documents),
          |${graft.operators.Dedup.shingleSql(3)},
          |split AS (
-         |  SELECT doc_id AS id,
-         |         CASE WHEN ${TextOps.hash64Sql(s"concat('$SplitSalt', doc_id)")} % 100 < 80 THEN 'train'
-         |              WHEN ${TextOps.hash64Sql(s"concat('$SplitSalt', doc_id)")} % 100 < 90 THEN 'valid'
-         |              ELSE 'test' END AS split
+         |  SELECT doc_id AS id, ${splitSql("doc_id")} AS split
          |  FROM documents),
          |eval_doc_n AS (
          |  SELECT count(*) AS n_eval FROM split WHERE split = 'test'),
@@ -329,8 +325,6 @@ object CurationQueries {
          |  WHERE split = 'test' GROUP BY h),
          |eval_h AS (
          |  SELECT h FROM eval_freq, eval_doc_n WHERE nd * 10 <= n_eval),
-         |hot_h AS (
-         |  SELECT h FROM eval_freq, eval_doc_n WHERE nd * 10 > n_eval),
          |tr AS (
          |  SELECT sh.id, sh.h FROM sh JOIN split ON split.id = sh.id
          |  WHERE split.split = 'train'),
@@ -685,9 +679,8 @@ object CurationQueries {
     * docs probe, and the rounded overlap drives the drop decision.
     */
   def decontamTrain(docs: DataFrame): DataFrame = {
-    val h = TextOps.hash64(concat(lit(SplitSalt), col("doc_id"))) % 100
     val split = docs.select(col("doc_id").as("id"),
-      when(h < 80, "train").when(h < 90, "valid").otherwise("test").as("split"))
+      splitCol(col("doc_id")).as("split"))
     // sh feeds both sides — cache (at scale: persist the shingle table)
     val sh = graft.operators.Dedup.shingleHashes(
       docs.select(col("doc_id").as("id"), col("text")),
@@ -785,18 +778,21 @@ object CurationQueries {
     * query runs).
     */
   def contamination(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val h = TextOps.hash64(concat(lit(SplitSalt), col("doc_id"))) % 100
     val split = docs.select(col("doc_id").as("id"),
-      when(h < 80, "train").when(h < 90, "valid").otherwise("test").as("split"))
+      splitCol(col("doc_id")).as("split"))
     // sh feeds both sides — cache (at scale: persist the shingle table)
     val sh = graft.operators.Dedup.shingleHashes(
       docs.select(col("doc_id").as("id"), col("text")),
       col("id"), col("text"), n = 3).cache()
     val nTrain = split.filter(col("split") === "train")
       .agg(count(lit(1)).as("n_train"))
+    // trainFreq feeds BOTH trainH and hotH — cache, or the train-side
+    // join + countDistinct (the most expensive aggregation here) executes
+    // twice (decontamTrain caches its eval-side twin for the same reason)
     val trainFreq = sh.join(split.filter(col("split") === "train"), "id")
       .groupBy(col("h")).agg(countDistinct(col("id")).as("nd"))
       .crossJoin(broadcast(nTrain))
+      .cache()
     val trainH = trainFreq.filter(col("nd") * 10 <= col("n_train")).select("h")
     // tiny by construction: only shingles in >10% of ALL train docs
     val hotH = trainFreq.filter(col("nd") * 10 > col("n_train")).select("h")

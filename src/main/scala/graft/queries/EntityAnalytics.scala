@@ -73,7 +73,9 @@ object EntityAnalytics {
     },
 
     // A5: per-event EWMA, sequential per-key fold (flatMapSortedGroups);
-    // oracle uses the closed form (valid only at small SF).
+    // oracle is the exact recursive CTE (`ewmaCte` — same IEEE recurrence,
+    // bit-identical at any SF; see its doc for why the closed form was
+    // rejected).
     QueryDef(
       "q_ewma",
       s"""$ewmaCte

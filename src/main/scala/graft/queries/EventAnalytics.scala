@@ -12,6 +12,38 @@ object EventAnalytics {
 
   private val GapMin = 30L // session gap
 
+  /** The 30-min-gap session assignment — CTEs `g`/`s` and the lag +
+    * running-sum window program, shared by q_sessionization and
+    * q_interval_join_attribution on BOTH sides so a gap-constant or
+    * tie-break edit cannot fork the two queries.
+    */
+  private val sessionsSql =
+    s"""g AS (
+       |  SELECT user_id, event_id, ts,
+       |         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+       |              WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+       |                   > ${GapMin * 60L * 1000000L} THEN 1
+       |              ELSE 0 END AS is_start
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+       |s AS (
+       |  SELECT user_id, event_id, ts,
+       |         CAST(sum(is_start) OVER (PARTITION BY user_id
+       |                                  ORDER BY epoch_us(ts), event_id)
+       |              AS BIGINT) AS session_idx
+       |  FROM g)""".stripMargin
+
+  private def sessionized(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("is_start",
+        when(lag(col("ts"), 1).over(w).isNull, 1)
+          .when(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+            > GapMin * 60L * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("session_idx", sum(col("is_start")).over(w))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Sessionization: a new session starts when the gap since the user's
@@ -19,32 +51,12 @@ object EventAnalytics {
     // one shuffle on user_id, frames maintained incrementally.
     QueryDef(
       "q_sessionization",
-      s"""WITH g AS (
-         |  SELECT user_id, event_id, ts,
-         |         CASE WHEN lag(ts) OVER w IS NULL THEN 1
-         |              WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
-         |                   > ${GapMin * 60L * 1000000L} THEN 1
-         |              ELSE 0 END AS is_start
-         |  FROM events
-         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
-         |s AS (
-         |  SELECT user_id, event_id, ts,
-         |         CAST(sum(is_start) OVER (PARTITION BY user_id
-         |                                  ORDER BY epoch_us(ts), event_id)
-         |              AS BIGINT) AS session_idx
-         |  FROM g)
+      s"""WITH $sessionsSql
          |SELECT user_id, session_idx, count(*) AS n_events,
          |       CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,
          |       (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_s
          |FROM s GROUP BY user_id, session_idx""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      Tables.events(s, dir)
-        .withColumn("is_start",
-          when(lag(col("ts"), 1).over(w).isNull, 1)
-            .when(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
-              > GapMin * 60L * 1000000L, 1)
-            .otherwise(0))
-        .withColumn("session_idx", sum(col("is_start")).over(w))
+      sessionized(Tables.events(s, dir))
         .groupBy(col("user_id"), col("session_idx"))
         .agg(
           count(lit(1)).as("n_events"),
@@ -63,20 +75,7 @@ object EventAnalytics {
     // (PlanSpec-guarded against nested-loop/cartesian).
     QueryDef(
       "q_interval_join_attribution",
-      s"""WITH g AS (
-         |  SELECT user_id, event_id, ts,
-         |         CASE WHEN lag(ts) OVER w IS NULL THEN 1
-         |              WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
-         |                   > ${GapMin * 60L * 1000000L} THEN 1
-         |              ELSE 0 END AS is_start
-         |  FROM events
-         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
-         |s AS (
-         |  SELECT user_id, event_id, ts,
-         |         CAST(sum(is_start) OVER (PARTITION BY user_id
-         |                                  ORDER BY epoch_us(ts), event_id)
-         |              AS BIGINT) AS session_idx
-         |  FROM g),
+      s"""WITH $sessionsSql,
          |sess AS (
          |  SELECT user_id, session_idx, count(*) AS n_events,
          |         epoch_us(min(ts)) // 1000000 AS start_s,
@@ -88,15 +87,8 @@ object EventAnalytics {
          |FROM sess JOIN pts ON pts.user_id = sess.user_id
          |                  AND pts.ts_s BETWEEN start_s - 2700 AND end_s
          |GROUP BY sess.user_id, session_idx, n_events""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       val events = Tables.events(s, dir)
-      val sess = events
-        .withColumn("is_start",
-          when(lag(col("ts"), 1).over(w).isNull, 1)
-            .when(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
-              > GapMin * 60L * 1000000L, 1)
-            .otherwise(0))
-        .withColumn("session_idx", sum(col("is_start")).over(w))
+      val sess = sessionized(events)
         .groupBy(col("user_id"), col("session_idx"))
         .agg(count(lit(1)).as("n_events"),
           expr("unix_micros(min(ts)) div 1000000").as("start_s"),

@@ -86,7 +86,9 @@ object PackingQueries {
          |       (max(end_off) + $L - 1) // $L AS n_seqs,
          |       CAST(sum(CASE WHEN seq_last > seq_first THEN 1 ELSE 0 END) AS BIGINT)
          |         AS n_straddlers,
-         |       max(end_off) - ((max(end_off) - 1) // $L) * $L AS last_fill
+         |       CASE WHEN max(end_off) = 0 THEN 0
+         |            ELSE max(end_off) - ((max(end_off) - 1) // $L) * $L
+         |            END AS last_fill
          |FROM pm
          |GROUP BY source""".stripMargin) { (s, dir) =>
       val m = Packing.manifest(
@@ -99,7 +101,11 @@ object PackingQueries {
           expr(s"(max(end_off) + $L - 1) div $L").as("n_seqs"),
           sum(when(col("seq_last") > col("seq_first"), 1L).otherwise(0L))
             .as("n_straddlers"),
-          expr(s"max(end_off) - ((max(end_off) - 1) div $L) * $L").as("last_fill"))
+          // guard the all-zero-token source: (max-1) would put a negative
+          // operand under div, the one case truncate (Spark) and floor
+          // (DuckDB //) disagree — same hazard Packing.manifest documents
+          expr(s"CASE WHEN max(end_off) = 0 THEN 0" +
+            s" ELSE max(end_off) - ((max(end_off) - 1) div $L) * $L END").as("last_fill"))
     },
 
     // Overlapping chunk manifest (chunk = ChunkSize tokens, stride
