@@ -127,7 +127,7 @@ final class ApiServer(
     if (ex.getRequestMethod != "POST") respond(ex, 405, Json.obj("status" -> "error", "message" -> "POST required"))
     else {
       val p = queryParams(ex)
-      val profile = p.get("profile").map(_.toUpperCase)
+      val profile = p.get("profile").map(_.toUpperCase(java.util.Locale.ROOT))
       if (profile.exists(pr => !SimControl.ValidProfiles.contains(pr)))
         respond(ex, 200, Json.obj(
           "status" -> "error",
@@ -186,7 +186,7 @@ final class ApiServer(
     else {
       val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
       "\"profile\"\\s*:\\s*\"([A-Za-z]+)\"".r.findFirstMatchIn(body)
-        .map(_.group(1).toUpperCase) match {
+        .map(_.group(1).toUpperCase(java.util.Locale.ROOT)) match {
         case Some(pr) if SimControl.ValidProfiles.contains(pr) =>
           sim.setProfile(pr)
           respond(ex, 200, Json.obj(

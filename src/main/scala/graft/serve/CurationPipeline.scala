@@ -248,11 +248,20 @@ object CurationPipeline {
   private val genReads =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  private def cachedGenRead(root: String, genDir: String, kind: String,
-                            mk: => DataFrame): DataFrame = {
+  /** The cache key carries the owning SparkContext's identity: a pipeline
+    * restarted in the same JVM (new session, same indexRoot) must NOT be
+    * served a DataFrame whose plan and FileIndex belong to the STOPPED
+    * context — every micro-batch would fail on 'stopped SparkContext'
+    * until the next compaction happened to change the key. Touching a
+    * root evicts both superseded generations and stale-session entries
+    * for it.
+    */
+  private def cachedGenRead(spark: SparkSession, root: String, genDir: String,
+                            kind: String, mk: => DataFrame): DataFrame = {
+    val sess = System.identityHashCode(spark.sparkContext)
     genReads.keySet().removeIf(k =>
-      k.startsWith(root + "|") && !k.startsWith(s"$root|$genDir|"))
-    genReads.computeIfAbsent(s"$root|$genDir|$kind", _ => mk)
+      k.startsWith(root + "|") && !k.startsWith(s"$root|$genDir|$sess|"))
+    genReads.computeIfAbsent(s"$root|$genDir|$sess|$kind", _ => mk)
   }
 
   /** Read a set of tail part files with an EXPLICIT schema: an empty file
@@ -272,14 +281,22 @@ object CurationPipeline {
     partFiles(spark, dir).filterNot(absorbed.contains)
 
   /** The hash index visible to a batch: generation hashes ∪ live tail. */
-  def hashIndex(spark: SparkSession, root: String): DataFrame = {
-    val gen = currentGeneration(spark, root)
+  def hashIndex(spark: SparkSession, root: String): DataFrame =
+    hashIndex(spark, root, currentGeneration(spark, root))
+
+  /** Variant over a pre-resolved generation: admitBatch resolves the
+    * (immutable) marker ONCE per micro-batch and feeds both probes —
+    * resolving per probe doubled the gen-dir listing + marker read, fixed
+    * driver-side FS RPC latency on every batch.
+    */
+  private[serve] def hashIndex(spark: SparkSession, root: String,
+                               gen: Option[Generation]): DataFrame = {
     val tail = readFiles(spark,
       liveTail(spark, s"$root/hash_tail", gen.map(_.absorbedHash).getOrElse(Set.empty)),
       HashSchema)
     gen match {
       case Some(g) =>
-        cachedGenRead(root, g.dir, "hash",
+        cachedGenRead(spark, root, g.dir, "hash",
           spark.read.schema(StructType.fromDDL(HashSchema))
             .parquet(s"${g.dir}/hash")).unionAll(tail)
       case None => tail
@@ -296,7 +313,12 @@ object CurationPipeline {
     */
   def corpusHashHits(spark: SparkSession, root: String,
                      batchHashes: DataFrame): DataFrame =
-    hashIndex(spark, root)
+    corpusHashHits(spark, root, batchHashes, currentGeneration(spark, root))
+
+  private[serve] def corpusHashHits(spark: SparkSession, root: String,
+                                    batchHashes: DataFrame,
+                                    gen: Option[Generation]): DataFrame =
+    hashIndex(spark, root, gen)
       .join(broadcast(batchHashes.distinct()), Seq("text_hash"), "left_semi")
       .distinct()
 
@@ -307,8 +329,12 @@ object CurationPipeline {
     * the generation scan's files from the executed plan.
     */
   def corpusBandHits(spark: SparkSession, root: String,
-                     probeBands: DataFrame): DataFrame = {
-    val gen = currentGeneration(spark, root)
+                     probeBands: DataFrame): DataFrame =
+    corpusBandHits(spark, root, probeBands, currentGeneration(spark, root))
+
+  private[serve] def corpusBandHits(spark: SparkSession, root: String,
+                                    probeBands: DataFrame,
+                                    gen: Option[Generation]): DataFrame = {
     val tailBands = readFiles(spark,
       liveTail(spark, s"$root/band_tail", gen.map(_.absorbedBand).getOrElse(Set.empty)),
       BandSchema)
@@ -317,7 +343,7 @@ object CurationPipeline {
       case Some(g) =>
         // the partition column kp arrives via directory discovery; the
         // written modulus comes from the commit marker, not metadata
-        val genBands = cachedGenRead(root, g.dir, "bands",
+        val genBands = cachedGenRead(spark, root, g.dir, "bands",
           spark.read
             .schema(StructType.fromDDL(s"$BandSchema, kp INT"))
             .option("basePath", s"${g.dir}/bands")
@@ -336,11 +362,17 @@ object CurationPipeline {
   def admitBatch(spark: SparkSession, batch: DataFrame,
                  indexRoot: String, stats: Stats): Unit = {
     if (batch.isEmpty) return
-    // 1. scrub (map-only)
+    // resolve the (immutable) committed-generation marker ONCE for both
+    // probes below — per-probe resolution doubled the per-batch FS RPCs
+    val gen = currentGeneration(spark, indexRoot)
+    // 1. scrub (map-only). chars_redacted clamps at 0: a redaction token
+    // longer than the matched PII ('a@b.co' -> '<EMAIL>') would otherwise
+    // record a NEGATIVE delta and corrupt the cumulative counter.
     val scrubbed = batch
       .withColumn("redacted", PiiQueries.redactExpr(col("text")))
       .withColumn("chars_redacted",
-        (length(col("text")) - length(col("redacted"))).cast("long"))
+        greatest(lit(0L),
+          (length(col("text")) - length(col("redacted"))).cast("long")))
       .select(col("doc_id"), col("redacted").as("text"), col("chars_redacted"))
       .withColumn("text_hash", md5(col("text")))
       .localCheckpoint() // several consumers below; the batch is micro-sized
@@ -350,7 +382,7 @@ object CurationPipeline {
     // 2b. corpus exact: index ⋉ broadcast(batch hashes) — the corpus side
     // is scanned in place (no distinct, no shuffle); output ≤ batch size
     val corpusHits = corpusHashHits(spark, indexRoot,
-        scrubbed.select(col("text_hash")))
+        scrubbed.select(col("text_hash")), gen)
       .withColumn("__in_corpus", lit(true))
     val flagged = scrubbed
       .join(keeper, "text_hash")
@@ -371,7 +403,7 @@ object CurationPipeline {
       .select(col("b").as("doc_id")).distinct()
       .withColumn("__near_batch", lit(true))
     // 3b. corpus: any band hit against generation + tail indexes
-    val nearHit = corpusBandHits(spark, indexRoot, probeBands)
+    val nearHit = corpusBandHits(spark, indexRoot, probeBands, gen)
       .select(col("b").as("doc_id")).distinct()
       .withColumn("__near", lit(true))
     val decided = flagged
@@ -389,8 +421,11 @@ object CurationPipeline {
     if (!admitted.isEmpty) {
       admitted.select(col("text_hash"))
         .write.mode("append").parquet(s"$indexRoot/hash_tail")
-      val newBands = Dedup.bandKeys(Dedup.minhashSignaturesRowwise(
-        admitted, col("doc_id"), col("text"), ShingleN))
+      // probeBands (already checkpointed) holds exactly the survivors'
+      // band rows — recomputing shingles + minhash over admitted texts
+      // would pay the dominant per-doc cost twice per batch
+      val newBands = probeBands.join(
+        broadcast(admitted.select(col("doc_id").as("id"))), Seq("id"), "left_semi")
       // all-short-doc batches produce no band rows; an empty append would
       // leave a schema-less directory behind
       if (!newBands.isEmpty) newBands.write.mode("append").parquet(s"$indexRoot/band_tail")

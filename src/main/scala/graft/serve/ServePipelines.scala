@@ -126,12 +126,23 @@ object ServePipelines {
     private val simQueryIds =
       java.util.concurrent.ConcurrentHashMap.newKeySet[java.util.UUID]()
 
+    /** Unique tag in this sim's generator query NAMES: ids are only known
+      * after start(), so registering post-start raced the first progress
+      * event (fired before the add → its events silently dropped).
+      * onQueryStarted is delivered synchronously WITH start(), so matching
+      * the name there closes the window; the tag scopes it to this sim.
+      */
+    private val simTag = java.util.UUID.randomUUID().toString.take(8)
+
     // scoped to THIS sim's generators (progress events on a session are
     // global, and another SparkSim on the same session must not
     // cross-count) and removed on stop so recreated sims don't leak dead
     // listeners
     private val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
-      override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit =
+        if (e.name != null && e.name.startsWith(s"sim_${simTag}_")) {
+          simQueryIds.add(e.id); ()
+        }
       override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
       override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
         if (simQueryIds.contains(e.progress.id)) {
@@ -157,6 +168,7 @@ object ServePipelines {
         .observe("sim_events", count(lit(1)).as("rows"))
         .as[EntityEvent]
       val q = events.writeStream
+        .queryName(s"sim_${simTag}_gen_$generation")
         .outputMode("append")
         .foreachBatch { (batch: Dataset[EntityEvent], _: Long) =>
           val evs = batch.collect()
@@ -164,7 +176,7 @@ object ServePipelines {
           ()
         }
         .start()
-      simQueryIds.add(q.id)
+      simQueryIds.add(q.id) // idempotent belt-and-braces with onQueryStarted
       q
     }
 

@@ -81,9 +81,21 @@ object Simulator {
                         profile: String = "SASE", seed: Long = 42L,
                         idxOffset: Long = 0L): DataFrame = {
     val idx = col("value") + lit(idxOffset)
-    spark.readStream.format("rate")
-      .option("rowsPerSecond", math.max(1L, math.round(rps)))
+    // the rate source takes an INTEGER rowsPerSecond: round() silently
+    // turned rps=0.2 into 1 event/s (5x the configured rate) while the
+    // serving surface kept reporting 0.2. Ceil instead, then THIN
+    // deterministically down to the requested rate — integer rates are
+    // untouched (rps == rows → no filter)
+    val rows = math.max(1L, math.ceil(rps).toLong)
+    val base = spark.readStream.format("rate")
+      .option("rowsPerSecond", rows)
       .load()
+    val thinned =
+      if (rps >= rows) base
+      else base.filter(
+        abs(xxhash64(col("value") + lit(idxOffset), lit("thin"), lit(seed))) % 1000000L
+          < math.round(rps / rows * 1000000L))
+    thinned
       .select(eventColumns(seed, profile, idx,
         (unix_micros(col("timestamp")) / 1000L).cast("long"), latenessSec): _*)
       .drop("profile", "tags")
