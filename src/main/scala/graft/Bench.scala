@@ -184,7 +184,7 @@ object Bench {
     def sentinelSample(atQuery: Int): Boolean =
       try {
         val s = sentinelOnce(spark)
-        sentinelSeries += ((atQuery, s))
+        emitLock.synchronized { sentinelSeries += ((atQuery, s)) }
         sentinelBest = sentinelBest.min(s)
         s >= 2.0 * sentinelBest
       } catch {
@@ -198,7 +198,7 @@ object Bench {
       try {
         sentinelOnce(spark) // discard first (JIT)
         sentinelBest = (1 to 3).map(_ => sentinelOnce(spark)).min
-        sentinelSeries += ((0, sentinelBest))
+        emitLock.synchronized { sentinelSeries += ((0, sentinelBest)) }
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] sentinel baseline failed: ${e.getMessage}")
@@ -210,7 +210,7 @@ object Bench {
           if (drifted) {
             // load was already present while [blockStart, idx) ran — the
             // drifted sample equally indicts the block just finished
-            (blockStart until idx).foreach(suspectIdx += _)
+            emitLock.synchronized { (blockStart until idx).foreach(suspectIdx += _) }
           }
           blockLoaded = drifted
           blockStart = idx
@@ -240,13 +240,19 @@ object Bench {
             try spark.catalog.clearCache() catch { case _: Throwable => () }
             Left("error")
           }
-        results += (name -> r)
+        // under emitLock: the shutdown hook's emit() snapshots these
+        // collections mid-run — an unsynchronized append during an
+        // ArrayBuffer resize would crash the hook and lose the partial
+        // artifact it exists to save
+        emitLock.synchronized { results += (name -> r) }
       }
       // closing sentinel sample — retroactive evidence for the tail block
       // (queries after the last every-N sample have no following sentinel,
       // so a drifted closing sample is their only load evidence)
       if (sentinelSample(selected.size)) {
-        (blockStart until selected.size).foreach(suspectIdx += _)
+        emitLock.synchronized {
+          (blockStart until selected.size).foreach(suspectIdx += _)
+        }
       }
       emit(aborted = false)
     } finally {

@@ -19,9 +19,14 @@ object Explain {
     val df = SparkEntry.queries(name)(spark, sfDir)
     val tBuild = (System.nanoTime() - t0) / 1e9
     df.explain("formatted")
+    // noop sink, not count(): count lets Catalyst column-prune expensive
+    // final projections, under-measuring the plan this tool exists to
+    // inspect (the same reasoning as Bench's materialization)
     val t1 = System.nanoTime()
+    df.write.format("noop").mode("overwrite").save()
+    val tExec = (System.nanoTime() - t1) / 1e9
     val n = df.count()
-    println(f"rows=$n build=${tBuild}%.2fs count=${(System.nanoTime() - t1) / 1e9}%.2fs total=${tBuild + (System.nanoTime() - t1) / 1e9}%.2fs")
+    println(f"rows=$n build=${tBuild}%.2fs exec=${tExec}%.2fs total=${tBuild + tExec}%.2fs")
     spark.stop()
   }
 }

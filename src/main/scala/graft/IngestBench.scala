@@ -43,6 +43,12 @@ object IngestBench {
     val batchSize = if (args.length > 1) args(1).toInt else 1000
     val nBatches = if (args.length > 2) args(2).toInt else 12
     val cores = if (args.length > 3) args(3).toInt else 16
+    // the dup/near-dup batch slices draw from seeded ids < 3100, and the
+    // steady-state stats drop the first (warm-up) batch: smaller args
+    // would silently bench a 90/10/0 mix, or crash pct() on an empty set
+    require(indexDocs >= 3100,
+      s"indexDocs=$indexDocs < 3100: the exact/near-dup slices would miss the corpus")
+    require(nBatches >= 2, s"nBatches=$nBatches: need >= 2 (first batch is warm-up)")
     val spark = Sessions.batch("graft-ingest-bench", cores)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -100,7 +106,10 @@ object IngestBench {
       val steady = times.drop(1).map(_.toDouble)
       val totalDocs = (nBatches - 1).toLong * batchSize
       val docsPerSec = totalDocs / (steady.sum / 1000.0)
-      f"""{"first_ms":${times.head}%.0f,"p50_ms":${pct(steady, 0.5)}%.0f,"p95_ms":${pct(steady, 0.95)}%.0f,"docs_per_sec":$docsPerSec%.0f,"admitted":${stats.admitted.get},"rejected_exact":${stats.rejectedExactCorpus.get},"rejected_near":${stats.rejectedNearDup.get},"rejected_near_batch":${stats.rejectedNearDupBatch.get}}"""
+      // Locale.ROOT: the default-locale f-interpolator renders a decimal
+      // comma on e.g. de_DE JVMs — malformed JSON
+      def f0(d: Double) = String.format(java.util.Locale.ROOT, "%.0f", Double.box(d))
+      s"""{"first_ms":${f0(times.head)},"p50_ms":${f0(pct(steady, 0.5))},"p95_ms":${f0(pct(steady, 0.95))},"docs_per_sec":${f0(docsPerSec)},"admitted":${stats.admitted.get},"rejected_exact":${stats.rejectedExactCorpus.get},"rejected_near":${stats.rejectedNearDup.get},"rejected_near_batch":${stats.rejectedNearDupBatch.get}}"""
     }
 
     val tailJson = run("tail")

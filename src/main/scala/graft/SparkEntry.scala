@@ -49,8 +49,15 @@ object SparkEntry {
   }
 
   /** One per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    // toMap over 20 concatenated module lists keeps only the LAST entry
+    // per name: a duplicate across modules would silently drop one
+    // implementation from both the bench and the correctness dump — the
+    // operator vanishes from the round artifacts with no error anywhere
+    val dups = allDefs.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query names across modules: ${dups.mkString(", ")}")
     allDefs.map(d => d.name -> d.query).toMap
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.

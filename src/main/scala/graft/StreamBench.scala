@@ -30,6 +30,14 @@ import graft.streaming.{CdpEvent, CdpPipeline, EntityEvent, EntityPipeline}
   */
 object StreamBench {
 
+  /** Locale-independent fixed-point formatting for the JSON artifacts:
+    * the f-interpolator uses the default JVM locale, which renders a
+    * decimal COMMA on e.g. de_DE — malformed JSON the round driver's
+    * json.load rejects (same bug class CurationPipeline.f4 documents).
+    */
+  private def fmt(d: Double, dec: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(d))
+
   /** Regression floors (events/s) at the standard config (>=100k events,
     * 20k batches, <=8 state partitions): measured healthy numbers are
     * ~21k CDP / ~38k entity on this box, so a run below floor means a
@@ -57,6 +65,10 @@ object StreamBench {
   def stateProbe(n: Int, cores: Int): Unit = {
     val spark = Sessions.streaming("stream-state-probe", cores)
     spark.conf.set("spark.sql.shuffle.partitions", 8)
+    // recentProgress defaults to the LAST 100 entries: a run with more
+    // micro-batches would silently average only the late (largest-state)
+    // batches — biasing the exact per-batch-cost curve this probe defends
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
     implicit val sq = spark.sqlContext
@@ -92,7 +104,7 @@ object StreamBench {
       val avgUpdateMs = if (ops.isEmpty) 0.0 else ops.map(_.allUpdatesTimeMs).sum.toDouble / progs.length
       val avgCommitMs = if (ops.isEmpty) 0.0 else ops.map(_.commitTimeMs).sum.toDouble / progs.length
       query.stop()
-      println(f"""{"metric":"cdp_state_scale","profiles":$profiles,"events":$n,"events_per_sec":${n / secs}%.0f,"state_rows":${sumLast(_.numRowsTotal)},"state_memory_bytes":${sumLast(_.memoryUsedBytes)},"rocksdb_sst_bytes":$sst,"avg_update_ms_per_batch":$avgUpdateMs%.0f,"avg_commit_ms_per_batch":$avgCommitMs%.0f,"batches":${progs.length}}""")
+      println(s"""{"metric":"cdp_state_scale","profiles":$profiles,"events":$n,"events_per_sec":${fmt(n / secs, 0)},"state_rows":${sumLast(_.numRowsTotal)},"state_memory_bytes":${sumLast(_.memoryUsedBytes)},"rocksdb_sst_bytes":$sst,"avg_update_ms_per_batch":${fmt(avgUpdateMs, 0)},"avg_commit_ms_per_batch":${fmt(avgCommitMs, 0)},"batches":${progs.length}}""")
     }
     spark.stop()
   }
@@ -257,9 +269,9 @@ object StreamBench {
     val sentBest = sentinels.min
     val sentWorst = sentinels.max
     val loadSuspect = sentWorst >= 2.0 * sentBest
-    val sentSeries = sentinels.map(v => f"$v%.3f").mkString("[", ",", "]")
+    val sentSeries = sentinels.map(v => fmt(v, 3)).mkString("[", ",", "]")
 
-    println(f"""{"metric":"stream_throughput","events":$n,"batch_size":$batchSize,"cdp_seconds":${secs}%.2f,"cdp_events_per_sec":${n / secs}%.0f,"segment_events":$emitted,"entity_seconds":${esecs}%.2f,"entity_events_per_sec":${n / esecs}%.0f,"alerts":$alerts,"identity_edges":$nEdges,"identity_batches":${batches.length},"identity_sec_per_batch":${isecs / nIdBatches}%.2f,"identity_edges_per_sec":${nEdges / math.max(isecs, 1e-9)}%.0f,"identity_mapped":$mapped,"best_cdp_events_per_sec":${bestCdp}%.0f,"best_entity_events_per_sec":${bestEntity}%.0f,"attempts":$attempt,"floor_cdp":${cdpFloor}%.0f,"floor_entity":${entityFloor}%.0f,"floor_active":$guardActive,"below_floor":$belowFloor,"sentinel":{"best":${sentBest}%.3f,"worst":${sentWorst}%.3f,"series":$sentSeries},"load_suspect":$loadSuspect}""")
+    println(s"""{"metric":"stream_throughput","events":$n,"batch_size":$batchSize,"cdp_seconds":${fmt(secs, 2)},"cdp_events_per_sec":${fmt(n / secs, 0)},"segment_events":$emitted,"entity_seconds":${fmt(esecs, 2)},"entity_events_per_sec":${fmt(n / esecs, 0)},"alerts":$alerts,"identity_edges":$nEdges,"identity_batches":${batches.length},"identity_sec_per_batch":${fmt(isecs / nIdBatches, 2)},"identity_edges_per_sec":${fmt(nEdges / math.max(isecs, 1e-9), 0)},"identity_mapped":$mapped,"best_cdp_events_per_sec":${fmt(bestCdp, 0)},"best_entity_events_per_sec":${fmt(bestEntity, 0)},"attempts":$attempt,"floor_cdp":${fmt(cdpFloor, 0)},"floor_entity":${fmt(entityFloor, 0)},"floor_active":$guardActive,"below_floor":$belowFloor,"sentinel":{"best":${fmt(sentBest, 3)},"worst":${fmt(sentWorst, 3)},"series":$sentSeries},"load_suspect":$loadSuspect}""")
     spark.stop()
     if (belowFloor && loadSuspect) {
       System.err.println(f"[streambench] below floor after $attempt attempts " +

@@ -78,8 +78,17 @@ object Tables {
                   "epoch in s/ms/us/ns; refusing to guess the unit")
             case _ => TsNative
           }
-        // the footer says TIMESTAMP(NANOS): legacy long path
-        case scala.util.Failure(_) => TsNanosFooter
+        // Only an exception that actually NAMES the NANOS annotation is
+        // footer evidence — treating ANY first-read failure as NANOS
+        // would, after a transient FS error on a plain-µs table, cache a
+        // silent 1000× timestamp scaling (the exact corruption this
+        // probe exists to refuse). Anything else propagates.
+        case scala.util.Failure(e) =>
+          def msgs(t: Throwable): Seq[String] =
+            if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+          if (msgs(e).exists(m => m.contains("NANOS") || m.contains("nanosAsLong")))
+            TsNanosFooter
+          else throw e
       }
     })
     unit match {

@@ -32,6 +32,16 @@ object Verify {
         filters.isEmpty || filters.exists(name.contains) }
       .map { case (name, fn) =>
       Future {
+        // a PRIOR run's dump must not survive a failed query: mode
+        // "overwrite" only replaces on success, so without this delete a
+        // crash would leave stale parquet in a reused outDir and the
+        // correctness compare would silently pass on old results — the
+        // failed query must show up as "no spark output"
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(s"$outDir/$name"))
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
