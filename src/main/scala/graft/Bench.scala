@@ -158,6 +158,23 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
       }
+      // Round-stamped copy (r10 lesson: per-query round-over-round diffs
+      // required git archaeology on BENCH_LOCAL.json). Round = env override,
+      // else max driver stamp BENCH_r<N>.json + 1 (the driver writes its
+      // stamp AFTER the run, so during round N the max on disk is N-1).
+      try {
+        val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).getOrElse {
+          val re = """BENCH_r(\d+)\.json""".r
+          val stamps = Option(new java.io.File(".").list()).getOrElse(Array.empty)
+            .collect { case re(n) => n.toInt }
+          if (stamps.isEmpty) 0 else stamps.max + 1
+        }
+        if (round > 0 && filters.isEmpty)
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(f"BENCH_LOCAL_r$round%02d.json"), full + "\n")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write round-stamped copy: ${e.getMessage}")
+      }
       val hottest = snap.collect { case (k, Right(v)) => (k, v.median) }
         .sortBy(-_._2).take(5)
         .map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")

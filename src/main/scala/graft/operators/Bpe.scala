@@ -68,35 +68,56 @@ object Bpe {
     * greedy but odd runs ≥ 5 place the unpaired symbol mid-run
     * ('a a a a a' → [aa, a, aa]) where Sennrich's scan leaves it last
     * ([aa, aa, a]) — a documented positional deviation, identical in both
-    * engines. A round with no pairs left (exhausted vocab) has an EMPTY
-    * best table; the left join + coalesce makes that round a no-op
-    * instead of annihilating the dictionary through a cross join.
+    * engines. The winner is a LITERAL pair: one row per round, collected
+    * on the driver (bounded by construction, the Packing-subtotals
+    * precedent), so each round's plan is one flat codegen'd select
+    * instead of a per-round broadcast join whose replace-nesting
+    * compounds through a 6-round lazy chain (the r10 3.5× regression).
+    */
+  def applyMergeLit(dict: DataFrame, l: String, r: String): DataFrame = {
+    val pat = lit(s" $l $r ")
+    val rep = lit(s" $l$r ")
+    dict.select(col("word"),
+      replace(replace(col("s"), pat, rep), pat, rep).as("s"),
+      col("cnt"))
+  }
+
+  /** DataFrame-best variant for spec-level semantics tests; `best` holds
+    * 0 or 1 rows (an empty best table — exhausted vocab — is a no-op).
     */
   def applyMerge(dict: DataFrame, best: DataFrame): DataFrame =
-    dict.join(broadcast(best.select(col("l").as("bl"), col("r").as("br"))),
-        lit(true), "left")
-      .select(col("word"),
-        coalesce(
-          expr("replace(replace(s, concat(' ', bl, ' ', br, ' '), concat(' ', bl, br, ' '))," +
-            " concat(' ', bl, ' ', br, ' '), concat(' ', bl, br, ' '))"),
-          col("s")).as("s"),
-        col("cnt"))
+    best.select(col("l"), col("r")).collect().headOption match {
+      case Some(row) => applyMergeLit(dict, row.getString(0), row.getString(1))
+      case None      => dict
+    }
 
   /** Run `Rounds` merge rounds. Returns (merges, finalDict):
     * merges = (merge_round, left_sym, right_sym, merged, cnt), one row
     * per round; finalDict = (word, s, cnt) after all merges.
+    *
+    * Each round's winner is ONE row — it is collected and fed forward as
+    * literals, so the final dictionary's plan is the cached word-count
+    * scan plus `Rounds` flat selects (no join chain, no re-derived
+    * winners), and the merge table is a driver-built local relation. The
+    * only corpus-scan stage remains `dictionary`; every collect here is
+    * vocab-pair-argmax-sized (≤1 row per round).
     */
   def train(documents: DataFrame): (DataFrame, DataFrame) = {
+    val spark = documents.sparkSession
+    import spark.implicits._
     val d0 = dictionary(documents).cache()
-    val (merges, dFinal) = (1 to Rounds).foldLeft(
-      (Seq.empty[DataFrame], d0)) { case ((acc, d), r) =>
-      val best = bestPair(pairCounts(d)).cache()
-      val row = best.select(lit(r).as("merge_round"),
-        col("l").as("left_sym"), col("r").as("right_sym"),
-        concat(col("l"), col("r")).as("merged"), col("cnt"))
-      (acc :+ row, applyMerge(d, best))
+    var d = d0
+    val winners = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (r <- 1 to Rounds) {
+      bestPair(pairCounts(d)).collect().headOption.foreach { w =>
+        val (l, rr, cnt) = (w.getString(0), w.getString(1), w.getLong(2))
+        winners += ((r, l, rr, l + rr, cnt))
+        d = applyMergeLit(d, l, rr)
+      }
     }
-    (merges.reduce(_ unionAll _), dFinal)
+    val merges = winners.result()
+      .toDF("merge_round", "left_sym", "right_sym", "merged", "cnt")
+    (merges, d)
   }
 
   // ------------------------------------------------------------ oracle SQL
