@@ -8,13 +8,14 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata, and run decode / feature-extract /
   * frame-sample as partition-local batch operators.
   *
-  * The decode step itself is STUBBED (this container has no image/audio
-  * codecs): `StubDecoder` derives deterministic pseudo-metadata from the
-  * bytes' md5. Everything around it — the schema contract, the
-  * mapPartitions batch shape (decoder state initialized once per
-  * partition, rows streamed through it), the partitioning — is the real
-  * 100 TB plumbing: swap `StubDecoder.decode` for a JNI/FFmpeg call and
-  * nothing else changes.
+  * Image decode (`ImageIoDecoder`) and audio decode (`WavCodec`) are REAL
+  * JDK codec paths; only video remains stubbed (no JDK video codec —
+  * environmental). `StubDecoder` derives deterministic pseudo-metadata
+  * from the bytes' md5 for the mixed-media oracle queries. Everything
+  * around the decoders — the schema contract, the mapPartitions batch
+  * shape (decoder state initialized once per partition, rows streamed
+  * through it), the partitioning — is the real 100 TB plumbing: swap in a
+  * JNI/FFmpeg call for video and nothing else changes.
   */
 object Multimodal {
 
@@ -65,8 +66,8 @@ object Multimodal {
   /** REAL image decode via `javax.imageio` — PNG/JPEG/BMP/GIF ship with
     * the JDK, zero external jars, fully headless. Dimensions come from the
     * actual decoded raster, so this is a working production decode path
-    * for the still-image media types; only video/audio remain stubbed
-    * (no codecs in the JDK). Corrupt or unsupported bytes fail LOUDLY
+    * for the still-image media types (audio has its own real path in
+    * `WavCodec`). Corrupt or unsupported bytes fail LOUDLY
     * (ImageIO returns null, we throw) — a curation pipeline must count
     * undecodable assets, not silently fabricate metadata for them.
     */
@@ -106,6 +107,111 @@ object Multimodal {
       javax.imageio.ImageIO.write(out, "png", bos)
       (bos.toByteArray, ow, oh)
     }
+  }
+
+  /** Features from a real audio decode: container-level metadata plus two
+    * content statistics (peak amplitude, sum of absolute sample values)
+    * computed from the actual decoded PCM stream — so an oracle replaying
+    * the synth arithmetic breaks if the decode ever misparses a byte.
+    */
+  case class AudioFeatures(
+      asset_id: Long,
+      sample_rate: Int,
+      channels: Int,
+      n_frames: Long,
+      duration_ms: Long,
+      peak_amp: Int,
+      sum_abs: Long)
+
+  /** REAL audio codec via `javax.sound.sampled` — WAV/PCM ships with the
+    * JDK (pure container parsing, no audio hardware needed), zero external
+    * jars. With this, image AND audio columns are real decode paths;
+    * only video remains stubbed (no JDK video codec — environmental).
+    * Corrupt or non-PCM bytes fail LOUDLY, same posture as ImageIoDecoder.
+    */
+  object WavCodec {
+
+    /** Deterministic 16-bit PCM: sample i is
+      * `((assetId*31 + i*17) mod 65536) - 32768` — pure integer
+      * arithmetic an oracle can replay per sample.
+      */
+    def synthPcm16(assetId: Long, totalSamples: Int): Array[Byte] = {
+      val pcm = new Array[Byte](totalSamples * 2)
+      var i = 0
+      while (i < totalSamples) {
+        val s = (((assetId * 31L + i.toLong * 17L) % 65536L) - 32768L).toInt
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      pcm
+    }
+
+    /** Wrap raw 16-bit little-endian signed PCM in a real WAV container
+      * (AudioSystem writes the RIFF header + fmt/data chunks).
+      */
+    def encodePcm16(pcm: Array[Byte], sampleRate: Int, channels: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(
+        sampleRate.toFloat, 16, channels, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt,
+        (pcm.length / fmt.getFrameSize).toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** Real decode: AudioSystem parses the container, then every PCM
+      * sample is read and folded into peak/sum statistics. Refuses
+      * anything that is not 16-bit little-endian signed PCM rather than
+      * guessing at a sample layout it would silently misread.
+      */
+    def decode(assetId: Long, payload: Array[Byte]): AudioFeatures = {
+      val ais =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        catch { case e: javax.sound.sampled.UnsupportedAudioFileException =>
+          throw new IllegalArgumentException(
+            s"asset $assetId (${payload.length} bytes): not a decodable audio container", e)
+        }
+      try {
+        val fmt = ais.getFormat
+        require(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+            && fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+          s"asset $assetId: unsupported audio format $fmt (need 16-bit LE signed PCM)")
+        val nFrames = ais.getFrameLength
+        val bytes = ais.readAllBytes()
+        var i = 0; var peak = 0; var sum = 0L
+        while (i + 1 < bytes.length) {
+          val s = (bytes(i) & 0xff) | (bytes(i + 1).toInt << 8)
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          sum += a
+          i += 2
+        }
+        val sr = fmt.getSampleRate.toInt
+        AudioFeatures(assetId, sr, fmt.getChannels, nFrames,
+          nFrames * 1000L / sr, peak, sum)
+      } finally ais.close()
+    }
+  }
+
+  /** Partition-local batch audio decode — the audio twin of
+    * `decodeFeatures`: same mapPartitions shape, decoder state per
+    * partition, rows streamed through the real WAV parser.
+    */
+  def decodeAudioFeatures(spark: SparkSession, assets: DataFrame): DataFrame = {
+    import spark.implicits._
+    assets.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          require(bytes != null, s"asset $id: null audio payload")
+          WavCodec.decode(id, bytes)
+        }
+      }
+      .toDF()
   }
 
   /** Per-frame fan-out: one row per sampled frame, ready for per-frame

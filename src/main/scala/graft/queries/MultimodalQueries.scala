@@ -136,6 +136,55 @@ object MultimodalQueries {
       feats.join(resized, "asset_id")
     },
 
+    // REAL audio decode, oracle-gated: deterministic 16-bit PCM is
+    // synthesized per-partition (sample i of asset a is
+    // ((a*31 + i*17) mod 65536) - 32768, pure integer arithmetic), wrapped
+    // in a real WAV container by AudioSystem, then the full production
+    // audio path runs on genuine bytes — container parse, format checks,
+    // frame count from the parsed header, peak/sum statistics folded over
+    // the actual decoded PCM stream. The oracle replays only the synth
+    // arithmetic; a misparsed header, wrong endianness, or off-by-one in
+    // the sample loop breaks the hash.
+    QueryDef(
+      "q_multimodal_real_audio",
+      """WITH d AS (
+        |  SELECT doc_id AS asset_id,
+        |         CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS sample_rate,
+        |         CAST(1 + (doc_id // 5) % 2 AS INT) AS channels,
+        |         100 + doc_id % 400 AS nf
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |s AS (
+        |  SELECT asset_id, sample_rate, channels, nf,
+        |         UNNEST(range(0, nf * channels)) AS i
+        |  FROM d),
+        |a AS (
+        |  SELECT asset_id, sample_rate, channels, nf,
+        |         abs(((asset_id * 31 + i * 17) % 65536) - 32768) AS amp
+        |  FROM s)
+        |SELECT asset_id, CAST(sample_rate AS INT) AS sample_rate,
+        |       CAST(channels AS INT) AS channels,
+        |       CAST(nf AS BIGINT) AS n_frames,
+        |       CAST(nf * 1000 // sample_rate AS BIGINT) AS duration_ms,
+        |       CAST(max(amp) AS INT) AS peak_amp,
+        |       CAST(sum(amp) AS BIGINT) AS sum_abs
+        |FROM a
+        |GROUP BY asset_id, sample_rate, channels, nf""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val wavs = Tables.documents(s, dir)
+        .filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val sr = if (id % 2 == 0) 8000 else 16000
+            val ch = (1 + (id / 5) % 2).toInt
+            val nf = (100 + id % 400).toInt
+            val pcm = Multimodal.WavCodec.synthPcm16(id, nf * ch)
+            (id, Multimodal.WavCodec.encodePcm16(pcm, sr, ch))
+          }
+        }.toDF("asset_id", "payload")
+      Multimodal.decodeAudioFeatures(s, wavs)
+    },
+
     // Resize plan: bounding-box 224 preserving aspect ratio, integer
     // arithmetic only — the dims a real codec would be handed.
     QueryDef(

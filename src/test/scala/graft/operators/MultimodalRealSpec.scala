@@ -50,6 +50,58 @@ class MultimodalRealSpec extends SparkSpec {
     assert(e.getMessage.contains("asset 9"))
   }
 
+  test("WavCodec round-trips real WAV bytes with exact sample statistics") {
+    // hand-checkable 4-sample mono clip: s(i) = ((7*31 + i*17) % 65536) - 32768
+    //   i=0: 217-32768 = -32551; i=1: -32534; i=2: -32517; i=3: -32500
+    val pcm = Multimodal.WavCodec.synthPcm16(7L, 4)
+    val wav = Multimodal.WavCodec.encodePcm16(pcm, 8000, 1)
+    // a real RIFF/WAVE container came out
+    assert(new String(wav.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val f = Multimodal.WavCodec.decode(7L, wav)
+    assert(f.sample_rate == 8000 && f.channels == 1 && f.n_frames == 4L)
+    assert(f.duration_ms == 0L) // 4 frames * 1000 / 8000 rounds down
+    assert(f.peak_amp == 32551)
+    assert(f.sum_abs == 32551L + 32534L + 32517L + 32500L)
+  }
+
+  test("WavCodec handles stereo through the decodeAudioFeatures plumbing") {
+    import org.apache.spark.sql.functions._
+    val rows = Seq(11L, 12L).map { id =>
+      val (sr, ch, nf) = (16000, 2, 50)
+      val wav = Multimodal.WavCodec.encodePcm16(
+        Multimodal.WavCodec.synthPcm16(id, nf * ch), sr, ch)
+      (id, wav)
+    }
+    val df = spark.createDataFrame(rows).toDF("asset_id", "payload")
+      .repartition(2)
+    val got = Multimodal.decodeAudioFeatures(spark, df)
+      .select("asset_id", "sample_rate", "channels", "n_frames", "duration_ms")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // 50 frames at 16 kHz = 3.125 ms -> 3 ms integer
+    assert(got == Set((11L, 16000, 2, 50L, 3L), (12L, 16000, 2, 50L, 3L)))
+  }
+
+  test("WavCodec fails loudly on garbage and on non-16-bit PCM") {
+    val e1 = intercept[IllegalArgumentException] {
+      Multimodal.WavCodec.decode(9L, Array[Byte](1, 2, 3, 4))
+    }
+    assert(e1.getMessage.contains("asset 9"))
+    // an 8-bit WAV is a valid container but the wrong sample layout:
+    // refuse rather than misread
+    val fmt8 = new javax.sound.sampled.AudioFormat(8000f, 8, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(Array[Byte](1, 2, 3, 4)), fmt8, 4L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val e2 = intercept[IllegalArgumentException] {
+      Multimodal.WavCodec.decode(10L, bos.toByteArray)
+    }
+    assert(e2.getMessage.contains("unsupported audio format"))
+  }
+
   test("real resize matches resizePlan's dims and preserves pixel content") {
     import org.apache.spark.sql.functions._
     val bytes = imageBytes(200, 100, 0x00ff00, "png")
