@@ -72,6 +72,7 @@ object CurationQueries {
     */
   private val FunnelExactOff = 100000L
   private val FunnelTruncOff = 200000L
+  private val FunnelExcerptOff = 300000L
 
   /** 55 unique boilerplate tokens appended IN PLACE to every 13th doc of
     * the funnel corpus: boilerplated docs share a 55-token verbatim run
@@ -598,17 +599,22 @@ object CurationQueries {
     // The curation FUNNEL: the complete dedup-attrition pipeline as one
     // declarative DAG — raw corpus → exact dedup (md5 keep-min) → verified
     // near-dup survivors (MinHash LSH → Jaccard verify → connected
-    // components → per-cluster keeper) → ExactSubstr span cut (>=50-token
-    // verbatim runs removed, sub-20-token remnants dropped) → quality cut
+    // components → per-cluster keeper) → containment cut (>=80% of a doc's
+    // cool shingles inside a larger survivor — the quote-inclusion shape
+    // Jaccard misses at ~0.2) → ExactSubstr span cut (>=50-token verbatim
+    // runs removed, sub-20-token remnants dropped) → quality cut
     // — reporting per-stage doc and token counts, the attrition report a
     // data team reads before a training run. Every stage reuses the
     // standalone operator's exact contract (verifiedClusters,
-    // spanSurvivors, qualityCol — and their SQL twins), so the funnel IS
-    // the composition proof. Input is the combined variant corpus (exact
-    // copies, truncated halves, and in-place 55-token boilerplate tails —
-    // see FunnelBp) so each stage has real work to do, and in particular
-    // the span stage trims shared boilerplate the near-dup stage cannot
-    // see. Token counts after the span stage
+    // containmentDrops, spanSurvivors, qualityCol — and their SQL twins),
+    // so the funnel IS the composition proof. Input is the combined
+    // variant corpus (exact copies, truncated halves, first-fifth
+    // excerpts, and in-place 55-token boilerplate tails — see FunnelBp) so
+    // each stage has real work to do: the excerpts sail through near-dup
+    // (Jaccard ~0.2 < 0.35) and die at containment; the boilerplate
+    // survives BOTH dedup stages (hot-shingle cut keeps it out of the
+    // containment measure) and gets trimmed by the span stage.
+    // Token counts after the span stage
     // are POST-CUT tokens. At 100 TB: each stage's survivor set is either
     // map-side-filtered (exact/quality) or derived from a broadcastable
     // near-dup-sized mapping — the funnel costs one LSH pass plus one
@@ -633,7 +639,12 @@ object CurationQueries {
            |  UNION ALL
            |  SELECT doc_id + $FunnelTruncOff,
            |         array_to_string(ws[1:CAST(ceil(len(ws) / 2.0) AS INT)], ' ')
-           |  FROM (SELECT doc_id, $ws AS ws FROM src WHERE doc_id % 5 = 0)),
+           |  FROM (SELECT doc_id, $ws AS ws FROM src WHERE doc_id % 5 = 0)
+           |  UNION ALL
+           |  SELECT doc_id + $FunnelExcerptOff,
+           |         array_to_string(ws[1:CAST(ceil(len(ws) / 5.0) AS INT)], ' ')
+           |  FROM (SELECT doc_id, $ws AS ws FROM src WHERE doc_id % 7 = 0)
+           |  WHERE len(ws) >= ${DQ.ExcerptMinWords}),
            |keep1 AS (SELECT min(id) AS id FROM corpus GROUP BY md5(text)),
            |base AS MATERIALIZED (
            |  SELECT c.id, c.text FROM corpus c JOIN keep1 USING (id)),
@@ -650,24 +661,30 @@ object CurationQueries {
            |  LEFT JOIN clusters c ON c.id = b.id
            |  LEFT JOIN keepers k ON k.cluster = c.cluster
            |  WHERE c.id IS NULL OR k.keeper = b.id),
-           |${Dedup.shinglePosSql(DQ.SpanN, "surv2", "s2_")},
+           |ct_sh AS (SELECT s.id, s.h FROM sh s JOIN surv2 USING (id)),
+           |${DQ.containmentDropSql("ct_sh", "surv2", "ct_")},
+           |surv2c AS MATERIALIZED (
+           |  SELECT s.id, s.text FROM surv2 s LEFT JOIN ct_drop d ON d.id = s.id
+           |  WHERE d.id IS NULL),
+           |${Dedup.shinglePosSql(DQ.SpanN, "surv2c", "s2_")},
            |${DQ.spanCutSql("s2_")},
            |sp AS (
            |  SELECT s.id, len($ws) AS n_words, COALESCE(c.n_cut, 0) AS n_cut
-           |  FROM surv2 s LEFT JOIN s2_cut c ON c.id = s.id),
+           |  FROM surv2c s LEFT JOIN s2_cut c ON c.id = s.id),
            |surv3 AS (
            |  SELECT id, n_words - n_cut AS n_kept FROM sp
            |  WHERE NOT (n_cut > 0 AND n_words - n_cut < ${DQ.MinKeepTokens})),
            |qual AS (
-           |  SELECT s3.id, s3.n_kept FROM surv3 s3 JOIN surv2 s ON s.id = s3.id
+           |  SELECT s3.id, s3.n_kept FROM surv3 s3 JOIN surv2c s ON s.id = s3.id
            |  WHERE ${qualitySql("s.text")} >= 0.5),
            |stages AS (
            |  SELECT 'a_raw' AS stage, count(*) AS n_docs, sum(len($ws)) AS toks
            |  FROM corpus
            |  UNION ALL SELECT 'b_exact_dedup', count(*), sum(len($ws)) FROM base
            |  UNION ALL SELECT 'c_near_dup', count(*), sum(len($ws)) FROM surv2
-           |  UNION ALL SELECT 'd_span_cut', count(*), sum(n_kept) FROM surv3
-           |  UNION ALL SELECT 'e_quality', count(*), sum(n_kept) FROM qual)
+           |  UNION ALL SELECT 'd_containment', count(*), sum(len($ws)) FROM surv2c
+           |  UNION ALL SELECT 'e_span_cut', count(*), sum(n_kept) FROM surv3
+           |  UNION ALL SELECT 'f_quality', count(*), sum(n_kept) FROM qual)
            |SELECT stage, n_docs, CAST(toks AS BIGINT) AS total_tokens
            |FROM stages""".stripMargin
       }) { (s, dir) =>
@@ -744,6 +761,11 @@ object CurationQueries {
           .select((col("id") + FunnelTruncOff).as("id"),
             concat_ws(" ",
               slice(ws0, lit(1), ceil(size(ws0) / 2.0).cast("int"))).as("text")))
+        .unionAll(docs
+          .filter(col("id") % 7 === 0 && size(ws0) >= DQ.ExcerptMinWords)
+          .select((col("id") + FunnelExcerptOff).as("id"),
+            concat_ws(" ",
+              slice(ws0, lit(1), ceil(size(ws0) / 5.0).cast("int"))).as("text")))
         .cache()
       val deduped = corpus
         .withColumn("rn", row_number().over(
@@ -757,10 +779,19 @@ object CurationQueries {
         .join(broadcast(keepers), Seq("cluster"), "left")
         .filter(col("cid").isNull || col("keeper") === col("id"))
         .select(col("id"), col("text")).cache()
-      val surv3 = DQ.spanSurvivors(surv2.select(col("id").as("doc_id"), col("text")))
+      // containment stage: cut excerpt-inclusion survivors the symmetric
+      // Jaccard stage can't see (containment 1.0 at Jaccard ~0.2) — the
+      // drop list is near-dup-sized, so it broadcasts like the cluster
+      // and keeper mappings above
+      val surv2c = surv2
+        .join(broadcast(DQ.containmentDrops(surv2)
+            .select(col("id").as("ctid"))),
+          col("id") === col("ctid"), "left_anti")
+        .select(col("id"), col("text")).cache()
+      val surv3 = DQ.spanSurvivors(surv2c.select(col("id").as("doc_id"), col("text")))
         .filter(col("action") =!= "drop")
         .select(col("doc_id").as("id"), col("n_kept_tokens")).cache()
-      val qual = surv2.join(surv3, "id").filter(qualityCol >= 0.5)
+      val qual = surv2c.join(surv3, "id").filter(qualityCol >= 0.5)
         .select(col("id"), col("n_kept_tokens"))
       def stage(name: String, df: DataFrame,
                 toks: org.apache.spark.sql.Column): DataFrame =
@@ -769,8 +800,9 @@ object CurationQueries {
       stage("a_raw", corpus, wsz)
         .unionAll(stage("b_exact_dedup", deduped, wsz))
         .unionAll(stage("c_near_dup", surv2, wsz))
-        .unionAll(stage("d_span_cut", surv3, col("n_kept_tokens")))
-        .unionAll(stage("e_quality", qual, col("n_kept_tokens")))
+        .unionAll(stage("d_containment", surv2c, wsz))
+        .unionAll(stage("e_span_cut", surv3, col("n_kept_tokens")))
+        .unionAll(stage("f_quality", qual, col("n_kept_tokens")))
   }
 
   /** q_train_eval_contamination body over an arbitrary documents relation

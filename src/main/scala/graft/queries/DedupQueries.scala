@@ -68,6 +68,19 @@ object DedupQueries {
     */
   private[queries] val LshBucketCap = 50
 
+  /** Hot-shingle cut for the composed containment stage: a shingle in more
+    * than this percent of the corpus is boilerplate, not evidence of
+    * quote-inclusion — excluded from the containment measure (and from the
+    * candidate equijoin, which is what keeps the stage skew-safe).
+    * `ContainHotMin` is the absolute floor: on a small corpus 5% rounds
+    * below the df=2 every genuine excerpt pair produces, which would
+    * silence the stage entirely — a shingle in <= 8 docs is never "hot".
+    * Both bounds are integer comparisons (df*100 <= n*pct) so Spark and
+    * DuckDB can't diverge on division semantics.
+    */
+  private[queries] val ContainHotPct = 5
+  private[queries] val ContainHotMin = 8
+
   private[queries] def verifiedClusters(s: SparkSession, docs: DataFrame,
                                         bucketCap: Option[Int] = None): DataFrame = {
     import s.implicits._
@@ -143,7 +156,7 @@ object DedupQueries {
     * The >= 40-word floor keeps excerpts at >= 8 words = >= 4 five-word
     * shingles, clear of the degenerate 0-shingle case.
     */
-  private val ExcerptMinWords = 40
+  private[queries] val ExcerptMinWords = 40
 
   private def withExcerptCopies(s: SparkSession, dir: String): DataFrame = {
     val ws = TextOps.words(col("text"))
@@ -175,6 +188,74 @@ object DedupQueries {
         Num.r4(col("ninter") * 1.0 / (col("n_a") + col("n_b") - col("ninter")))
           .as("jaccard"))
   }
+
+  /** Ids a containment-dedup stage DROPS from `docs` — the composed
+    * (funnel/ingest) form of `containmentPairs`. A doc `a` is dropped when
+    * >= 80% of its "cool" shingles appear in some larger surviving doc `b`
+    * (size tie -> the higher id goes), the quote-inclusion shape the
+    * symmetric Jaccard stage structurally misses. "Cool" = shingles in at
+    * most `hotPct`% of the corpus: corpus-wide boilerplate must not make
+    * unrelated docs contain each other (the span-cut stage owns trimming
+    * it), and capping doc-frequency is also the skew guard — without it
+    * the h-equijoin squares on the boilerplate shingles (the
+    * q_train_eval_contamination precedent). Drops are decided against the
+    * PRE-drop corpus simultaneously, so an excerpt is cut even when its
+    * container is itself contained in something bigger — deterministic and
+    * cheap (no iteration). "At most hotPct%" carries the `ContainHotMin`
+    * absolute floor so small corpora keep their df=2 excerpt signal. At
+    * 100 TB: one shingle pass, one df groupBy, a candidate equijoin
+    * bounded by the cap, and a drop list that is near-dup-sized
+    * (broadcastable).
+    */
+  def containmentDrops(docs: DataFrame, hotPct: Int = ContainHotPct): DataFrame = {
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val sh = Dedup.shingleHashes(docs, col("id"), col("text"), ShingleN)
+    val cool = sh
+      .join(sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(nDocs))
+          .filter(col("df") <= ContainHotMin ||
+            col("df") * 100 <= col("n_docs") * hotPct)
+          .select("h"),
+        "h")
+      .cache()
+    val nsh = cool.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    cool.as("x")
+      .join(cool.as("y"), col("x.h") === col("y.h") && col("x.id") =!= col("y.id"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(count(lit(1)).as("ninter")).filter(col("ninter") >= 2)
+      .join(nsh.select(col("id").as("a"), col("n").as("n_a")), "a")
+      .join(nsh.select(col("id").as("b"), col("n").as("n_b")), "b")
+      .filter(col("ninter") * 5 >= col("n_a") * 4)
+      .filter(col("n_a") < col("n_b") ||
+        (col("n_a") === col("n_b") && col("a") > col("b")))
+      .select(col("a").as("id")).distinct()
+  }
+
+  /** DuckDB twin of `containmentDrops` over an arbitrary (id, h) distinct-
+    * shingle CTE `shFrom` whose docs live in `docsFrom` — emits prefixed
+    * CTEs ending in `<prefix>drop(id)`. One place for the 80%/hot-cap/
+    * tie-break contract, shared by the funnel oracle and any future
+    * composed consumer.
+    */
+  def containmentDropSql(shFrom: String, docsFrom: String, prefix: String,
+      hotPct: Int = ContainHotPct): String =
+    s"""${prefix}cool AS (
+       |  SELECT s.id, s.h FROM $shFrom s
+       |  JOIN (SELECT h, count(*) AS df FROM $shFrom GROUP BY h) d ON d.h = s.h
+       |  WHERE d.df <= $ContainHotMin
+       |     OR d.df * 100 <= (SELECT count(*) FROM $docsFrom) * $hotPct),
+       |${prefix}n AS (SELECT id, count(*) AS n FROM ${prefix}cool GROUP BY id),
+       |${prefix}inter AS (
+       |  SELECT x.id AS a, y.id AS b, count(*) AS ninter
+       |  FROM ${prefix}cool x JOIN ${prefix}cool y
+       |    ON x.h = y.h AND x.id <> y.id
+       |  GROUP BY x.id, y.id HAVING count(*) >= 2),
+       |${prefix}drop AS (
+       |  SELECT DISTINCT i.a AS id FROM ${prefix}inter i
+       |  JOIN ${prefix}n na ON na.id = i.a
+       |  JOIN ${prefix}n nb ON nb.id = i.b
+       |  WHERE i.ninter * 5 >= na.n * 4
+       |    AND (na.n < nb.n OR (na.n = nb.n AND i.a > i.b)))""".stripMargin
 
   private def withFirstWordReplaced(s: SparkSession, dir: String): DataFrame = {
     val ws = TextOps.words(col("text"))

@@ -175,4 +175,70 @@ class SamplingContainmentSpec extends SparkSpec {
     assert(j < 0.3, "the symmetric measure sits below the near-dup cut " +
       "(this pair is invisible to q_dedup_ngram_jaccard)")
   }
+
+  // ----- composed containment: the funnel's d_containment stage -----
+
+  test("funnel: excerpt copies survive near-dup and die at the containment stage") {
+    import spark.implicits._
+    // 30 docs x 60 unique words — no cross-doc sharing, so each planted
+    // variant class falls at a known stage: exact copies (%10) die at b;
+    // truncated halves (%5, Jaccard ~0.46) are stage-c's work (LSH recall
+    // at that marginal Jaccard is deterministic but not total — the count
+    // is asserted relative, not pinned to the hash constants); first-fifth
+    // excerpts (%7, Jaccard ~0.14 — INVISIBLE to stage c, every shingle
+    // contained) die at d and ONLY at d. None of ids 7,14,21,28 is
+    // %35 == 0, so no excerpt clusters with a truncated half.
+    val docs = (1 to 30).map(i =>
+      (i.toLong, (1 to 60).map(j => s"u${i}x$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val stages = CurationQueries.funnel(spark, docs)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(stages.keySet == Set("a_raw", "b_exact_dedup", "c_near_dup",
+      "d_containment", "e_span_cut", "f_quality"))
+    // 30 originals (ids 3,16,29 get the 55-token boilerplate tail) + 3
+    // exact + 6 trunc + 4 excerpt
+    assert(stages("a_raw")._1 == 43L)
+    assert(stages("b_exact_dedup")._1 == 40L)
+    val c = stages("c_near_dup")._1
+    assert(c >= 34L && c <= 40L, s"near-dup survivors out of range: $c")
+    // containment is also the safety net for stage-c's LSH misses: a
+    // truncated half that escaped candidacy is still 100%-contained in its
+    // original, so EVERY non-original survivor falls here — the stage
+    // lands on exactly the 30 originals no matter what LSH recall was
+    assert(stages("d_containment")._1 == 30L,
+      "all excerpts + LSH-escaped truncated halves must fall at containment")
+    // the containment stage drops whole docs, never trims: its token loss
+    // is the excerpts' own words (60/5 = 12 each) plus 30 words per
+    // escaped truncated half
+    assert(stages("c_near_dup")._2 - stages("d_containment")._2 ==
+      4L * 12L + (c - 34L) * 30L)
+    // the span stage drops no docs here (the 55-token boilerplate run is
+    // trimmed in place, never below the 20-token floor)
+    assert(stages("e_span_cut")._1 == stages("d_containment")._1)
+    assert(stages("f_quality")._1 <= stages("e_span_cut")._1)
+    spark.catalog.clearCache()
+  }
+
+  test("containmentDrops: corpus-wide boilerplate is excluded by the hot-shingle cut") {
+    import spark.implicits._
+    // 40 docs: 2 unique lead words + the same 40-token boilerplate. Raw
+    // shingle containment between any two docs is ~36/38 > 0.8 — without
+    // the hot cut the stage would wrongly cannibalize the whole corpus.
+    // Every boilerplate shingle sits in all 40 docs (df 100% > 5%), so the
+    // cool measure sees only each doc's unique lead shingles: no drops.
+    val bp = (1 to 40).map(i => s"bp$i").mkString(" ")
+    val docs = (1 to 40).map(i => (i.toLong, s"lead${i}a lead${i}b " + bp))
+      .toDF("id", "text")
+    assert(DedupQueries.containmentDrops(docs).collect().isEmpty)
+    // inverse control: the same quote-inclusion shape between just TWO
+    // docs (df = 2 of 42 docs, under the cap) IS dropped — and it is the
+    // excerpt (fewer cool shingles) that goes, not the original
+    val orig = (1 to 60).map(i => s"w$i").mkString(" ")
+    val excerpt = (1 to 12).map(i => s"w$i").mkString(" ")
+    val filler = (1 to 40).map(i => (100L + i, s"f${i}a f${i}b f${i}c f${i}d f${i}e f${i}f"))
+    val two = (Seq((1L, orig), (2L, excerpt)) ++ filler).toDF("id", "text")
+    assert(DedupQueries.containmentDrops(two).collect().map(_.getLong(0)).toSeq
+      == Seq(2L))
+    spark.catalog.clearCache()
+  }
 }
