@@ -158,6 +158,16 @@ object ScaleProbe {
     // per-key series length stays constant: the partition-balance case
     timeDf("pattern_negation")(graft.queries.EventAnalytics.patternNegation(events))
     timeDf("sax_words")(graft.queries.EventAnalytics.saxWords(events))
+    // retention is two user-keyed shuffles (first-seen agg + cohort join);
+    // transitions one window sort + one groupBy — both must track the
+    // event scan as users multiply with k
+    timeDf("retention_cohorts")(graft.queries.EventAnalytics.retentionCohorts(events))
+    timeDf("event_transitions")(graft.queries.EventAnalytics.eventTransitions(events))
+    // BPE: the merge loop is dictionary-bound (each round collects ONE
+    // winner row to literals); the only corpus-sized work is the word
+    // groupBy + the final broadcast-dict token scan, so the curve must
+    // track the scan, not the 6 training rounds
+    timeDf("bpe_token_count")(graft.queries.BpeQueries.tokenCount(docs))
     timeDf("curation_funnel")(graft.queries.CurationQueries.funnel(spark, docs))
     timeDf("unigram_logprob")(graft.queries.TextAnalytics.unigramLogprob(docs))
     timeDf("dsir_weights")(graft.queries.TextAnalytics.dsirWeights(docs))

@@ -73,7 +73,10 @@ object StreamBench {
     import spark.implicits._
     implicit val sq = spark.sqlContext
 
-    for (profiles <- Seq(2000, 10000, 40000, 100000)) {
+    // decades are capped at n/2 so every config keeps >= 2 events per
+    // profile on average — the 400k/1M rows need `stateprobe 2000000`
+    for (profiles <- Seq(2000, 10000, 40000, 100000, 400000, 1000000)
+           .filter(_ <= n / 2)) {
       val events = (0 until n).map { i =>
         CdpEvent(
           eventId = s"e$i",

@@ -8,14 +8,16 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata, and run decode / feature-extract /
   * frame-sample as partition-local batch operators.
   *
-  * Image decode (`ImageIoDecoder`) and audio decode (`WavCodec`) are REAL
-  * JDK codec paths; only video remains stubbed (no JDK video codec —
-  * environmental). `StubDecoder` derives deterministic pseudo-metadata
-  * from the bytes' md5 for the mixed-media oracle queries. Everything
-  * around the decoders — the schema contract, the mapPartitions batch
-  * shape (decoder state initialized once per partition, rows streamed
-  * through it), the partitioning — is the real 100 TB plumbing: swap in a
-  * JNI/FFmpeg call for video and nothing else changes.
+  * Image decode (`ImageIoDecoder`), audio decode (`WavCodec`), and video
+  * decode (`AviMjpegCodec` — MJPEG-in-AVI: RIFF container parsed at the
+  * byte level, frames decoded as real JPEGs) are all REAL JDK codec
+  * paths; inter-frame codecs (H.264 etc.) remain environmental (no JDK
+  * codec, swap in a JNI/FFmpeg frame decode). `StubDecoder` derives
+  * deterministic pseudo-metadata from the bytes' md5 for the mixed-media
+  * oracle queries. Everything around the decoders — the schema contract,
+  * the mapPartitions batch shape (decoder state initialized once per
+  * partition, rows streamed through it), the partitioning — is the real
+  * 100 TB plumbing.
   */
 object Multimodal {
 
@@ -125,9 +127,8 @@ object Multimodal {
 
   /** REAL audio codec via `javax.sound.sampled` — WAV/PCM ships with the
     * JDK (pure container parsing, no audio hardware needed), zero external
-    * jars. With this, image AND audio columns are real decode paths;
-    * only video remains stubbed (no JDK video codec — environmental).
-    * Corrupt or non-PCM bytes fail LOUDLY, same posture as ImageIoDecoder.
+    * jars. Corrupt or non-PCM bytes fail LOUDLY, same posture as
+    * ImageIoDecoder.
     */
   object WavCodec {
 
@@ -195,6 +196,182 @@ object Multimodal {
           nFrames * 1000L / sr, peak, sum)
       } finally ais.close()
     }
+  }
+
+  /** Features from a real video decode: container-level metadata parsed
+    * from the AVI headers, plus per-frame evidence from genuinely decoding
+    * the MJPEG frame bytes (dims of every decoded frame are checked
+    * against the container header; `rgb00` samples pixel (0,0) of each
+    * decoded frame so content-level checks are possible upstream).
+    */
+  case class VideoFeatures(
+      asset_id: Long,
+      width: Int,
+      height: Int,
+      fps: Int,
+      n_frames: Int,
+      duration_ms: Long,
+      frames_decoded: Int,
+      frame_rgb00: Seq[Int])
+
+  /** REAL video codec: MJPEG-in-AVI, pure JDK. AVI is a plain RIFF chunk
+    * container (12-byte header + fourcc/size chunks) and MJPEG frames are
+    * ordinary JPEGs — so a byte-level RIFF writer/parser plus
+    * `javax.imageio` gives a genuine end-to-end video path with zero
+    * external jars: real container bytes, real lossy frame encode, real
+    * frame decode. Inter-frame codecs (H.264 etc.) remain environmental —
+    * no JDK codec — but the plumbing is codec-agnostic: swap the frame
+    * decode call and nothing else changes. Corrupt containers, truncated
+    * movi data, or header/chunk-count mismatches fail LOUDLY, same
+    * posture as ImageIoDecoder/WavCodec.
+    */
+  object AviMjpegCodec {
+
+    private val FpsScale = 1 // strh dwScale; dwRate = fps
+
+    private def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+    private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+    /** Deterministic solid-color frame: channel values are pure functions
+      * of (assetId, frameIdx) kept inside [28, 227] so JPEG round-trip
+      * error never clips at 0/255.
+      */
+    def synthColor(assetId: Long, frameIdx: Int): (Int, Int, Int) = (
+      (28 + (assetId * 7L + frameIdx * 13L) % 200L).toInt,
+      (28 + (assetId * 11L + frameIdx * 17L) % 200L).toInt,
+      (28 + (assetId * 13L + frameIdx * 19L) % 200L).toInt)
+
+    /** Encode `nFrames` synthesized solid-color frames as real JPEGs and
+      * wrap them in a real AVI container (RIFF → hdrl(avih, strl(strh
+      * 'vids'/'MJPG', strf BITMAPINFOHEADER)) → movi('00dc' chunks)).
+      */
+    def encode(assetId: Long, width: Int, height: Int, fps: Int,
+               nFrames: Int): Array[Byte] = {
+      val jpegs = (0 until nFrames).map { i =>
+        val (r, g, b) = synthColor(assetId, i)
+        val img = new java.awt.image.BufferedImage(width, height,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val gr = img.createGraphics()
+        try { gr.setColor(new java.awt.Color(r, g, b)); gr.fillRect(0, 0, width, height) }
+        finally gr.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        require(javax.imageio.ImageIO.write(img, "jpg", bos), "no JPEG writer")
+        bos.toByteArray
+      }
+      def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+        val pad = if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+        fourcc(id) ++ le32(body.length) ++ body ++ pad
+      }
+      def list(id: String, body: Array[Byte]): Array[Byte] =
+        fourcc("LIST") ++ le32(4 + body.length) ++ fourcc(id) ++ body
+      val maxBuf = jpegs.map(_.length).max
+      val avih = le32(1000000 / fps) ++ le32(0) ++ le32(0) ++ le32(0) ++
+        le32(nFrames) ++ le32(0) ++ le32(1) ++ le32(maxBuf) ++
+        le32(width) ++ le32(height) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+      val strh = fourcc("vids") ++ fourcc("MJPG") ++ le32(0) ++ le32(0) ++
+        le32(0) ++ le32(FpsScale) ++ le32(fps) ++ le32(0) ++ le32(nFrames) ++
+        le32(maxBuf) ++ le32(-1) ++ le32(0) ++
+        le32(0) ++ le32(width << 16 | height) // rcFrame (packed, informational)
+      val strf = le32(40) ++ le32(width) ++ le32(height) ++
+        Array(1.toByte, 0.toByte, 24.toByte, 0.toByte) ++ fourcc("MJPG") ++
+        le32(width * height * 3) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+      val hdrl = list("hdrl",
+        chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+      val movi = list("movi", jpegs.flatMap(j => chunk("00dc", j)).toArray)
+      val body = fourcc("AVI ") ++ hdrl ++ movi
+      fourcc("RIFF") ++ le32(body.length) ++ body
+    }
+
+    private def rd32(b: Array[Byte], off: Int): Int = {
+      require(off + 4 <= b.length, s"truncated container at offset $off")
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    }
+
+    private def cc(b: Array[Byte], off: Int): String = {
+      require(off + 4 <= b.length, s"truncated container at offset $off")
+      new String(b, off, 4, "US-ASCII")
+    }
+
+    /** Real decode: parse the RIFF structure, read dims/fps/frame count
+      * from the avih+strh headers, walk every '00dc' chunk in movi, and
+      * decode each sampled frame's JPEG bytes with ImageIO — requiring the
+      * decoded raster dims to match the container header, and the movi
+      * chunk count to match avih's dwTotalFrames. `sampleEvery` decodes
+      * every k-th frame (a 100 TB pipeline rarely needs all frames);
+      * metadata and chunk-count validation always cover the whole file.
+      */
+    def decode(assetId: Long, payload: Array[Byte],
+               sampleEvery: Int = 1): VideoFeatures = {
+      require(payload.length >= 12 && cc(payload, 0) == "RIFF" &&
+        cc(payload, 8) == "AVI ",
+        s"asset $assetId (${payload.length} bytes): not an AVI container")
+      val riffEnd = 8 + rd32(payload, 4)
+      require(riffEnd <= payload.length, s"asset $assetId: RIFF size past EOF")
+      var off = 12
+      var width = -1; var height = -1; var fps = -1; var totalFrames = -1
+      var frameOffsets = List.empty[(Int, Int)] // (offset, len) of 00dc bodies
+      def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+        var p = start
+        while (p + 8 <= end) {
+          val id = cc(payload, p); val sz = rd32(payload, p + 4)
+          val body = p + 8
+          require(body + sz <= end, s"asset $assetId: chunk $id overruns its parent")
+          if (id == "LIST") {
+            val listId = cc(payload, body)
+            walk(body + 4, body + sz, inMovi = listId == "movi")
+          } else if (id == "avih") {
+            require(sz >= 40, s"asset $assetId: avih too short ($sz)")
+            fps = { val mspf = rd32(payload, body); require(mspf > 0, "bad rate"); 1000000 / mspf }
+            totalFrames = rd32(payload, body + 16)
+            width = rd32(payload, body + 32)
+            height = rd32(payload, body + 36)
+          } else if (inMovi && id.endsWith("dc")) {
+            frameOffsets ::= (body, sz)
+          }
+          p = body + sz + (sz % 2) // chunks are word-aligned
+        }
+      }
+      walk(12, riffEnd, inMovi = false) // chunks start after the 'AVI ' form fourcc
+      require(width > 0 && height > 0 && fps > 0 && totalFrames >= 0,
+        s"asset $assetId: missing or invalid avih header")
+      val frames = frameOffsets.reverse.toVector
+      require(frames.length == totalFrames,
+        s"asset $assetId: avih says $totalFrames frames, movi has ${frames.length}")
+      val sampled = frames.indices.by(math.max(1, sampleEvery))
+      val rgb00 = sampled.map { i =>
+        val (fo, fl) = frames(i)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload, fo, fl))
+        require(img != null, s"asset $assetId frame $i: not a decodable JPEG")
+        require(img.getWidth == width && img.getHeight == height,
+          s"asset $assetId frame $i: ${img.getWidth}x${img.getHeight} != header ${width}x$height")
+        img.getRGB(0, 0) & 0xffffff
+      }
+      VideoFeatures(assetId, width, height, fps, totalFrames,
+        totalFrames.toLong * 1000L / fps, rgb00.length, rgb00.toVector)
+    }
+  }
+
+  /** Partition-local batch video decode — the video twin of
+    * `decodeFeatures`: same mapPartitions shape, the real AVI/MJPEG parser
+    * streamed over the rows.
+    */
+  def decodeVideoFeatures(spark: SparkSession, assets: DataFrame,
+                          sampleEvery: Int = 1): DataFrame = {
+    import spark.implicits._
+    assets.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          require(bytes != null, s"asset $id: null video payload")
+          AviMjpegCodec.decode(id, bytes, sampleEvery)
+        }
+      }
+      .toDF()
   }
 
   /** Partition-local batch audio decode — the audio twin of

@@ -48,15 +48,23 @@ object BpeQueries {
          |FROM wd JOIN bd${Bpe.Rounds} d USING (word)
          |WHERE word != ''
          |GROUP BY doc_id""".stripMargin) { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      val dict = Bpe.train(docs)._2
-        .select(col("word"), size(split(trim(col("s")), " ")).as("n_syms"))
-      docs.select(col("doc_id"),
-          explode(graft.operators.TextOps.words(col("text"))).as("word"))
-        .filter(col("word") =!= "")
-        .join(broadcast(dict), "word")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_words"),
-          sum(col("n_syms")).as("bpe_tokens"))
+      tokenCount(Tables.documents(s, dir))
     })
+
+  /** q_bpe_token_count body over an arbitrary documents relation (the
+    * scale probe feeds replicated inputs through the same code the query
+    * runs): train the merge table on the corpus, then broadcast the
+    * word->symbol-count dictionary over one corpus word scan.
+    */
+  def tokenCount(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val dict = Bpe.train(docs)._2
+      .select(col("word"), size(split(trim(col("s")), " ")).as("n_syms"))
+    docs.select(col("doc_id"),
+        explode(graft.operators.TextOps.words(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .join(broadcast(dict), "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_syms")).as("bpe_tokens"))
+  }
 }

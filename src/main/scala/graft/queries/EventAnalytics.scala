@@ -149,15 +149,7 @@ object EventAnalytics {
         |       count(DISTINCT e.user_id) AS active_users
         |FROM events e JOIN first_seen f ON e.user_id = f.user_id
         |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
-      val ev = Tables.events(s, dir)
-      val firstSeen = ev.groupBy(col("user_id"))
-        .agg(expr("min(unix_micros(ts)) div 86400000000").as("cohort_day"))
-      // firstSeen is user-cardinality: no broadcast hint — fine locally,
-      // shuffle-join at cluster scale
-      ev.join(firstSeen, "user_id")
-        .groupBy(col("cohort_day"),
-          (expr("unix_micros(ts) div 86400000000") - col("cohort_day")).as("day_offset"))
-        .agg(countDistinct(col("user_id")).as("active_users"))
+      retentionCohorts(Tables.events(s, dir))
     },
 
     // Next-event transition matrix (Markov step counts): per user, pair
@@ -175,14 +167,7 @@ object EventAnalytics {
          |             + 0.00000025, 4) AS p
          |FROM seq WHERE next_type IS NOT NULL
          |GROUP BY event_type, next_type""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      Tables.events(s, dir)
-        .withColumn("next_type", lead(col("event_type"), 1).over(w))
-        .filter(col("next_type").isNotNull)
-        .groupBy(col("event_type"), col("next_type"))
-        .agg(count(lit(1)).as("n"))
-        .withColumn("p", graft.operators.Num.r4(
-          col("n") * 1.0 / sum(col("n")).over(Window.partitionBy(col("event_type")))))
+      eventTransitions(Tables.events(s, dir))
     },
 
     // Time-to-convert histogram: hours from first signup to first
@@ -351,6 +336,35 @@ object EventAnalytics {
         |FROM words""".stripMargin) { (s, dir) =>
       saxWords(Tables.events(s, dir))
     })
+
+  /** q_retention_cohorts body over an arbitrary events relation (the
+    * scale probe feeds replicated inputs through the same code the query
+    * runs).
+    */
+  def retentionCohorts(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val firstSeen = events.groupBy(col("user_id"))
+      .agg(expr("min(unix_micros(ts)) div 86400000000").as("cohort_day"))
+    // firstSeen is user-cardinality: no broadcast hint — fine locally,
+    // shuffle-join at cluster scale
+    events.join(firstSeen, "user_id")
+      .groupBy(col("cohort_day"),
+        (expr("unix_micros(ts) div 86400000000") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+  }
+
+  /** q_event_transitions body over an arbitrary events relation (same
+    * probe-sharing contract as above).
+    */
+  def eventTransitions(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", graft.operators.Num.r4(
+        col("n") * 1.0 / sum(col("n")).over(Window.partitionBy(col("event_type")))))
+  }
 
   /** q_pattern_negation body over an arbitrary events relation (the scale
     * probe feeds replicated inputs through the same code the query runs).

@@ -185,6 +185,62 @@ object MultimodalQueries {
       Multimodal.decodeAudioFeatures(s, wavs)
     },
 
+    // REAL video decode, oracle-gated: deterministic solid-color frames
+    // are JPEG-encoded and wrapped in a real AVI container (RIFF bytes
+    // hand-written), then the full production video path runs on genuine
+    // bytes — RIFF chunk walk, avih/strh header parse, movi '00dc'
+    // enumeration (count REQUIRED to match the header), and a real
+    // ImageIO decode of every frame (dims REQUIRED to match the header,
+    // pixel (0,0) REQUIRED within JPEG tolerance of the synth color). The
+    // oracle replays only the id-derived arithmetic; a misparsed size
+    // field, wrong chunk alignment, or frame-count drift breaks the
+    // require/hash.
+    QueryDef(
+      "q_multimodal_real_video",
+      """WITH d AS (
+        |  SELECT doc_id AS asset_id,
+        |         CAST(16 + doc_id % 32 AS INT) AS width,
+        |         CAST(16 + (doc_id // 3) % 24 AS INT) AS height,
+        |         CAST(10 + doc_id % 20 AS INT) AS fps,
+        |         CAST(3 + doc_id % 10 AS INT) AS n_frames
+        |  FROM documents WHERE doc_id % 25 = 0)
+        |SELECT asset_id, width, height, fps, n_frames,
+        |       CAST(n_frames * 1000 // fps AS BIGINT) AS duration_ms,
+        |       n_frames AS frames_decoded
+        |FROM d""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val avis = Tables.documents(s, dir)
+        .filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val w = (16 + id % 32).toInt
+            val h = (16 + (id / 3) % 24).toInt
+            val fps = (10 + id % 20).toInt
+            val nf = (3 + id % 10).toInt
+            (id, Multimodal.AviMjpegCodec.encode(id, w, h, fps, nf))
+          }
+        }.toDF("asset_id", "payload")
+      Multimodal.decodeVideoFeatures(s, avis)
+        .as[graft.operators.Multimodal.VideoFeatures]
+        .map { f =>
+          // content-level evidence: every decoded frame's (0,0) pixel must
+          // sit within JPEG round-trip tolerance of the synthesized color
+          f.frame_rgb00.zipWithIndex.foreach { case (rgb, i) =>
+            val (er, eg, eb) = Multimodal.AviMjpegCodec.synthColor(f.asset_id, i)
+            val (r, g, b) = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+            require(math.abs(r - er) <= 12 && math.abs(g - eg) <= 12 &&
+              math.abs(b - eb) <= 12,
+              s"asset ${f.asset_id} frame $i: decoded ($r,$g,$b) far from " +
+                s"synth ($er,$eg,$eb)")
+          }
+          (f.asset_id, f.width, f.height, f.fps, f.n_frames, f.duration_ms,
+            f.frames_decoded)
+        }
+        .toDF("asset_id", "width", "height", "fps", "n_frames", "duration_ms",
+          "frames_decoded")
+    },
+
     // Resize plan: bounding-box 224 preserving aspect ratio, integer
     // arithmetic only — the dims a real codec would be handed.
     QueryDef(

@@ -9,11 +9,12 @@ import org.apache.spark.sql.Row
 
 import graft.SparkSpec
 
-/** The REAL image decode path: in-test ImageIO-generated PNG/JPEG/BMP
-  * bytes driven through the SAME `decodeFeatures` mapPartitions plumbing
-  * the stub uses — only the decoder object differs. This is the evidence
-  * that the multimodal surface is real plumbing + a pluggable codec, with
-  * only video/audio (absent from the JDK) still stubbed.
+/** The REAL decode paths: in-test ImageIO-generated PNG/JPEG/BMP bytes,
+  * AudioSystem-wrapped WAV/PCM, and hand-written AVI/MJPEG containers, all
+  * driven through the SAME mapPartitions plumbing the stub uses — only the
+  * decoder object differs. This is the evidence that the multimodal
+  * surface is real plumbing + pluggable codecs across all three
+  * modalities (inter-frame video codecs like H.264 stay environmental).
   */
 class MultimodalRealSpec extends SparkSpec {
 
@@ -123,5 +124,60 @@ class MultimodalRealSpec extends SparkSpec {
     // an image already inside the box is not upscaled
     val (_, sw, sh) = Multimodal.ImageIoDecoder.resize(imageBytes(30, 20, 0, "png"), 50)
     assert((sw, sh) == (30, 20))
+  }
+
+  // ----- AVI/MJPEG video -----
+
+  test("AviMjpegCodec round-trips container metadata and frame content") {
+    val bytes = Multimodal.AviMjpegCodec.encode(42L, 48, 32, 25, 7)
+    val f = Multimodal.AviMjpegCodec.decode(42L, bytes)
+    assert((f.width, f.height, f.fps, f.n_frames) == (48, 32, 25, 7))
+    assert(f.duration_ms == 7L * 1000 / 25)
+    assert(f.frames_decoded == 7 && f.frame_rgb00.length == 7)
+    // every decoded frame's pixel (0,0) within JPEG tolerance of the synth
+    f.frame_rgb00.zipWithIndex.foreach { case (rgb, i) =>
+      val (er, eg, eb) = Multimodal.AviMjpegCodec.synthColor(42L, i)
+      assert(math.abs(((rgb >> 16) & 0xff) - er) <= 12, s"frame $i R")
+      assert(math.abs(((rgb >> 8) & 0xff) - eg) <= 12, s"frame $i G")
+      assert(math.abs((rgb & 0xff) - eb) <= 12, s"frame $i B")
+    }
+    // sampled decode still validates the whole container but decodes fewer
+    val s2 = Multimodal.AviMjpegCodec.decode(42L, bytes, sampleEvery = 3)
+    assert(s2.n_frames == 7 && s2.frames_decoded == 3) // frames 0, 3, 6
+  }
+
+  test("AviMjpegCodec fails loudly on corrupt, truncated, or lying containers") {
+    // not RIFF at all
+    val e1 = intercept[IllegalArgumentException] {
+      Multimodal.AviMjpegCodec.decode(9L, Array.fill[Byte](64)(7))
+    }
+    assert(e1.getMessage.contains("not an AVI container"))
+    val good = Multimodal.AviMjpegCodec.encode(9L, 24, 16, 10, 3)
+    // truncated mid-movi: the RIFF size field now points past EOF
+    val e2 = intercept[IllegalArgumentException] {
+      Multimodal.AviMjpegCodec.decode(9L, good.take(good.length - 40))
+    }
+    assert(e2.getMessage.contains("RIFF size past EOF"))
+    // header lies about the frame count: flip avih.dwTotalFrames (16 bytes
+    // into the avih body) from 3 to 4 — chunk-count validation must catch it
+    val tampered = good.clone()
+    val avihAt = good.indices.find(i => i + 4 <= good.length &&
+      new String(good, i, 4, "US-ASCII") == "avih").get
+    tampered(avihAt + 8 + 16) = 4.toByte
+    val e3 = intercept[IllegalArgumentException] {
+      Multimodal.AviMjpegCodec.decode(9L, tampered)
+    }
+    assert(e3.getMessage.contains("avih says 4 frames, movi has 3"))
+  }
+
+  test("decodeVideoFeatures runs the real AVI parser through the batch plumbing") {
+    import spark.implicits._
+    val assets = Seq(1L, 2L, 3L, 4L).map(id =>
+        (id, Multimodal.AviMjpegCodec.encode(id, 20 + id.toInt, 16, 12, 2 + id.toInt)))
+      .toDF("asset_id", "payload").repartition(2)
+    val got = Multimodal.decodeVideoFeatures(spark, assets)
+      .collect().map(r => (r.getAs[Long]("asset_id"), r.getAs[Int]("width"),
+        r.getAs[Int]("n_frames"))).toSet
+    assert(got == Set((1L, 21, 3), (2L, 22, 4), (3L, 23, 5), (4L, 24, 6)))
   }
 }
