@@ -778,7 +778,17 @@ object CurationQueries {
         .join(broadcast(clusters), col("id") === col("cid"), "left")
         .join(broadcast(keepers), Seq("cluster"), "left")
         .filter(col("cid").isNull || col("keeper") === col("id"))
-        .select(col("id"), col("text")).cache()
+        .select(col("id"), col("text"))
+        // localCheckpoint, not cache: the containment stage below
+        // references this relation FIVE times and the span stage multiplies
+        // again — composed lazily, every downstream action re-analyzes a
+        // combinatorially exploding tree and pays SECONDS of pure driver
+        // planning even with every cache hot (measured: 3x on the whole
+        // funnel). Truncating lineage at the two expensive boundaries
+        // keeps each downstream plan leaf-rooted — the verifiedClusters
+        // precedent; at cluster scale checkpoint() to reliable storage is
+        // the durable twin.
+        .localCheckpoint()
       // containment stage: cut excerpt-inclusion survivors the symmetric
       // Jaccard stage can't see (containment 1.0 at Jaccard ~0.2) — the
       // drop list is near-dup-sized, so it broadcasts like the cluster
@@ -787,7 +797,7 @@ object CurationQueries {
         .join(broadcast(DQ.containmentDrops(surv2)
             .select(col("id").as("ctid"))),
           col("id") === col("ctid"), "left_anti")
-        .select(col("id"), col("text")).cache()
+        .select(col("id"), col("text")).localCheckpoint()
       val surv3 = DQ.spanSurvivors(surv2c.select(col("id").as("doc_id"), col("text")))
         .filter(col("action") =!= "drop")
         .select(col("doc_id").as("id"), col("n_kept_tokens")).cache()

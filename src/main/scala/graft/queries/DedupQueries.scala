@@ -208,23 +208,47 @@ object DedupQueries {
     * (broadcastable).
     */
   def containmentDrops(docs: DataFrame, hotPct: Int = ContainHotPct): DataFrame = {
-    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    // one bounded driver scalar — the hot cut's denominator (the
+    // count-then-use precedent from Similarity's size guard); cheaper than
+    // a crossJoin(broadcast(agg)) pair of exchanges
+    val nDocs = docs.count()
     val sh = Dedup.shingleHashes(docs, col("id"), col("text"), ShingleN)
+    val wId = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+    // cool shingle rows carry BOTH per-doc derived columns from one
+    // id-partitioned window pass: n (the doc's cool-shingle count — used
+    // by the final threshold, so no separate sizes groupBy + re-joins) and
+    // rk (rarity rank — the prefix filter's cursor)
     val cool = sh
-      .join(sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
-          .crossJoin(broadcast(nDocs))
-          .filter(col("df") <= ContainHotMin ||
-            col("df") * 100 <= col("n_docs") * hotPct)
-          .select("h"),
+      .join(sh.groupBy(col("h")).agg(count(lit(1)).as("dfh"))
+          .filter(col("dfh") <= ContainHotMin ||
+            col("dfh") * 100 <= nDocs * hotPct),
         "h")
+      .withColumn("n", count(lit(1)).over(wId))
+      .withColumn("rk", row_number().over(wId.orderBy(col("dfh"), col("h"))))
       .cache()
-    val nsh = cool.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    cool.as("x")
-      .join(cool.as("y"), col("x.h") === col("y.h") && col("x.id") =!= col("y.id"))
-      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+    // Prefix-filtered candidate generation (Bayardo et al. 2007 AllPairs /
+    // Xiao et al. PPJoin): a pair with containment(a in b) >= 0.8 must
+    // share at least one of a's floor(n_a/5)+1 RAREST cool shingles
+    // (pigeonhole: missing all of them caps ninter at n_a - floor(n_a/5)-1
+    // < 0.8*n_a). Probing only that prefix collapses the candidate join
+    // from sum(df_h^2) to sum over rare shingles of df_h — most docs'
+    // rarest shingles are df=1 and generate nothing. A pure optimization:
+    // the candidate set is a SUPERSET of qualifying pairs and the exact
+    // recount below applies the identical final rule, so the DuckDB twin
+    // (exhaustive at oracle scale) needs no mirror of it.
+    val cand = cool
+      .filter(col("rk") <= col("n") / 5 + 1)
+      .select(col("id").as("a"), col("h")).as("x")
+      .join(cool.as("y"), col("x.h") === col("y.h") && col("x.a") =!= col("y.id"))
+      .select(col("x.a").as("a"), col("y.id").as("b")).distinct()
+    // exact intersection count, restricted to candidates: pair rows fan
+    // out by n_a then collapse on the (b, h) equijoin; n_a/n_b ride along
+    // (functionally dependent on a/b) so no size re-joins are needed
+    cand
+      .join(cool.select(col("id").as("a"), col("h"), col("n").as("n_a")), "a")
+      .join(cool.select(col("id").as("b"), col("h"), col("n").as("n_b")), Seq("b", "h"))
+      .groupBy(col("a"), col("b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("ninter")).filter(col("ninter") >= 2)
-      .join(nsh.select(col("id").as("a"), col("n").as("n_a")), "a")
-      .join(nsh.select(col("id").as("b"), col("n").as("n_b")), "b")
       .filter(col("ninter") * 5 >= col("n_a") * 4)
       .filter(col("n_a") < col("n_b") ||
         (col("n_a") === col("n_b") && col("a") > col("b")))
