@@ -255,6 +255,52 @@ object DedupQueries {
       .select(col("a").as("id")).distinct()
   }
 
+  /** Driver-local kernel computing EXACTLY `containmentDrops`' result over
+    * an in-memory (id, distinct shingle hashes) batch — the
+    * connectedComponentsAdaptive pattern: a micro-batch-bounded consumer
+    * (the ingest guard, which already collects every decided row for its
+    * decision log) should not pay ~10 AQE stage materializations for a
+    * thousand-doc batch. Same hot cut, same prefix filter (rarest
+    * floor(n/5)+1 cool shingles — identical integer arithmetic to the
+    * Spark plan's `rk <= n/5 + 1`), same final rule and tie-break;
+    * SamplingContainmentSpec holds the two implementations equal on
+    * randomized corpora.
+    */
+  def containmentDropIdsLocal(docShingles: Seq[(Long, Seq[Long])],
+      hotPct: Int = ContainHotPct): Set[Long] = {
+    val n = docShingles.size
+    val df = new scala.collection.mutable.HashMap[Long, Int]()
+    for ((_, hs) <- docShingles; h <- hs)
+      df.update(h, df.getOrElse(h, 0) + 1)
+    def isCool(h: Long): Boolean = {
+      val d = df(h); d <= ContainHotMin || d.toLong * 100 <= n.toLong * hotPct
+    }
+    val cool = docShingles.map { case (id, hs) =>
+      (id, hs.filter(isCool).sortBy(h => (df(h), h)).toArray)
+    }
+    val coolSet = cool.map { case (id, hs) => id -> hs.toSet }.toMap
+    val inv = new scala.collection.mutable.HashMap[Long,
+      scala.collection.mutable.ArrayBuffer[Long]]()
+    for ((id, hs) <- cool; h <- hs)
+      inv.getOrElseUpdate(h, new scala.collection.mutable.ArrayBuffer[Long]()) += id
+    val drops = Set.newBuilder[Long]
+    for ((a, hs) <- cool) {
+      val na = hs.length
+      val sa = coolSet(a)
+      val cands = hs.iterator.take(na / 5 + 1)
+        .flatMap(h => inv(h)).filter(_ != a).toSet
+      val dropped = cands.exists { b =>
+        val nb = coolSet(b).size
+        (na < nb || (na == nb && a > b)) && {
+          val ninter = sa.count(coolSet(b).contains)
+          ninter >= 2 && ninter * 5 >= na * 4
+        }
+      }
+      if (dropped) drops += a
+    }
+    drops.result()
+  }
+
   /** DuckDB twin of `containmentDrops` over an arbitrary (id, h) distinct-
     * shingle CTE `shFrom` whose docs live in `docsFrom` — emits prefixed
     * CTEs ending in `<prefix>drop(id)`. One place for the 80%/hot-cap/

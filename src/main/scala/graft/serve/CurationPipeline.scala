@@ -37,7 +37,18 @@ import graft.queries.PiiQueries
   *         would batch together and both pass;
   *      b. CORPUS: band keys probed against the persisted band index —
   *         any band hit rejects (`near_dup_corpus`);
-  *   4. admitted docs EXTEND both indexes (hash + band rows appended), so
+  *   4. containment guard (INTRA-BATCH, over the near-dup SURVIVORS —
+  *      the batch funnel's stage order): a survivor whose cool shingles
+  *      are >=80% inside a LARGER surviving doc of the same batch is
+  *      rejected (`contained_batch`) — the quote-inclusion shape the
+  *      symmetric LSH guard misses at Jaccard ~0.2, and the common scrape
+  *      burst (article + its excerpt posted together). Corpus-wide
+  *      containment is deliberately NOT guarded here: it would need a
+  *      persisted shingle-level inverted index (band rows cannot answer
+  *      asymmetric overlap), so cross-batch excerpts are the batch
+  *      funnel's d_containment stage's job — a documented bounded posture,
+  *      stricter-never-looser within each batch;
+  *   5. admitted docs EXTEND both indexes (hash + band rows appended), so
   *      later batches are guarded against earlier ones — true corpus
   *      extension, not a static snapshot.
   *
@@ -90,6 +101,13 @@ object CurationPipeline {
     */
   val CompactEveryBatches = 64
 
+  /** Batch-size bound for the driver-local containment kernel: under it,
+    * one shingle collect (the decision log already collects the batch);
+    * over it, the distributed `containmentDrops` operator — the
+    * connectedComponentsAdaptive small-case/fallback pattern.
+    */
+  val MaxLocalContainDocs = 20000
+
   private val HashSchema = "text_hash STRING"
   private val BandSchema = "id BIGINT, band INT, key STRING"
 
@@ -112,6 +130,7 @@ object CurationPipeline {
     val rejectedExactCorpus = new AtomicLong
     val rejectedNearDupBatch = new AtomicLong
     val rejectedNearDup = new AtomicLong
+    val rejectedContained = new AtomicLong
     val charsRedacted = new AtomicLong
     val batches = new AtomicLong
     val compactions = new AtomicLong
@@ -125,6 +144,7 @@ object CurationPipeline {
           case "exact_dup_corpus" => rejectedExactCorpus.incrementAndGet()
           case "near_dup_batch"   => rejectedNearDupBatch.incrementAndGet()
           case "near_dup_corpus"  => rejectedNearDup.incrementAndGet()
+          case "contained_batch"  => rejectedContained.incrementAndGet()
         }
       }
       charsRedacted.addAndGet(d.charsRedacted)
@@ -180,7 +200,7 @@ object CurationPipeline {
       val recentJson = recent.take(50).map { d =>
         s"""{"docId":${d.docId},"decision":"${d.decision}","reason":"${d.reason}","charsRedacted":${d.charsRedacted}}"""
       }.mkString("[", ",", "]")
-      s"""{"received":${received.get},"admitted":${admitted.get},"rejected_exact_batch":${rejectedExactBatch.get},"rejected_exact_corpus":${rejectedExactCorpus.get},"rejected_near_dup_batch":${rejectedNearDupBatch.get},"rejected_near_dup":${rejectedNearDup.get},"chars_redacted":${charsRedacted.get},"batches":${batches.get},"compactions":${compactions.get},"decisions":$recentJson}"""
+      s"""{"received":${received.get},"admitted":${admitted.get},"rejected_exact_batch":${rejectedExactBatch.get},"rejected_exact_corpus":${rejectedExactCorpus.get},"rejected_near_dup_batch":${rejectedNearDupBatch.get},"rejected_near_dup":${rejectedNearDup.get},"rejected_contained_batch":${rejectedContained.get},"chars_redacted":${charsRedacted.get},"batches":${batches.get},"compactions":${compactions.get},"decisions":$recentJson}"""
     }
   }
 
@@ -406,18 +426,57 @@ object CurationPipeline {
     val nearHit = corpusBandHits(spark, indexRoot, probeBands, gen)
       .select(col("b").as("doc_id")).distinct()
       .withColumn("__near", lit(true))
+    // 3c. intra-batch containment: same contract as the batch funnel's
+    // d_containment stage (hot cut relative to the BATCH — the df<=8
+    // absolute floor is what carries the excerpt signal at micro-batch
+    // sizes), and in the funnel's stage ORDER: over the near-dup
+    // SURVIVORS. Running it before the band collapse would let a
+    // one-word-longer near-dup pair lose BOTH members (the larger to the
+    // band guard, the smaller to mutual containment) — after it, the
+    // kept member of every near-dup pair is immune and only genuine
+    // excerpt inclusions fall. The common case is the DRIVER-LOCAL kernel
+    // (one codegen'd shingle collect — the batch is micro-sized and its
+    // decision log is collected below anyway; the distributed operator's
+    // ~10 AQE stage materializations tripled p50 batch latency for zero
+    // data); a pathological oversized batch falls back to the distributed
+    // operator, same contract, parity held by SamplingContainmentSpec.
+    val nearSurvivors = survivors
+      .join(broadcast(intraHit), Seq("doc_id"), "left")
+      .join(broadcast(nearHit), Seq("doc_id"), "left")
+      .filter(coalesce(col("__near_batch"), lit(false)) === false &&
+        coalesce(col("__near"), lit(false)) === false)
+    // one action decides size AND fetches: limit(bound+1) — a result
+    // inside the bound is the whole batch, one row over proves oversize
+    val collected = nearSurvivors.select(col("doc_id"),
+        org.apache.spark.sql.graft.ArrayExpressions.shingleHashes(
+          col("text"), ShingleN).as("hs"))
+      .limit(MaxLocalContainDocs + 1).collect()
+    val containedHit: DataFrame =
+      if (collected.length <= MaxLocalContainDocs) {
+        import spark.implicits._
+        graft.queries.DedupQueries.containmentDropIdsLocal(
+            collected.toSeq.map(r => (r.getLong(0), r.getSeq[Long](1))))
+          .toSeq.toDF("doc_id")
+          .withColumn("__contained", lit(true))
+      } else
+        graft.queries.DedupQueries.containmentDrops(
+            nearSurvivors.select(col("doc_id").as("id"), col("text")))
+          .select(col("id").as("doc_id"))
+          .withColumn("__contained", lit(true))
     val decided = flagged
       .join(broadcast(intraHit), Seq("doc_id"), "left")
       .join(broadcast(nearHit), Seq("doc_id"), "left")
+      .join(broadcast(containedHit), Seq("doc_id"), "left")
       .select(col("doc_id"), col("text"), col("text_hash"), col("chars_redacted"),
         col("batch_dup"), col("corpus_dup"),
         coalesce(col("__near_batch"), lit(false)).as("near_dup_batch"),
-        coalesce(col("__near"), lit(false)).as("near_dup"))
+        coalesce(col("__near"), lit(false)).as("near_dup"),
+        coalesce(col("__contained"), lit(false)).as("contained_batch"))
       .localCheckpoint()
     // 4. extend the indexes with the admissions BEFORE recording decisions
     // (a crash between the two leaves the guard stricter, never looser)
     val admitted = decided.filter(!col("batch_dup") && !col("corpus_dup") &&
-      !col("near_dup_batch") && !col("near_dup"))
+      !col("near_dup_batch") && !col("near_dup") && !col("contained_batch"))
     if (!admitted.isEmpty) {
       admitted.select(col("text_hash"))
         .write.mode("append").parquet(s"$indexRoot/hash_tail")
@@ -438,7 +497,7 @@ object CurationPipeline {
     var anyAdmitted = false
     decided.select(col("doc_id"), col("batch_dup"), col("corpus_dup"),
         col("near_dup_batch"), col("near_dup"), col("chars_redacted"),
-        length(col("text")).cast("long").as("n_chars"))
+        length(col("text")).cast("long").as("n_chars"), col("contained_batch"))
       .collect()
       .sortBy(_.getLong(0))
       .foreach { r =>
@@ -448,6 +507,7 @@ object CurationPipeline {
           else if (r.getBoolean(2)) Decision(id, "rejected", "exact_dup_corpus", cr)
           else if (r.getBoolean(3)) Decision(id, "rejected", "near_dup_batch", cr)
           else if (r.getBoolean(4)) Decision(id, "rejected", "near_dup_corpus", cr)
+          else if (r.getBoolean(7)) Decision(id, "rejected", "contained_batch", cr)
           else Decision(id, "admitted", "", cr)
         if (d.decision == "admitted") {
           stats.offerSample(id, r.getLong(6))

@@ -241,4 +241,38 @@ class SamplingContainmentSpec extends SparkSpec {
       == Seq(2L))
     spark.catalog.clearCache()
   }
+
+  test("driver-local containment kernel == distributed operator on 10 random corpora") {
+    import spark.implicits._
+    // the ingest guard's small-batch kernel and the funnel's distributed
+    // operator implement ONE contract — hold them equal on corpora mixing
+    // excerpts (planted subsets), shared boilerplate (hot shingles), and
+    // unrelated docs
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h", "i", "j", "k", "m")
+    for (seed <- 0 until 10) {
+      val rnd = new Random(100 + seed)
+      val nDocs = 6 + rnd.nextInt(10)
+      val bp = Seq.fill(10)(vocab(rnd.nextInt(vocab.size)))
+      val raw = (0 until nDocs).map { i =>
+        val body = Seq.fill(20 + rnd.nextInt(50))(vocab(rnd.nextInt(vocab.size)))
+        (i.toLong, if (i % 3 == 0) body ++ bp else body)
+      }
+      val planted = raw ++ raw.filter(_._1 % 2 == 0).map { case (id, ws) =>
+        (id + 1000L, ws.take(math.max(8, ws.size / 5)))
+      }
+      val docs = planted.map { case (id, ws) => (id, ws.mkString(" ")) }
+      val distributed = DedupQueries.containmentDrops(docs.toDF("id", "text"))
+        .collect().map(_.getLong(0)).toSet
+      // fed exactly as the ingest guard feeds it: the codegen'd distinct-
+      // shingle expression, collected
+      val local = DedupQueries.containmentDropIdsLocal(
+        docs.toDF("id", "text").select(col("id"),
+            org.apache.spark.sql.graft.ArrayExpressions.shingleHashes(
+              col("text"), 5).as("hs"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq)
+      assert(local == distributed,
+        s"seed=$seed kernel=$local distributed=$distributed")
+      spark.catalog.clearCache()
+    }
+  }
 }

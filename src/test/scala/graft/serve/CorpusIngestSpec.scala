@@ -160,6 +160,7 @@ class CorpusIngestSpec extends SparkSpec {
       s = http("GET", s"$base/corpus/stats")._2
       assert(stat(s, "rejected_near_dup") == 2, s)
 
+
       // -- live admitted-corpus priority sample: 5 admitted docs ≤ K, so
       // the sketch is a census — every admitted doc present, tau = 0, the
       // subset-sum estimator exact (wHat == nChars) — and doc 1's priority
@@ -188,6 +189,25 @@ class CorpusIngestSpec extends SparkSpec {
       CurationPipeline.loadSample(spark, s"$dir/index", reborn)
       assert(reborn.sampleJson == stats.sampleJson,
         s"restored=${reborn.sampleJson}\nlive=${stats.sampleJson}")
+
+      // -- INTRA-batch containment guard: an article and its opening
+      // excerpt posted together (the scrape burst the funnel's
+      // d_containment stage exists for). The excerpt's Jaccard vs the
+      // original is ~1/5 — far below the band guard's reach — but every
+      // excerpt shingle is contained in the original: the original is
+      // admitted, the excerpt rejected contained_batch, and the decision
+      // proves the guard runs AFTER the band collapse (doc 11/12 above
+      // lost only ONE member to the band guard, not both to containment).
+      val article = (1 to 50).map(i => s"survey$i").mkString(" ")
+      val excerpt = (1 to 10).map(i => s"survey$i").mkString(" ")
+      assert(post(14L, article)._1 == 202)
+      assert(post(15L, excerpt)._1 == 202)
+      flush()
+      s = http("GET", s"$base/corpus/stats")._2
+      assert(stat(s, "admitted") == 6, s)
+      assert(stat(s, "rejected_contained_batch") == 1, s)
+      assert(s.contains("\"docId\":14,\"decision\":\"admitted\""), s)
+      assert(s.contains("\"docId\":15,\"decision\":\"rejected\",\"reason\":\"contained_batch\""), s)
     } finally {
       query.stop()
       server.stop()
