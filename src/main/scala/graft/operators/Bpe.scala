@@ -16,9 +16,13 @@ import org.apache.spark.sql.functions._
   * and apply the merge with a plain left-to-right non-overlapping string
   * replace over the spaced symbol encoding (' j o i n ' → ' j oi n '),
   * whose greedy semantics match BPE's and are identical in both engines.
-  * The best-pair table is one row per round and broadcasts; no driver
-  * loop, no collect — the winner feeds the next round as a cross-joined
-  * literal column.
+  * The best-pair winner is ONE row per round by construction, and train()
+  * COLLECTS it to literal strings so each round applies as a flat
+  * codegen'd select over the cached dictionary — a driver-bounded scalar
+  * per round (the Packing bounded-subtotal precedent), not a driver loop
+  * over data. The lazy cross-join formulation this replaced compounded
+  * doubled replace-nesting through one deep uncheckpointed plan and
+  * regressed the whole BPE family 3.5x (r10 verdict).
   */
 object Bpe {
 

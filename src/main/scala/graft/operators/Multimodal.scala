@@ -249,7 +249,7 @@ object Multimodal {
       * 'vids'/'MJPG', strf BITMAPINFOHEADER)) → movi('00dc' chunks)).
       */
     def encode(assetId: Long, width: Int, height: Int, fps: Int,
-               nFrames: Int): Array[Byte] = {
+               nFrames: Int, recWrap: Boolean = false): Array[Byte] = {
       val jpegs = (0 until nFrames).map { i =>
         val (r, g, b) = synthColor(assetId, i)
         val img = new java.awt.image.BufferedImage(width, height,
@@ -280,7 +280,11 @@ object Multimodal {
         le32(width * height * 3) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
       val hdrl = list("hdrl",
         chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
-      val movi = list("movi", jpegs.flatMap(j => chunk("00dc", j)).toArray)
+      // recWrap: group the frame chunks in a 'rec ' LIST, the interleave
+      // grouping many real-world AVIs use inside movi — the decoder must
+      // see through it
+      val frameChunks = jpegs.flatMap(j => chunk("00dc", j)).toArray
+      val movi = list("movi", if (recWrap) list("rec ", frameChunks) else frameChunks)
       val body = fourcc("AVI ") ++ hdrl ++ movi
       fourcc("RIFF") ++ le32(body.length) ++ body
     }
@@ -319,17 +323,30 @@ object Multimodal {
         while (p + 8 <= end) {
           val id = cc(payload, p); val sz = rd32(payload, p + 4)
           val body = p + 8
-          require(body + sz <= end, s"asset $assetId: chunk $id overruns its parent")
+          // sz is unsigned on disk: a negative read means a >2 GiB or
+          // corrupt size field — reject it BEFORE the bounds check, whose
+          // int arithmetic a negative/huge sz would slip past (and a
+          // negative sz makes the loop cursor stop advancing: an
+          // infinite-loop DoS, not a loud failure)
+          require(sz >= 0, s"asset $assetId: chunk $id has negative size $sz")
+          require(body.toLong + sz <= end,
+            s"asset $assetId: chunk $id overruns its parent")
           if (id == "LIST") {
             val listId = cc(payload, body)
-            walk(body + 4, body + sz, inMovi = listId == "movi")
+            // 'rec ' LISTs group interleaved frame chunks INSIDE movi
+            // (common in real AVIs) — their content is still movi content
+            walk(body + 4, body + sz,
+              inMovi = listId == "movi" || (inMovi && listId == "rec "))
           } else if (id == "avih") {
             require(sz >= 40, s"asset $assetId: avih too short ($sz)")
             fps = { val mspf = rd32(payload, body); require(mspf > 0, "bad rate"); 1000000 / mspf }
             totalFrames = rd32(payload, body + 16)
             width = rd32(payload, body + 32)
             height = rd32(payload, body + 36)
-          } else if (inMovi && id.endsWith("dc")) {
+          } else if (inMovi && (id == "00dc" || id == "00db")) {
+            // frames of the FIRST stream only ('00dc' compressed / '00db'
+            // uncompressed): a second stream's '01dc' chunks must not
+            // count against stream 00's header dims or dwTotalFrames
             frameOffsets ::= (body, sz)
           }
           p = body + sz + (sz % 2) // chunks are word-aligned

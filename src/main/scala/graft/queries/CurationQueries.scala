@@ -745,7 +745,7 @@ object CurationQueries {
       // unpersist before returning) there is no safe unpersist point here.
       // Verify/Bench/ScaleProbe clear the cache after each query; a
       // long-lived session embedding the funnel should clearCache() or
-      // unpersist after consuming the 5-row result.
+      // unpersist after consuming the 6-row result.
       import org.apache.spark.sql.expressions.Window
       val DQ = DedupQueries
       val wsz = size(TextOps.words(col("text"))).cast("long")

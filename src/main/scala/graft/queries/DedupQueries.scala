@@ -244,7 +244,7 @@ object DedupQueries {
     // exact intersection count, restricted to candidates: pair rows fan
     // out by n_a then collapse on the (b, h) equijoin; n_a/n_b ride along
     // (functionally dependent on a/b) so no size re-joins are needed
-    cand
+    val drops = cand
       .join(cool.select(col("id").as("a"), col("h"), col("n").as("n_a")), "a")
       .join(cool.select(col("id").as("b"), col("h"), col("n").as("n_b")), Seq("b", "h"))
       .groupBy(col("a"), col("b"), col("n_a"), col("n_b"))
@@ -253,6 +253,14 @@ object DedupQueries {
       .filter(col("n_a") < col("n_b") ||
         (col("n_a") === col("n_b") && col("a") > col("b")))
       .select(col("a").as("id")).distinct()
+      // near-dup-sized result, materialized EAGERLY (the verifiedClusters
+      // pattern) so the internal cool cache can be released here instead
+      // of leaking one pinned entry per call into a long-lived session
+      // (the ingest's oversized-batch fallback would otherwise accumulate
+      // dead cache entries nothing ever clears)
+      .localCheckpoint()
+    cool.unpersist()
+    drops
   }
 
   /** Driver-local kernel computing EXACTLY `containmentDrops`' result over

@@ -168,6 +168,27 @@ class MultimodalRealSpec extends SparkSpec {
       Multimodal.AviMjpegCodec.decode(9L, tampered)
     }
     assert(e3.getMessage.contains("avih says 4 frames, movi has 3"))
+    // a negative chunk-size field (0xFFFFFFF8 = -8) must throw, not spin:
+    // without the sz >= 0 guard the walk cursor stops advancing — an
+    // infinite loop on hostile input instead of a loud failure
+    val negSz = good.clone()
+    val dcAt = good.indices.find(i => i + 4 <= good.length &&
+      new String(good, i, 4, "US-ASCII") == "00dc").get
+    negSz(dcAt + 4) = 0xf8.toByte; negSz(dcAt + 5) = 0xff.toByte
+    negSz(dcAt + 6) = 0xff.toByte; negSz(dcAt + 7) = 0xff.toByte
+    val e4 = intercept[IllegalArgumentException] {
+      Multimodal.AviMjpegCodec.decode(9L, negSz)
+    }
+    assert(e4.getMessage.contains("negative size"))
+  }
+
+  test("AviMjpegCodec sees through 'rec ' interleave LISTs inside movi") {
+    // many real-world AVIs group frame chunks in 'rec ' LISTs — the
+    // parser must treat their content as movi content, not skip it
+    val bytes = Multimodal.AviMjpegCodec.encode(7L, 24, 16, 10, 4, recWrap = true)
+    val f = Multimodal.AviMjpegCodec.decode(7L, bytes)
+    assert(f.n_frames == 4 && f.frames_decoded == 4)
+    assert((f.width, f.height, f.fps) == (24, 16, 10))
   }
 
   test("decodeVideoFeatures runs the real AVI parser through the batch plumbing") {
