@@ -35,6 +35,42 @@ object CdpBatch {
        |  FROM events
        |  GROUP BY 1, 2 HAVING count(*) >= 5)""".stripMargin
 
+  /** Integer-PageRank constants: micro-rank scale and iteration count
+    * (damping 0.85 is hard-wired as the 85/100 integer split).
+    */
+  private val PrScale = 1000000000000L
+  private val PrIters = 5
+
+  /** q_identity_pagerank body over an arbitrary (src, dst) edge relation
+    * (probe-sharing contract). Returns (node, rank_u) with rank_u the
+    * integer micro-rank after `PrIters` rounds.
+    */
+  private[queries] def identityPagerank(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    // edge-with-degree is joined once per iteration: cache, don't
+    // checkpoint (its lineage is flat; only the rank chain grows)
+    val symd = sym.join(deg, "src").cache()
+    val nodes = deg.select(col("src").as("node")).cache()
+    val n = nodes.count()
+    if (n == 0) return nodes.select(col("node"), lit(0L).as("rank_u"))
+    val t0 = PrScale / n
+    val tel = 15L * t0 / 100L
+    var r = nodes.select(col("node"), lit(t0).as("r"))
+    for (_ <- 1 to PrIters) {
+      val inflow = symd.join(r, symd("src") === r("node"))
+        .selectExpr("dst", "r div d AS c")
+        .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+      r = nodes.join(inflow, col("node") === col("dst"), "left")
+        .selectExpr("node",
+          s"CAST($tel + (85 * coalesce(inflow, 0)) div 100 AS BIGINT) AS r")
+        .localCheckpoint()
+    }
+    symd.unpersist()
+    r.select(col("node"), col("r").as("rank_u"))
+  }
+
   /** Latest row per (user_id, event_type) by (ts, event_id) — the LWW
     * arrival order: equal timestamps resolved by the monotonic event id
     * (reference `ProfileStore.kt:85-122`; ties keep the later arrival).
@@ -62,6 +98,49 @@ object CdpBatch {
       import s.implicits._
       Identity.connectedComponentsAdaptive(
         edges(s, dir).as[(String, String)])
+    },
+
+    // Identity-graph PageRank (beyond-reference): centrality over the
+    // SAME symmetric identity edges J2 clusters — the page-importance op
+    // a crawl-corpus pipeline weights documents with, here ranking which
+    // users/devices anchor the identity graph. ALL arithmetic is
+    // integer-scaled (micro-ranks out of 10^12, floor division, BIGINT
+    // sums): integer addition commutes exactly, so partial-agg ordering
+    // cannot fork the engines the way float PageRank would after 5
+    // compounding iterations. Each Spark iteration is a localCheckpoint
+    // leaf (node-sized relation, 5 rounds — the BPE/funnel planning
+    // lesson applied from the start); the oracle unrolls the same 5
+    // rounds as chained CTEs (the trainSql precedent). Scale: per
+    // iteration one edge-sized join + one groupBy — the standard Pregel-
+    // by-join shape; N is a bounded driver scalar (count-then-use).
+    QueryDef(
+      "q_identity_pagerank", {
+        val iters = (1 to PrIters).map { i =>
+          val p = i - 1
+          s"""in$i AS (
+             |  SELECT e.dst AS node, CAST(sum(p.r // e.d) AS BIGINT) AS inflow
+             |  FROM symd e JOIN pr$p p ON p.node = e.src GROUP BY e.dst),
+             |pr$i AS (
+             |  SELECT nd.node,
+             |         CAST((SELECT tel FROM tp)
+             |              + (85 * COALESCE(i.inflow, 0)) // 100 AS BIGINT) AS r
+             |  FROM nodes nd LEFT JOIN in$i i ON i.node = nd.node)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH $edgesSql,
+           |sym AS (SELECT src, dst FROM edges
+           |        UNION ALL SELECT dst, src FROM edges),
+           |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY src),
+           |symd AS (SELECT s.src, s.dst, g.d FROM sym s JOIN deg g ON g.src = s.src),
+           |nodes AS (SELECT src AS node FROM deg),
+           |tp AS (
+           |  SELECT (15 * ($PrScale // n)) // 100 AS tel, $PrScale // n AS t0
+           |  FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes)),
+           |pr0 AS (SELECT node, CAST((SELECT t0 FROM tp) AS BIGINT) AS r FROM nodes),
+           |$iters
+           |SELECT node, r AS rank_u FROM pr$PrIters""".stripMargin
+      }) { (s, dir) =>
+      identityPagerank(edges(s, dir))
     },
 
     // O2: LWW trait merge — latest (value, k-tag) per (user, type), ties
