@@ -19,7 +19,7 @@ object EventAnalytics {
     */
   private val sessionsSql =
     s"""g AS (
-       |  SELECT user_id, event_id, ts,
+       |  SELECT user_id, event_id, ts, event_type,
        |         CASE WHEN lag(ts) OVER w IS NULL THEN 1
        |              WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
        |                   > ${GapMin * 60L * 1000000L} THEN 1
@@ -27,7 +27,7 @@ object EventAnalytics {
        |  FROM events
        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
        |s AS (
-       |  SELECT user_id, event_id, ts,
+       |  SELECT user_id, event_id, ts, event_type,
        |         CAST(sum(is_start) OVER (PARTITION BY user_id
        |                                  ORDER BY epoch_us(ts), event_id)
        |              AS BIGINT) AS session_idx
@@ -63,6 +63,34 @@ object EventAnalytics {
           unix_micros(min(col("ts"))).as("start_us"),
           expr("(unix_micros(max(ts)) - unix_micros(min(ts))) div 1000000")
             .as("duration_s"))
+    },
+
+    // Session path mining: the first 5 event types of each session in
+    // (ts, event_id) order as a '>'-joined path, counted across sessions,
+    // top 20 — the "common user journeys" report. collect_list is NOT
+    // order-stable, so the path is built from array_sort over (rn, type)
+    // structs (row_number is unique within the session → deterministic);
+    // the oracle's string_agg ORDER BY rn is the same contract. Global
+    // top-20 with (count desc, path asc) tiebreak compiles to
+    // TakeOrdered — no full sort. One user-keyed window shuffle + one
+    // path groupBy: the sessionization scan shape.
+    QueryDef(
+      "q_session_paths",
+      s"""WITH $sessionsSql,
+         |p AS (
+         |  SELECT user_id, session_idx, event_type,
+         |         row_number() OVER (PARTITION BY user_id, session_idx
+         |                            ORDER BY epoch_us(ts), event_id) AS rn
+         |  FROM s),
+         |paths AS (
+         |  SELECT user_id, session_idx,
+         |         string_agg(event_type, '>' ORDER BY rn) AS path
+         |  FROM p WHERE rn <= 5 GROUP BY user_id, session_idx)
+         |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+         |FROM paths GROUP BY path
+         |ORDER BY n_sessions DESC, path ASC
+         |LIMIT 20""".stripMargin) { (s, dir) =>
+      sessionPaths(Tables.events(s, dir))
     },
 
     // Interval (range) join via `operators/RangeJoin.scala`: per session,
@@ -336,6 +364,24 @@ object EventAnalytics {
         |FROM words""".stripMargin) { (s, dir) =>
       saxWords(Tables.events(s, dir))
     })
+
+  /** q_session_paths body over an arbitrary events relation (the scale
+    * probe feeds replicated inputs through the same code the query runs).
+    */
+  def sessionPaths(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("session_idx"))
+      .orderBy(col("ts"), col("event_id"))
+    sessionized(events)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(expr(
+        "array_join(transform(array_sort(collect_list(struct(rn, event_type)))," +
+          " x -> x.event_type), '>')").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(20)
+  }
 
   /** q_retention_cohorts body over an arbitrary events relation (the
     * scale probe feeds replicated inputs through the same code the query

@@ -324,6 +324,13 @@ class PlanSpec extends SparkSpec {
       s"nothing in the epoch plan justifies a shuffle join:\n$p")
   }
 
+  test("q_session_paths: global top-20 is TakeOrdered, never a full sort") {
+    val p = plan("q_session_paths")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-20 must be a partial top-k, not sort+limit:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cross-join belongs here:\n$p")
+  }
+
   test("q_curation_funnel: stage aggregates over materialized leaves, no cartesian") {
     // SCOPE: the clustering stage runs eagerly inside
     // connectedComponentsAdaptive (localCheckpoint + collect), and since
