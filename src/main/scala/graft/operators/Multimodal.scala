@@ -317,6 +317,7 @@ object Multimodal {
       require(riffEnd <= payload.length, s"asset $assetId: RIFF size past EOF")
       var off = 12
       var width = -1; var height = -1; var fps = -1; var totalFrames = -1
+      var hasDib = false
       var frameOffsets = List.empty[(Int, Int)] // (offset, len) of 00dc bodies
       def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
         var p = start
@@ -347,6 +348,7 @@ object Multimodal {
             // frames of the FIRST stream only ('00dc' compressed / '00db'
             // uncompressed): a second stream's '01dc' chunks must not
             // count against stream 00's header dims or dwTotalFrames
+            if (id == "00db") hasDib = true
             frameOffsets ::= (body, sz)
           }
           p = body + sz + (sz % 2) // chunks are word-aligned
@@ -355,6 +357,13 @@ object Multimodal {
       walk(12, riffEnd, inMovi = false) // chunks start after the 'AVI ' form fourcc
       require(width > 0 && height > 0 && fps > 0 && totalFrames >= 0,
         s"asset $assetId: missing or invalid avih header")
+      // refuse UPFRONT with the real reason: raw-DIB frames would count
+      // in n_frames but can never pass the JPEG frame decode below — a
+      // misleading per-frame error (or, with sampleEvery > 1, silently
+      // unsupported unsampled frames) is worse than a named rejection
+      require(!hasDib,
+        s"asset $assetId: stream 00 contains uncompressed DIB ('00db') " +
+          "frames — this decoder supports MJPEG only")
       val frames = frameOffsets.reverse.toVector
       require(frames.length == totalFrames,
         s"asset $assetId: avih says $totalFrames frames, movi has ${frames.length}")

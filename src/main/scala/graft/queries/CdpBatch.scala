@@ -48,13 +48,22 @@ object CdpBatch {
   private[queries] def identityPagerank(edges: DataFrame): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    // deg feeds BOTH cached descendants (symd and nodes): cache it too,
+    // or the edges aggregation scans the events table twice
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d")).cache()
     // edge-with-degree is joined once per iteration: cache, don't
     // checkpoint (its lineage is flat; only the rank chain grows)
     val symd = sym.join(deg, "src").cache()
     val nodes = deg.select(col("src").as("node")).cache()
+    // every path out of this method releases the three caches — a
+    // long-lived session must not accrue pinned entries per call
+    def release(): Unit = { symd.unpersist(); nodes.unpersist(); deg.unpersist(); () }
     val n = nodes.count()
-    if (n == 0) return nodes.select(col("node"), lit(0L).as("rank_u"))
+    if (n == 0) {
+      val empty = nodes.select(col("node"), lit(0L).as("rank_u")).localCheckpoint()
+      release()
+      return empty
+    }
     val t0 = PrScale / n
     val tel = 15L * t0 / 100L
     var r = nodes.select(col("node"), lit(t0).as("r"))
@@ -67,7 +76,7 @@ object CdpBatch {
           s"CAST($tel + (85 * coalesce(inflow, 0)) div 100 AS BIGINT) AS r")
         .localCheckpoint()
     }
-    symd.unpersist()
+    release()
     r.select(col("node"), col("r").as("rank_u"))
   }
 
