@@ -45,7 +45,7 @@ object CdpBatch {
     * (probe-sharing contract). Returns (node, rank_u) with rank_u the
     * integer micro-rank after `PrIters` rounds.
     */
-  private[queries] def identityPagerank(edges: DataFrame): DataFrame = {
+  private[graft] def identityPagerank(edges: DataFrame): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
     // deg feeds BOTH cached descendants (symd and nodes): cache it too,
