@@ -185,6 +185,10 @@ object ScaleProbe {
     // groupBy + the final broadcast-dict token scan, so the curve must
     // track the scan, not the 6 training rounds
     timeDf("bpe_token_count")(graft.queries.BpeQueries.tokenCount(docs))
+    // BM25: term filter before the tf groupBy shrinks the stream to
+    // |terms| rows per doc; df/totals broadcast, score map-side — must
+    // track the tokenize scan
+    timeDf("bm25_search")(graft.queries.TextAnalytics.bm25Search(docs))
     timeDf("curation_funnel")(graft.queries.CurationQueries.funnel(spark, docs))
     timeDf("unigram_logprob")(graft.queries.TextAnalytics.unigramLogprob(docs))
     timeDf("dsir_weights")(graft.queries.TextAnalytics.dsirWeights(docs))

@@ -346,6 +346,49 @@ object TextAnalytics {
         .select("doc_id", "w", "tf", "dft", "tfidf", "rnk")
     },
 
+    // BM25 retrieval scoring (Robertson-Spärck Jones, k1 = 1.2, b = 0.75)
+    // for a fixed query-term set — the corpus-search kernel a data team
+    // points at its training store. Cross-engine float discipline: every
+    // count stays integer until ONE final mirrored expression per term
+    // (idf * (tf·2.2) / (tf + 1.2·(0.25 + 0.75·(dl·N)/total)) — the
+    // length ratio is (dl·N)/total so the only divisions are
+    // exact-integer-input IEEE ops), and the per-term contributions are
+    // added in FIXED textual order (data + value + system) instead of a
+    // float sum aggregate, so partial-agg ordering can't fork the
+    // engines; r4+eps rounds the result onto the shared grid (the
+    // q_tfidf ulp argument). Shape: one tokenize pass, term filter BEFORE
+    // the tf groupBy (the stream shrinks to |terms| rows per doc), df and
+    // totals are term-/scalar-sized broadcasts, score is map-side.
+    QueryDef(
+      "q_bm25_search",
+      s"""WITH ws AS (
+         |  SELECT doc_id, CAST(len(${TextOps.wordsSql("text")}) AS BIGINT) AS dl
+         |  FROM documents),
+         |tot AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS total
+         |  FROM ws),
+         |w AS (SELECT doc_id, unnest(${TextOps.wordsSql("text")}) AS w FROM documents),
+         |tf AS (
+         |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM w
+         |  WHERE w IN ('data', 'value', 'system') GROUP BY doc_id, w),
+         |dft AS (SELECT w, CAST(count(*) AS BIGINT) AS dft FROM tf GROUP BY w),
+         |c AS (
+         |  SELECT t.doc_id, t.w,
+         |         ln(1 + (tot.n - d.dft + 0.5) / (d.dft + 0.5))
+         |           * ((t.tf * 2.2)
+         |              / (t.tf + 1.2 * (0.25 + 0.75 * ((s.dl * tot.n) / tot.total))))
+         |           AS c
+         |  FROM tf t JOIN dft d USING (w) JOIN ws s ON s.doc_id = t.doc_id, tot)
+         |SELECT ws.doc_id, ws.dl,
+         |       round(COALESCE(sum(CASE WHEN c.w = 'data' THEN c.c END), 0)
+         |             + COALESCE(sum(CASE WHEN c.w = 'value' THEN c.c END), 0)
+         |             + COALESCE(sum(CASE WHEN c.w = 'system' THEN c.c END), 0)
+         |             + 0.00000025, 4) AS bm25
+         |FROM ws LEFT JOIN c ON c.doc_id = ws.doc_id
+         |GROUP BY ws.doc_id, ws.dl""".stripMargin) { (s, dir) =>
+      bm25Search(Tables.documents(s, dir))
+    },
+
     // Unigram-LM scoring (the CCNet-style perplexity quality filter, with
     // the corpus's own unigram model standing in for the external KenLM):
     // per doc, mean token log-probability and the perplexity exp(-avg).
@@ -505,4 +548,33 @@ object TextAnalytics {
       .join(nd, "source").join(st, "source")
       .select(col("source"), col("n_docs"), col("ts").as("n_tokens"), col("kl"))
   }
+  /** q_bm25_search body over an arbitrary documents relation (probe/spec
+    * sharing contract).
+    */
+  def bm25Search(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val dl = docs.select(col("doc_id"),
+        size(TextOps.words(col("text"))).cast("long").as("dl"))
+      val tot = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("total"))
+      val tf = docs
+        .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
+        .filter(col("w").isin("data", "value", "system"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val dft = tf.groupBy(col("w")).agg(count(when(col("tf") > 0, lit(1))).as("dft"))
+      val contrib = tf.join(broadcast(dft), "w")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(tot))
+        .withColumn("c",
+          log(lit(1) + (col("n") - col("dft") + lit(0.5)) / (col("dft") + lit(0.5)))
+            * ((col("tf") * lit(2.2))
+               / (col("tf") + lit(1.2) * (lit(0.25)
+                  + lit(0.75) * ((col("dl") * col("n")) / col("total"))))))
+      dl.join(contrib.select(col("doc_id"), col("w"), col("c")), Seq("doc_id"), "left")
+        .groupBy(col("doc_id"), col("dl"))
+        .agg(Num.r4(
+          coalesce(sum(when(col("w") === "data", col("c"))), lit(0.0))
+            + coalesce(sum(when(col("w") === "value", col("c"))), lit(0.0))
+            + coalesce(sum(when(col("w") === "system", col("c"))), lit(0.0)))
+          .as("bm25"))
+  }
+
 }
