@@ -170,16 +170,8 @@ object ScaleProbe {
     // integer PageRank: replication multiplies identity-graph nodes while
     // degree distribution is fixed — cost must track the 5 edge-sized
     // join+groupBy rounds, linear in the edge count
-    timeDf("identity_pagerank") {
-      val kTag = substring(col("event_id"), -1, 1)
-      val edges = events
-        .groupBy(concat(lit("u:"), col("user_id")).as("src"),
-          concat(lit("k:"), kTag).as("dst"))
-        .agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") >= 5)
-        .select("src", "dst")
-      graft.queries.CdpBatch.identityPagerank(edges)
-    }
+    timeDf("identity_pagerank")(graft.queries.CdpBatch.identityPagerank(
+      graft.queries.CdpBatch.identityEdges(events)))
     // BPE: the merge loop is dictionary-bound (each round collects ONE
     // winner row to literals); the only corpus-sized work is the word
     // groupBy + the final broadcast-dict token scan, so the curve must

@@ -94,6 +94,16 @@ object TextAnalytics {
     */
   private val DsirTarget = "src0"
 
+  /** q_bm25_search's fixed query-term set — ONE list feeding the SQL
+    * WHERE-IN, the SQL's fixed-order CASE-arm sum, the DataFrame filter,
+    * and the fixed-order Column sum (declared before `defs` for the same
+    * init-order reason). The ADDITION ORDER of the per-term contributions
+    * is this list's order in both dialects; a term present in the filters
+    * but missing from the sum arms would silently zero its contribution,
+    * so all four sites must derive from here.
+    */
+  private val Bm25Terms = Seq("data", "value", "system")
+
   val defs: Seq[QueryDef] = Seq(
 
     // Language ID: score = #words in each language profile; argmax with
@@ -370,7 +380,8 @@ object TextAnalytics {
          |w AS (SELECT doc_id, unnest(${TextOps.wordsSql("text")}) AS w FROM documents),
          |tf AS (
          |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM w
-         |  WHERE w IN ('data', 'value', 'system') GROUP BY doc_id, w),
+         |  WHERE w IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+         |  GROUP BY doc_id, w),
          |dft AS (SELECT w, CAST(count(*) AS BIGINT) AS dft FROM tf GROUP BY w),
          |c AS (
          |  SELECT t.doc_id, t.w,
@@ -380,9 +391,9 @@ object TextAnalytics {
          |           AS c
          |  FROM tf t JOIN dft d USING (w) JOIN ws s ON s.doc_id = t.doc_id, tot)
          |SELECT ws.doc_id, ws.dl,
-         |       round(COALESCE(sum(CASE WHEN c.w = 'data' THEN c.c END), 0)
-         |             + COALESCE(sum(CASE WHEN c.w = 'value' THEN c.c END), 0)
-         |             + COALESCE(sum(CASE WHEN c.w = 'system' THEN c.c END), 0)
+         |       round(${Bm25Terms.map(t =>
+              s"COALESCE(sum(CASE WHEN c.w = '$t' THEN c.c END), 0)")
+              .mkString("\n         |             + ")}
          |             + 0.00000025, 4) AS bm25
          |FROM ws LEFT JOIN c ON c.doc_id = ws.doc_id
          |GROUP BY ws.doc_id, ws.dl""".stripMargin) { (s, dir) =>
@@ -552,12 +563,18 @@ object TextAnalytics {
     * sharing contract).
     */
   def bm25Search(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      // dl feeds THREE plan branches (totals, contrib join, final left
+      // join) and its subtree is map-only — no exchange for Spark to
+      // reuse, so without the cache the corpus would tokenize once per
+      // branch (the unigramLogprob/dsirWeights sibling discipline). The
+      // tf explode is the one other tokenize: two passes total, sizes +
+      // stream.
       val dl = docs.select(col("doc_id"),
-        size(TextOps.words(col("text"))).cast("long").as("dl"))
+        size(TextOps.words(col("text"))).cast("long").as("dl")).cache()
       val tot = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("total"))
       val tf = docs
         .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
-        .filter(col("w").isin("data", "value", "system"))
+        .filter(col("w").isin(Bm25Terms: _*))
         .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
       val dft = tf.groupBy(col("w")).agg(count(when(col("tf") > 0, lit(1))).as("dft"))
       val contrib = tf.join(broadcast(dft), "w")
@@ -570,10 +587,13 @@ object TextAnalytics {
                   + lit(0.75) * ((col("dl") * col("n")) / col("total"))))))
       dl.join(contrib.select(col("doc_id"), col("w"), col("c")), Seq("doc_id"), "left")
         .groupBy(col("doc_id"), col("dl"))
+        // fixed-order sum over the SAME term sequence the oracle's CASE
+        // arms are generated from — reduce is left-associative, so the
+        // addition order is the term list's order in both dialects
         .agg(Num.r4(
-          coalesce(sum(when(col("w") === "data", col("c"))), lit(0.0))
-            + coalesce(sum(when(col("w") === "value", col("c"))), lit(0.0))
-            + coalesce(sum(when(col("w") === "system", col("c"))), lit(0.0)))
+          Bm25Terms.map(t =>
+              coalesce(sum(when(col("w") === t, col("c"))), lit(0.0)))
+            .reduce(_ + _))
           .as("bm25"))
   }
 
