@@ -21,6 +21,16 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Coalesce post-shuffle partitions to the advisory target instead of
+      // keeping one-per-core parallelism: multi-stage pipelines over
+      // small-to-medium shuffles otherwise schedule `cores` near-empty
+      // tasks per exchange, and the scheduling overhead dominates (the
+      // curation funnel's ~30 exchanges at sf0.1 carry only thousands of
+      // rows each). At cluster scale this is the documented production
+      // setting — partitions track data size (64 MB advisory), not a
+      // fixed count, which is exactly the 100 TB posture.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
       .getOrCreate()
 
   def streaming(name: String, cores: Int): SparkSession =

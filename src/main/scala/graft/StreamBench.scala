@@ -74,9 +74,15 @@ object StreamBench {
     implicit val sq = spark.sqlContext
 
     // decades are capped at n/2 so every config keeps >= 2 events per
-    // profile on average — the 400k/1M rows need `stateprobe 2000000`
-    for (profiles <- Seq(2000, 10000, 40000, 100000, 400000, 1000000)
-           .filter(_ <= n / 2)) {
+    // profile on average — the 400k/1M rows need `stateprobe 2000000`.
+    // A small n that filters out every config still probes once at n/2
+    // (max 1) instead of silently producing no output.
+    val configs = Seq(2000, 10000, 40000, 100000, 400000, 1000000)
+      .filter(_ <= n / 2) match {
+      case Seq() => Seq(math.max(1, n / 2))
+      case cs    => cs
+    }
+    for (profiles <- configs) {
       val events = (0 until n).map { i =>
         CdpEvent(
           eventId = s"e$i",

@@ -250,6 +250,10 @@ object Multimodal {
       */
     def encode(assetId: Long, width: Int, height: Int, fps: Int,
                nFrames: Int, recWrap: Boolean = false): Array[Byte] = {
+      // fail loudly like decode does: fps <= 0 would otherwise surface as a
+      // raw ArithmeticException from the 1000000/fps mspf field, and
+      // fps > 1000 truncates mspf to 0 and cannot round-trip through decode
+      require(fps > 0 && fps <= 1000, s"fps must be in [1, 1000], got $fps")
       val jpegs = (0 until nFrames).map { i =>
         val (r, g, b) = synthColor(assetId, i)
         val img = new java.awt.image.BufferedImage(width, height,

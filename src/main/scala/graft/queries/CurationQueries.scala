@@ -70,9 +70,9 @@ object CurationQueries {
   /** Funnel variant-corpus id offsets (distinct so an id hit by both the
     * %10 exact-copy and %5 truncation rules stays unique).
     */
-  private val FunnelExactOff = 100000L
-  private val FunnelTruncOff = 200000L
-  private val FunnelExcerptOff = 300000L
+  private[queries] val FunnelExactOff = 100000L
+  private[queries] val FunnelTruncOff = 200000L
+  private[queries] val FunnelExcerptOff = 300000L
 
   /** 55 unique boilerplate tokens appended IN PLACE to every 13th doc of
     * the funnel corpus: boilerplated docs share a 55-token verbatim run
@@ -82,12 +82,12 @@ object CurationQueries {
     * precisely the shared-boilerplate case ExactSubstr dedup exists for
     * (near-dup clustering can't see it, span cutting can).
     */
-  private val FunnelBp = (1 to 55).map(i => s"bp$i").mkString(" ")
+  private[queries] val FunnelBp = (1 to 55).map(i => s"bp$i").mkString(" ")
 
   /** The q_text_quality score as a rounded Column over `text` — shared by
     * the curation manifest and the funnel so the cut lives in one place.
     */
-  private def qualityCol: org.apache.spark.sql.Column = {
+  private[queries] def qualityCol: org.apache.spark.sql.Column = {
     val stop = Seq("the", "a", "of", "and", "data", "value")
     val ws = TextOps.words(col("text"))
     Num.r4(
@@ -794,7 +794,7 @@ object CurationQueries {
       // drop list is near-dup-sized, so it broadcasts like the cluster
       // and keeper mappings above
       val surv2c = surv2
-        .join(broadcast(DQ.containmentDrops(surv2)
+        .join(broadcast(DQ.containmentDropsAdaptive(surv2)
             .select(col("id").as("ctid"))),
           col("id") === col("ctid"), "left_anti")
         .select(col("id"), col("text")).localCheckpoint()

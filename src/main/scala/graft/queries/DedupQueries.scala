@@ -81,24 +81,81 @@ object DedupQueries {
   private[queries] val ContainHotPct = 5
   private[queries] val ContainHotMin = 8
 
+  /** Candidate-pair bound for the driver-local verify: 20k pairs means at
+    * most 40k involved docs' shingle arrays reach the driver (~tens of MB,
+    * the ingest-guard collect order). Past it, the distributed verify+CC
+    * runs unchanged.
+    */
+  private[queries] val VerifyLocalMaxPairs = 20000
+
   private[queries] def verifiedClusters(s: SparkSession, docs: DataFrame,
-                                        bucketCap: Option[Int] = None): DataFrame = {
+                                        bucketCap: Option[Int] = None,
+                                        localMaxPairs: Int = VerifyLocalMaxPairs): DataFrame = {
     import s.implicits._
-    val sh = Dedup.shingleHashes(docs, col("id"), col("text"), ShingleN).cache()
-    val bk = Dedup.bandKeys(Dedup.minhashSignatures(sh))
-    // cand feeds both sides of Dedup.jaccard — cache, or the band
-    // self-join subplan executes twice
+    // Signatures come from the map-only rowwise expression, NOT the
+    // shingle-explode + 12-way-min groupBy: same integers (parity asserted
+    // in StreamNearDupSpec/RandomizedParitySpec) with zero shuffle and no
+    // corpus-sized shingle table to materialize. bk is reused four times
+    // downstream (hot-bucket groupBy, its semi-join, and both sides of the
+    // candidate self-join) — cache it, it is only ids × Bands rows.
+    val bk = Dedup.bandKeys(
+      Dedup.minhashSignaturesRowwise(docs, col("id"), col("text"), ShingleN))
+      .cache()
+    // cand feeds the bounded probe (or candIds + both sides of
+    // Dedup.jaccard on the distributed route) — cache it
     val cand = bucketCap.fold(Dedup.candidatePairs(bk))(
         Dedup.candidatePairsCapped(bk, _))
       .cache()
-    val verified = Dedup.jaccard(cand, sh)
-      .filter(col("jaccard") >= JaccardThreshold)
-      .select(col("a"), col("b")).as[(Long, Long)]
-    val clusters = graft.operators.Identity.connectedComponentsAdaptive(verified)
-    // connectedComponentsAdaptive eagerly localCheckpoints the edge set, so
-    // the result no longer depends on sh/cand lineage — release them here
-    // or each clusters/survivors call in a session pins two cached plans
-    sh.unpersist(blocking = false)
+    // Bounded-candidate fast path (the containmentDropsAdaptive /
+    // connectedComponentsAdaptive pattern): LSH leaves few enough verified-
+    // candidate pairs that the exact-Jaccard verify and the union-find both
+    // fit on the driver — two bounded jobs (pair collect + involved-doc
+    // shingle-array collect) replace the distributed verify's ~6-join DAG
+    // plus CC's checkpoint/probe jobs. Same integers: |A∩B| over distinct
+    // shingle sets, inter*1.0/(sza+szb-inter) in double arithmetic, the
+    // same >= threshold cut, and the same min-id component contract
+    // (VerifiedClustersAdaptiveSpec holds the routes equal).
+    val probe = cand.limit(localMaxPairs + 1).as[(Long, Long)].collect()
+    val clusters = if (probe.length <= localMaxPairs) {
+      val candIdsLocal = probe.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+      val shArr = docs
+        .join(s.createDataset(candIdsLocal.toSeq).toDF("id"), Seq("id"), "left_semi")
+        .select(col("id"),
+          org.apache.spark.sql.graft.ArrayExpressions
+            .shingleHashes(col("text"), ShingleN).as("hs"))
+        .as[(Long, Seq[Long])].collect()
+        .map { case (id, hs) => id -> hs.toSet }.toMap
+      val verified = probe.filter { case (a, b) =>
+        val sa = shArr.getOrElse(a, Set.empty[Long])
+        val sb = shArr.getOrElse(b, Set.empty[Long])
+        val inter = sa.count(sb.contains)
+        val denom = sa.size.toLong + sb.size - inter
+        denom > 0 && inter * 1.0 / denom >= JaccardThreshold
+      }
+      val comp = graft.operators.Identity.connectedComponentsLocal(verified.toSeq)
+      s.createDataset(comp.toSeq).toDF("node", "component")
+    } else {
+      // The exact-Jaccard verify only ever looks at docs that appear in a
+      // candidate pair — shingle THOSE, not the whole corpus. The
+      // restricted shingle table gives identical jaccard values for every
+      // candidate pair (per-doc shingle sets are untouched by the row
+      // filter).
+      val candIds = cand.select(col("a").as("id"))
+        .unionAll(cand.select(col("b").as("id"))).distinct()
+      val sh = Dedup.shingleHashes(
+          docs.join(candIds, Seq("id"), "left_semi"),
+          col("id"), col("text"), ShingleN)
+        .cache()
+      val verified = Dedup.jaccard(cand, sh)
+        .filter(col("jaccard") >= JaccardThreshold)
+        .select(col("a"), col("b")).as[(Long, Long)]
+      val cl = graft.operators.Identity.connectedComponentsAdaptive(verified)
+      // connectedComponentsAdaptive eagerly localCheckpoints the edge set,
+      // so the result no longer depends on sh lineage — release it here
+      sh.unpersist(blocking = false)
+      cl
+    }
+    bk.unpersist(blocking = false)
     cand.unpersist(blocking = false)
     clusters
   }
@@ -213,18 +270,25 @@ object DedupQueries {
     // a crossJoin(broadcast(agg)) pair of exchanges
     val nDocs = docs.count()
     val sh = Dedup.shingleHashes(docs, col("id"), col("text"), ShingleN)
-    val wId = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
-    // cool shingle rows carry BOTH per-doc derived columns from one
-    // id-partitioned window pass: n (the doc's cool-shingle count — used
-    // by the final threshold, so no separate sizes groupBy + re-joins) and
-    // rk (rarity rank — the prefix filter's cursor)
-    val cool = sh
+    // Per-doc cool shingles as ONE rarity-sorted array row. The previous
+    // shape kept cool as exploded (id, h, dfh, n, rk) rows and re-shuffled
+    // that corpus-sized relation four more times (two window passes, the
+    // candidate probe, and a two-join exact recount); collapsing to arrays
+    // up front means every downstream step joins the DOC-sized arr
+    // relation instead, and the exact recount becomes a per-pair
+    // array_intersect — same integers, three fewer corpus-sized
+    // exchanges. sort_array on (dfh, h) structs is deterministic (h is
+    // distinct per doc), so the array prefix IS the rarity-rank prefix the
+    // old row_number computed.
+    val arr = sh
       .join(sh.groupBy(col("h")).agg(count(lit(1)).as("dfh"))
           .filter(col("dfh") <= ContainHotMin ||
             col("dfh") * 100 <= nDocs * hotPct),
         "h")
-      .withColumn("n", count(lit(1)).over(wId))
-      .withColumn("rk", row_number().over(wId.orderBy(col("dfh"), col("h"))))
+      .groupBy(col("id"))
+      .agg(transform(sort_array(collect_list(struct(col("dfh"), col("h")))),
+        x => x("h")).as("hs"))
+      .withColumn("n", size(col("hs")))
       .cache()
     // Prefix-filtered candidate generation (Bayardo et al. 2007 AllPairs /
     // Xiao et al. PPJoin): a pair with containment(a in b) >= 0.8 must
@@ -236,31 +300,61 @@ object DedupQueries {
     // the candidate set is a SUPERSET of qualifying pairs and the exact
     // recount below applies the identical final rule, so the DuckDB twin
     // (exhaustive at oracle scale) needs no mirror of it.
-    val cand = cool
-      .filter(col("rk") <= col("n") / 5 + 1)
-      .select(col("id").as("a"), col("h")).as("x")
-      .join(cool.as("y"), col("x.h") === col("y.h") && col("x.a") =!= col("y.id"))
-      .select(col("x.a").as("a"), col("y.id").as("b")).distinct()
-    // exact intersection count, restricted to candidates: pair rows fan
-    // out by n_a then collapse on the (b, h) equijoin; n_a/n_b ride along
-    // (functionally dependent on a/b) so no size re-joins are needed
+    val cand = arr
+      .select(col("id").as("a"),
+        explode(slice(col("hs"), lit(1), (col("n") / 5).cast("int") + 1)).as("h"))
+      .as("x")
+      .join(arr.select(col("id").as("b"), explode(col("hs")).as("h")).as("y"),
+        col("x.h") === col("y.h") && col("x.a") =!= col("y.b"))
+      .select(col("x.a").as("a"), col("y.b").as("b")).distinct()
+    // exact intersection count, restricted to candidates: two doc-sized
+    // array joins (AQE broadcasts the near-dup-sized cand side) and a
+    // codegen'd set intersection per pair — no pair×shingle fan-out
     val drops = cand
-      .join(cool.select(col("id").as("a"), col("h"), col("n").as("n_a")), "a")
-      .join(cool.select(col("id").as("b"), col("h"), col("n").as("n_b")), Seq("b", "h"))
-      .groupBy(col("a"), col("b"), col("n_a"), col("n_b"))
-      .agg(count(lit(1)).as("ninter")).filter(col("ninter") >= 2)
+      .join(arr.select(col("id").as("a"), col("hs").as("hs_a"), col("n").as("n_a")), "a")
+      .join(arr.select(col("id").as("b"), col("hs").as("hs_b"), col("n").as("n_b")), "b")
+      .withColumn("ninter", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .filter(col("ninter") >= 2)
       .filter(col("ninter") * 5 >= col("n_a") * 4)
       .filter(col("n_a") < col("n_b") ||
         (col("n_a") === col("n_b") && col("a") > col("b")))
       .select(col("a").as("id")).distinct()
       // near-dup-sized result, materialized EAGERLY (the verifiedClusters
-      // pattern) so the internal cool cache can be released here instead
+      // pattern) so the internal arr cache can be released here instead
       // of leaking one pinned entry per call into a long-lived session
       // (the ingest's oversized-batch fallback would otherwise accumulate
       // dead cache entries nothing ever clears)
       .localCheckpoint()
-    cool.unpersist()
+    arr.unpersist()
     drops
+  }
+
+  /** Adaptive front for `containmentDrops` — the connectedComponentsAdaptive
+    * pattern applied to the containment stage: a corpus within
+    * `localMaxDocs` collects its (id, distinct-shingle-array) rows (the
+    * arrays come out of the same codegen'd expression the distributed plan
+    * explodes) and runs the driver-local kernel, which replaces the
+    * distributed stage's ~8 jobs (count, df groupBy, array build, candidate
+    * probe, recount, checkpoint) with ONE collect job — at sf0.1 the funnel
+    * corpus is ~7k docs and those jobs are pure scheduling overhead. Past
+    * the bound the distributed plan runs unchanged; the two agree exactly
+    * (SamplingContainmentSpec drives both through randomized corpora). The
+    * bound is doc-count-based: 20k docs × ~130 shingles × 8 B ≈ 20 MB on
+    * the driver, the same order as the ingest guard's bounded collect.
+    */
+  def containmentDropsAdaptive(docs: DataFrame, hotPct: Int = ContainHotPct,
+      localMaxDocs: Int = 20000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val probe = docs.select(col("id"),
+        org.apache.spark.sql.graft.ArrayExpressions
+          .shingleHashes(col("text"), ShingleN).as("hs"))
+      .limit(localMaxDocs + 1)
+      .as[(Long, Seq[Long])].collect()
+    if (probe.length <= localMaxDocs) {
+      val drops = containmentDropIdsLocal(probe.toSeq, hotPct)
+      spark.createDataset(drops.toSeq).toDF("id")
+    } else containmentDrops(docs, hotPct)
   }
 
   /** Driver-local kernel computing EXACTLY `containmentDrops`' result over

@@ -576,7 +576,9 @@ object TextAnalytics {
         .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
         .filter(col("w").isin(Bm25Terms: _*))
         .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-      val dft = tf.groupBy(col("w")).agg(count(when(col("tf") > 0, lit(1))).as("dft"))
+      // document frequency: tf rows exist only for docs containing w, so a
+      // plain row count per term IS df (matches the oracle's count(*))
+      val dft = tf.groupBy(col("w")).agg(count(lit(1)).as("dft"))
       val contrib = tf.join(broadcast(dft), "w")
         .join(dl, "doc_id")
         .crossJoin(broadcast(tot))

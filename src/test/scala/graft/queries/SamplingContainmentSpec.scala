@@ -275,4 +275,27 @@ class SamplingContainmentSpec extends SparkSpec {
       spark.catalog.clearCache()
     }
   }
+
+  test("containmentDropsAdaptive routes both ways to the same answer") {
+    import spark.implicits._
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h", "i", "j")
+    val rnd = new Random(7)
+    val raw = (0 until 12).map { i =>
+      (i.toLong, Seq.fill(30 + rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size))))
+    }
+    val planted = raw ++ raw.filter(_._1 % 2 == 0).map { case (id, ws) =>
+      (id + 1000L, ws.take(math.max(8, ws.size / 5)))
+    }
+    val docs = planted.map { case (id, ws) => (id, ws.mkString(" ")) }
+      .toDF("id", "text")
+    val viaLocal = DedupQueries.containmentDropsAdaptive(docs, localMaxDocs = 1000)
+      .collect().map(_.getLong(0)).toSet
+    // a bound below the corpus size forces the distributed fallback
+    val viaDistributed = DedupQueries.containmentDropsAdaptive(docs, localMaxDocs = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(viaLocal == viaDistributed)
+    assert(viaLocal == DedupQueries.containmentDrops(docs)
+      .collect().map(_.getLong(0)).toSet)
+    spark.catalog.clearCache()
+  }
 }
