@@ -36,6 +36,13 @@ package graft
   *         not code. Compare `min` across rounds when `load_suspect` is true.
   *       - `sentinel.series` is the drift log; `load_suspect_count` > 0 means
   *         treat inflated medians as unproven, re-bench idle before judging.
+  *       - The artifact SELF-HEALS: after the closing sentinel, suspects are
+  *         re-measured hottest-first under SPARK_GRAFT_RETRY_BUDGET_SEC
+  *         (default 300 s) while a fresh sentinel stays within 1.5x of
+  *         session-best; an accepted retry replaces the headline median and
+  *         archives the loaded-window original as `first_attempt`.
+  *         Round-11 lesson: without this, one load window mid-run left a
+  *         186 s headline on a build whose honest total was ~85 s.
   *   - The artifact must SURVIVE A MID-RUN CRASH. Round-6 lesson: the
   *     SparkContext died mid-suite on the driver box and the whole artifact
   *     was lost (rc 1, no JSON) because sentinel samples ran outside the
@@ -68,6 +75,25 @@ object Bench {
 
   final case class QStat(median: Double, min: Double, spread: Double,
                          loadSuspect: Boolean)
+
+  /** Retry-pass ordering: hottest suspect medians first — they distort the
+    * headline total the most, so a bounded retry budget buys back the most
+    * honesty per second there.
+    */
+  private[graft] def retryOrder(suspects: Seq[(Int, QStat)]): Seq[Int] =
+    suspects.sortBy(-_._2.median).map(_._1)
+
+  /** Merge a clean-window retry with the original measurement. A retry
+    * that is itself clean REPLACES the original (that is the whole point:
+    * the re-measure ran with the sentinel verified quiet, so its median is
+    * the honest number even when it is HIGHER than a lucky loaded-window
+    * min). A retry that came out suspect again keeps whichever median is
+    * lower and stays flagged. Returns (chosen, replacedByRetry).
+    */
+  private[graft] def mergeRetry(first: QStat, retry: QStat): (QStat, Boolean) =
+    if (!retry.loadSuspect) (retry, true)
+    else if (retry.median < first.median) (retry, true)
+    else (first, false)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -109,6 +135,9 @@ object Bench {
     // retroactively-flagged query indices (sentinel drift indicts the block
     // that ran BEFORE the drifted sample too, not just the one after it)
     val suspectIdx = scala.collection.mutable.Set[Int]()
+    // original measurements of queries the end-of-run clean-window pass
+    // re-measured (emitted as `first_attempt` so the artifact keeps both)
+    val firstAttempt = scala.collection.mutable.Map[Int, QStat]()
     val sentinelSeries = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
     @volatile var sentinelBest = Double.MaxValue
     @volatile var failedCount = 0
@@ -133,7 +162,10 @@ object Bench {
       val detail = snap.zipWithIndex.map {
         case ((k, Right(v)), i) =>
           val suspect = v.loadSuspect || suspectIdx.contains(i)
-          s""""$k":{"median":${f(v.median)},"min":${f(v.min)},"spread":${f(v.spread)},"load_suspect":$suspect}"""
+          val fa = firstAttempt.get(i).map { o =>
+            s""","first_attempt":{"median":${f(o.median)},"min":${f(o.min)},"spread":${f(o.spread)}}"""
+          }.getOrElse("")
+          s""""$k":{"median":${f(v.median)},"min":${f(v.min)},"spread":${f(v.spread)},"load_suspect":$suspect$fa}"""
         case ((k, Left(_)), _) => s""""$k":{"error":true}"""
       }.mkString("{", ",", "}")
       val sentinelJson = sentinelSeries
@@ -146,7 +178,7 @@ object Bench {
       val total = snap.collect { case (_, Right(v)) => v.median }.sum
       val best = if (sentinelBest == Double.MaxValue) 0.0 else sentinelBest
       val full =
-        s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"queries_detail":$detail,"sentinel":{"best":${f(best)},"series":$sentinelJson},"load_suspect_count":$suspects,"sf":"$sfDir","failed":$failedCount,"aborted":$aborted}"""
+        s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"queries_detail":$detail,"sentinel":{"best":${f(best)},"series":$sentinelJson},"load_suspect_count":$suspects,"retried":${firstAttempt.size},"sf":"$sfDir","failed":$failedCount,"aborted":$aborted}"""
       println(full)
       // The full line above outgrew the round driver's 2000-char stdout
       // tail capture (BENCH_r08 landed parsed:null), so the artifact is
@@ -178,7 +210,7 @@ object Bench {
       val hottest = snap.collect { case (k, Right(v)) => (k, v.median) }
         .sortBy(-_._2).take(5)
         .map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
-      println(s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","queries_run":${snap.size},"failed":$failedCount,"load_suspect_count":$suspects,"sentinel_best":${f(best)},"aborted":$aborted,"hottest":$hottest,"detail_file":"$outFile"}""")
+      println(s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","queries_run":${snap.size},"failed":$failedCount,"load_suspect_count":$suspects,"retried":${firstAttempt.size},"sentinel_best":${f(best)},"aborted":$aborted,"hottest":$hottest,"detail_file":"$outFile"}""")
       System.out.flush()
     }
     Runtime.getRuntime.addShutdownHook(new Thread(() => emit(aborted = true)))
@@ -186,6 +218,39 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) =>
         filters.isEmpty || filters.exists(name.contains)
+      }
+
+    /** One full measurement of a query: `runs` timed materializations →
+      * QStat. Shared by the main loop and the end-of-run retry pass.
+      */
+    def measure(name: String,
+                fn: (org.apache.spark.sql.SparkSession, String) =>
+                  org.apache.spark.sql.DataFrame,
+                blockWasLoaded: Boolean,
+                countFailure: Boolean = true): Either[String, QStat] =
+      try {
+        val times = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          // full materialization: every output column is computed
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          val dt = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache() // no cross-run/query cache pinning
+          dt
+        }
+        val mn = times.min
+        val med = median(times)
+        val spread = if (mn > 0) times.max / mn else 1.0
+        // suspect when the MEDIAN sits far above the query's own min —
+        // max/min would cry wolf on every query (run 1 always pays
+        // that query's codegen compile; the median absorbs it)
+        Right(QStat(med, mn, spread,
+          loadSuspect = blockWasLoaded || (mn > 0 && med / mn >= 1.5)))
+      }
+      catch { case e: Throwable =>
+        if (countFailure) failedCount += 1
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        try spark.catalog.clearCache() catch { case _: Throwable => () }
+        Left("error")
       }
 
     // index of the first query after the most recent sentinel sample — the
@@ -232,31 +297,7 @@ object Bench {
           blockLoaded = drifted
           blockStart = idx
         }
-        val r =
-          try {
-            val times = (1 to runs).map { _ =>
-              val t0 = System.nanoTime()
-              // full materialization: every output column is computed
-              fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-              val dt = (System.nanoTime() - t0) / 1e9
-              spark.catalog.clearCache() // no cross-run/query cache pinning
-              dt
-            }
-            val mn = times.min
-            val med = median(times)
-            val spread = if (mn > 0) times.max / mn else 1.0
-            // suspect when the MEDIAN sits far above the query's own min —
-            // max/min would cry wolf on every query (run 1 always pays
-            // that query's codegen compile; the median absorbs it)
-            Right(QStat(med, mn, spread,
-              loadSuspect = blockLoaded || (mn > 0 && med / mn >= 1.5)))
-          }
-          catch { case e: Throwable =>
-            failedCount += 1
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            try spark.catalog.clearCache() catch { case _: Throwable => () }
-            Left("error")
-          }
+        val r = measure(name, fn, blockLoaded)
         // under emitLock: the shutdown hook's emit() snapshots these
         // collections mid-run — an unsynchronized append during an
         // ArrayBuffer resize would crash the hook and lose the partial
@@ -269,6 +310,66 @@ object Bench {
       if (sentinelSample(selected.size)) {
         emitLock.synchronized {
           (blockStart until selected.size).foreach(suspectIdx += _)
+        }
+      }
+
+      // ---- end-of-run clean-window retry pass (round-11 lesson) ----
+      // A transient load spike mid-run leaves dozens of inflated medians
+      // that the suspect flags mark but do not FIX: BENCH_r11 recorded a
+      // 186 s headline for a build whose honest total was ~85 s. Re-measure
+      // the suspects now, hottest first, under a bounded time budget, and
+      // only while a fresh sentinel confirms the box is quiet again
+      // (within 1.5x of session-best — tighter than the 2x drift alarm,
+      // because a retry's entire value is that its window is KNOWN-clean).
+      // Each accepted retry replaces the headline number and archives the
+      // original under `first_attempt`, so the artifact shows both.
+      val retryBudgetSec =
+        sys.env.getOrElse("SPARK_GRAFT_RETRY_BUDGET_SEC", "300").toDouble
+      def sentinelQuiet(at: Int): Boolean =
+        try {
+          val sec = sentinelOnce(spark)
+          emitLock.synchronized { sentinelSeries += ((at, sec)) }
+          sentinelBest = sentinelBest.min(sec)
+          sec <= 1.5 * sentinelBest
+        } catch { case _: Throwable => false }
+      val suspectsNow = emitLock.synchronized {
+        results.toSeq.zipWithIndex.collect {
+          case ((_, Right(v)), i) if v.loadSuspect || suspectIdx.contains(i) =>
+            (i, v)
+        }
+      }
+      if (suspectsNow.nonEmpty) {
+        val order = retryOrder(suspectsNow)
+        val t0 = System.nanoTime()
+        var quiet = sentinelQuiet(selected.size + 1)
+        var retriesSinceCheck = 0
+        for (idx <- order) {
+          val elapsed = (System.nanoTime() - t0) / 1e9
+          if (quiet && elapsed < retryBudgetSec) {
+            // re-verify the window every few retries — a retry pass that
+            // itself runs into fresh load must stop re-stamping medians
+            if (retriesSinceCheck >= 5) {
+              quiet = sentinelQuiet(selected.size + 1)
+              retriesSinceCheck = 0
+            }
+            if (quiet) {
+              val (name, fn) = selected(idx)
+              measure(name, fn, blockWasLoaded = false, countFailure = false) match {
+                case Right(retry) =>
+                  emitLock.synchronized {
+                    val orig = results(idx)._2.toOption.get
+                    val (chosen, replaced) = mergeRetry(orig, retry)
+                    if (replaced) {
+                      firstAttempt(idx) = orig
+                      results(idx) = (name, Right(chosen))
+                      if (!chosen.loadSuspect) suspectIdx -= idx
+                    }
+                  }
+                case Left(_) => () // keep the original measurement
+              }
+              retriesSinceCheck += 1
+            }
+          }
         }
       }
       emit(aborted = false)

@@ -96,6 +96,11 @@ object CdpBatch {
     .partitionBy(col("user_id"), col("event_type"))
     .orderBy(col("ts").desc, col("event_id").desc)
 
+  /** Reengage-replay idle horizon: 12 hours (ms). Declared before `defs` —
+    * the oracle SQL interpolates it at object-init time.
+    */
+  private[queries] val ReengageIdleMs = 43200000L
+
   val defs: Seq[QueryDef] = Seq(
 
     // J2: connected components, canonical = lexicographically smallest
@@ -298,5 +303,72 @@ object CdpBatch {
         .select(col("user_id"), lit("reengage").as("segment"),
           when(col("re_end"), "ENTER").otherwise("EXIT").as("action"))
       pu.unionAll(re)
+    },
+
+    // O4 timer path, oracle-gated: batch replay of ReengageProcessor's
+    // event-time-timer semantics (reference SegmentEngine.kt:147-151).
+    // ENTER at the logical instant lastSeen + idle for every idle gap;
+    // EXIT stamped at the returning event unless the gap crossed the
+    // cleanup horizon (idle x 10) — the bounded-state lost-EXIT trade the
+    // processor documents. idle = 12 h: the events table has ~3k/31k such
+    // gaps at sf0.01/sf0.1 AND two cleanup-horizon crossings at sf0.1, so
+    // both rules are data-exercised. All arithmetic in epoch integers
+    // (micros; ENTER stamps ms-truncated exactly like the processor's
+    // Timestamp(lastSeenUs/1000 + idleMs)). ReengageReplaySpec holds this
+    // replay equal to the streaming processor on fixture logs.
+    QueryDef(
+      "q_reengage_segments",
+      s"""WITH mx AS (SELECT max(epoch_us(ts)) AS mx_us FROM events),
+         |seq AS (
+         |  SELECT user_id, epoch_us(ts) AS ts_us,
+         |         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS nxt_us
+         |  FROM events)
+         |SELECT user_id, 'ENTER' AS action,
+         |       CAST((ts_us // 1000 + $ReengageIdleMs) * 1000 AS BIGINT) AS at_us
+         |FROM seq, mx WHERE COALESCE(nxt_us, mx_us) - ts_us > ${ReengageIdleMs}000
+         |UNION ALL
+         |SELECT user_id, 'EXIT', CAST(nxt_us AS BIGINT)
+         |FROM seq WHERE nxt_us - ts_us > ${ReengageIdleMs}000
+         |  AND nxt_us - ts_us < ${ReengageIdleMs}0000""".stripMargin) { (s, dir) =>
+      reengageReplay(
+        Tables.events(s, dir).select(col("user_id").as("pid"),
+          unix_micros(col("ts")).as("ts_us")),
+        ReengageIdleMs)
+        .select(col("pid").as("user_id"), col("action"), col("at_us"))
     })
+
+  /** Batch replay of the reengage timer contract over a (pid, ts_us)
+    * event log — the SQL-expressible twin of `ReengageProcessor` (which
+    * BatchStreamParity-style agreement in ReengageReplaySpec pins):
+    *  - per pid, consecutive-event gap > idle ⇒ ENTER at lastSeen + idle
+    *    (ms-truncated micros, matching the processor's Timestamp stamp)
+    *    and EXIT at the returning event's time;
+    *  - a gap past the cleanup horizon (idle × ReengageCleanupFactor)
+    *    loses its EXIT — the processor dropped the state before the
+    *    return arrived (bounded-state trade);
+    *  - the log's global max ts is the end-of-replay clock: a final gap
+    *    beyond idle ENTERs with no EXIT. (Streaming holds the watermark
+    *    `delay` behind this clock; the replay treats the log as complete,
+    *    the usual batch-parity caveat.)
+    * One pid-partitioned window pass plus a broadcast scalar — no
+    * per-event state, safe at any log size.
+    */
+  private[graft] def reengageReplay(ev: DataFrame, idleMs: Long): DataFrame = {
+    val idleUs = idleMs * 1000L
+    val cleanupUs = idleUs * graft.streaming.CdpPipeline.ReengageCleanupFactor
+    val seq = ev
+      .withColumn("nxt_us", lead(col("ts_us"), 1)
+        .over(Window.partitionBy(col("pid")).orderBy(col("ts_us"))))
+      .crossJoin(broadcast(ev.agg(max(col("ts_us")).as("mx_us"))))
+    val enters = seq
+      .filter(coalesce(col("nxt_us"), col("mx_us")) - col("ts_us") > idleUs)
+      .select(col("pid"), lit("ENTER").as("action"),
+        ((expr("ts_us div 1000") + idleMs) * 1000).as("at_us"))
+    val exits = seq
+      .filter(col("nxt_us").isNotNull &&
+        col("nxt_us") - col("ts_us") > idleUs &&
+        col("nxt_us") - col("ts_us") < cleanupUs)
+      .select(col("pid"), lit("EXIT").as("action"), col("nxt_us").as("at_us"))
+    enters.unionAll(exits)
+  }
 }
