@@ -181,6 +181,28 @@ object ScaleProbe {
     // |terms| rows per doc; df/totals broadcast, score map-side — must
     // track the tokenize scan
     timeDf("bm25_search")(graft.queries.TextAnalytics.bm25Search(docs))
+    // BM25 over a query RELATION with per-query top-k: same broadcast-
+    // probe shape plus a WindowGroupLimit rank cut — queries stay fixed
+    // while the corpus replicates, so the curve must track the tokenize
+    // scan (the top-k itself is partial per partition, never a global
+    // sort of the scored corpus)
+    timeDf("bm25_topk") {
+      import spark.implicits._
+      graft.queries.TextAnalytics.bm25TopK(docs,
+        graft.queries.TextAnalytics.Bm25Queries.toDF("qid", "term"), 10)
+    }
+    // IVF-PQ search: the production ANN composition — centroids/codebook
+    // train on the replicated corpus (k-fold more vectors through the
+    // same bounded Lloyd/codebook rounds), the probe prunes to nProbe of
+    // 16 cells, and ADC scans codes for the fixed 20-query set. Cost
+    // must track corpus size through train+encode (linear scans) while
+    // the per-query scan tracks cell size — sublinearity vs brute force
+    // is the whole point of the composition.
+    if (on("ivfpq_search")) { embeddings; () }
+    timeDf("ivfpq_search") {
+      val (cand, dt, codes) = graft.queries.PqQueries.ivfPqPartsOver(spark, embeddings)
+      graft.operators.Pq.adcOver(cand, dt, codes, 5)
+    }
     timeDf("curation_funnel")(graft.queries.CurationQueries.funnel(spark, docs))
     timeDf("unigram_logprob")(graft.queries.TextAnalytics.unigramLogprob(docs))
     timeDf("dsir_weights")(graft.queries.TextAnalytics.dsirWeights(docs))

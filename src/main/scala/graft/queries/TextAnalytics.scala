@@ -104,6 +104,25 @@ object TextAnalytics {
     */
   private val Bm25Terms = Seq("data", "value", "system")
 
+  /** q_bm25_topk's query RELATION — (qid, term) rows, the general corpus-
+    * search surface (q_bm25_search scores ONE fixed term set; a search
+    * system scores N queries and wants top-k per query). Declared before
+    * `defs`: the oracle interpolates it as a VALUES list. Terms are drawn
+    * from the corpus's working vocabulary so every query matches.
+    */
+  private[graft] val Bm25Queries: Seq[(Int, String)] = Seq(
+    1 -> "join", 1 -> "hash",
+    2 -> "scan", 2 -> "filter", 2 -> "fast",
+    3 -> "window", 3 -> "stream",
+    4 -> "sort", 4 -> "merge", 4 -> "batch",
+    5 -> "vector", 5 -> "data",
+    6 -> "query", 6 -> "slow", 6 -> "spark",
+    7 -> "group", 7 -> "agg",
+    8 -> "customer", 8 -> "order", 8 -> "table")
+
+  /** Top-k cut for q_bm25_topk. */
+  private val Bm25TopK = 10
+
   val defs: Seq[QueryDef] = Seq(
 
     // Language ID: score = #words in each language profile; argmax with
@@ -400,6 +419,58 @@ object TextAnalytics {
       bm25Search(Tables.documents(s, dir))
     },
 
+    // BM25 generalized to a QUERY RELATION with top-k per query — the
+    // retrieval surface over a training store (Robertson et al., BM25;
+    // beyond-reference). Cross-engine float discipline differs from
+    // q_bm25_search's fixed-order trick (which caps at a literal term
+    // list): each per-(doc, term) contribution is rounded onto a 1e-4
+    // grid and SCALED TO INTEGER micro-units (the q_identity_pagerank
+    // integer-sum precedent), so the per-(query, doc) score is an exact
+    // integer sum — commutative, partial-agg-proof, any query length.
+    // Shape: two tokenize passes (dl + stream), the term filter is a
+    // broadcast semi-join against the query relation's distinct terms
+    // (the inverted-index probe — the stream shrinks to |matched terms|
+    // rows per doc BEFORE the tf groupBy), df/totals broadcast, and the
+    // top-k is rank-limited per query (WindowGroupLimit pushes the k-cut
+    // ahead of the shuffle; no global sort — PlanSpec-guarded, the
+    // q_weighted_sample shape).
+    QueryDef(
+      "q_bm25_topk",
+      s"""WITH q(qid, term) AS (VALUES
+         |  ${Bm25Queries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")}),
+         |ws AS (
+         |  SELECT doc_id, CAST(len(${TextOps.wordsSql("text")}) AS BIGINT) AS dl
+         |  FROM documents),
+         |tot AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS total
+         |  FROM ws),
+         |w AS (SELECT doc_id, unnest(${TextOps.wordsSql("text")}) AS w FROM documents),
+         |tf AS (
+         |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM w
+         |  WHERE w IN (SELECT term FROM q)
+         |  GROUP BY doc_id, w),
+         |dft AS (SELECT w, CAST(count(*) AS BIGINT) AS dft FROM tf GROUP BY w),
+         |c AS (
+         |  SELECT t.doc_id, t.w,
+         |         CAST(round((ln(1 + (tot.n - d.dft + 0.5) / (d.dft + 0.5))
+         |           * ((t.tf * 2.2)
+         |              / (t.tf + 1.2 * (0.25 + 0.75 * ((s.dl * tot.n) / tot.total))))
+         |           + 0.00000025) * 10000, 0) AS BIGINT) AS c_u
+         |  FROM tf t JOIN dft d USING (w) JOIN ws s ON s.doc_id = t.doc_id, tot),
+         |sc AS (
+         |  SELECT q.qid, c.doc_id, CAST(sum(c.c_u) AS BIGINT) AS score_u
+         |  FROM c JOIN q ON q.term = c.w GROUP BY q.qid, c.doc_id),
+         |rk AS (
+         |  SELECT qid, doc_id, score_u,
+         |         row_number() OVER (PARTITION BY qid
+         |                            ORDER BY score_u DESC, doc_id) AS rank
+         |  FROM sc)
+         |SELECT qid, rank, doc_id, score_u FROM rk WHERE rank <= $Bm25TopK""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      bm25TopK(Tables.documents(s, dir),
+        Bm25Queries.toDF("qid", "term"), Bm25TopK)
+    },
+
     // Unigram-LM scoring (the CCNet-style perplexity quality filter, with
     // the corpus's own unigram model standing in for the external KenLM):
     // per doc, mean token log-probability and the perplexity exp(-avg).
@@ -597,6 +668,48 @@ object TextAnalytics {
               coalesce(sum(when(col("w") === t, col("c"))), lit(0.0)))
             .reduce(_ + _))
           .as("bm25"))
+  }
+
+  /** q_bm25_topk body over an arbitrary documents relation and (qid, term)
+    * query relation (probe/spec sharing contract). Scores every query
+    * against the corpus and returns the top `k` docs per query by
+    * integer micro-unit BM25 (see the QueryDef comment for the float
+    * discipline and the 100 TB shape).
+    */
+  def bm25TopK(docs: org.apache.spark.sql.DataFrame,
+               queries: org.apache.spark.sql.DataFrame,
+               k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dl = docs.select(col("doc_id"),
+      size(TextOps.words(col("text"))).cast("long").as("dl")).cache()
+    val tot = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("total"))
+    val qterms = queries.select(col("term").as("w")).distinct()
+    val tf = docs
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
+      .join(broadcast(qterms), Seq("w"), "left_semi")
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("w")).agg(count(lit(1)).as("dft"))
+    val contrib = tf.join(broadcast(dft), "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(tot))
+      .withColumn("c",
+        log(lit(1) + (col("n") - col("dft") + lit(0.5)) / (col("dft") + lit(0.5)))
+          * ((col("tf") * lit(2.2))
+             / (col("tf") + lit(1.2) * (lit(0.25)
+                + lit(0.75) * ((col("dl") * col("n")) / col("total"))))))
+      // onto the 1e-4 grid, then integer micro-units: the per-query score
+      // sum below is exact integer addition in both engines
+      .withColumn("c_u",
+        round((col("c") + lit(graft.operators.Num.Eps)) * 10000, 0).cast("long"))
+    val scores = contrib
+      .join(broadcast(queries.select(col("qid"), col("term").as("w"))), "w")
+      .groupBy(col("qid"), col("doc_id")).agg(sum(col("c_u")).as("score_u"))
+    val byScore = Window.partitionBy(col("qid"))
+      .orderBy(col("score_u").desc, col("doc_id"))
+    scores
+      .withColumn("rank", row_number().over(byScore).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("doc_id"), col("score_u"))
   }
 
 }

@@ -94,6 +94,25 @@ class PlanSpec extends SparkSpec {
       s"documents scan must not read text:\n$scan")
   }
 
+  test("q_bm25_topk: partial per-query top-k, no global sort, broadcast probes") {
+    val p = plan("q_bm25_topk")
+    // the rank <= k filter over row_number must trigger WindowGroupLimit
+    // (each partition keeps its local top-k per qid BEFORE the shuffle);
+    // a global Sort node would mean the retrieval sorts the whole scored
+    // corpus instead of rank-limiting per query
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter must push a partial top-k below the exchange:\n$p")
+    assert(!p.split("\n").exists(l => l.trim.startsWith("Sort ") &&
+        l.contains("global=true")),
+      s"per-query top-k must not globally sort the scored corpus:\n$p")
+    // term filter, df, totals, and the query relation ride broadcasts —
+    // the only hash exchanges are the tf/score aggregations and the
+    // per-query rank
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"all probe joins must broadcast at this scale:\n$p")
+  }
+
   test("q_pattern_negation: one keyed sort, no join of any kind") {
     val p = plan("q_pattern_negation")
     // the negation is a running-count difference and the A-match a
