@@ -30,13 +30,21 @@ object ServeMain {
 
   val MaxProfiles = 10000
 
+  /** Serving reengage idle horizon (1 min): a profile quiet for a minute
+    * ENTERs `reengage`; any return EXITs. Short enough that a live demo
+    * (and the soak's cycling user population) actually crosses it.
+    */
+  val ReengageIdleMs = 60000L
+
   final case class App(server: ApiServer, spark: SparkSession,
                        queries: Seq[StreamingQuery], sim: SimControl,
                        alertsHub: EventHub, segmentsHub: EventHub,
-                       profilesHub: EventHub, cdpMetrics: CdpMetrics) {
-    /** Stop queries, server, and detach the metrics listener. */
+                       profilesHub: EventHub, cdpMetrics: CdpMetrics,
+                       feeders: Seq[Thread] = Nil) {
+    /** Stop queries, feeders, server, and detach the metrics listener. */
     def close(): Unit = {
       queries.foreach(_.stop())
+      feeders.foreach(_.interrupt())
       sim.stop()
       cdpMetrics.detach(spark)
       server.stop()
@@ -57,7 +65,11 @@ object ServeMain {
     // the metrics' profile count — the reference reports its store size
     val summaries = new ConcurrentHashMap[String, ProfileSnapshot]()
     val cdpMetrics = new CdpMetrics(Some("serve_segments"),
-      profileCount = Some(() => summaries.size.toLong)).attach(spark)
+      profileCount = Some(() => summaries.size.toLong),
+      // the reengage query is the serving path's only watermark-carrying
+      // query (the fold processors are TimeMode.None) — its watermark is
+      // what cdp.watermark.lag_ms reports
+      watermarkQuery = Some("serve_reengage")).attach(spark)
 
     // in-memory CDP bus (S5); production swaps this for the Kafka source.
     // MemoryStream is SINGLE-consumer (one shared commit cursor + buffer),
@@ -69,6 +81,18 @@ object ServeMain {
 
     val segmentQuery = CdpPipeline.segmentEvents(spark, segmentsIn.toDS())
       .writeStream.queryName("serve_segments").outputMode(OutputMode.Append())
+      .foreachBatch(ServePipelines.publishSegments(segmentsHub) _)
+      .start()
+
+    // timer-driven reengage segment (O4's idle path): ENTER with no new
+    // events when the watermark passes lastSeen + idle — the one serving
+    // query that carries an event-time watermark (cdp.watermark.lag_ms
+    // reads it). Publishes into the same segments SSE hub.
+    val reengageIn = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[CdpEvent]
+    val reengageQuery = CdpPipeline.reengageEvents(spark,
+        reengageIn.toDS().withWatermark("ts", "1 minute").as[CdpEvent],
+        idleMs = ReengageIdleMs)
+      .writeStream.queryName("serve_reengage").outputMode(OutputMode.Append())
       .foreachBatch(ServePipelines.publishSegments(segmentsHub) _)
       .start()
 
@@ -93,13 +117,49 @@ object ServeMain {
       .start()
 
     // ingested events are counted HERE (one per accepted POST) — counting
-    // changed snapshots downstream would under-report batched updates
+    // changed snapshots downstream would under-report batched updates.
+    //
+    // POSTs land in a concurrent queue; ONE feeder thread drains it and
+    // calls addData per ~100 ms chunk. Two load-bearing properties the
+    // 1k-rps soak found the hard way when handlers called addData from
+    // HTTP threads directly:
+    //  - MemoryStream's row serializer is a single ExpressionEncoder
+    //    instance — concurrent addData corrupts UnsafeRows (garbage
+    //    UTF8String lengths → multi-GB allocations → OOM; null map keys),
+    //    which killed the server inside 10 s at 200 rps. One feeder
+    //    thread = one serializer user.
+    //  - one addData PER EVENT makes each event its own source block →
+    //    micro-batches spanning thousands of single-row partitions; the
+    //    chunked drain bounds blocks at ~10/s regardless of POST rate.
+    // (The Kafka source in production has neither problem — this is the
+    // in-memory bus's serving discipline.)
+    val pending = new java.util.concurrent.ConcurrentLinkedQueue[CdpEvent]()
     val ingest = new CdpIngest(e => {
       stats.recordEvents(1L)
-      segmentsIn.addData(e)
-      profilesIn.addData(e)
+      pending.add(e)
       ()
     })
+    val cdpFeeder = new Thread(() => {
+      try {
+        while (!Thread.interrupted()) {
+          val buf = scala.collection.mutable.ArrayBuffer[CdpEvent]()
+          var e = pending.poll()
+          while (e != null && buf.size < 50000) {
+            buf += e
+            e = pending.poll()
+          }
+          if (buf.nonEmpty) {
+            val chunk = buf.toSeq
+            segmentsIn.addData(chunk)
+            profilesIn.addData(chunk)
+            reengageIn.addData(chunk)
+          }
+          Thread.sleep(100L)
+        }
+      } catch { case _: InterruptedException => () }
+    }, "cdp-ingest-feeder")
+    cdpFeeder.setDaemon(true)
+    cdpFeeder.start()
 
     // live corpus-curation ingest: PII scrub -> exact dedup -> near-dup
     // admit, per micro-batch, extending the persisted index logs with
@@ -117,15 +177,37 @@ object ServeMain {
         CurationPipeline.admitBatch(spark, batch, s"$corpusDir/index", corpusStats)
       }
       .start()
+    // same single-feeder discipline as the CDP bus (the corpus rate is
+    // lower, but concurrent POSTs race the same non-thread-safe encoder)
+    val corpusPending =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, java.sql.Timestamp, String)]()
     val corpusIngest = new CorpusIngest(
-      (id, ts, text) => { corpusIn.addData((id, ts, text)); () }, corpusStats)
+      (id, ts, text) => { corpusPending.add((id, ts, text)); () }, corpusStats)
+    val corpusFeeder = new Thread(() => {
+      try {
+        while (!Thread.interrupted()) {
+          val buf =
+            scala.collection.mutable.ArrayBuffer[(Long, java.sql.Timestamp, String)]()
+          var d = corpusPending.poll()
+          while (d != null && buf.size < 10000) {
+            buf += d
+            d = corpusPending.poll()
+          }
+          if (buf.nonEmpty) { corpusIn.addData(buf.toSeq); () }
+          Thread.sleep(100L)
+        }
+      } catch { case _: InterruptedException => () }
+    }, "corpus-ingest-feeder")
+    corpusFeeder.setDaemon(true)
+    corpusFeeder.start()
 
     val server = new ApiServer(alertsHub, segmentsHub, profilesHub, stats, sim,
       port = port, heartbeatMs = heartbeatMs,
       ingest = Some(ingest), cdpMetrics = Some(cdpMetrics),
       corpusIngest = Some(corpusIngest), corpusStats = Some(corpusStats)).start()
-    App(server, spark, Seq(segmentQuery, profileQuery, corpusQuery), sim,
-      alertsHub, segmentsHub, profilesHub, cdpMetrics)
+    App(server, spark, Seq(segmentQuery, reengageQuery, profileQuery, corpusQuery), sim,
+      alertsHub, segmentsHub, profilesHub, cdpMetrics,
+      feeders = Seq(cdpFeeder, corpusFeeder))
   }
 
   /** Bounded top-20 by (lastSeen desc, profileId) without sorting the

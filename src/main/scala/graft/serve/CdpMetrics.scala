@@ -36,7 +36,8 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   * `/stats/cdp`.
   */
 final class CdpMetrics(queryName: Option[String] = None,
-                       profileCount: Option[() => Long] = None)
+                       profileCount: Option[() => Long] = None,
+                       watermarkQuery: Option[String] = None)
   extends StreamingQueryListener {
 
   private val processed = new AtomicLong(0L)
@@ -45,12 +46,29 @@ final class CdpMetrics(queryName: Option[String] = None,
   private val profilesTotal = new AtomicLong(0L)
   private val buffered = new AtomicLong(0L)
   private val watermarkLagMs = new AtomicLong(-1L)
+  // bounded ring of recent micro-batch durations (ms) — the serving
+  // latency envelope a soak reads as p50/p99; 1024 batches ≈ the last
+  // ~17 min at a 1 s cadence, constant memory at any uptime
+  private val batchRing = new Array[Long](1024)
+  private val batchCount = new AtomicLong(0L)
 
   override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
   override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
 
   override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
     val p = e.progress
+    // watermark lag can come from a DIFFERENT query than the counters:
+    // the CDP profile/segment processors are TimeMode.None (per-key
+    // ordered fold, no watermark op), while the timer-driven reengage
+    // query carries the serving path's event-time watermark
+    if (watermarkQuery.contains(p.name)) {
+      val wm = p.eventTime.get("watermark")
+      if (wm != null && wm.nonEmpty)
+        try {
+          val wmMs = java.time.Instant.parse(wm).toEpochMilli
+          if (wmMs > 0) watermarkLagMs.set(System.currentTimeMillis() - wmMs)
+        } catch { case _: Exception => }
+    }
     if (queryName.forall(n => n == p.name)) {
       processed.addAndGet(p.numInputRows)
       val om = p.observedMetrics
@@ -68,6 +86,18 @@ final class CdpMetrics(queryName: Option[String] = None,
           val wmMs = java.time.Instant.parse(wm).toEpochMilli
           if (wmMs > 0) watermarkLagMs.set(System.currentTimeMillis() - wmMs)
         } catch { case _: Exception => }
+      val i = batchCount.getAndIncrement()
+      batchRing((i % batchRing.length).toInt) = p.batchDuration
+    }
+  }
+
+  /** Percentile over the retained batch-duration ring (nearest-rank). */
+  private def batchPct(p: Double): Long = {
+    val n = math.min(batchCount.get(), batchRing.length.toLong).toInt
+    if (n == 0) -1L
+    else {
+      val s = batchRing.take(n).sorted
+      s(math.min(n - 1, math.max(0, math.ceil(p * n).toInt - 1)))
     }
   }
 
@@ -81,7 +111,9 @@ final class CdpMetrics(queryName: Option[String] = None,
     // lag a just-completed batch forever on an idle stream
     "cdp.profiles.total" -> profileCount.map(_()).getOrElse(profilesTotal.get),
     "cdp.events.buffered" -> buffered.get,
-    "cdp.watermark.lag_ms" -> watermarkLagMs.get)
+    "cdp.watermark.lag_ms" -> watermarkLagMs.get,
+    "cdp.batch.p50_ms" -> batchPct(0.50),
+    "cdp.batch.p99_ms" -> batchPct(0.99))
 
   def attach(spark: SparkSession): CdpMetrics = {
     spark.streams.addListener(this)
