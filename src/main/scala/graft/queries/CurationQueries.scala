@@ -739,7 +739,8 @@ object CurationQueries {
     * with the scale probe).
     */
   def funnel(s: org.apache.spark.sql.SparkSession, documents: DataFrame): DataFrame = {
-      // NOTE: the stage caches (corpus/deduped/surv2/surv3) stay pinned
+      // NOTE: the stage caches (corpus/surv3; deduped/surv2/surv2c are
+      // localCheckpoint leaves, GC-managed) stay pinned
       // until the returned DataFrame is materialized — the result is lazy,
       // so unlike verifiedClusters (which materializes eagerly and can
       // unpersist before returning) there is no safe unpersist point here.
@@ -767,10 +768,22 @@ object CurationQueries {
             concat_ws(" ",
               slice(ws0, lit(1), ceil(size(ws0) / 5.0).cast("int"))).as("text")))
         .cache()
+      // localCheckpoint, not cache: deduped is the root of EVERY clustering
+      // reference downstream (bands, candidates, both sides of the exact-
+      // Jaccard verify, surv2, the stage agg) — a cache keeps the full
+      // corpus lineage in the logical plan, and each downstream reference
+      // textually duplicates it, so when the input is itself a wide union
+      // (the 100x scale probe replicates sf0.1 as a 100-way unionAll) the
+      // verify's analyzed tree reaches ~1000 duplicated scan subtrees and
+      // every action pays ~tens of seconds of pure driver analysis on a
+      // 368 MB plan string (measured at k=100: jaccard verify 68 s, of
+      // which ~56 s was re-analysis of an already-cached result). Rooting
+      // deduped as a leaf keeps every clustering plan O(stage) regardless
+      // of input lineage; at cluster scale checkpoint() is the durable twin.
       val deduped = corpus
         .withColumn("rn", row_number().over(
           Window.partitionBy(md5(col("text"))).orderBy(col("id"))))
-        .filter(col("rn") === 1).select(col("id"), col("text")).cache()
+        .filter(col("rn") === 1).select(col("id"), col("text")).localCheckpoint()
       val clusters = DQ.verifiedClusters(s, deduped, Some(DQ.LshBucketCap))
         .select(col("node").as("cid"), col("component").as("cluster"))
       val keepers = clusters.groupBy(col("cluster")).agg(min(col("cid")).as("keeper"))

@@ -142,18 +142,25 @@ object DedupQueries {
       // filter).
       val candIds = cand.select(col("a").as("id"))
         .unionAll(cand.select(col("b").as("id"))).distinct()
+      // localCheckpoint, not cache: jaccard references sh FOUR times (both
+      // join sides + the size table twice) and each reference duplicates
+      // sh's entire logical lineage in the analyzed plan — against a
+      // wide-union input (the 100x probe's replicated corpus) that tree
+      // reaches hundreds of MB and every downstream action pays tens of
+      // seconds of driver-side analysis before any task runs. A checkpoint
+      // leaf keeps the verify plan O(1) in input lineage; the table is
+      // candidate-restricted, so the materialization is pair-proportional,
+      // never corpus-sized. checkpoint() is the cluster-durable twin.
       val sh = Dedup.shingleHashes(
           docs.join(candIds, Seq("id"), "left_semi"),
           col("id"), col("text"), ShingleN)
-        .cache()
+        .localCheckpoint()
       val verified = Dedup.jaccard(cand, sh)
         .filter(col("jaccard") >= JaccardThreshold)
         .select(col("a"), col("b")).as[(Long, Long)]
-      val cl = graft.operators.Identity.connectedComponentsAdaptive(verified)
       // connectedComponentsAdaptive eagerly localCheckpoints the edge set,
-      // so the result no longer depends on sh lineage — release it here
-      sh.unpersist(blocking = false)
-      cl
+      // so nothing downstream depends on sh or cand lineage
+      graft.operators.Identity.connectedComponentsAdaptive(verified)
     }
     bk.unpersist(blocking = false)
     cand.unpersist(blocking = false)
