@@ -29,16 +29,26 @@ object ScaleProbe {
         idCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i.toLong * 10000000L)))
       }.reduce(_ unionAll _)
 
-    val events = replicate(Tables.events(spark, dir), Seq("event_id", "user_id")).cache()
-    val docs = replicate(Tables.documents(spark, dir), Seq("doc_id")).cache()
+    // localCheckpoint, not cache: a cached k-way union keeps all k scan
+    // subtrees in the logical plan, and any operator that references its
+    // input several times duplicates that lineage per reference — at k=100
+    // the probes were charging DRIVER PLAN ANALYSIS (hundreds of MB of
+    // analyzed tree) to operators whose execution is leaf-proportional
+    // (the funnel adjudication, SURVEY §7.6 r12). A checkpoint leaf models
+    // what production actually has — one materialized table, not a
+    // 100-way union — so the curves measure execution. Blocks are
+    // MEMORY_AND_DISK, so clearCache() between probes leaves them alone.
+    val events = replicate(Tables.events(spark, dir), Seq("event_id", "user_id"))
+      .localCheckpoint()
+    val docs = replicate(Tables.documents(spark, dir), Seq("doc_id"))
+      .localCheckpoint()
     println(s"events=${events.count()} docs=${docs.count()} (k=$k)")
 
     def time(name: String)(f: => Long): Unit = if (on(name)) {
       val t0 = System.nanoTime()
       val n = f
       println(f"$name%-24s rows=$n%-10d ${(System.nanoTime() - t0) / 1e9}%6.2fs")
-      spark.catalog.clearCache()
-      events.cache().count(); docs.cache().count() // keep inputs resident
+      spark.catalog.clearCache() // drop operator-internal caches only
     }
 
     time("sliding_window_aggs") {
@@ -74,13 +84,13 @@ object ScaleProbe {
       SparkEntry.queries("q_sessionization")(spark, dir).count() // 1x baseline
     }
     lazy val embeddings = {
-      val e = replicate(Tables.embeddings(spark, dir), Seq("vec_id")).cache()
+      val e = replicate(Tables.embeddings(spark, dir), Seq("vec_id")).localCheckpoint()
       println(s"embeddings=${e.count()} (k=$k)")
       e
     }
     // force the lazy replication/cache OUTSIDE any timed region when an
     // embeddings probe will run — otherwise the first such probe's clock
-    // absorbs the replicate().cache().count() init cost and skews exactly
+    // absorbs the replicate-and-checkpoint init cost and skews exactly
     // the curve the probe measures (laziness still skips the cost entirely
     // on filtered runs that touch no embeddings probe)
     if (on("ivf_build_search") || on("quantize") || on("pq_encode") ||
@@ -119,8 +129,7 @@ object ScaleProbe {
       val secs = (System.nanoTime() - t0) / 1e9
       val n = df.count()
       println(f"$name%-24s rows=$n%-10d $secs%6.2fs")
-      spark.catalog.clearCache()
-      events.cache().count(); docs.cache().count()
+      spark.catalog.clearCache() // inputs are checkpoint leaves, unaffected
     }
 
     // the round-4/5 query bodies run through the SAME code the registered
