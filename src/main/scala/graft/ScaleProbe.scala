@@ -98,10 +98,9 @@ object ScaleProbe {
     time("ivf_build_search") {
       val prep = graft.operators.Similarity.prepared(embeddings).cache()
       val cents = graft.operators.Ivf.centroids(prep, 64).cache()
-      val assigned = graft.operators.Ivf.assign(prep, cents)
       val queries = prep.filter(col("vec_id") % 10000000L < 20)
         .select(col("vec_id").as("q"), col("e").as("qe"), col("nrm").as("qn"))
-      graft.operators.Ivf.search(queries, prep, cents, assigned, 4, 5).count()
+      graft.operators.Ivf.searchFused(spark, queries, prep, cents, 4, 5).count()
     }
     time("dedup_clusters") {
       val sh = graft.operators.Dedup.shingleHashes(
@@ -235,13 +234,15 @@ object ScaleProbe {
     timeDf("pack_manifest")(graft.operators.Packing.manifest(
       graft.operators.Packing.endOffsets(
         graft.operators.Packing.tokenCounts(docs))))
-    // PQ encode: broadcast codebook + per-key partial-agg argmin — one
-    // narrow corpus pass, so near-linear in k
+    // PQ encode, production path: sample-bounded training (TrainMax —
+    // constant under replication since replica ids are offset) + the
+    // shuffle-free collected-codebook map encode — one narrow corpus
+    // pass, so near-linear in k
     timeDf("pq_encode") {
-      val sv = graft.operators.Pq.subvecs(
-        graft.operators.Similarity.prepared(embeddings)
-          .select(col("vec_id"), col("e"))).cache()
-      graft.operators.Pq.encode(sv, graft.operators.Pq.codebook(sv))
+      val prep = graft.operators.Similarity.prepared(embeddings)
+        .select(col("vec_id"), col("e"))
+      graft.operators.Pq.encodeRows(spark, prep,
+        graft.operators.Pq.codebook(graft.operators.Pq.subvecs(prep)))
     }
     timeDf("source_mix_kl")(graft.queries.TextAnalytics.sourceMixKl(docs))
     // corpus-extension near-dup admit, both index layouts (persisted

@@ -25,8 +25,23 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
+  /** Coarse-quantizer training sample bound (vec_id < TrainMax): Lloyd's
+    * mean-recompute posexplodes Dim values per training vector into a
+    * shuffle, which on the full corpus is the one corpus-sized exchange
+    * in the family. Same rationale and value as Pq.TrainMax — bounded,
+    * deterministic, engine-replayable, constant under replication.
+    */
+  val TrainMax = 512L
+
   /** Assign each vector to its nearest centroid by rounded cosine,
     * centroid-id tie-break. cents: (cid, ce, cn), broadcast.
+    *
+    * Declarative twin of `assignBroadcast`, kept as the parity contract
+    * (IvfSpec) and for the sample-sized Lloyd step inside `centroids`.
+    * NOT the corpus path: the window argmax shuffles corpus*K rows
+    * carrying full Dim-double vectors (probed: 74 s at 100x where the
+    * map-only twin stays flat) — every corpus-sized assignment goes
+    * through `assignBroadcast`.
     */
   def assign(prep: DataFrame, cents: DataFrame): DataFrame =
     prep.crossJoin(broadcast(cents))
@@ -48,12 +63,7 @@ object Ivf {
   def assignBroadcast(spark: SparkSession, prep: DataFrame,
                       cents: DataFrame): DataFrame = {
     import spark.implicits._
-    val side: Array[(Long, Array[Double], Double)] = cents
-      .select(col("cid").cast("long"), col("ce"), col("cn"))
-      .as[(Long, Seq[Double], Double)]
-      .collect().sortBy(_._1).map { case (c, e, n) => (c, e.toArray, n) }
-    require(side.nonEmpty, "empty centroid table")
-    val bc = spark.sparkContext.broadcast(side)
+    val bc = collectCentroids(spark, cents)
     prep.select(col("vec_id"), col("e"), col("nrm"))
       .as[(Long, Seq[Double], Double)]
       .mapPartitions { it =>
@@ -64,6 +74,38 @@ object Ivf {
         }
       }
       .toDF("vec_id", "cid")
+  }
+
+  /** Fused map-only assignment that KEEPS the vector: (b, cid, be, bn).
+    * Same kernel and broadcast as `assignBroadcast`, but the output row
+    * carries the embedding, so a downstream search can compute cosines
+    * straight off the probe join instead of re-joining `prep` on vec_id
+    * — at corpus scale that re-join is a full shuffle of Dim-double
+    * vectors, and it was the dominant cost of the probed search path.
+    */
+  def assignBroadcastFull(spark: SparkSession, prep: DataFrame,
+                          cents: DataFrame): DataFrame = {
+    import spark.implicits._
+    val bc = collectCentroids(spark, cents)
+    prep.select(col("vec_id"), col("e"), col("nrm"))
+      .as[(Long, Seq[Double], Double)]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, e0, nrm) =>
+          (id, nearestCid(cs, e0.toArray, nrm), e0, nrm)
+        }
+      }
+      .toDF("b", "cid", "be", "bn")
+  }
+
+  private def collectCentroids(spark: SparkSession, cents: DataFrame) = {
+    import spark.implicits._
+    val side: Array[(Long, Array[Double], Double)] = cents
+      .select(col("cid").cast("long"), col("ce"), col("cn"))
+      .as[(Long, Seq[Double], Double)]
+      .collect().sortBy(_._1).map { case (c, e, n) => (c, e.toArray, n) }
+    require(side.nonEmpty, "empty centroid table")
+    spark.sparkContext.broadcast(side)
   }
 
   /** Per-row nearest-centroid kernel — THE one implementation of the
@@ -98,13 +140,17 @@ object Ivf {
     bestCid
   }
 
-  /** One-Lloyd-iteration centroids: (cid, ce: array<double>, cn). */
+  /** One-Lloyd-iteration centroids: (cid, ce: array<double>, cn).
+    * Trains on the bounded sample (vec_id < TrainMax) only — the full
+    * corpus meets the index later, in the map-only assignment pass.
+    */
   def centroids(prep: DataFrame, k: Int): DataFrame = {
-    val cent0 = prep.filter(col("vec_id") < k)
+    val train = prep.filter(col("vec_id") < TrainMax)
+    val cent0 = train.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
-    val assign0 = assign(prep, cent0)
+    val assign0 = assign(train, cent0)
     // element-wise mean per cell: posexplode -> avg -> rebuild ordered array
-    prep.join(assign0, "vec_id")
+    train.join(assign0, "vec_id")
       .select(col("cid"), posexplode(col("e")).as(Seq("pos", "x")))
       .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("xavg"))
       .groupBy(col("cid"))
@@ -150,6 +196,27 @@ object Ivf {
              assigned: DataFrame, nProbe: Int, k: Int): DataFrame =
     searchRank(probe(queries, cents, nProbe), prep, assigned, k)
 
+  /** Production search: one map-only fused-assignment pass, then the
+    * probe equijoin computes cosines immediately and PROJECTS TO SKINNY
+    * (q, b, cos) rows before anything wide happens — the top-k window
+    * (WindowGroupLimit keeps it partial per partition) shuffles 24-byte
+    * rows, not rows dragging two Dim-double vectors. Row-identical to
+    * `search` (IvfSpec parity test); probed: the declarative shape paid
+    * 92 s at the 100x probe where this one holds the probe-population
+    * cosine kernel itself as the only corpus-proportional cost.
+    */
+  def searchFused(spark: SparkSession, queries: DataFrame, prep: DataFrame,
+                  cents: DataFrame, nProbe: Int, k: Int): DataFrame =
+    broadcast(probe(queries, cents, nProbe))
+      .join(assignBroadcastFull(spark, prep, cents), "cid")
+      .filter(col("b") =!= col("q"))
+      .select(col("q"), col("b"),
+        Num.r4(Similarity.cosine(col("qe"), col("be"), col("qn"), col("bn"))).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q")).orderBy(col("cos").desc, col("b"))).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("q"), col("rank"), col("b"), col("cos"))
+
   // ------------------------------------------- cell-partitioned index layout
 
   /** Persist the assignment table laid out BY CELL (one partition dir per
@@ -184,8 +251,10 @@ object Ivf {
        |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
        |                               CAST(embedding AS DOUBLE[]))) AS nrm
        |  FROM embeddings),
+       |ptrain AS (
+       |  SELECT * FROM prep WHERE vec_id < $TrainMax),
        |cent0 AS (
-       |  SELECT vec_id AS cid, e AS ce, nrm AS cn FROM prep WHERE vec_id < $k),
+       |  SELECT vec_id AS cid, e AS ce, nrm AS cn FROM ptrain WHERE vec_id < $k),
        |assign0 AS (
        |  SELECT vec_id, cid FROM (
        |    SELECT p.vec_id, c.cid,
@@ -193,10 +262,10 @@ object Ivf {
        |             PARTITION BY p.vec_id
        |             ORDER BY round(list_dot_product(p.e, c.ce) / (p.nrm * c.cn) + 0.00000025, 4) DESC,
        |                      c.cid) AS rn
-       |    FROM prep p CROSS JOIN cent0 c) WHERE rn = 1),
+       |    FROM ptrain p CROSS JOIN cent0 c) WHERE rn = 1),
        |dims AS (
        |  SELECT a.cid, unnest(range(1, ${Similarity.Dim + 1})) AS pos, unnest(p.e) AS x
-       |  FROM prep p JOIN assign0 a ON a.vec_id = p.vec_id),
+       |  FROM ptrain p JOIN assign0 a ON a.vec_id = p.vec_id),
        |cent1 AS (
        |  SELECT cid, list(xavg ORDER BY pos) AS ce,
        |         sqrt(list_dot_product(list(xavg ORDER BY pos), list(xavg ORDER BY pos))) AS cn

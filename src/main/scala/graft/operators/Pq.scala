@@ -51,6 +51,15 @@ object Pq {
   val Iters = 1        // Lloyd iterations (deterministic, oracle-replayed;
                        // measured recall@5 is flat in Iters on the
                        // near-isotropic synthetic corpus, so pay for one)
+  val TrainMax = 512L  // quantizer training sample bound (vec_id < TrainMax).
+                       // Training a quantizer on the full corpus is the one
+                       // part of this family that breaks at 100 TB: the Lloyd
+                       // mean-recompute shuffles corpus*M*DSub exploded rows.
+                       // Standard practice (FAISS trains on ~256*K samples)
+                       // is a bounded sample; the deterministic id cut keeps
+                       // the sample replayable in both engines and constant
+                       // under corpus growth (ScaleProbe replicas carry
+                       // offset ids, so the training set never grows with k).
 
   /** Rounded squared L2, identical expression tree in both engines:
     * d2 = dot(a,a) - 2*dot(a,b) + dot(b,b), folded left-to-right.
@@ -99,11 +108,15 @@ object Pq {
 
   /** Per-subspace codebook after `Iters` Lloyd steps from the
     * deterministic seed (first KPq vectors' subslices): (sub, cid, ce).
+    * Trains on the bounded sample (vec_id < TrainMax) ONLY — every Lloyd
+    * join/shuffle is sample-sized regardless of corpus size; the full
+    * corpus is touched later, by the one map-only encode pass.
     */
   def codebook(sv: DataFrame): DataFrame = {
-    val cb0 = sv.filter(col("vec_id") < KPq)
+    val train = sv.filter(col("vec_id") < TrainMax)
+    val cb0 = train.filter(col("vec_id") < KPq)
       .select(col("sub"), col("vec_id").as("cid"), col("se").as("ce"))
-    (1 to Iters).foldLeft(cb0)((cb, _) => lloydStep(sv, cb))
+    (1 to Iters).foldLeft(cb0)((cb, _) => lloydStep(train, cb))
   }
 
   /** Encode the corpus: (vec_id, sub, code), M rows per vector. */
@@ -168,6 +181,19 @@ object Pq {
         }
       }.toDF("vec_id", "codes")
   }
+
+  /** Map-only corpus encode in the (vec_id, sub, code) row shape of
+    * `encode`: the trained codebook (M*KPq rows — bounded, it IS the
+    * index) is collected once and the codes come from the stateless
+    * per-partition kernel, so the corpus pass has NO shuffle — where the
+    * declarative `encode` pays a broadcast join plus a (vec_id, sub)
+    * partial-agg exchange. Code-for-code equal to `encode` (PqSpec's
+    * encodeBroadcast parity test); vecs needs (vec_id, e).
+    */
+  def encodeRows(spark: org.apache.spark.sql.SparkSession,
+                 vecs: DataFrame, cb: DataFrame): DataFrame =
+    encodeBroadcast(spark, vecs, cb)
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
 
   /** Scaled-integer partial distance: round(d2 * 10^4) as long. The
     * 0.0025 bias is Num.Eps carried through the 10^4 scaling (see Num's
@@ -234,26 +260,28 @@ object Pq {
     * Ivf.cellsSql's prep (whose extra nrm column is harmless).
     */
   def codesChainSql: String = {
-    def argminSql(cb: String): String =
+    def argminSql(src: String, cb: String): String =
       s"""  SELECT vec_id, sub, cid FROM (
          |    SELECT s.vec_id, s.sub, c.cid,
          |           row_number() OVER (
          |             PARTITION BY s.vec_id, s.sub
          |             ORDER BY round(${d2Sql("s.se", "c.ce")} + 0.00000025, 4), c.cid) AS rn
-         |    FROM subv s JOIN $cb c ON c.sub = s.sub) WHERE rn = 1""".stripMargin
+         |    FROM $src s JOIN $cb c ON c.sub = s.sub) WHERE rn = 1""".stripMargin
     val head =
       s"""subv AS (
          |  SELECT vec_id, m.sub,
          |         list_slice(e, m.sub * $DSub + 1, m.sub * $DSub + $DSub) AS se
          |  FROM prep CROSS JOIN (SELECT unnest(range(0, $M)) AS sub) m),
+         |subv_train AS (
+         |  SELECT * FROM subv WHERE vec_id < $TrainMax),
          |pcb0 AS (
-         |  SELECT sub, vec_id AS cid, se AS ce FROM subv WHERE vec_id < $KPq)""".stripMargin
+         |  SELECT sub, vec_id AS cid, se AS ce FROM subv_train WHERE vec_id < $KPq)""".stripMargin
     val steps = (0 until Iters).map { i =>
       s"""pa$i AS (
-         |${argminSql(s"pcb$i")}),
+         |${argminSql("subv_train", s"pcb$i")}),
          |pdims$i AS (
          |  SELECT a.sub, a.cid, unnest(range(1, ${DSub + 1})) AS pos, unnest(s.se) AS x
-         |  FROM subv s JOIN pa$i a ON a.vec_id = s.vec_id AND a.sub = s.sub),
+         |  FROM subv_train s JOIN pa$i a ON a.vec_id = s.vec_id AND a.sub = s.sub),
          |pcb${i + 1} AS (
          |  SELECT sub, cid, list(xavg ORDER BY pos) AS ce
          |  FROM (SELECT sub, cid, pos, avg(x) AS xavg FROM pdims$i GROUP BY sub, cid, pos)
@@ -262,7 +290,7 @@ object Pq {
     val codes =
       s"""pcodes AS (
          |  SELECT vec_id, sub, cid AS code FROM (
-         |${argminSql(s"pcb$Iters")}))""".stripMargin
+         |${argminSql("subv", s"pcb$Iters")}))""".stripMargin
     (Seq(head) ++ steps :+ codes).mkString(",\n")
   }
 

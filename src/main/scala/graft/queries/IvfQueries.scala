@@ -37,7 +37,7 @@ object IvfQueries {
          |SELECT vec_id, cell, count(*) OVER (PARTITION BY cell) AS n_cell
          |FROM assign1""".stripMargin) { (s, dir) =>
       val (prep, cents) = quantizer(s, dir)
-      Ivf.assign(prep, cents)
+      Ivf.assignBroadcast(s, prep, cents)
         .select(col("vec_id"), col("cid").as("cell"))
         .withColumn("n_cell", count(lit(1)).over(Window.partitionBy(col("cell"))))
     },
@@ -51,7 +51,7 @@ object IvfQueries {
       val cents = cents0.cache()
       val queries = prep.filter(col("vec_id") < MaxQueryId)
         .select(col("vec_id").as("q"), col("e").as("qe"), col("nrm").as("qn"))
-      Ivf.search(queries, prep, cents, Ivf.assign(prep, cents), NProbe, TopK)
+      Ivf.searchFused(s, queries, prep, cents, NProbe, TopK)
     },
 
     // Index quality: recall@5 of the IVF search against the exact top-5 —
@@ -81,7 +81,7 @@ object IvfQueries {
       val cents = cents0.cache()
       val queries = prep.filter(col("vec_id") < MaxQueryId)
         .select(col("vec_id").as("q"), col("e").as("qe"), col("nrm").as("qn"))
-      val ivf = Ivf.search(queries, prep, cents, Ivf.assign(prep, cents), NProbe, TopK)
+      val ivf = Ivf.searchFused(s, queries, prep, cents, NProbe, TopK)
         .select(col("q"), col("b"))
       val exact = broadcast(queries)
         .join(prep.as("b"), col("b.vec_id") =!= col("q"))
@@ -123,7 +123,7 @@ object IvfQueries {
          |FROM assign1 v LEFT JOIN pairs p ON p.b = v.vec_id
          |GROUP BY v.vec_id, v.cell""".stripMargin) { (s, dir) =>
       val (prep, cents) = quantizer(s, dir)
-      val assigned = Ivf.assign(prep, cents.cache()).cache()
+      val assigned = Ivf.assignBroadcast(s, prep, cents).cache()
       val withE = assigned.join(prep, "vec_id")
       val a = withE.select(col("cid").as("acid"), col("vec_id").as("a"),
         col("e").as("ae"), col("nrm").as("an"))
@@ -178,7 +178,7 @@ object IvfQueries {
          |                    a.vec_id) AS INT) AS rnk
          |  FROM assign1 a JOIN quota q ON q.cell = a.cell)""".stripMargin) { (s, dir) =>
       val (prep, cents) = quantizer(s, dir)
-      val assigned = Ivf.assign(prep, cents.cache())
+      val assigned = Ivf.assignBroadcast(s, prep, cents)
         .select(col("vec_id"), col("cid").as("cell")).cache()
       val counts = assigned.groupBy(col("cell"))
         .agg(count(lit(1)).as("n_cell"))

@@ -34,8 +34,8 @@ object PqQueries {
       "q_pq_codes",
       s"""WITH ${Pq.codesSql}
          |SELECT vec_id, sub, code FROM pcodes""".stripMargin) { (s, dir) =>
-      val (_, sv, cb) = encoded(s, dir)
-      Pq.encode(sv, cb)
+      val (prep, _, cb) = encoded(s, dir)
+      Pq.encodeRows(s, prep, cb)
     },
 
     // ADC scan: query full-precision, database vectors via code lookups.
@@ -44,8 +44,8 @@ object PqQueries {
       s"""WITH ${Pq.codesSql},
          |${Pq.adcSql(MaxQueryId, TopK)}
          |SELECT q, rank, b, adc10k FROM pscored""".stripMargin) { (s, dir) =>
-      val (_, sv, cb) = encoded(s, dir)
-      val codes = Pq.encode(sv, cb)
+      val (prep, sv, cb) = encoded(s, dir)
+      val codes = Pq.encodeRows(s, prep, cb)
       val qsv = sv.filter(col("vec_id") < MaxQueryId)
         .select(col("vec_id").as("q"), col("sub"), col("se").as("qe"))
       Pq.adc(Pq.distanceTable(qsv, cb), codes, TopK)
@@ -72,7 +72,7 @@ object PqQueries {
          |LEFT JOIN pscored s ON s.q = e.q AND s.b = e.b
          |GROUP BY e.q""".stripMargin) { (s, dir) =>
       val (prep, sv, cb) = encoded(s, dir)
-      val codes = Pq.encode(sv, cb)
+      val codes = Pq.encodeRows(s, prep, cb)
       val qsv = sv.filter(col("vec_id") < MaxQueryId)
         .select(col("vec_id").as("q"), col("sub"), col("se").as("qe"))
       val adcTop = Pq.adc(Pq.distanceTable(qsv, cb), codes, TopK)
@@ -200,7 +200,7 @@ object PqQueries {
     val assigned = Ivf.assignBroadcast(s, prepN, cents).cache()
     val sv = Pq.subvecs(prepN.select(col("vec_id"), col("e"))).cache()
     val cb = Pq.codebook(sv).cache()
-    val codes = Pq.encode(sv, cb)
+    val codes = Pq.encodeRows(s, prepN.select(col("vec_id"), col("e")), cb)
     val queries = prepN.filter(col("vec_id") < MaxQueryId)
       .select(col("vec_id").as("q"), col("e").as("qe"), col("nrm").as("qn"))
     val cand = broadcast(Ivf.probe(queries, cents, NProbe)

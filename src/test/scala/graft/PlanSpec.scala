@@ -455,6 +455,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_pq_codes: corpus encode is a shuffle-free map pass") {
+    // the codebook is a collected literal (bounded — it IS the index), so
+    // the only corpus-wide work is the stateless per-partition encoder: a
+    // reintroduced broadcast-join + argmin-agg encode would show an
+    // Exchange here and pay a corpus-sized shuffle per encode at 100 TB
+    val p = plan("q_pq_codes")
+    assert(!p.contains("Exchange"),
+      s"q_pq_codes encode must not shuffle the corpus:\n$p")
+  }
+
   test("q_dedup_blocks / q_dedup_block_rebuild: occurrence-linear keeper join") {
     Seq("q_dedup_blocks", "q_dedup_block_rebuild").foreach { q =>
       val p = plan(q)

@@ -133,4 +133,19 @@ class IvfSpec extends SparkSpec {
     val cosSeq = res.map(_.getAs[Double]("cos")).toSeq
     assert(cosSeq.zip(cosSeq.tail).forall { case (x, y) => x >= y })
   }
+
+  test("searchFused is row-identical to the declarative search") {
+    // the skinny-projection production path and the window twin must agree
+    // on every (q, rank, b, cos) — multiple queries, multi-probe, so ties
+    // and cell boundaries are exercised
+    val cents = Ivf.centroids(corpus, k = 3)
+    val queries = corpus.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q"), col("e").as("qe"), col("nrm").as("qn"))
+    val declarative = Ivf.search(queries, corpus, cents,
+        Ivf.assign(corpus, cents), nProbe = 2, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val fused = Ivf.searchFused(spark, queries, corpus, cents, nProbe = 2, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(fused == declarative)
+  }
 }

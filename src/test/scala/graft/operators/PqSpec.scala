@@ -111,4 +111,36 @@ class PqSpec extends SparkSpec {
     }
     cb.unpersist(); sv.unpersist()
   }
+
+  test("training is sample-bounded: vectors past TrainMax never move the codebook") {
+    // append a far-away outlier with id >= TrainMax: the trained codebook
+    // must be IDENTICAL to training without it (the outlier still gets
+    // encoded — by the sample-trained codebook), for both PQ and IVF.
+    val outlier = {
+      val v = Array.fill(Similarity.Dim)(0.0)
+      v(7) = 99.0
+      spark.createDataFrame(Seq((Pq.TrainMax + 5, v.toSeq))).toDF("vec_id", "e")
+        .select(col("vec_id"), col("e").cast("array<double>").as("e"))
+    }
+    val withOutlier = corpus.unionAll(outlier)
+    val cbBase = Pq.codebook(Pq.subvecs(corpus)).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2)).toMap
+    val cbPlus = Pq.codebook(Pq.subvecs(withOutlier)).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2)).toMap
+    assert(cbBase == cbPlus, "PQ codebook must ignore vec_id >= TrainMax")
+    // the outlier is still encoded: M codes like everyone else
+    val codes = Pq.encodeRows(spark, withOutlier,
+      Pq.codebook(Pq.subvecs(withOutlier)))
+    assert(codes.filter(col("vec_id") === (Pq.TrainMax + 5)).count() == Pq.M)
+
+    // IVF twin on the same fixture (centroids expects prepared's nrm)
+    def prep(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("e"),
+        sqrt(aggregate(col("e"), lit(0.0), (a, x) => a + x * x)).as("nrm"))
+    val ivBase = Ivf.centroids(prep(corpus), 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val ivPlus = Ivf.centroids(prep(withOutlier), 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(ivBase == ivPlus, "IVF centroids must ignore vec_id >= TrainMax")
+  }
 }
