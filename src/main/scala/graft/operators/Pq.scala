@@ -251,6 +251,14 @@ object Pq {
       .select(col("q"), col("rank"), col("b"), col("adc10k"))
   }
 
+  // A driver-local adaptive ADC kernel (the connectedComponentsAdaptive
+  // pattern) was built and A/B-benched here in r12 and REMOVED: the
+  // IVF-PQ tail after `encodeRows` is only ~3 stages, so localizing it
+  // saved nothing measurable at sf0.1 (recall/search medians within box
+  // noise both directions) while splitting the one lazy cache-sharing
+  // DAG into eager driver jobs. The adaptive pattern pays when it
+  // replaces a LONG stage chain, not a short tail.
+
   // ------------------------------------------------------------ oracle SQL
 
   /** subv → pcb0 → (pa_i → pdims_i → pcb_{i+1})×Iters → pcodes: the
