@@ -33,7 +33,8 @@ object SparkEntry {
       graft.queries.PiiQueries.defs ++
       graft.queries.ObservabilityQueries.defs ++
       graft.queries.LmQueries.defs ++
-      graft.queries.BlockDedupQueries.defs
+      graft.queries.BlockDedupQueries.defs ++
+      graft.queries.HybridQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     *

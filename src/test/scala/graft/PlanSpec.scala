@@ -455,6 +455,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_hybrid_rrf: both arms keep partial top-k, fusion never global-sorts") {
+    // the lexical and semantic arms each cut to k per query BEFORE their
+    // rank shuffle (WindowGroupLimit), so the fusion join and re-rank see
+    // |Q|*2k rows regardless of corpus size; a global Sort or a cartesian
+    // here means an arm lost its bound
+    val p = plan("q_hybrid_rrf")
+    assert(p.contains("WindowGroupLimit"),
+      "per-arm top-k must be rank-limit-pushed (partial per partition)")
+    assert(!p.contains("CartesianProduct"), "no cartesian anywhere in the fusion")
+    assert(!p.split("\n").exists(l => l.trim.startsWith("Sort ") && l.contains("global=true")),
+      s"fused re-rank must stay windowed, not a global sort:\n$p")
+  }
+
   test("q_pq_codes: corpus encode is a shuffle-free map pass") {
     // the codebook is a collected literal (bounded — it IS the index), so
     // the only corpus-wide work is the stateless per-partition encoder: a
