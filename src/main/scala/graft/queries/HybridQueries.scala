@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.operators.{Num, Similarity, TextOps}
+import graft.operators.{Num, Similarity}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -33,28 +33,7 @@ object HybridQueries {
       "q_hybrid_rrf",
       s"""WITH q(qid, term) AS (VALUES
          |  ${TextAnalytics.Bm25Queries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")}),
-         |ws AS (
-         |  SELECT doc_id, CAST(len(${TextOps.wordsSql("text")}) AS BIGINT) AS dl
-         |  FROM documents),
-         |tot AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS total
-         |  FROM ws),
-         |w AS (SELECT doc_id, unnest(${TextOps.wordsSql("text")}) AS w FROM documents),
-         |tf AS (
-         |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM w
-         |  WHERE w IN (SELECT term FROM q)
-         |  GROUP BY doc_id, w),
-         |dft AS (SELECT w, CAST(count(*) AS BIGINT) AS dft FROM tf GROUP BY w),
-         |c AS (
-         |  SELECT t.doc_id, t.w,
-         |         CAST(round((ln(1 + (tot.n - d.dft + 0.5) / (d.dft + 0.5))
-         |           * ((t.tf * 2.2)
-         |              / (t.tf + 1.2 * (0.25 + 0.75 * ((s.dl * tot.n) / tot.total))))
-         |           + 0.00000025) * 10000, 0) AS BIGINT) AS c_u
-         |  FROM tf t JOIN dft d USING (w) JOIN ws s ON s.doc_id = t.doc_id, tot),
-         |sc AS (
-         |  SELECT q.qid, c.doc_id, CAST(sum(c.c_u) AS BIGINT) AS score_u
-         |  FROM c JOIN q ON q.term = c.w GROUP BY q.qid, c.doc_id),
+         |${TextAnalytics.bm25ChainSql},
          |lexk AS (
          |  SELECT qid, doc_id, rank FROM (
          |    SELECT qid, doc_id,

@@ -21,7 +21,11 @@ object PqQueries {
   private def encoded(s: SparkSession, dir: String) = {
     val prep = Similarity.prepared(Tables.embeddings(s, dir))
       .select(col("vec_id"), col("e"))
-    val sv = Pq.subvecs(prep).cache()
+    // only the TRAINING slice of the subvector explosion is materialized:
+    // the corpus pass goes through the map-only encodeRows and never reads
+    // sv, so caching subvecs(prep) would pin corpus*M exploded rows for
+    // the 512-vector codebook fit and the 20-query qe slice alone
+    val sv = Pq.subvecs(prep.filter(col("vec_id") < Pq.TrainMax)).cache()
     val cb = Pq.codebook(sv).cache()
     (prep, sv, cb)
   }
@@ -198,7 +202,10 @@ object PqQueries {
     // map-only cell assignment (no corpus-wide window shuffle); identical
     // results to Ivf.assign by the assignBroadcast parity contract
     val assigned = Ivf.assignBroadcast(s, prepN, cents).cache()
-    val sv = Pq.subvecs(prepN.select(col("vec_id"), col("e"))).cache()
+    // training slice only (see encoded()): the corpus meets the codebook
+    // in the map-only encodeRows pass, never through this cache
+    val sv = Pq.subvecs(prepN.select(col("vec_id"), col("e"))
+      .filter(col("vec_id") < Pq.TrainMax)).cache()
     val cb = Pq.codebook(sv).cache()
     val codes = Pq.encodeRows(s, prepN.select(col("vec_id"), col("e")), cb)
     val queries = prepN.filter(col("vec_id") < MaxQueryId)

@@ -123,6 +123,36 @@ object TextAnalytics {
   /** Top-k cut for q_bm25_topk. */
   private val Bm25TopK = 10
 
+  /** The BM25 scoring CTE chain over a `q(qid, term)` relation —
+    * ws → tot → w → tf → dft → c → sc(qid, doc_id, score_u) in integer
+    * micro-units. ONE definition shared by q_bm25_topk and q_hybrid_rrf's
+    * lexical arm (the Bm25Terms lesson: BM25 sites drift silently unless
+    * every dialect derives from one place — the Scala twin is bm25TopK).
+    */
+  private[queries] def bm25ChainSql: String =
+    s"""ws AS (
+       |  SELECT doc_id, CAST(len(${TextOps.wordsSql("text")}) AS BIGINT) AS dl
+       |  FROM documents),
+       |tot AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS total
+       |  FROM ws),
+       |w AS (SELECT doc_id, unnest(${TextOps.wordsSql("text")}) AS w FROM documents),
+       |tf AS (
+       |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM w
+       |  WHERE w IN (SELECT term FROM q)
+       |  GROUP BY doc_id, w),
+       |dft AS (SELECT w, CAST(count(*) AS BIGINT) AS dft FROM tf GROUP BY w),
+       |c AS (
+       |  SELECT t.doc_id, t.w,
+       |         CAST(round((ln(1 + (tot.n - d.dft + 0.5) / (d.dft + 0.5))
+       |           * ((t.tf * 2.2)
+       |              / (t.tf + 1.2 * (0.25 + 0.75 * ((s.dl * tot.n) / tot.total))))
+       |           + 0.00000025) * 10000, 0) AS BIGINT) AS c_u
+       |  FROM tf t JOIN dft d USING (w) JOIN ws s ON s.doc_id = t.doc_id, tot),
+       |sc AS (
+       |  SELECT q.qid, c.doc_id, CAST(sum(c.c_u) AS BIGINT) AS score_u
+       |  FROM c JOIN q ON q.term = c.w GROUP BY q.qid, c.doc_id)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // Language ID: score = #words in each language profile; argmax with
@@ -438,28 +468,7 @@ object TextAnalytics {
       "q_bm25_topk",
       s"""WITH q(qid, term) AS (VALUES
          |  ${Bm25Queries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")}),
-         |ws AS (
-         |  SELECT doc_id, CAST(len(${TextOps.wordsSql("text")}) AS BIGINT) AS dl
-         |  FROM documents),
-         |tot AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS total
-         |  FROM ws),
-         |w AS (SELECT doc_id, unnest(${TextOps.wordsSql("text")}) AS w FROM documents),
-         |tf AS (
-         |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM w
-         |  WHERE w IN (SELECT term FROM q)
-         |  GROUP BY doc_id, w),
-         |dft AS (SELECT w, CAST(count(*) AS BIGINT) AS dft FROM tf GROUP BY w),
-         |c AS (
-         |  SELECT t.doc_id, t.w,
-         |         CAST(round((ln(1 + (tot.n - d.dft + 0.5) / (d.dft + 0.5))
-         |           * ((t.tf * 2.2)
-         |              / (t.tf + 1.2 * (0.25 + 0.75 * ((s.dl * tot.n) / tot.total))))
-         |           + 0.00000025) * 10000, 0) AS BIGINT) AS c_u
-         |  FROM tf t JOIN dft d USING (w) JOIN ws s ON s.doc_id = t.doc_id, tot),
-         |sc AS (
-         |  SELECT q.qid, c.doc_id, CAST(sum(c.c_u) AS BIGINT) AS score_u
-         |  FROM c JOIN q ON q.term = c.w GROUP BY q.qid, c.doc_id),
+         |$bm25ChainSql,
          |rk AS (
          |  SELECT qid, doc_id, score_u,
          |         row_number() OVER (PARTITION BY qid

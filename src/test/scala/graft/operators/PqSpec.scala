@@ -123,10 +123,15 @@ class PqSpec extends SparkSpec {
         .select(col("vec_id"), col("e").cast("array<double>").as("e"))
     }
     val withOutlier = corpus.unionAll(outlier)
+    // centroid means come from independent aggregation jobs whose partial
+    // sums merge in arrival order, so equality is asserted on the Num-
+    // rounded grid (the repo's cross-run determinism contract), not on
+    // raw last-ulp doubles
+    def r4seq(xs: Seq[Double]): Seq[Double] = xs.map(Num.r4Jvm)
     val cbBase = Pq.codebook(Pq.subvecs(corpus)).collect()
-      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2)).toMap
+      .map(r => (r.getInt(0), r.getLong(1)) -> r4seq(r.getSeq[Double](2))).toMap
     val cbPlus = Pq.codebook(Pq.subvecs(withOutlier)).collect()
-      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2)).toMap
+      .map(r => (r.getInt(0), r.getLong(1)) -> r4seq(r.getSeq[Double](2))).toMap
     assert(cbBase == cbPlus, "PQ codebook must ignore vec_id >= TrainMax")
     // the outlier is still encoded: M codes like everyone else
     val codes = Pq.encodeRows(spark, withOutlier,
@@ -138,9 +143,9 @@ class PqSpec extends SparkSpec {
       df.select(col("vec_id"), col("e"),
         sqrt(aggregate(col("e"), lit(0.0), (a, x) => a + x * x)).as("nrm"))
     val ivBase = Ivf.centroids(prep(corpus), 8).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      .map(r => r.getLong(0) -> r4seq(r.getSeq[Double](1))).toMap
     val ivPlus = Ivf.centroids(prep(withOutlier), 8).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      .map(r => r.getLong(0) -> r4seq(r.getSeq[Double](1))).toMap
     assert(ivBase == ivPlus, "IVF centroids must ignore vec_id >= TrainMax")
   }
 }
