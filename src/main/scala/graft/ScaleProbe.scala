@@ -94,13 +94,34 @@ object ScaleProbe {
     // the curve the probe measures (laziness still skips the cost entirely
     // on filtered runs that touch no embeddings probe)
     if (on("ivf_build_search") || on("quantize") || on("pq_encode") ||
-        on("ivf_stream_maintain")) { embeddings; () }
+        on("ivf_stream_maintain") || on("ivf_query_k")) { embeddings; () }
     time("ivf_build_search") {
       val prep = graft.operators.Similarity.prepared(embeddings).cache()
       val cents = graft.operators.Ivf.centroids(prep, 64).cache()
       val queries = prep.filter(col("vec_id") % 10000000L < 20)
         .select(col("vec_id").as("q"), col("e").as("qe"), col("nrm").as("qn"))
       graft.operators.Ivf.searchFused(spark, queries, prep, cents, 4, 5).count()
+    }
+    // The "scale K with the corpus" claim, measured: pure QUERY-path cost
+    // over a PREBUILT (localCheckpoint'd, as production persists it) fused
+    // index at fixed K=64 vs K=256. With K fixed, cell population — and so
+    // per-query scan cost — grows linearly with the corpus; 4x the cells
+    // should cut the probed population ~4x at the same nProbe. Build cost
+    // is charged to neither (it is the amortized index write).
+    Seq(64, 256).foreach { bigK =>
+      if (on(s"ivf_query_k$bigK")) {
+        val prep = graft.operators.Similarity.prepared(embeddings).cache()
+        val cents = graft.operators.Ivf.centroids(prep, bigK).cache()
+        val corpus = graft.operators.Ivf.assignBroadcastFull(spark, prep, cents)
+          .localCheckpoint()
+        val queries = prep.filter(col("vec_id") % 10000000L < 20)
+          .select(col("vec_id").as("q"), col("e").as("qe"), col("nrm").as("qn"))
+        time(s"ivf_query_k$bigK") {
+          graft.operators.Ivf.searchRankFused(
+            graft.operators.Ivf.probe(queries, cents, 4), corpus, 5).count()
+        }
+        spark.catalog.clearCache()
+      }
     }
     time("dedup_clusters") {
       val sh = graft.operators.Dedup.shingleHashes(

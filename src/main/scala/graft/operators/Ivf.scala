@@ -207,8 +207,18 @@ object Ivf {
     */
   def searchFused(spark: SparkSession, queries: DataFrame, prep: DataFrame,
                   cents: DataFrame, nProbe: Int, k: Int): DataFrame =
-    broadcast(probe(queries, cents, nProbe))
-      .join(assignBroadcastFull(spark, prep, cents), "cid")
+    searchRankFused(probe(queries, cents, nProbe),
+      assignBroadcastFull(spark, prep, cents), k)
+
+  /** The query path over a PREBUILT fused index relation (b, cid, be, bn)
+    * — production searches a persisted index many times per build, so the
+    * probe equijoin + skinny rank is exposed separately from the
+    * assignment pass (`assignBroadcastFull` is the build). probed:
+    * (q, qe, qn, cid) from `probe`.
+    */
+  def searchRankFused(probed: DataFrame, corpus: DataFrame, k: Int): DataFrame =
+    broadcast(probed)
+      .join(corpus, "cid")
       .filter(col("b") =!= col("q"))
       .select(col("q"), col("b"),
         Num.r4(Similarity.cosine(col("qe"), col("be"), col("qn"), col("bn"))).as("cos"))
