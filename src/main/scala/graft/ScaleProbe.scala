@@ -111,7 +111,10 @@ object ScaleProbe {
     Seq(64, 256).foreach { bigK =>
       if (on(s"ivf_query_k$bigK")) {
         val prep = graft.operators.Similarity.prepared(embeddings).cache()
-        val cents = graft.operators.Ivf.centroids(prep, bigK).cache()
+        // training sample scales with K (production posture): 2x K keeps
+        // every cell seeded with headroom without a corpus-sized train
+        val cents = graft.operators.Ivf.centroids(prep, bigK,
+          trainMax = 2L * bigK).cache()
         val corpus = graft.operators.Ivf.assignBroadcastFull(spark, prep, cents)
           .localCheckpoint()
         val queries = prep.filter(col("vec_id") % 10000000L < 20)

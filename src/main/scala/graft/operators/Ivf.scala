@@ -144,8 +144,14 @@ object Ivf {
     * Trains on the bounded sample (vec_id < TrainMax) only — the full
     * corpus meets the index later, in the map-only assignment pass.
     */
-  def centroids(prep: DataFrame, k: Int): DataFrame = {
-    val train = prep.filter(col("vec_id") < TrainMax)
+  def centroids(prep: DataFrame, k: Int,
+                trainMax: Long = TrainMax): DataFrame = {
+    // trainMax scales WITH k in production (the FAISS guidance is
+    // ~hundreds of samples per centroid): the default fits the oracle-
+    // replayed bench tier (k <= 64); a deployment growing k to bound
+    // cell population passes a proportionally larger sample — see
+    // ScaleProbe's ivf_query_k256 (trainMax = 2x its k)
+    val train = prep.filter(col("vec_id") < trainMax)
     val cent0 = train.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
     val assign0 = assign(train, cent0)
