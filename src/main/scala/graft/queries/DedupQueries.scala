@@ -647,6 +647,62 @@ object DedupQueries {
             .otherwise(0L).as("kept"))
     },
 
+    // Quality-aware keeper selection — the FineWeb/RefinedWeb curation
+    // policy: within each near-dup cluster keep the HIGHEST-QUALITY
+    // member (the r4-gridded q_text_quality score; exact grid ties break
+    // to the smallest id), not the numerically smallest — min-id keeps
+    // whichever variant happened to sort first, quality-keeper keeps the
+    // fullest/cleanest one (here: originals beat their truncated copies,
+    // whose length term is halved). Shape is q_dedup_survivors' exactly —
+    // the cluster mapping and keeper table stay near-dup-sized and
+    // broadcast; quality is a map-side scan expression; at 100 TB the
+    // decision is one broadcast-join pass over the corpus.
+    QueryDef(
+      "q_dedup_keeper_quality",
+      s"""WITH RECURSIVE $truncatedBaseSql,
+         |${Dedup.shingleSql(ShingleN)},
+         |${Dedup.signatureSql},
+         |${Dedup.bandsSql},
+         |${Dedup.candidateSql},
+         |${Dedup.jaccardSql},
+         |${Dedup.vpairsSql(JaccardThreshold)},
+         |${Dedup.clustersSql},
+         |${TextAnalytics.qualityChainSql("base", "id")},
+         |ranked AS (
+         |  SELECT c.id, c.cluster,
+         |         row_number() OVER (PARTITION BY c.cluster
+         |                            ORDER BY q.quality DESC, c.id) AS rn
+         |  FROM clusters c JOIN qscore q ON q.id = c.id),
+         |qkeepers AS (SELECT cluster, id AS keeper FROM ranked WHERE rn = 1)
+         |SELECT b.id, q.quality,
+         |       CAST(CASE WHEN c.id IS NULL OR k.keeper = b.id
+         |                 THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM base b
+         |JOIN qscore q ON q.id = b.id
+         |LEFT JOIN clusters c ON c.id = b.id
+         |LEFT JOIN qkeepers k ON k.cluster = c.cluster""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val corpus = withTruncatedCopies(s, dir)
+      val quality = TextAnalytics.qualityScored(corpus)
+        .select(col("id"), col("quality"))
+      val clusters = verifiedClusters(s, corpus)
+        .select(col("node").as("cid"), col("component").as("cluster"))
+      val keepers = clusters
+        .join(quality.withColumnRenamed("id", "cid"), "cid")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("cluster"))
+            .orderBy(col("quality").desc, col("cid"))))
+        .filter(col("rn") === 1)
+        .select(col("cluster"), col("cid").as("keeper"))
+      corpus.select(col("id"))
+        .join(quality, "id")
+        .join(broadcast(clusters), col("id") === col("cid"), "left")
+        .join(broadcast(keepers), Seq("cluster"), "left")
+        .select(col("id"), col("quality"),
+          when(col("cid").isNull || col("keeper") === col("id"), 1L)
+            .otherwise(0L).as("kept"))
+    },
+
     // Incremental corpus-extension dedup — the production shape: the
     // corpus's LSH band table is a PERSISTED INDEX (in production written
     // once, bucketed on (band, key)); a new batch probes it, so the cost

@@ -123,6 +123,48 @@ object TextAnalytics {
   /** Top-k cut for q_bm25_topk. */
   private val Bm25TopK = 10
 
+  /** Quality-score stopword list — interpolated into qualityChainSql and
+    * folded into qualityScored's filter; ONE definition for both engines.
+    */
+  private val QualityStopWords = Seq("the", "a", "of", "and", "data", "value")
+
+  /** The quality-score CTE chain over an (idCol, text) relation `rel`:
+    * qt(id, counts) → qscore(id, counts, quality on the r4 grid). ONE
+    * definition shared by q_text_quality and q_dedup_keeper_quality —
+    * the keeper policy ranks by exactly the score the filter reports.
+    */
+  private[queries] def qualityChainSql(rel: String, idCol: String): String =
+    s"""qt AS (
+       |  SELECT $idCol AS id,
+       |         length(text) AS n_chars2,
+       |         len(${TextOps.wordsSql("text")}) AS n_words,
+       |         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+       |         len(list_filter(${TextOps.wordsSql("text")},
+       |             w -> w IN (${QualityStopWords.map(w => s"'$w'").mkString(", ")}))) AS n_stop
+       |  FROM $rel),
+       |qscore AS (
+       |  SELECT id, n_chars2, n_words, n_punct, n_stop,
+       |         round(0.4 * least(n_words / 50.0, 1.0)
+       |             + 0.3 * ((n_stop * 1.0) / n_words)
+       |             + 0.3 * (1.0 - (n_punct * 1.0) / n_chars2) + 0.00000025, 4) AS quality
+       |  FROM qt)""".stripMargin
+
+  /** Scala twin of qualityChainSql over an (id, text) relation:
+    * (id, n_chars2, n_words, n_punct, n_stop, quality). */
+  private[queries] def qualityScored(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("id"),
+        length(col("text")).as("n_chars2"),
+        size(TextOps.words(col("text"))).as("n_words"),
+        size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).as("n_punct"),
+        size(filter(TextOps.words(col("text")),
+          w => QualityStopWords.foldLeft(lit(false))((acc, v) => acc || (w === v)))).as("n_stop"))
+      .withColumn("quality",
+        Num.r4(lit(0.4) * least(col("n_words") / 50.0, lit(1.0))
+          + lit(0.3) * (col("n_stop") * 1.0 / col("n_words"))
+          + lit(0.3) * (lit(1.0) - col("n_punct") * 1.0 / col("n_chars2"))))
+
   /** The BM25 scoring CTE chain over a `q(qid, term)` relation —
     * ws → tot → w → tf → dft → c → sc(qid, doc_id, score_u) in integer
     * micro-units. ONE definition shared by q_bm25_topk and q_hybrid_rrf's
@@ -193,39 +235,24 @@ object TextAnalytics {
 
     // Quality scoring: length/punctuation/stopword/word-shape signals
     // combined into one score — the standard pre-training filter shape.
+    // The scoring formula is the shared qualityChainSql / qualityScored
+    // pair (also ranks q_dedup_keeper_quality's per-cluster keeper).
     QueryDef(
       "q_text_quality",
-      s"""WITH t AS (
-         |  SELECT doc_id,
-         |         length(text) AS n_chars2,
-         |         len(${TextOps.wordsSql("text")}) AS n_words,
-         |         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
-         |         len(list_filter(${TextOps.wordsSql("text")},
-         |             w -> w IN ('the', 'a', 'of', 'and', 'data', 'value'))) AS n_stop
-         |  FROM documents)
-         |SELECT doc_id, n_words,
+      s"""WITH ${qualityChainSql("documents", "doc_id")}
+         |SELECT id AS doc_id, n_words,
          |       round((n_chars2 * 1.0) / n_words + 0.00000025, 4) AS avg_word_len,
          |       round((n_punct * 1.0) / n_chars2 + 0.00000025, 4) AS punct_ratio,
          |       round((n_stop * 1.0) / n_words + 0.00000025, 4) AS stop_ratio,
-         |       round(0.4 * least(n_words / 50.0, 1.0)
-         |           + 0.3 * ((n_stop * 1.0) / n_words)
-         |           + 0.3 * (1.0 - (n_punct * 1.0) / n_chars2) + 0.00000025, 4) AS quality
-         |FROM t""".stripMargin) { (s, dir) =>
-      val stop = Seq("the", "a", "of", "and", "data", "value")
-      Tables.documents(s, dir)
-        .select(col("doc_id"),
-          length(col("text")).as("n_chars2"),
-          size(TextOps.words(col("text"))).as("n_words"),
-          size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).as("n_punct"),
-          size(filter(TextOps.words(col("text")),
-            w => stop.foldLeft(lit(false))((acc, v) => acc || (w === v)))).as("n_stop"))
-        .select(col("doc_id"), col("n_words"),
+         |       quality
+         |FROM qscore""".stripMargin) { (s, dir) =>
+      qualityScored(Tables.documents(s, dir)
+          .select(col("doc_id").as("id"), col("text")))
+        .select(col("id").as("doc_id"), col("n_words"),
           Num.r4(col("n_chars2") * 1.0 / col("n_words")).as("avg_word_len"),
           Num.r4(col("n_punct") * 1.0 / col("n_chars2")).as("punct_ratio"),
           Num.r4(col("n_stop") * 1.0 / col("n_words")).as("stop_ratio"),
-          Num.r4(lit(0.4) * least(col("n_words") / 50.0, lit(1.0))
-            + lit(0.3) * (col("n_stop") * 1.0 / col("n_words"))
-            + lit(0.3) * (lit(1.0) - col("n_punct") * 1.0 / col("n_chars2"))).as("quality"))
+          col("quality"))
     },
 
     // Token counting: whitespace tokens + BPE-ish regex tokens + chars per
