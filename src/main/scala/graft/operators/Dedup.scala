@@ -469,11 +469,17 @@ object Dedup {
        |  $rows)""".stripMargin
   }
 
-  val candidateSql: String =
-    """cand AS (
-      |  SELECT DISTINCT l.id AS a, r.id AS b
-      |  FROM bands l JOIN bands r
-      |    ON l.band = r.band AND l.key = r.key AND l.id < r.id)""".stripMargin
+  /** Band-bucket candidate pairs under an arbitrary CTE name — ONE place
+    * for the band-join logic; q_dedup_lsh_recall needs it alongside an
+    * inverted-index `cand` in the same WITH chain.
+    */
+  def candidateSqlAs(name: String): String =
+    s"""$name AS (
+       |  SELECT DISTINCT l.id AS a, r.id AS b
+       |  FROM bands l JOIN bands r
+       |    ON l.band = r.band AND l.key = r.key AND l.id < r.id)""".stripMargin
+
+  val candidateSql: String = candidateSqlAs("cand")
 
   val jaccardSql: String =
     """sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),

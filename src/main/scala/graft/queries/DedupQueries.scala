@@ -560,6 +560,68 @@ object DedupQueries {
         .select(col("a"), col("b"), Num.r4(col("jaccard")).as("jaccard"))
     },
 
+    // LSH candidate recall per similarity bucket — the b/r tuning table:
+    // banding theory says candidate probability follows an S-curve in
+    // true Jaccard (1-(1-s^r)^b), so an index deployment reads THIS table
+    // to pick Bands×RowsPerBand for its threshold. Truth = the inverted-
+    // index pairs (>= 2 shared shingles, exact Jaccard >= 0.3 — the same
+    // truth set q_dedup_ngram_jaccard emits, which is complete for the
+    // eval range since j >= 0.3 on non-trivial docs forces shared
+    // shingles); hit = the pair also surfaces as an LSH band-bucket
+    // candidate. Rounds out the index-quality family (q_ann_ivf_recall /
+    // q_pq_recall / q_ivfpq_recall measure the ANN indexes the same way).
+    // At 100 TB this runs on a SAMPLE (the truth side is inverted-index-
+    // bounded, not corpus²) — an offline index-tuning pass, not a per-run
+    // cost.
+    QueryDef(
+      "q_dedup_lsh_recall",
+      s"""WITH $truncatedBaseSql,
+         |${Dedup.shingleSql(ShingleN)},
+         |${Dedup.signatureSql},
+         |${Dedup.bandsSql},
+         |cand AS (
+         |  SELECT x.id AS a, y.id AS b
+         |  FROM sh x JOIN sh y ON x.h = y.h AND x.id < y.id
+         |  GROUP BY x.id, y.id HAVING count(*) >= 2),
+         |${Dedup.jaccardSql},
+         |${Dedup.candidateSqlAs("lshcand")},
+         |truth AS (
+         |  SELECT a, b, round(jaccard + 0.00000025, 4) AS jr
+         |  FROM jac WHERE jaccard >= 0.3)
+         |SELECT bucket, n_truth, n_hit,
+         |       round(n_hit * 1.0 / n_truth + 0.00000025, 4) AS recall
+         |FROM (
+         |  SELECT CASE WHEN t.jr < 0.5 THEN 'j_030_050'
+         |              WHEN t.jr < 0.7 THEN 'j_050_070'
+         |              ELSE 'j_070_100' END AS bucket,
+         |         CAST(count(*) AS BIGINT) AS n_truth,
+         |         CAST(count(l.a) AS BIGINT) AS n_hit
+         |  FROM truth t LEFT JOIN lshcand l ON l.a = t.a AND l.b = t.b
+         |  GROUP BY 1)""".stripMargin) { (s, dir) =>
+      val sh = Dedup.shingleHashes(withTruncatedCopies(s, dir), col("id"), col("text"), ShingleN)
+        .cache()
+      val invCand = sh.as("x")
+        .join(sh.as("y"), col("x.h") === col("y.h") && col("x.id") < col("y.id"))
+        .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+        .agg(count(lit(1)).as("nsh")).filter(col("nsh") >= 2)
+        .select(col("a"), col("b"))
+      val truth = Dedup.jaccard(invCand, sh)
+        .filter(col("jaccard") >= 0.3)
+        .select(col("a"), col("b"), Num.r4(col("jaccard")).as("jr"))
+      val lsh = Dedup.candidatePairs(Dedup.bandKeys(Dedup.minhashSignatures(sh)))
+        .select(col("a").as("la"), col("b").as("lb"))
+      truth
+        .join(lsh, col("la") === col("a") && col("lb") === col("b"), "left")
+        .select(
+          when(col("jr") < 0.5, "j_030_050")
+            .when(col("jr") < 0.7, "j_050_070")
+            .otherwise("j_070_100").as("bucket"),
+          col("la"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_truth"), count(col("la")).as("n_hit"))
+        .withColumn("recall", Num.r4(col("n_hit") * 1.0 / col("n_truth")))
+    },
+
     // n-gram CONTAINMENT — the asymmetric twin of q_dedup_ngram_jaccard:
     // |A∩B| / |A| over the same shingle inverted index, emitting directed
     // pairs (a contained in b) at containment >= 0.8. Catches excerpts,
