@@ -111,19 +111,24 @@ object ScaleProbe {
     Seq(64, 256).foreach { bigK =>
       if (on(s"ivf_query_k$bigK")) {
         val prep = graft.operators.Similarity.prepared(embeddings).cache()
-        // training sample scales with K (production posture): 2x K keeps
-        // every cell seeded with headroom without a corpus-sized train
+        // training sample scales with K (production posture; 2x K is the
+        // timing-probe floor — centroid QUALITY is irrelevant here, only
+        // the index shape; a real deployment uses hundreds per centroid)
         val cents = graft.operators.Ivf.centroids(prep, bigK,
           trainMax = 2L * bigK).cache()
+        // cache (NOT localCheckpoint): time()'s clearCache() frees cached
+        // relations between iterations, while checkpoint blocks would pin
+        // BOTH K-tiers' corpus-sized fused indexes for the rest of the run
+        // and skew every later probe's curve
         val corpus = graft.operators.Ivf.assignBroadcastFull(spark, prep, cents)
-          .localCheckpoint()
+          .cache()
+        corpus.count() // materialize the index OUTSIDE the timed region
         val queries = prep.filter(col("vec_id") % 10000000L < 20)
           .select(col("vec_id").as("q"), col("e").as("qe"), col("nrm").as("qn"))
         time(s"ivf_query_k$bigK") {
           graft.operators.Ivf.searchRankFused(
             graft.operators.Ivf.probe(queries, cents, 4), corpus, 5).count()
         }
-        spark.catalog.clearCache()
       }
     }
     time("dedup_clusters") {

@@ -469,6 +469,26 @@ object Dedup {
        |  $rows)""".stripMargin
   }
 
+  /** Inverted-index candidate pairs: docs sharing >= minShared shingles
+    * (no LSH) — the truth-set definition shared by q_dedup_ngram_jaccard
+    * and q_dedup_lsh_recall. ONE definition per engine; a second inline
+    * copy would let a future threshold change fork the recall query's
+    * truth set from the emission it claims to equal.
+    */
+  def invertedCandidatePairs(sh: DataFrame, minShared: Int): DataFrame =
+    sh.as("x")
+      .join(sh.as("y"), col("x.h") === col("y.h") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(count(lit(1)).as("nsh")).filter(col("nsh") >= minShared)
+      .select(col("a"), col("b"))
+
+  /** SQL twin of `invertedCandidatePairs` under an arbitrary CTE name. */
+  def invertedCandSqlAs(name: String, minShared: Int): String =
+    s"""$name AS (
+       |  SELECT x.id AS a, y.id AS b
+       |  FROM sh x JOIN sh y ON x.h = y.h AND x.id < y.id
+       |  GROUP BY x.id, y.id HAVING count(*) >= $minShared)""".stripMargin
+
   /** Band-bucket candidate pairs under an arbitrary CTE name — ONE place
     * for the band-join logic; q_dedup_lsh_recall needs it alongside an
     * inverted-index `cand` in the same WITH chain.

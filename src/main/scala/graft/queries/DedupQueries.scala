@@ -541,21 +541,13 @@ object DedupQueries {
       "q_dedup_ngram_jaccard",
       s"""WITH $truncatedBaseSql,
          |${Dedup.shingleSql(ShingleN)},
-         |cand AS (
-         |  SELECT x.id AS a, y.id AS b
-         |  FROM sh x JOIN sh y ON x.h = y.h AND x.id < y.id
-         |  GROUP BY x.id, y.id HAVING count(*) >= 2),
+         |${Dedup.invertedCandSqlAs("cand", 2)},
          |${Dedup.jaccardSql}
          |SELECT a, b, round(jaccard + 0.00000025, 4) AS jaccard
          |FROM jac WHERE jaccard >= 0.3""".stripMargin) { (s, dir) =>
       val sh = Dedup.shingleHashes(withTruncatedCopies(s, dir), col("id"), col("text"), ShingleN)
         .cache()
-      val cand = sh.as("x")
-        .join(sh.as("y"), col("x.h") === col("y.h") && col("x.id") < col("y.id"))
-        .groupBy(col("x.id").as("a"), col("y.id").as("b"))
-        .agg(count(lit(1)).as("nsh")).filter(col("nsh") >= 2)
-        .select(col("a"), col("b"))
-      Dedup.jaccard(cand, sh)
+      Dedup.jaccard(Dedup.invertedCandidatePairs(sh, 2), sh)
         .filter(col("jaccard") >= 0.3)
         .select(col("a"), col("b"), Num.r4(col("jaccard")).as("jaccard"))
     },
@@ -579,10 +571,7 @@ object DedupQueries {
          |${Dedup.shingleSql(ShingleN)},
          |${Dedup.signatureSql},
          |${Dedup.bandsSql},
-         |cand AS (
-         |  SELECT x.id AS a, y.id AS b
-         |  FROM sh x JOIN sh y ON x.h = y.h AND x.id < y.id
-         |  GROUP BY x.id, y.id HAVING count(*) >= 2),
+         |${Dedup.invertedCandSqlAs("cand", 2)},
          |${Dedup.jaccardSql},
          |${Dedup.candidateSqlAs("lshcand")},
          |truth AS (
@@ -600,12 +589,7 @@ object DedupQueries {
          |  GROUP BY 1)""".stripMargin) { (s, dir) =>
       val sh = Dedup.shingleHashes(withTruncatedCopies(s, dir), col("id"), col("text"), ShingleN)
         .cache()
-      val invCand = sh.as("x")
-        .join(sh.as("y"), col("x.h") === col("y.h") && col("x.id") < col("y.id"))
-        .groupBy(col("x.id").as("a"), col("y.id").as("b"))
-        .agg(count(lit(1)).as("nsh")).filter(col("nsh") >= 2)
-        .select(col("a"), col("b"))
-      val truth = Dedup.jaccard(invCand, sh)
+      val truth = Dedup.jaccard(Dedup.invertedCandidatePairs(sh, 2), sh)
         .filter(col("jaccard") >= 0.3)
         .select(col("a"), col("b"), Num.r4(col("jaccard")).as("jr"))
       val lsh = Dedup.candidatePairs(Dedup.bandKeys(Dedup.minhashSignatures(sh)))
@@ -745,19 +729,25 @@ object DedupQueries {
          |LEFT JOIN qkeepers k ON k.cluster = c.cluster""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val corpus = withTruncatedCopies(s, dir)
-      val quality = TextAnalytics.qualityScored(corpus)
-        .select(col("id"), col("quality"))
       val clusters = verifiedClusters(s, corpus)
         .select(col("node").as("cid"), col("component").as("cluster"))
+      // keeper ranking only needs quality for CLUSTER MEMBERS (near-dup-
+      // sized): semi-join the corpus down before scoring that side, so
+      // the full-corpus quality scan runs exactly once — in the output
+      // join below — not twice
+      val memberQuality = TextAnalytics.qualityScored(
+          corpus.join(broadcast(clusters.select(col("cid").as("id"))),
+            Seq("id"), "left_semi"))
+        .select(col("id").as("cid"), col("quality"))
       val keepers = clusters
-        .join(quality.withColumnRenamed("id", "cid"), "cid")
+        .join(memberQuality, "cid")
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("cluster"))
             .orderBy(col("quality").desc, col("cid"))))
         .filter(col("rn") === 1)
         .select(col("cluster"), col("cid").as("keeper"))
-      corpus.select(col("id"))
-        .join(quality, "id")
+      TextAnalytics.qualityScored(corpus)
+        .select(col("id"), col("quality"))
         .join(broadcast(clusters), col("id") === col("cid"), "left")
         .join(broadcast(keepers), Seq("cluster"), "left")
         .select(col("id"), col("quality"),

@@ -313,6 +313,22 @@ class PlanSpec extends SparkSpec {
       s"the near-dup-sized cluster mapping must broadcast:\n$p")
   }
 
+  test("q_dedup_keeper_quality: same broadcast shape as survivors") {
+    // the README claims survivors' exact 100 TB shape for the quality
+    // keeper — hold it to the same guard: cluster/keeper mappings
+    // broadcast, quality is a scan expression, nothing cross-joins
+    val p = plan("q_dedup_keeper_quality")
+    assert(!p.contains("CartesianProduct"), s"keeper must not cross-join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the cluster and keeper mappings must broadcast:\n$p")
+  }
+
+  test("q_dedup_lsh_recall: both candidate sets are equijoins, never cartesian") {
+    val p = plan("q_dedup_lsh_recall")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"truth (shingle equijoin) and LSH (band equijoin) sides must both equijoin:\n$p")
+  }
+
   test("q_corpus_curation: scrub+dedup+filter+split composes without joins") {
     // PII scrub and quality/split are map-only projections; the only
     // shuffles are the dedup window (hash by content md5) and the final
