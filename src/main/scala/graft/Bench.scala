@@ -36,6 +36,17 @@ package graft
   *         not code. Compare `min` across rounds when `load_suspect` is true.
   *       - `sentinel.series` is the drift log; `load_suspect_count` > 0 means
   *         treat inflated medians as unproven, re-bench idle before judging.
+  *       - Round-12 lesson: when the box is NEVER quiet, the retry pass
+  *         cannot fire and the suspect flags mark the problem without
+  *         fixing the headline (BENCH_r12: 453.9 s recorded for a ~92 s
+  *         build). Both JSON lines now carry an honest-headline pair a
+  *         reader can use without hunting the committed stamp:
+  *         `total_min_floor` (sum of per-query session mins — the hard
+  *         floor this code demonstrated) and `load_normalized_total`
+  *         (suspect medians deflated by the sentinel inflation factor
+  *         bracketing their block; clean queries contribute raw medians).
+  *         Truth sits in [total_min_floor, value]; the normalized total
+  *         is the defensible point estimate.
   *       - The artifact SELF-HEALS: after the closing sentinel, suspects are
   *         re-measured hottest-first under SPARK_GRAFT_RETRY_BUDGET_SEC
   *         (default 300 s) while a fresh sentinel stays within 1.5x of
@@ -82,6 +93,35 @@ object Bench {
     */
   private[graft] def retryOrder(suspects: Seq[(Int, QStat)]): Seq[Int] =
     suspects.sortBy(-_._2.median).map(_._1)
+
+  /** Sentinel inflation factor for the query at position `idx`: the mean
+    * of the sentinel samples bracketing its block (the last sample taken
+    * at-or-before it and the first taken after it), over the session-best
+    * sentinel, clamped at >= 1. The bracketing samples are the only direct
+    * evidence of how loaded the box was WHILE that query ran.
+    */
+  private[graft] def inflationFactor(idx: Int, sentinels: Seq[(Int, Double)],
+                                     best: Double): Double =
+    if (best <= 0.0) 1.0
+    else {
+      val bracket = sentinels.filter(_._1 <= idx).lastOption.map(_._2).toSeq ++
+        sentinels.find(_._1 > idx).map(_._2).toSeq
+      if (bracket.isEmpty) 1.0
+      else math.max(1.0, (bracket.sum / bracket.size) / best)
+    }
+
+  /** Load-normalized headline: suspects contribute median ÷ their block's
+    * sentinel inflation factor; clean queries (including accepted clean
+    * retries — their number was re-measured in a verified-quiet window,
+    * so dividing it again would double-correct) contribute the raw
+    * median. On a quiet box every factor ≈ 1 and this equals the plain
+    * total; on a saturated box it is the defensible estimate of the
+    * quiet-box total that two rounds of driver artifacts lacked.
+    */
+  private[graft] def loadNormalizedTotal(entries: Seq[(QStat, Boolean, Double)]): Double =
+    entries.map { case (st, suspect, factor) =>
+      if (suspect) st.median / math.max(1.0, factor) else st.median
+    }.sum
 
   /** Merge a clean-window retry with the original measurement. A retry
     * that is itself clean REPLACES the original (that is the whole point:
@@ -177,8 +217,24 @@ object Bench {
       }
       val total = snap.collect { case (_, Right(v)) => v.median }.sum
       val best = if (sentinelBest == Double.MaxValue) 0.0 else sentinelBest
+      // honest-headline pair for a never-quiet box (two rounds of driver
+      // artifacts recorded 2.1x / 4.9x inflated totals with no defensible
+      // number a reader could use without hunting the committed stamp):
+      //  - total_min_floor: sum of per-query session mins — the hard
+      //    lower bound this code demonstrated THIS session
+      //  - load_normalized_total: suspects deflated by their block's
+      //    sentinel inflation factor — the best point estimate of the
+      //    quiet-box total
+      // read total >= truth >= total_min_floor, estimate ≈ normalized.
+      val sentinelSnap = sentinelSeries.toSeq
+      val minFloor = snap.collect { case (_, Right(v)) => v.min }.sum
+      val normalized = loadNormalizedTotal(snap.zipWithIndex.collect {
+        case ((_, Right(v)), i) =>
+          (v, v.loadSuspect || suspectIdx.contains(i),
+            inflationFactor(i, sentinelSnap, best))
+      })
       val full =
-        s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"queries_detail":$detail,"sentinel":{"best":${f(best)},"series":$sentinelJson},"load_suspect_count":$suspects,"retried":${firstAttempt.size},"sf":"$sfDir","failed":$failedCount,"aborted":$aborted}"""
+        s"""{"metric":"total","value":${f(total)},"unit":"sec","total_min_floor":${f(minFloor)},"load_normalized_total":${f(normalized)},"queries":$qs,"queries_detail":$detail,"sentinel":{"best":${f(best)},"series":$sentinelJson},"load_suspect_count":$suspects,"retried":${firstAttempt.size},"sf":"$sfDir","failed":$failedCount,"aborted":$aborted}"""
       println(full)
       // The full line above outgrew the round driver's 2000-char stdout
       // tail capture (BENCH_r08 landed parsed:null), so the artifact is
@@ -210,7 +266,7 @@ object Bench {
       val hottest = snap.collect { case (k, Right(v)) => (k, v.median) }
         .sortBy(-_._2).take(5)
         .map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
-      println(s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","queries_run":${snap.size},"failed":$failedCount,"load_suspect_count":$suspects,"retried":${firstAttempt.size},"sentinel_best":${f(best)},"aborted":$aborted,"hottest":$hottest,"detail_file":"$outFile"}""")
+      println(s"""{"metric":"total","value":${f(total)},"unit":"sec","total_min_floor":${f(minFloor)},"load_normalized_total":${f(normalized)},"sf":"$sfDir","queries_run":${snap.size},"failed":$failedCount,"load_suspect_count":$suspects,"retried":${firstAttempt.size},"sentinel_best":${f(best)},"aborted":$aborted,"hottest":$hottest,"detail_file":"$outFile"}""")
       System.out.flush()
     }
     Runtime.getRuntime.addShutdownHook(new Thread(() => emit(aborted = true)))
@@ -341,17 +397,17 @@ object Bench {
       if (suspectsNow.nonEmpty) {
         val order = retryOrder(suspectsNow)
         val t0 = System.nanoTime()
-        var quiet = sentinelQuiet(selected.size + 1)
-        var retriesSinceCheck = 0
+        var quiet = true
         for (idx <- order) {
           val elapsed = (System.nanoTime() - t0) / 1e9
           if (quiet && elapsed < retryBudgetSec) {
-            // re-verify the window every few retries — a retry pass that
-            // itself runs into fresh load must stop re-stamping medians
-            if (retriesSinceCheck >= 5) {
-              quiet = sentinelQuiet(selected.size + 1)
-              retriesSinceCheck = 0
-            }
+            // re-verify the window before EVERY retry: one cheap sentinel
+            // sample vs `runs` full materializations. A load window
+            // opening mid-stride inflates med and min together, so the
+            // med/min self-check can't catch it — only the sentinel can,
+            // and a stale every-5 verdict could re-stamp up to 5 suspect
+            // medians as clean before anyone noticed.
+            quiet = sentinelQuiet(selected.size + 1)
             if (quiet) {
               val (name, fn) = selected(idx)
               measure(name, fn, blockWasLoaded = false, countFailure = false) match {
@@ -367,7 +423,6 @@ object Bench {
                   }
                 case Left(_) => () // keep the original measurement
               }
-              retriesSinceCheck += 1
             }
           }
         }

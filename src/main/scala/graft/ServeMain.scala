@@ -40,7 +40,7 @@ object ServeMain {
                        queries: Seq[StreamingQuery], sim: SimControl,
                        alertsHub: EventHub, segmentsHub: EventHub,
                        profilesHub: EventHub, cdpMetrics: CdpMetrics,
-                       feeders: Seq[Thread] = Nil) {
+                       feeders: Seq[IngestFeeder[_]] = Nil) {
     /** Stop queries, feeders, server, and detach the metrics listener. */
     def close(): Unit = {
       queries.foreach(_.stop())
@@ -119,10 +119,11 @@ object ServeMain {
     // ingested events are counted HERE (one per accepted POST) — counting
     // changed snapshots downstream would under-report batched updates.
     //
-    // POSTs land in a concurrent queue; ONE feeder thread drains it and
-    // calls addData per ~100 ms chunk. Two load-bearing properties the
-    // 1k-rps soak found the hard way when handlers called addData from
-    // HTTP threads directly:
+    // POSTs land in a bounded concurrent queue; ONE feeder thread drains
+    // it and calls addData per ~100 ms chunk (IngestFeeder — see its
+    // scaladoc for the soak-learned failure properties). Two load-bearing
+    // properties the 1k-rps soak found the hard way when handlers called
+    // addData from HTTP threads directly:
     //  - MemoryStream's row serializer is a single ExpressionEncoder
     //    instance — concurrent addData corrupts UnsafeRows (garbage
     //    UTF8String lengths → multi-GB allocations → OOM; null map keys),
@@ -133,33 +134,18 @@ object ServeMain {
     //    chunked drain bounds blocks at ~10/s regardless of POST rate.
     // (The Kafka source in production has neither problem — this is the
     // in-memory bus's serving discipline.)
-    val pending = new java.util.concurrent.ConcurrentLinkedQueue[CdpEvent]()
+    val cdpFeeder = new IngestFeeder[CdpEvent]("cdp-ingest-feeder",
+      chunkMax = 50000, maxPending = 500000, sink = chunk => {
+        segmentsIn.addData(chunk)
+        profilesIn.addData(chunk)
+        reengageIn.addData(chunk)
+        ()
+      }).start()
     val ingest = new CdpIngest(e => {
-      stats.recordEvents(1L)
-      pending.add(e)
-      ()
+      val accepted = cdpFeeder.offer(e)
+      if (accepted) stats.recordEvents(1L)
+      accepted
     })
-    val cdpFeeder = new Thread(() => {
-      try {
-        while (!Thread.interrupted()) {
-          val buf = scala.collection.mutable.ArrayBuffer[CdpEvent]()
-          var e = pending.poll()
-          while (e != null && buf.size < 50000) {
-            buf += e
-            e = pending.poll()
-          }
-          if (buf.nonEmpty) {
-            val chunk = buf.toSeq
-            segmentsIn.addData(chunk)
-            profilesIn.addData(chunk)
-            reengageIn.addData(chunk)
-          }
-          Thread.sleep(100L)
-        }
-      } catch { case _: InterruptedException => () }
-    }, "cdp-ingest-feeder")
-    cdpFeeder.setDaemon(true)
-    cdpFeeder.start()
 
     // live corpus-curation ingest: PII scrub -> exact dedup -> near-dup
     // admit, per micro-batch, extending the persisted index logs with
@@ -179,27 +165,12 @@ object ServeMain {
       .start()
     // same single-feeder discipline as the CDP bus (the corpus rate is
     // lower, but concurrent POSTs race the same non-thread-safe encoder)
-    val corpusPending =
-      new java.util.concurrent.ConcurrentLinkedQueue[(Long, java.sql.Timestamp, String)]()
+    val corpusFeeder =
+      new IngestFeeder[(Long, java.sql.Timestamp, String)]("corpus-ingest-feeder",
+        chunkMax = 10000, maxPending = 100000,
+        sink = chunk => { corpusIn.addData(chunk); () }).start()
     val corpusIngest = new CorpusIngest(
-      (id, ts, text) => { corpusPending.add((id, ts, text)); () }, corpusStats)
-    val corpusFeeder = new Thread(() => {
-      try {
-        while (!Thread.interrupted()) {
-          val buf =
-            scala.collection.mutable.ArrayBuffer[(Long, java.sql.Timestamp, String)]()
-          var d = corpusPending.poll()
-          while (d != null && buf.size < 10000) {
-            buf += d
-            d = corpusPending.poll()
-          }
-          if (buf.nonEmpty) { corpusIn.addData(buf.toSeq); () }
-          Thread.sleep(100L)
-        }
-      } catch { case _: InterruptedException => () }
-    }, "corpus-ingest-feeder")
-    corpusFeeder.setDaemon(true)
-    corpusFeeder.start()
+      (id, ts, text) => corpusFeeder.offer((id, ts, text)), corpusStats)
 
     val server = new ApiServer(alertsHub, segmentsHub, profilesHub, stats, sim,
       port = port, heartbeatMs = heartbeatMs,

@@ -151,6 +151,12 @@ object Ivf {
     // replayed bench tier (k <= 64); a deployment growing k to bound
     // cell population passes a proportionally larger sample — see
     // ScaleProbe's ivf_query_k256 (trainMax = 2x its k)
+    // an undersized training bound must fail loudly: seeding takes the
+    // first k train vectors, so k > trainMax would silently yield at most
+    // trainMax centroids instead of k
+    require(k <= trainMax,
+      s"k=$k exceeds trainMax=$trainMax: pass trainMax >= k (FAISS guidance" +
+        " is ~hundreds of training samples per centroid)")
     val train = prep.filter(col("vec_id") < trainMax)
     val cent0 = train.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))

@@ -716,8 +716,12 @@ object TextAnalytics {
                queries: org.apache.spark.sql.DataFrame,
                k: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // no .cache(): dl is read twice but is one narrow doc-sized scan, and
+    // a cache here pins one entry per call in a long-lived session with
+    // nobody responsible for unpersisting it (the lazy result outlives
+    // this method, so an eager release would defeat the cache anyway)
     val dl = docs.select(col("doc_id"),
-      size(TextOps.words(col("text"))).cast("long").as("dl")).cache()
+      size(TextOps.words(col("text"))).cast("long").as("dl"))
     val tot = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("total"))
     val qterms = queries.select(col("term").as("w")).distinct()
     val tf = docs

@@ -218,6 +218,8 @@ final class ApiServer(
         ing.handle(body) match {
           case Right(eventId) => // 202 Accepted, like the reference
             respond(ex, 202, Json.obj("status" -> "accepted", "eventId" -> eventId))
+          case Left(CdpIngest.Overloaded) => // backlog full/feeder dead: retryable
+            respond(ex, 503, Json.obj("status" -> "error", "message" -> CdpIngest.Overloaded))
           case Left(message) =>
             respond(ex, 400, Json.obj("status" -> "error", "message" -> message))
         }
@@ -235,6 +237,8 @@ final class ApiServer(
         ing.handle(body) match {
           case Right(docId) => // async funnel: decision lands in /corpus/stats
             respond(ex, 202, Json.obj("status" -> "accepted", "docId" -> docId))
+          case Left(CdpIngest.Overloaded) => // backlog full/feeder dead: retryable
+            respond(ex, 503, Json.obj("status" -> "error", "message" -> CdpIngest.Overloaded))
           case Left(message) =>
             respond(ex, 400, Json.obj("status" -> "error", "message" -> message))
         }

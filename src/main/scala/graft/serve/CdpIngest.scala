@@ -17,9 +17,11 @@ import graft.streaming.CdpEvent
   * name), and hand the typed event to the pipeline's source. Parsing is
   * driver-thread-local jackson — one POST must not cost a Spark job; the
   * streaming query consumes from whatever bus `sink` feeds (MemoryStream
-  * in tests, Kafka in production via Sources.kafkaSink).
+  * in tests, Kafka in production via Sources.kafkaSink). `sink` returns
+  * whether the event was actually enqueued — a full/dead ingest backlog
+  * must surface as a retryable 503, not a 202 into a black hole.
   */
-final class CdpIngest(sink: CdpEvent => Unit) {
+final class CdpIngest(sink: CdpEvent => Boolean) {
 
   private val mapper = new ObjectMapper()
 
@@ -57,7 +59,16 @@ final class CdpIngest(sink: CdpEvent => Unit) {
         p.path("traits").properties().asScala
           .map(e => e.getKey -> e.getValue.asText()).toMap
       else Map.empty[String, String]
-    sink(CdpEvent(eventId, ts, eventType, userId, anonymousId, email, name, traits))
-    Right(eventId)
+    if (sink(CdpEvent(eventId, ts, eventType, userId, anonymousId, email, name, traits)))
+      Right(eventId)
+    else Left(CdpIngest.Overloaded)
   }
+}
+
+object CdpIngest {
+  /** Sentinel rejection message for a full/dead ingest backlog; the HTTP
+    * layer maps exactly this message to 503 (retryable) instead of the
+    * 400 every other Left means.
+    */
+  val Overloaded = "ingest backlog full, retry later"
 }

@@ -48,8 +48,10 @@ final class CdpMetrics(queryName: Option[String] = None,
   private val watermarkLagMs = new AtomicLong(-1L)
   // bounded ring of recent micro-batch durations (ms) — the serving
   // latency envelope a soak reads as p50/p99; 1024 batches ≈ the last
-  // ~17 min at a 1 s cadence, constant memory at any uptime
-  private val batchRing = new Array[Long](1024)
+  // ~17 min at a 1 s cadence, constant memory at any uptime. Atomic
+  // because the listener thread writes while HTTP threads read the
+  // percentiles — a plain Array[Long] can serve stale/torn longs
+  private val batchRing = new java.util.concurrent.atomic.AtomicLongArray(1024)
   private val batchCount = new AtomicLong(0L)
 
   override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -87,7 +89,7 @@ final class CdpMetrics(queryName: Option[String] = None,
           if (wmMs > 0) watermarkLagMs.set(System.currentTimeMillis() - wmMs)
         } catch { case _: Exception => }
       val i = batchCount.getAndIncrement()
-      batchRing((i % batchRing.length).toInt) = p.batchDuration
+      batchRing.set((i % batchRing.length).toInt, p.batchDuration)
     }
   }
 
@@ -96,7 +98,7 @@ final class CdpMetrics(queryName: Option[String] = None,
     val n = math.min(batchCount.get(), batchRing.length.toLong).toInt
     if (n == 0) -1L
     else {
-      val s = batchRing.take(n).sorted
+      val s = Array.tabulate(n)(batchRing.get).sorted
       s(math.min(n - 1, math.max(0, math.ceil(p * n).toInt - 1)))
     }
   }

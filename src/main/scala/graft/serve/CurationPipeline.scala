@@ -652,7 +652,7 @@ object CurationPipeline {
   * Driver-thread-local jackson, same as CdpIngest — one POST must not
   * cost a Spark job.
   */
-final class CorpusIngest(sink: (Long, Timestamp, String) => Unit,
+final class CorpusIngest(sink: (Long, Timestamp, String) => Boolean,
                          stats: CurationPipeline.Stats) {
 
   private val mapper = new ObjectMapper()
@@ -665,8 +665,9 @@ final class CorpusIngest(sink: (Long, Timestamp, String) => Unit,
     if (!idNode.canConvertToLong) return Left("docId must be an integer")
     val text = root.path("text").asText("")
     if (text.trim.isEmpty) return Left("text must not be blank")
-    stats.received.incrementAndGet()
-    sink(idNode.asLong, new Timestamp(System.currentTimeMillis()), text)
-    Right(idNode.asLong)
+    if (sink(idNode.asLong, new Timestamp(System.currentTimeMillis()), text)) {
+      stats.received.incrementAndGet() // count only what was truly enqueued
+      Right(idNode.asLong)
+    } else Left(CdpIngest.Overloaded)
   }
 }

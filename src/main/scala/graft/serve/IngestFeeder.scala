@@ -1,0 +1,104 @@
+package graft.serve
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
+import scala.util.control.NonFatal
+
+/** The single-threaded drain between HTTP ingest handlers and a
+  * MemoryStream (or any non-thread-safe sink). HTTP threads `offer`;
+  * ONE feeder thread drains the queue and hands ~100 ms chunks to
+  * `sink` — the one-serializer-user discipline the 1k-rps soak proved
+  * necessary (MemoryStream's ExpressionEncoder is not thread-safe).
+  *
+  * Three failure properties the first inline implementation lacked:
+  *   - A sink failure (addData after query stop, an encoder error) must
+  *     NOT kill the drain thread: with a dead feeder the HTTP handler
+  *     kept returning 202 into an unbounded queue — a permanent silent
+  *     data stall plus unbounded memory growth. Non-fatal sink errors
+  *     are caught in the loop: the chunk is re-enqueued (at the tail —
+  *     the stateful pipelines fold by event time, so bus-level reorder
+  *     is tolerated) and retried on later ticks; after `MaxChunkRetries`
+  *     consecutive failures the chunk is dropped and counted, so a
+  *     permanently-broken sink degrades to bounded loss, not a spin.
+  *   - The pending queue is BOUNDED (`maxPending`): `offer` returns
+  *     false when full, and the handler maps that to 503 instead of
+  *     lying with a 202 it can never honor.
+  *   - If the thread dies anyway (fatal VM error), `running` flips in a
+  *     finally and every subsequent `offer` is rejected — dead-feeder
+  *     backpressure instead of a black hole.
+  */
+final class IngestFeeder[A](name: String, chunkMax: Int, maxPending: Int,
+                            sink: Seq[A] => Unit, sleepMs: Long = 100L) {
+
+  private val pending = new ConcurrentLinkedQueue[A]()
+  // ConcurrentLinkedQueue.size() is O(n); the bound check needs O(1)
+  private val queued = new AtomicInteger(0)
+  val dropped = new AtomicLong(0L)
+  @volatile private var running = true
+  private var consecutiveFailures = 0 // feeder-thread-only
+
+  /** Enqueue one element. `false` = backlog full or feeder dead; the
+    * caller must reject the request (503), not acknowledge it.
+    */
+  def offer(a: A): Boolean =
+    if (!running || queued.get() >= maxPending) false
+    else { pending.add(a); queued.incrementAndGet(); true }
+
+  /** One drain tick; package-private so specs can drive it without the
+    * thread/clock.
+    */
+  private[serve] def drainOnce(): Unit = {
+    // poll-then-check, checking capacity BEFORE each poll: the inherited
+    // poll-first loop silently discarded the already-polled element when
+    // the chunk filled — one lost event per full chunk
+    val buf = scala.collection.mutable.ArrayBuffer[A]()
+    var more = true
+    while (more && buf.size < chunkMax) {
+      val e = pending.poll()
+      if (e == null) more = false else buf += e
+    }
+    if (buf.nonEmpty) {
+      queued.addAndGet(-buf.size)
+      try {
+        sink(buf.toSeq)
+        consecutiveFailures = 0
+      } catch {
+        case NonFatal(t) =>
+          consecutiveFailures += 1
+          if (consecutiveFailures <= IngestFeeder.MaxChunkRetries) {
+            buf.foreach(pending.add)
+            queued.addAndGet(buf.size)
+            System.err.println(s"[$name] sink failed " +
+              s"(attempt $consecutiveFailures, will retry): ${t.getMessage}")
+          } else {
+            dropped.addAndGet(buf.size.toLong)
+            System.err.println(s"[$name] sink failed " +
+              s"${IngestFeeder.MaxChunkRetries + 1}x, dropping ${buf.size} " +
+              s"events (total dropped ${dropped.get}): ${t.getMessage}")
+          }
+      }
+    }
+  }
+
+  private val thread = new Thread(() => {
+    try {
+      while (!Thread.interrupted()) {
+        drainOnce()
+        Thread.sleep(sleepMs)
+      }
+    } catch { case _: InterruptedException => () }
+    finally running = false
+  }, name)
+  thread.setDaemon(true)
+
+  private[serve] def markDead(): Unit = running = false // spec hook
+
+  def start(): IngestFeeder[A] = { thread.start(); this }
+  def interrupt(): Unit = thread.interrupt()
+}
+
+object IngestFeeder {
+  /** Consecutive sink-failure retries before a chunk is dropped. */
+  val MaxChunkRetries = 3
+}

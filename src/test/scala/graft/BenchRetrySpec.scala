@@ -32,4 +32,37 @@ class BenchRetrySpec extends AnyFunSuite {
     val (c2, r2) = Bench.mergeRetry(q(2.0, true), q(6.0, true))
     assert(!r2 && c2.median == 2.0 && c2.loadSuspect)
   }
+
+  // ---- honest-headline arithmetic (round-13: total_min_floor /
+  // load_normalized_total survive a never-quiet box) ----
+
+  test("inflationFactor averages the bracketing sentinel samples over best") {
+    // best 0.5; query at idx 7 sits between samples at 5 (1.0) and 10 (2.0)
+    val series = Seq(0 -> 0.5, 5 -> 1.0, 10 -> 2.0)
+    assert(Bench.inflationFactor(7, series, 0.5) == 3.0) // (1.0+2.0)/2 / 0.5
+  }
+
+  test("inflationFactor clamps at 1 on a quiet box and degrades safely") {
+    val quiet = Seq(0 -> 0.5, 10 -> 0.45)
+    assert(Bench.inflationFactor(3, quiet, 0.5) == 1.0) // never deflate below median
+    assert(Bench.inflationFactor(3, Seq.empty, 0.5) == 1.0) // no evidence
+    assert(Bench.inflationFactor(3, quiet, 0.0) == 1.0) // degenerate best
+    // tail query after the last sample: the single available bracket rules
+    assert(Bench.inflationFactor(42, Seq(0 -> 0.5, 10 -> 2.0), 0.5) == 4.0)
+  }
+
+  test("load_normalized_total deflates only the suspects") {
+    val entries = Seq(
+      (q(10.0, true), true, 4.0),   // loaded block → contributes 2.5
+      (q(3.0, false), false, 4.0),  // clean (e.g. accepted retry) → raw 3.0
+      (q(1.0, false), false, 1.0))  // quiet block → raw 1.0
+    assert(Bench.loadNormalizedTotal(entries) == 6.5)
+    // factor below 1 never inflates a suspect's contribution
+    assert(Bench.loadNormalizedTotal(Seq((q(2.0, true), true, 0.5))) == 2.0)
+  }
+
+  test("total floor + normalized equal the plain total on a quiet box") {
+    val entries = Seq((q(2.0, false), false, 1.0), (q(5.0, false), false, 1.0))
+    assert(Bench.loadNormalizedTotal(entries) == 7.0)
+  }
 }

@@ -158,7 +158,7 @@ class ApiServerSpec extends SparkSpec {
     val cdpMetrics = new CdpMetrics(Some("api_segments")).attach(spark)
     val server = new ApiServer(alertsHub, segmentsHub, profilesHub,
       stats, sim, port = 0, heartbeatMs = 200L,
-      ingest = Some(new CdpIngest(e => { cdpIn.addData(e); () })),
+      ingest = Some(new CdpIngest(e => { cdpIn.addData(e); true })),
       cdpMetrics = Some(cdpMetrics)).start()
     val base = s"http://localhost:${server.boundPort}"
     val alertQuery = EntityPipeline.alerts(spark, entityIn.toDS(),

@@ -55,7 +55,7 @@ class CorpusIngestSpec extends SparkSpec {
     // rejection into a corpus one.
     val pending = new scala.collection.mutable.ArrayBuffer[(Long, java.sql.Timestamp, String)]
     val ingest = new CorpusIngest((id, t, text) => {
-      pending.synchronized { pending += ((id, t, text)) }; ()
+      pending.synchronized { pending += ((id, t, text)) }; true
     }, stats)
     def flush(): Unit = {
       val batch = pending.synchronized { val b = pending.toSeq; pending.clear(); b }

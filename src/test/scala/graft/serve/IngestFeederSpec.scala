@@ -1,0 +1,94 @@
+package graft.serve
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Failure semantics of the ingest drain (pure — `drainOnce` is driven
+  * directly, no thread/clock/Spark): a flaky sink must not lose or spin,
+  * a dead/full feeder must reject offers, and a permanently-broken sink
+  * must degrade to bounded counted loss.
+  */
+class IngestFeederSpec extends AnyFunSuite {
+
+  test("offers drain to the sink in offer order, chunked by chunkMax") {
+    val seen = scala.collection.mutable.ArrayBuffer[Seq[Int]]()
+    val f = new IngestFeeder[Int]("t", chunkMax = 3, maxPending = 100,
+      sink = chunk => { seen += chunk; () })
+    (1 to 7).foreach(i => assert(f.offer(i)))
+    f.drainOnce(); f.drainOnce(); f.drainOnce(); f.drainOnce()
+    assert(seen.toSeq == Seq(Seq(1, 2, 3), Seq(4, 5, 6), Seq(7)))
+  }
+
+  test("a full backlog rejects offers until drained") {
+    val f = new IngestFeeder[Int]("t", chunkMax = 10, maxPending = 2,
+      sink = _ => ())
+    assert(f.offer(1) && f.offer(2))
+    assert(!f.offer(3)) // full → caller must 503, not 202
+    f.drainOnce()
+    assert(f.offer(4)) // capacity returns after the drain
+  }
+
+  test("a transient sink failure re-enqueues the chunk and retries") {
+    var calls = 0
+    val delivered = scala.collection.mutable.ArrayBuffer[Int]()
+    val f = new IngestFeeder[Int]("t", chunkMax = 10, maxPending = 100,
+      sink = chunk => {
+        calls += 1
+        if (calls <= 2) sys.error("transient")
+        delivered ++= chunk
+      })
+    (1 to 4).foreach(f.offer(_))
+    f.drainOnce(); f.drainOnce(); f.drainOnce()
+    assert(delivered.toSeq == Seq(1, 2, 3, 4)) // nothing lost
+    assert(f.dropped.get == 0L)
+    // the re-enqueue restored the bound bookkeeping: queue is empty again
+    assert(f.offer(5))
+  }
+
+  test("a permanently-broken sink drops the chunk after MaxChunkRetries") {
+    val f = new IngestFeeder[Int]("t", chunkMax = 10, maxPending = 100,
+      sink = _ => sys.error("permanent"))
+    (1 to 4).foreach(f.offer(_))
+    // initial attempt + MaxChunkRetries re-attempts, then the drop
+    (0 to IngestFeeder.MaxChunkRetries).foreach(_ => f.drainOnce())
+    assert(f.dropped.get == 4L)
+    // loss is bounded, not a black hole: capacity is available again and
+    // a later recovered drain would deliver fresh events
+    assert(f.offer(99))
+  }
+
+  test("consecutive-failure counter resets on success (no cross-chunk drops)") {
+    var fail = true
+    val delivered = scala.collection.mutable.ArrayBuffer[Int]()
+    val f = new IngestFeeder[Int]("t", chunkMax = 2, maxPending = 100,
+      sink = chunk => { if (fail) sys.error("flaky") else delivered ++= chunk })
+    f.offer(1); f.offer(2)
+    f.drainOnce() // fails once
+    fail = false
+    f.drainOnce() // succeeds → counter reset
+    f.offer(3)
+    fail = true
+    // a fresh chunk gets the full retry budget again
+    (0 until IngestFeeder.MaxChunkRetries).foreach(_ => f.drainOnce())
+    fail = false
+    f.drainOnce()
+    assert(delivered.toSeq == Seq(1, 2, 3) && f.dropped.get == 0L)
+  }
+
+  test("a dead feeder rejects offers (no 202 into a black hole)") {
+    val f = new IngestFeeder[Int]("t", chunkMax = 10, maxPending = 100,
+      sink = _ => ())
+    assert(f.offer(1))
+    f.markDead()
+    assert(!f.offer(2))
+  }
+
+  test("CdpIngest maps a rejected sink to the retryable Overloaded error") {
+    val ingest = new CdpIngest(_ => false)
+    val body =
+      """{"eventId":"e1","ts":"2026-01-01T00:00:00Z",
+        |"payload":{"type":"IDENTIFY","userId":"u1"}}""".stripMargin
+    assert(ingest.handle(body) == Left(CdpIngest.Overloaded))
+    // and an accepting sink still yields the 202 path
+    assert(new CdpIngest(_ => true).handle(body) == Right("e1"))
+  }
+}
