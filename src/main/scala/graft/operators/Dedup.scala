@@ -160,6 +160,69 @@ object Dedup {
     candidatePairs(cool)
   }
 
+  /** Driver-local kernel computing EXACTLY the
+    * minhashSignaturesRowwise → bandKeys → candidatePairs[Capped] chain
+    * over an in-memory (id, shingle hashes) batch — the
+    * containmentDropIdsLocal pattern. A bounded corpus should not pay
+    * ~5 AQE stage materializations (band cache, bucket count, semi-join,
+    * pair self-join, distinct) for a few thousand docs. Same integers:
+    * register i = min over the doc's shingle hashes of
+    * (h * hashA(i) + hashB(i)) % P in 64-bit arithmetic (identical
+    * two's-complement overflow and sign-preserving % on the JVM and in
+    * Spark SQL), a bucket per (band, RowsPerBand register slice) — the
+    * SQL side's `concat_ws("_")` key is injective for a fixed slice
+    * width, so tuple equality IS key equality — the same `bn <= cap`
+    * hot-bucket cut, the same a < b orientation, and cross-bucket pair
+    * dedup matching `.distinct()`. Docs with zero shingles are skipped
+    * exactly like the rowwise signature's `size(hs) > 0` filter.
+    * VerifiedClustersAdaptiveSpec holds the full chain equal to the
+    * DataFrame route on randomized corpora.
+    */
+  def candidatePairsLocal(docShingles: Seq[(Long, Seq[Long])],
+                          maxBucket: Option[Int]): Seq[(Long, Long)] = {
+    val buckets = new scala.collection.mutable.HashMap[
+      (Int, Seq[Long]), scala.collection.mutable.ArrayBuffer[Long]]()
+    for ((id, hs) <- docShingles if hs.nonEmpty) {
+      val regs = new Array[Long](NumHashes)
+      var i = 0
+      while (i < NumHashes) {
+        val a = hashA(i); val b = hashB(i)
+        var m = Long.MaxValue
+        var j = 0
+        while (j < hs.length) {
+          val v = (hs(j) * a + b) % P
+          if (v < m) m = v
+          j += 1
+        }
+        regs(i) = m
+        i += 1
+      }
+      var band = 0
+      while (band < Bands) {
+        val key = (band,
+          (0 until RowsPerBand).map(r => regs(band * RowsPerBand + r)))
+        buckets.getOrElseUpdate(key,
+          new scala.collection.mutable.ArrayBuffer[Long]) += id
+        band += 1
+      }
+    }
+    val pairs = scala.collection.mutable.LinkedHashSet[(Long, Long)]()
+    for ((_, ids) <- buckets if maxBucket.forall(ids.size <= _)) {
+      val arr = ids.toArray
+      var x = 0
+      while (x < arr.length) {
+        var y = x + 1
+        while (y < arr.length) {
+          val (a, b) = if (arr(x) < arr(y)) (arr(x), arr(y)) else (arr(y), arr(x))
+          if (a != b) pairs += ((a, b))
+          y += 1
+        }
+        x += 1
+      }
+    }
+    pairs.toSeq
+  }
+
   /** SQL twin of `candidatePairsCapped` -> CTE `cand(a, b)` (drop-in for
     * `candidateSql`).
     */

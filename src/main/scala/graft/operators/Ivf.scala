@@ -157,6 +157,20 @@ object Ivf {
     require(k <= trainMax,
       s"k=$k exceeds trainMax=$trainMax: pass trainMax >= k (FAISS guidance" +
         " is ~hundreds of training samples per centroid)")
+    // the training slice is BOUNDED by contract (that is TrainMax's whole
+    // point), so the Lloyd step runs as a driver kernel off one pushed-
+    // down collect instead of the ~4-exchange declarative chain; the
+    // declarative twin stays available for parity (IvfSpec) and for an
+    // explicitly oversized trainMax
+    if (trainMax <= 100000L) centroidsLocal(prep, k, trainMax)
+    else centroidsDistributed(prep, k, trainMax)
+  }
+
+  /** Declarative Lloyd step — `centroids`' parity twin (IvfSpec holds the
+    * routes equal); the corpus never passes through here either way.
+    */
+  private[graft] def centroidsDistributed(prep: DataFrame, k: Int,
+                                          trainMax: Long): DataFrame = {
     val train = prep.filter(col("vec_id") < trainMax)
     val cent0 = train.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
@@ -169,6 +183,50 @@ object Ivf {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("xavg")))),
         s => s.getField("xavg")).as("ce"))
       .withColumn("cn", Similarity.norm(col("ce")))
+  }
+
+  /** Driver-local Lloyd step over the bounded training slice: one
+    * filter-pushed collect (vec_id < trainMax — at most ~100k narrow
+    * rows, in practice TrainMax = 512) replaces the declarative chain's
+    * assign-window + posexplode-mean exchanges. Same arithmetic:
+    * assignment via `nearestCid` (THE shared rounded-cosine kernel, also
+    * under `assignBroadcast`), means accumulated in ascending vec_id
+    * order then divided by the cell count (float-order differences vs
+    * the declarative avg sit far inside the 1e-4 rounding every consumer
+    * applies before ranking — the same tolerance the Spark/DuckDB
+    * pairing already rests on), empty cells dropped by construction,
+    * cn = sqrt of the left-to-right self-dot like `Similarity.norm`.
+    */
+  private[graft] def centroidsLocal(prep: DataFrame, k: Int,
+                                    trainMax: Long): DataFrame = {
+    val spark = prep.sparkSession
+    import spark.implicits._
+    val train = prep.filter(col("vec_id") < trainMax)
+      .select(col("vec_id"), col("e"), col("nrm"))
+      .as[(Long, Seq[Double], Double)]
+      .collect().sortBy(_._1)
+      .map { case (id, e, n) => (id, e.toArray, n) }
+    val seed = train.filter(_._1 < k) // cid-sorted (train is id-sorted)
+    require(seed.nonEmpty, s"no training vectors below k=$k")
+    val dim = seed.head._2.length
+    val sums = new scala.collection.mutable.LinkedHashMap[Long, (Array[Double], Array[Long])]()
+    train.foreach { case (_, e, nrm) =>
+      val cid = nearestCid(seed, e, nrm)
+      val (s, cnt) = sums.getOrElseUpdate(cid, (new Array[Double](dim), new Array[Long](1)))
+      var i = 0
+      while (i < dim) { s(i) += e(i); i += 1 }
+      cnt(0) += 1
+    }
+    val rows = sums.toSeq.sortBy(_._1).map { case (cid, (s, cnt)) =>
+      val ce = new Array[Double](dim)
+      var i = 0
+      while (i < dim) { ce(i) = s(i) / cnt(0); i += 1 }
+      var sq = 0.0
+      i = 0
+      while (i < dim) { sq += ce(i) * ce(i); i += 1 }
+      (cid, ce.toSeq, math.sqrt(sq))
+    }
+    spark.createDataset(rows).toDF("cid", "ce", "cn")
   }
 
   /** Per-query probed cells: the nProbe nearest centroids by rounded

@@ -112,11 +112,84 @@ object Pq {
     * join/shuffle is sample-sized regardless of corpus size; the full
     * corpus is touched later, by the one map-only encode pass.
     */
-  def codebook(sv: DataFrame): DataFrame = {
+  def codebook(sv: DataFrame): DataFrame = codebookLocal(sv)
+
+  /** Declarative codebook trainer — `codebook`'s parity twin (PqSpec
+    * holds the routes equal); the corpus never passes through either.
+    */
+  private[graft] def codebookDistributed(sv: DataFrame): DataFrame = {
     val train = sv.filter(col("vec_id") < TrainMax)
     val cb0 = train.filter(col("vec_id") < KPq)
       .select(col("sub"), col("vec_id").as("cid"), col("se").as("ce"))
     (1 to Iters).foldLeft(cb0)((cb, _) => lloydStep(train, cb))
+  }
+
+  /** Driver-local codebook trainer over the bounded training slice (the
+    * Ivf.centroidsLocal pattern): one filter-pushed collect of the
+    * TrainMax×M subvector rows replaces `Iters` declarative Lloyd steps
+    * (each a broadcast-join argmin + posexplode-mean — ~4 exchanges per
+    * iteration). Same arithmetic: per-(vec, sub) nearest entry by
+    * r4Jvm(d2) with strict < over cid-sorted entries (the encodeBroadcast
+    * kernel's tie rule — exactly the declarative min(struct(d2r, cid))),
+    * means accumulated in ascending vec_id order then divided by the
+    * entry count (float-order deltas vs the declarative avg sit far
+    * inside the 1e-4 rounding every consumer applies), empty entries
+    * dropped by construction.
+    */
+  private[graft] def codebookLocal(sv: DataFrame): DataFrame = {
+    val spark = sv.sparkSession
+    import spark.implicits._
+    val train = sv.filter(col("vec_id") < TrainMax)
+      .select(col("vec_id"), col("sub").cast("int"), col("se"))
+      .as[(Long, Int, Seq[Double])]
+      .collect().sortBy(t => (t._2, t._1)) // per sub, ascending vec_id
+      .map { case (id, s, e) => (id, s, e.toArray) }
+    var cb: Array[(Int, Long, Array[Double])] = train
+      .filter(_._1 < KPq)
+      .map { case (id, s, e) => (s, id, e) } // cid-sorted within sub
+    for (_ <- 1 to Iters) {
+      // entries for one sub, cid-sorted, with precomputed self-dots
+      val bySub = cb.groupBy(_._1).map { case (s, es) =>
+        s -> es.sortBy(_._2).map { case (_, cid, ce) =>
+          var bb = 0.0
+          var j = 0
+          while (j < ce.length) { bb += ce(j) * ce(j); j += 1 }
+          (cid, ce, bb)
+        }
+      }
+      val sums = new scala.collection.mutable.LinkedHashMap[
+        (Int, Long), (Array[Double], Array[Long])]()
+      train.foreach { case (_, s, e) =>
+        var aa = 0.0
+        var i = 0
+        while (i < e.length) { aa += e(i) * e(i); i += 1 }
+        val entries = bySub(s)
+        var bestCid = entries(0)._1
+        var bestD = Double.PositiveInfinity
+        entries.foreach { case (cid, ce, bb) =>
+          var ab = 0.0
+          var j = 0
+          while (j < ce.length) { ab += e(j) * ce(j); j += 1 }
+          val d = Num.r4Jvm(aa - 2 * ab + bb)
+          if (d < bestD) { bestD = d; bestCid = cid }
+        }
+        val (acc, cnt) = sums.getOrElseUpdate((s, bestCid),
+          (new Array[Double](e.length), new Array[Long](1)))
+        var j = 0
+        while (j < e.length) { acc(j) += e(j); j += 1 }
+        cnt(0) += 1
+      }
+      cb = sums.toArray.map { case ((s, cid), (acc, cnt)) =>
+        val ce = new Array[Double](acc.length)
+        var j = 0
+        while (j < acc.length) { ce(j) = acc(j) / cnt(0); j += 1 }
+        (s, cid, ce)
+      }
+    }
+    spark.createDataset(
+        cb.toSeq.sortBy(t => (t._1, t._2))
+          .map { case (s, cid, ce) => (s, cid, ce.toSeq) })
+      .toDF("sub", "cid", "ce")
   }
 
   /** Encode the corpus: (vec_id, sub, code), M rows per vector. */

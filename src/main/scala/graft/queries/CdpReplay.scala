@@ -126,5 +126,91 @@ object CdpReplay {
           Watermarks.lateClass(
             timestamp_micros(col("ts_us")), timestamp_micros(col("clock_us")),
             SoftLagSec, GraceSec).as("class"))
+    },
+
+    // W1 x W2 composed replay (round-13): the dedup-AFTER-drop-tier
+    // contract — every 7th event re-arrives as a duplicate (same
+    // event_id, same event time, 1-121 s later); the drop tier is
+    // evaluated FIRST on every occurrence (a duplicate past the grace
+    // horizon is a watermark drop, not a dedup hit), and a surviving
+    // duplicate is suppressed ONLY if its first occurrence was itself
+    // accepted (a watermark-dropped original never created dedup state)
+    // — the exact composition `Watermarks.dedup`
+    // (dropDuplicatesWithinWatermark) applies in the streaming pipeline.
+    // Clock model: occurrences are processed in ARRIVAL order (the
+    // reference submits to a monotone wall clock), so each occurrence's
+    // clock IS its own arrival — unlike q_lateness_classes, whose
+    // event_id-ordered queue needs the running max. The duplicate's
+    // extra delay is made strictly positive ((h % 120 + 120) % 120 + 1)
+    // so occ 1 always arrives first and "first occurrence" is
+    // well-defined identically in both engines.
+    // LatenessDedupReplaySpec holds this batch restatement equal to the
+    // real streaming operator's survivor set on a controlled-arrival
+    // fixture.
+    QueryDef(
+      "q_lateness_dedup_replay",
+      s"""WITH a AS (
+         |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         |         epoch_us(ts) + (${TextOps.hash64Sql("'late#' || CAST(event_id AS VARCHAR)")} % 181) * 1000000 AS arr_us,
+         |         1 AS occ
+         |  FROM events
+         |  UNION ALL
+         |  SELECT event_id, user_id, epoch_us(ts),
+         |         epoch_us(ts) + (${TextOps.hash64Sql("'late#' || CAST(event_id AS VARCHAR)")} % 181) * 1000000
+         |           + ((${TextOps.hash64Sql("'dup#' || CAST(event_id AS VARCHAR)")} % 120 + 120) % 120 + 1) * 1000000,
+         |         2
+         |  FROM events WHERE event_id % 7 = 0),
+         |t AS (
+         |  SELECT event_id, user_id, occ,
+         |         CASE WHEN ts_us < arr_us - ${GraceSec}000000 THEN 'dropped'
+         |              WHEN ts_us < arr_us - ${SoftLagSec}000000 THEN 'late'
+         |              ELSE 'normal' END AS tier0
+         |  FROM a),
+         |f AS (
+         |  SELECT event_id, user_id, occ, tier0,
+         |         first_value(tier0) OVER (PARTITION BY user_id, event_id ORDER BY occ
+         |                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_tier
+         |  FROM t)
+         |SELECT event_id, user_id, occ,
+         |       CASE WHEN occ = 1 THEN tier0
+         |            WHEN tier0 = 'dropped' THEN 'dropped'
+         |            WHEN first_tier <> 'dropped' THEN 'duplicate'
+         |            ELSE tier0 END AS class
+         |FROM f""".stripMargin) { (s, dir) =>
+      val base = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+        .withColumn("arr_us", col("ts_us") +
+          TextOps.hash64(concat(lit("late#"), col("event_id").cast("string"))) % 181 * 1000000L)
+      val dups = base.filter(col("event_id") % 7 === 0)
+        .withColumn("arr_us", col("arr_us") +
+          ((TextOps.hash64(concat(lit("dup#"), col("event_id").cast("string"))) % 120
+            + 120) % 120 + 1) * 1000000L)
+      dedupLatenessClasses(
+        base.withColumn("occ", lit(1)).unionAll(dups.withColumn("occ", lit(2))))
     })
+
+  /** The composed W1 x W2 classification over explicit occurrences
+    * (event_id, user_id, ts_us, arr_us, occ) — shared by
+    * q_lateness_dedup_replay (hash-derived arrivals) and
+    * LatenessDedupReplaySpec (hand-built arrivals compared against the
+    * real streaming dedup operator). Processing order is arrival order,
+    * so the drop/late tiers evaluate against the occurrence's own
+    * arrival; a non-dropped duplicate is suppressed iff its first
+    * occurrence was accepted.
+    */
+  def dedupLatenessClasses(occ: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val wFirst = Window.partitionBy(col("user_id"), col("event_id"))
+      .orderBy(col("occ"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    occ
+      .withColumn("tier0", Watermarks.lateClass(
+        timestamp_micros(col("ts_us")), timestamp_micros(col("arr_us")),
+        SoftLagSec, GraceSec))
+      .withColumn("first_tier", first(col("tier0")).over(wFirst))
+      .select(col("event_id"), col("user_id"), col("occ"),
+        when(col("occ") === 1, col("tier0"))
+          .when(col("tier0") === "dropped", "dropped")
+          .when(col("first_tier") =!= "dropped", "duplicate")
+          .otherwise(col("tier0")).as("class"))
+  }
 }

@@ -747,27 +747,63 @@ object CurationQueries {
       // Verify/Bench/ScaleProbe clear the cache after each query; a
       // long-lived session embedding the funnel should clearCache() or
       // unpersist after consuming the 6-row result.
-      import org.apache.spark.sql.expressions.Window
       val DQ = DedupQueries
-      val wsz = size(TextOps.words(col("text"))).cast("long")
+      // single-scan corpus build (round-13: the funnel's cold cost was
+      // dominated by FOUR documents scans — one per variant branch — each
+      // re-tokenizing text, plus four more full re-tokenizations in the
+      // per-stage aggs). One scan tokenizes once, emits all four variants
+      // via explode, and stamps each corpus row with its n_words so every
+      // stage agg reads a cached long instead of re-splitting text.
+      // n_words for SLICED variants is a RE-tokenization of the rebuilt
+      // text, not the slice length: `words` = split(trim, \s+) where trim
+      // strips only U+0020, so tab/newline-led docs carry a leading empty
+      // token that a slice-join-resplit does NOT preserve — the oracle
+      // re-tokenizes, so the engine must too. Unsliced variants keep the
+      // source text byte-for-byte, so size(ws) is already exact there.
       val ws0 = TextOps.words(col("text"))
       val docs = documents
         .select(col("doc_id").as("id"),
           when(col("doc_id") % 13 === 3, concat(col("text"), lit(" " + FunnelBp)))
             .otherwise(col("text")).as("text"))
+      // n_words = -1 marks a variant whose text was rebuilt from sliced
+      // words and must be RE-tokenized post-explode (see the note above);
+      // the original and exact-copy variants share the source text, so
+      // size(ws) is exact for them and skips the second split
+      def variant(id: org.apache.spark.sql.Column,
+                  text: org.apache.spark.sql.Column,
+                  n: org.apache.spark.sql.Column) =
+        struct(id.as("id"), text.as("text"), n.as("n"))
+      val nws = size(col("ws")).cast("long")
+      val half = ceil(size(col("ws")) / 2.0).cast("int")
+      val fifth = ceil(size(col("ws")) / 5.0).cast("int")
       val corpus = docs
-        .unionAll(docs.filter(col("id") % 10 === 0)
-          .select((col("id") + FunnelExactOff).as("id"), col("text")))
-        .unionAll(docs.filter(col("id") % 5 === 0)
-          .select((col("id") + FunnelTruncOff).as("id"),
-            concat_ws(" ",
-              slice(ws0, lit(1), ceil(size(ws0) / 2.0).cast("int"))).as("text")))
-        .unionAll(docs
-          .filter(col("id") % 7 === 0 && size(ws0) >= DQ.ExcerptMinWords)
-          .select((col("id") + FunnelExcerptOff).as("id"),
-            concat_ws(" ",
-              slice(ws0, lit(1), ceil(size(ws0) / 5.0).cast("int"))).as("text")))
+        .select(col("id"), col("text"), ws0.as("ws"))
+        .select(explode(array(
+          variant(col("id"), col("text"), nws),
+          when(col("id") % 10 === 0,
+            variant(col("id") + FunnelExactOff, col("text"), nws)),
+          when(col("id") % 5 === 0,
+            variant(col("id") + FunnelTruncOff,
+              concat_ws(" ", slice(col("ws"), lit(1), half)), lit(-1L))),
+          when(col("id") % 7 === 0 && size(col("ws")) >= DQ.ExcerptMinWords,
+            variant(col("id") + FunnelExcerptOff,
+              concat_ws(" ", slice(col("ws"), lit(1), fifth)), lit(-1L))))).as("v"))
+        .filter(col("v").isNotNull)
+        .select(col("v.id").as("id"), col("v.text").as("text"),
+          when(col("v.n") >= 0, col("v.n"))
+            .otherwise(size(TextOps.words(col("v.text"))).cast("long"))
+            .as("n_words"))
         .cache()
+      // exact dedup as a map-side-combining agg + semi-join, not a
+      // row_number window: the window shuffles every text byte to rank
+      // within its hash group, while groupBy(md5).min(id) partial-
+      // aggregates map-side and shuffles only (hash, id) pairs; the
+      // keep-list semi-join broadcasts at bench scale (AQE decides — no
+      // hint, at 100 TB the keep list is corpus-sized and it degrades to
+      // the same shuffle the window paid anyway). Same keep-min-id
+      // contract either way.
+      val keep1 = corpus.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("id")).as("id")).select(col("id"))
       // localCheckpoint, not cache: deduped is the root of EVERY clustering
       // reference downstream (bands, candidates, both sides of the exact-
       // Jaccard verify, surv2, the stage agg) — a cache keeps the full
@@ -780,10 +816,8 @@ object CurationQueries {
       // which ~56 s was re-analysis of an already-cached result). Rooting
       // deduped as a leaf keeps every clustering plan O(stage) regardless
       // of input lineage; at cluster scale checkpoint() is the durable twin.
-      val deduped = corpus
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(md5(col("text"))).orderBy(col("id"))))
-        .filter(col("rn") === 1).select(col("id"), col("text")).localCheckpoint()
+      val deduped = corpus.join(keep1, Seq("id"), "left_semi")
+        .select(col("id"), col("text"), col("n_words")).localCheckpoint()
       val clusters = DQ.verifiedClusters(s, deduped, Some(DQ.LshBucketCap))
         .select(col("node").as("cid"), col("component").as("cluster"))
       val keepers = clusters.groupBy(col("cluster")).agg(min(col("cid")).as("keeper"))
@@ -791,7 +825,7 @@ object CurationQueries {
         .join(broadcast(clusters), col("id") === col("cid"), "left")
         .join(broadcast(keepers), Seq("cluster"), "left")
         .filter(col("cid").isNull || col("keeper") === col("id"))
-        .select(col("id"), col("text"))
+        .select(col("id"), col("text"), col("n_words"))
         // localCheckpoint, not cache: the containment stage below
         // references this relation FIVE times and the span stage multiplies
         // again — composed lazily, every downstream action re-analyzes a
@@ -810,8 +844,9 @@ object CurationQueries {
         .join(broadcast(DQ.containmentDropsAdaptive(surv2)
             .select(col("id").as("ctid"))),
           col("id") === col("ctid"), "left_anti")
-        .select(col("id"), col("text")).localCheckpoint()
-      val surv3 = DQ.spanSurvivors(surv2c.select(col("id").as("doc_id"), col("text")))
+        .select(col("id"), col("text"), col("n_words")).localCheckpoint()
+      val surv3 = DQ.spanSurvivors(
+          surv2c.select(col("id").as("doc_id"), col("text"), col("n_words")))
         .filter(col("action") =!= "drop")
         .select(col("doc_id").as("id"), col("n_kept_tokens")).cache()
       val qual = surv2c.join(surv3, "id").filter(qualityCol >= 0.5)
@@ -820,10 +855,10 @@ object CurationQueries {
                 toks: org.apache.spark.sql.Column): DataFrame =
         df.agg(count(lit(1)).as("n_docs"), sum(toks).cast("long").as("total_tokens"))
           .select(lit(name).as("stage"), col("n_docs"), col("total_tokens"))
-      stage("a_raw", corpus, wsz)
-        .unionAll(stage("b_exact_dedup", deduped, wsz))
-        .unionAll(stage("c_near_dup", surv2, wsz))
-        .unionAll(stage("d_containment", surv2c, wsz))
+      stage("a_raw", corpus, col("n_words"))
+        .unionAll(stage("b_exact_dedup", deduped, col("n_words")))
+        .unionAll(stage("c_near_dup", surv2, col("n_words")))
+        .unionAll(stage("d_containment", surv2c, col("n_words")))
         .unionAll(stage("e_span_cut", surv3, col("n_kept_tokens")))
         .unionAll(stage("f_quality", qual, col("n_kept_tokens")))
   }

@@ -90,8 +90,40 @@ object DedupQueries {
 
   private[queries] def verifiedClusters(s: SparkSession, docs: DataFrame,
                                         bucketCap: Option[Int] = None,
-                                        localMaxPairs: Int = VerifyLocalMaxPairs): DataFrame = {
+                                        localMaxPairs: Int = VerifyLocalMaxPairs,
+                                        localMaxDocs: Int = 20000): DataFrame = {
     import s.implicits._
+    // Whole-pipeline driver kernel for bounded corpora (the
+    // containmentDropsAdaptive pattern, one level up): ONE bounded
+    // collect of (id, shingle hashes) feeds signatures, banding, capped
+    // candidates, the exact-Jaccard verify, and union-find — replacing
+    // the band cache + candidate self-join + pair probe + shingle
+    // re-collect (~8 AQE stage materializations) the distributed route
+    // pays even when the corpus is a few thousand docs. Memory bound:
+    // localMaxDocs × ~130 shingles × 8 B ≈ 20 MB, the containment
+    // guard's order. Same integers end-to-end
+    // (VerifiedClustersAdaptiveSpec holds the routes equal); at 100 TB
+    // the limit probe short-circuits and the distributed route runs.
+    val docProbe = docs
+      .select(col("id"),
+        org.apache.spark.sql.graft.ArrayExpressions
+          .shingleHashes(col("text"), ShingleN).as("hs"))
+      .limit(localMaxDocs + 1)
+      .as[(Long, Seq[Long])].collect()
+    if (docProbe.length <= localMaxDocs) {
+      val candLocal = Dedup.candidatePairsLocal(docProbe.toSeq, bucketCap)
+      val shMap = docProbe.iterator
+        .map { case (id, hs) => id -> hs.toSet }.toMap
+      val verified = candLocal.filter { case (a, b) =>
+        val sa = shMap.getOrElse(a, Set.empty[Long])
+        val sb = shMap.getOrElse(b, Set.empty[Long])
+        val inter = sa.count(sb.contains)
+        val denom = sa.size.toLong + sb.size - inter
+        denom > 0 && inter * 1.0 / denom >= JaccardThreshold
+      }
+      val comp = graft.operators.Identity.connectedComponentsLocal(verified)
+      return s.createDataset(comp.toSeq).toDF("node", "component")
+    }
     // Signatures come from the map-only rowwise expression, NOT the
     // shingle-explode + 12-way-min groupBy: same integers (parity asserted
     // in StreamNearDupSpec/RandomizedParitySpec) with zero shuffle and no
@@ -201,7 +233,7 @@ object DedupQueries {
     */
   private val FillerWords = 25
 
-  private def withSharedPrefixCopies(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def withSharedPrefixCopies(s: SparkSession, dir: String): DataFrame = {
     val docs = base(s, dir)
     val filler = concat(col("text") +: (1 to FillerWords).flatMap(i =>
       Seq(lit(s" f${i}x"), col("id").cast("string"))): _*)
@@ -1093,8 +1125,41 @@ object DedupQueries {
     * the ExactSubstr cut as a per-doc keep/trim/drop manifest with exact
     * cut-token counts.
     */
-  def spanSurvivors(docs: DataFrame): DataFrame = {
+  def spanSurvivors(docs: DataFrame, localMaxDocs: Int = 20000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Driver-local fast path (the verifiedClusters/containment pattern):
+    // ONE bounded collect of (id, n_words, positional span hashes)
+    // replaces the span-table cache + dup-hash agg + semi-join + two
+    // window passes + result join — ~6 AQE stage materializations the
+    // distributed route pays even for a few thousand docs. Memory bound:
+    // localMaxDocs × ~n_words longs ≈ tens of MB at the guard. Exactly
+    // the same integers (spanCutLocal mirrors the island/interval-union
+    // arithmetic; RandomizedParitySpec holds the default route equal to
+    // an independent mask-based oracle, SpanRouteSpec holds the two
+    // routes equal); at 100 TB the limit probe short-circuits and the
+    // distributed plan below runs.
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nWordsCol =
+      if (docs.columns.contains("n_words")) col("n_words")
+      else size(TextOps.words(col("text"))).cast("long")
+    val docProbe = docs.select(col("doc_id"), nWordsCol.as("n_words"),
+        org.apache.spark.sql.graft.ArrayExpressions
+          .shingleHashSeq(col("text"), SpanN).as("hs"))
+      .limit(localMaxDocs + 1)
+      .as[(Long, Long, Seq[Long])].collect()
+    if (docProbe.length <= localMaxDocs) {
+      val cutMap = spanCutLocal(docProbe.map { case (id, _, hs) => (id, hs) }.toSeq)
+      val rows = docProbe.map { case (id, n, _) =>
+        val c = cutMap.getOrElse(id, 0L)
+        val kept = n - c
+        val action =
+          if (c == 0L) "keep" else if (kept < MinKeepTokens) "drop" else "trim"
+        (id, n, c, kept, action)
+      }
+      return spark.createDataset(rows.toSeq)
+        .toDF("doc_id", "n_words", "n_cut_tokens", "n_kept_tokens", "action")
+    }
     val win = Window.partitionBy(col("id")).orderBy(col("pos"))
     // island-level interval union: an island of cnt consecutive starts
     // [lo..hi] covers tokens [lo, hi + SpanN - 1]; adjacent long islands
@@ -1118,8 +1183,13 @@ object DedupQueries {
       .agg(sum(when(col("nxt_lo").isNull || col("nxt_lo") - col("hi") >= SpanN,
           col("hi") - col("lo") + SpanN)
         .otherwise(col("nxt_lo") - col("lo"))).cast("long").as("n_cut"))
-    val totals = docs.select(col("doc_id"),
-      size(TextOps.words(col("text"))).cast("long").as("n_words"))
+    // a caller that already carries per-doc word counts (the funnel
+    // stamps n_words at corpus build) must not pay a re-tokenization here
+    val totals =
+      if (docs.columns.contains("n_words"))
+        docs.select(col("doc_id"), col("n_words"))
+      else docs.select(col("doc_id"),
+        size(TextOps.words(col("text"))).cast("long").as("n_words"))
     val nCut = coalesce(col("n_cut"), lit(0L))
     totals.join(cut, totals("doc_id") === cut("id"), "left")
       .select(col("doc_id"), col("n_words"),
@@ -1128,6 +1198,60 @@ object DedupQueries {
         when(nCut === 0L, "keep")
           .when(col("n_words") - nCut < MinKeepTokens, "drop")
           .otherwise("trim").as("action"))
+  }
+
+  /** Driver-local twin of the distributed span-cut chain (dup-hash build →
+    * islands → long-island interval union): per-doc tokens cut, keyed by
+    * id, ids with zero cut absent. Positional span hashes arrive 1-based-
+    * equivalent (array index i = position i+1 — only DIFFERENCES enter the
+    * arithmetic, so 0-based indices give identical islands and counts). A
+    * hash repeated only within one doc is NOT a dup (the distributed side
+    * is countDistinct(id) >= 2). Contribution of a long island [lo, hi]
+    * is clamped at the next long island's lo exactly like the lead+clamp
+    * sum.
+    */
+  private[queries] def spanCutLocal(docSpans: Seq[(Long, Seq[Long])]): Map[Long, Long] = {
+    val docsWith = new scala.collection.mutable.HashMap[Long, Int]()
+    for ((_, hs) <- docSpans) {
+      val seen = new scala.collection.mutable.HashSet[Long]()
+      for (h <- hs) if (seen.add(h)) {
+        val c = docsWith.getOrElse(h, 0)
+        if (c < 2) docsWith(h) = c + 1
+      }
+    }
+    val out = Map.newBuilder[Long, Long]
+    for ((id, hs) <- docSpans) {
+      // long islands of consecutive dup-start positions, as (lo, hi)
+      val islands = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+      var runLo = -1
+      var prev = Int.MinValue
+      var p = 0
+      while (p < hs.length) {
+        if (docsWith.getOrElse(hs(p), 0) >= 2) {
+          if (p != prev + 1) {
+            // cnt + SpanN - 1 >= CutTokens, cnt = prev - runLo + 1
+            if (runLo >= 0 && prev - runLo + SpanN >= CutTokens)
+              islands += ((runLo, prev))
+            runLo = p
+          }
+          prev = p
+        }
+        p += 1
+      }
+      if (runLo >= 0 && prev - runLo + SpanN >= CutTokens) islands += ((runLo, prev))
+      var cut = 0L
+      var i = 0
+      while (i < islands.length) {
+        val (lo, hi) = islands(i)
+        cut +=
+          (if (i + 1 == islands.length || islands(i + 1)._1 - hi >= SpanN)
+             hi - lo + SpanN
+           else islands(i + 1)._1 - lo)
+        i += 1
+      }
+      if (cut > 0L) out += id -> cut
+    }
+    out.result()
   }
 
   /** q_dedup_spans body over an arbitrary documents relation (shared with

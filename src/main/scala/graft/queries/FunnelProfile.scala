@@ -25,27 +25,40 @@ object FunnelProfile {
       graft.Tables.documents(spark, sfDir)
         .withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
     }.reduce(_ unionAll _)
+    // mirrors funnel()'s single-scan variant build (round-13): one scan,
+    // one tokenization, all four variants via explode, n_words stamped
     val ws0 = graft.operators.TextOps.words(col("text"))
     val docs = documents.select(col("doc_id").as("id"),
       when(col("doc_id") % 13 === 3,
         concat(col("text"), lit(" " + CurationQueries.FunnelBp)))
         .otherwise(col("text")).as("text"))
+    def variant(id: org.apache.spark.sql.Column,
+                text: org.apache.spark.sql.Column) =
+      struct(id.as("id"), text.as("text"))
+    val half = ceil(size(col("ws")) / 2.0).cast("int")
+    val fifth = ceil(size(col("ws")) / 5.0).cast("int")
     val corpus = docs
-      .unionAll(docs.filter(col("id") % 10 === 0)
-        .select((col("id") + CurationQueries.FunnelExactOff).as("id"), col("text")))
-      .unionAll(docs.filter(col("id") % 5 === 0)
-        .select((col("id") + CurationQueries.FunnelTruncOff).as("id"),
-          concat_ws(" ", slice(ws0, lit(1), ceil(size(ws0) / 2.0).cast("int"))).as("text")))
-      .unionAll(docs.filter(col("id") % 7 === 0 && size(ws0) >= 40)
-        .select((col("id") + CurationQueries.FunnelExcerptOff).as("id"),
-          concat_ws(" ", slice(ws0, lit(1), ceil(size(ws0) / 5.0).cast("int"))).as("text")))
+      .select(col("id"), col("text"), ws0.as("ws"))
+      .select(explode(array(
+        variant(col("id"), col("text")),
+        when(col("id") % 10 === 0,
+          variant(col("id") + CurationQueries.FunnelExactOff, col("text"))),
+        when(col("id") % 5 === 0,
+          variant(col("id") + CurationQueries.FunnelTruncOff,
+            concat_ws(" ", slice(col("ws"), lit(1), half)))),
+        when(col("id") % 7 === 0 && size(col("ws")) >= 40,
+          variant(col("id") + CurationQueries.FunnelExcerptOff,
+            concat_ws(" ", slice(col("ws"), lit(1), fifth)))))).as("v"))
+      .filter(col("v").isNotNull)
+      .select(col("v.id").as("id"), col("v.text").as("text"),
+        size(graft.operators.TextOps.words(col("v.text"))).cast("long").as("n_words"))
       .cache()
     t("corpus build+cache")(corpus.count())
     val deduped = t("exact dedup (checkpoint)") {
-      corpus
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(md5(col("text"))).orderBy(col("id"))))
-        .filter(col("rn") === 1).select(col("id"), col("text")).localCheckpoint()
+      val keep1 = corpus.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("id")).as("id")).select(col("id"))
+      corpus.join(keep1, Seq("id"), "left_semi")
+        .select(col("id"), col("text"), col("n_words")).localCheckpoint()
     }
 
     // clustering via the production seam (post-r12 rowwise/candidate-only

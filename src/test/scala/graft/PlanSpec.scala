@@ -281,7 +281,15 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q_dedup_span_survivors: cut stays occurrence-linear, doc-partitioned") {
-    val p = plan("q_dedup_span_survivors")
+    // the registered query routes to the driver-local span kernel at this
+    // corpus size; the 100 TB shape under guard here is the DISTRIBUTED
+    // route, so force it (localMaxDocs = 0) over the same variant input
+    val p = graft.queries.DedupQueries.spanSurvivors(
+        graft.queries.DedupQueries.withSharedPrefixCopies(spark, dir)
+          .select(org.apache.spark.sql.functions.col("id").as("doc_id"),
+            org.apache.spark.sql.functions.col("text")),
+        localMaxDocs = 0)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"span marking must be an equijoin on h:\n$p")
     assert(p.contains("LeftSemi"),

@@ -44,6 +44,26 @@ class IvfSpec extends SparkSpec {
     assert(distinctCells == 3)
   }
 
+  test("local centroid trainer == declarative Lloyd chain (route parity)") {
+    // same seed, same assignment kernel, means within the 1e-4 rounding
+    // every consumer applies — the cells and the ROUNDED geometry agree
+    val viaLocal = Ivf.centroidsLocal(corpus, k = 3, trainMax = Ivf.TrainMax)
+    val viaDist = Ivf.centroidsDistributed(corpus, k = 3, trainMax = Ivf.TrainMax)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("cid"), transform(col("ce"), x => round(x + 2.5e-7, 4)).as("cer"),
+        round(col("cn") + 2.5e-7, 4).as("cnr"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(key(viaLocal) == key(viaDist))
+    // and the downstream contract — the assignment every query consumes —
+    // is identical through either centroid table
+    val aLocal = Ivf.assign(corpus, viaLocal)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val aDist = Ivf.assign(corpus, viaDist)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(aLocal == aDist)
+  }
+
   test("broadcast assignment == window-rank assignment (batch parity)") {
     val cents = Ivf.centroids(corpus, k = 3)
     val viaWindow = Ivf.assign(corpus, cents)

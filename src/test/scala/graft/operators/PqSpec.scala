@@ -112,6 +112,25 @@ class PqSpec extends SparkSpec {
     cb.unpersist(); sv.unpersist()
   }
 
+  test("local codebook trainer == declarative Lloyd chain (route parity)") {
+    val sv = Pq.subvecs(corpus)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("sub"), col("cid"),
+        transform(col("ce"), x => round(x + 2.5e-7, 4)).as("cer"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // entries and Num-rounded geometry agree (raw means may differ in the
+    // last ulps by summation order — the repo's determinism contract is
+    // the rounded grid every consumer ranks on)
+    assert(key(Pq.codebookLocal(sv)) == key(Pq.codebookDistributed(sv)))
+    // downstream contract: identical codes through either codebook
+    val viaLocal = Pq.encodeRows(spark, corpus, Pq.codebookLocal(sv))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val viaDist = Pq.encodeRows(spark, corpus, Pq.codebookDistributed(sv))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(viaLocal == viaDist)
+  }
+
   test("training is sample-bounded: vectors past TrainMax never move the codebook") {
     // append a far-away outlier with id >= TrainMax: the trained codebook
     // must be IDENTICAL to training without it (the outlier still gets

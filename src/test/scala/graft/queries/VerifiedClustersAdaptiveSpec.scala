@@ -3,19 +3,46 @@ package graft.queries
 import graft.SparkSpec
 import scala.util.Random
 
-/** The driver-local verify+CC fast path inside `verifiedClusters` and the
-  * distributed verify (exact Jaccard joins + adaptive CC) implement ONE
-  * contract — hold them equal on randomized corpora mixing truncated
-  * near-dups (Jaccard ~0.5), shared boilerplate, and unrelated docs, so
-  * the bounded-candidate route can never drift from the oracle-gated
-  * distributed plan.
+/** The three `verifiedClusters` routes — the full-local LSH kernel
+  * (bounded docs: one shingle collect, signatures/banding/cap/verify/CC
+  * all on the driver), the pair-probe local verify, and the distributed
+  * verify (exact Jaccard joins + adaptive CC) — implement ONE contract.
+  * Hold them equal on randomized corpora mixing truncated near-dups
+  * (Jaccard ~0.5), shared boilerplate, and unrelated docs, so no bounded
+  * fast path can drift from the oracle-gated distributed plan.
   */
 class VerifiedClustersAdaptiveSpec extends SparkSpec {
 
   private def clustersVia(docs: org.apache.spark.sql.DataFrame,
-                          localMaxPairs: Int): Map[Long, Long] =
-    DedupQueries.verifiedClusters(spark, docs, localMaxPairs = localMaxPairs)
+                          localMaxPairs: Int,
+                          localMaxDocs: Int = 0): Map[Long, Long] =
+    DedupQueries.verifiedClusters(spark, docs, localMaxPairs = localMaxPairs,
+        localMaxDocs = localMaxDocs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("full-local LSH kernel == distributed route on 8 random corpora") {
+    import spark.implicits._
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h", "i", "j",
+      "k", "m", "n", "p", "q", "r")
+    for (seed <- 0 until 8) {
+      val rnd = new Random(800 + seed)
+      val nDocs = 12 + rnd.nextInt(12)
+      val bp = Seq.fill(8)(vocab(rnd.nextInt(vocab.size)))
+      val raw = (0 until nDocs).map { i =>
+        val body = Seq.fill(15 + rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size)))
+        (i.toLong, if (i % 4 == 0) body ++ bp else body)
+      }
+      val planted = raw ++ raw.filter(_._1 % 3 == 0).map { case (id, ws) =>
+        (id + 1000L, ws.take(math.max(6, ws.size / 2)))
+      }
+      val docs = planted.map { case (id, ws) => (id, ws.mkString(" ")) }
+        .toDF("id", "text")
+      val viaFullLocal = clustersVia(docs, localMaxPairs = 0, localMaxDocs = 100000)
+      val viaDistributed = clustersVia(docs, localMaxPairs = 0)
+      assert(viaFullLocal == viaDistributed, s"seed=$seed")
+      spark.catalog.clearCache()
+    }
+  }
 
   test("local verify route == distributed verify route on 8 random corpora") {
     import spark.implicits._
@@ -51,11 +78,17 @@ class VerifiedClustersAdaptiveSpec extends SparkSpec {
       (i.toLong, s"$shared body${i % 3} t$i u$i v$i w$i x$i y$i z$i")
     }.toDF("id", "text")
     val capped = Some(5)
+    val viaFullLocal = DedupQueries.verifiedClusters(spark, docs, capped,
+      localMaxPairs = 0, localMaxDocs = 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val viaLocal = DedupQueries.verifiedClusters(spark, docs, capped,
-      localMaxPairs = 100000).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      localMaxPairs = 100000, localMaxDocs = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val viaDistributed = DedupQueries.verifiedClusters(spark, docs, capped,
-      localMaxPairs = 0).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      localMaxPairs = 0, localMaxDocs = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(viaLocal == viaDistributed)
+    assert(viaFullLocal == viaDistributed)
     spark.catalog.clearCache()
   }
 }
