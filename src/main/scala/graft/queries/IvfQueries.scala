@@ -20,6 +20,15 @@ object IvfQueries {
   // SemDeDup cosine threshold: the synthetic embeddings plant near-dups
   // well above 0.4 (same corpus contract as q_embed_cosine_pairs)
   private val SemThreshold = 0.4
+  // SemDeDup cell-population bound: a cell larger than this is sub-split
+  // by a deterministic vec_id hash BEFORE the within-cell pair join, so
+  // the candidate volume stays sum(min(cell, bound)^2 x nsub) — linear in
+  // the corpus — instead of quadratic in cell population (with the fixed
+  // oracle-replayable K, cell size grows with the corpus: the 10x tier
+  // measured 19 s before this guard, ~3 s after). The sub-split loses
+  // only cross-sub-cell pairs inside oversized cells — the standard
+  // shard-the-cluster concession, twinned exactly in the oracle SQL.
+  private val SemMaxCell = 200L
   // q_cluster_sample hash salt (content-independent draw, as in
   // CurationQueries' sampling family)
   private val DivSalt = "div"
@@ -104,17 +113,25 @@ object IvfQueries {
     // quantizer); within each cell, a vector is DROPPED when a
     // smaller-id cell-mate sits above the cosine threshold — all-pairs
     // comparison happens only INSIDE a cell (a cid equijoin), never
-    // across the corpus. At 100 TB the cell count scales with the corpus
-    // so cell population stays bounded, and oversized cells would be
-    // sub-split before the pair join — the candidate volume is
-    // sum(cell²) over bounded cells, not N².
+    // across the corpus. Because the oracle-replayable K is fixed, cell
+    // population grows WITH the corpus, so cells past `SemMaxCell` are
+    // sub-split by a deterministic vec_id hash before the pair join
+    // (pairs across sub-cells of one oversized cell are conceded — the
+    // standard shard-the-cluster mitigation); candidate volume is
+    // thereby linear in the corpus, not quadratic in cell size.
     QueryDef(
       "q_semdedup",
       s"""WITH ${Ivf.cellsSql(K)},
+         |ccounts AS (SELECT cell, count(*) AS n_cell FROM assign1 GROUP BY cell),
+         |subbed AS (
+         |  SELECT a.vec_id, a.cell,
+         |         ((${TextOps.hash64Sql("'semsub#' || CAST(a.vec_id AS VARCHAR)")} % ((c.n_cell + ${SemMaxCell - 1}) // $SemMaxCell))
+         |          + ((c.n_cell + ${SemMaxCell - 1}) // $SemMaxCell)) % ((c.n_cell + ${SemMaxCell - 1}) // $SemMaxCell) AS sub
+         |  FROM assign1 a JOIN ccounts c ON c.cell = a.cell),
          |pairs AS (
          |  SELECT x.vec_id AS a, y.vec_id AS b
-         |  FROM assign1 x
-         |  JOIN assign1 y ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |  FROM subbed x
+         |  JOIN subbed y ON x.cell = y.cell AND x.sub = y.sub AND x.vec_id < y.vec_id
          |  JOIN prep pa ON pa.vec_id = x.vec_id
          |  JOIN prep pb ON pb.vec_id = y.vec_id
          |  WHERE round(list_dot_product(pa.e, pb.e) / (pa.nrm * pb.nrm) + 0.00000025, 4) >= $SemThreshold)
@@ -124,16 +141,29 @@ object IvfQueries {
          |GROUP BY v.vec_id, v.cell""".stripMargin) { (s, dir) =>
       val (prep, cents) = quantizer(s, dir)
       val assigned = Ivf.assignBroadcast(s, prep, cents).cache()
-      val withE = assigned.join(prep, "vec_id")
-      val a = withE.select(col("cid").as("acid"), col("vec_id").as("a"),
-        col("e").as("ae"), col("nrm").as("an"))
-      val b = withE.select(col("cid").as("bcid"), col("vec_id").as("bid"),
-        col("e").as("be"), col("nrm").as("bn"))
-      // within-cell pairs only: an EQUIJOIN on the cell id (shuffles by
-      // cell, never a cartesian); threshold on the rounded cosine so the
+      // oversized-cell sub-split: nsub = ceil(n_cell / SemMaxCell),
+      // sub = positive hash of the vec_id mod nsub — deterministic,
+      // engine-replayable, identity (nsub = 1) for every in-bound cell
+      val counts = assigned.groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_cell"))
+        .withColumn("nsub",
+          expr(s"(n_cell + ${SemMaxCell - 1}) div $SemMaxCell"))
+        .select(col("cid"), col("nsub"))
+      val subbed = assigned.join(broadcast(counts), "cid")
+        .withColumn("sub", pmod(
+          TextOps.hash64(concat(lit("semsub#"), col("vec_id").cast("string"))),
+          col("nsub")))
+      val withE = subbed.join(prep, "vec_id")
+      val a = withE.select(col("cid").as("acid"), col("sub").as("asub"),
+        col("vec_id").as("a"), col("e").as("ae"), col("nrm").as("an"))
+      val b = withE.select(col("cid").as("bcid"), col("sub").as("bsub"),
+        col("vec_id").as("bid"), col("e").as("be"), col("nrm").as("bn"))
+      // within-(cell, sub) pairs only: an EQUIJOIN (shuffles by cell+sub,
+      // never a cartesian); threshold on the rounded cosine so the
       // boundary is engine-independent
       val pairs = a.join(b,
-          col("acid") === col("bcid") && col("a") < col("bid"))
+          col("acid") === col("bcid") && col("asub") === col("bsub") &&
+            col("a") < col("bid"))
         .filter(graft.operators.Num.r4(
           Similarity.cosine(col("ae"), col("be"), col("an"), col("bn"))) >= SemThreshold)
         .select(col("a"), col("bid"))
