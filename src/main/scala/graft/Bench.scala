@@ -231,8 +231,15 @@ object Bench {
       val minFloor = snap.collect { case (_, Right(v)) => v.min }.sum
       val normalized = loadNormalizedTotal(snap.zipWithIndex.collect {
         case ((_, Right(v)), i) =>
-          (v, v.loadSuspect || suspectIdx.contains(i),
-            inflationFactor(i, sentinelSnap, best))
+          // a median REPLACED by the end-of-run retry pass was measured
+          // in the retry window — the main-run sentinel brackets around
+          // position i describe a window it never ran in, so deflating
+          // it by them would mis-normalize; report replaced medians raw
+          // (conservative) whether or not they stayed suspect
+          val factor =
+            if (firstAttempt.contains(i)) 1.0
+            else inflationFactor(i, sentinelSnap, best)
+          (v, v.loadSuspect || suspectIdx.contains(i), factor)
       })
       val full =
         s"""{"metric":"total","value":${f(total)},"unit":"sec","total_min_floor":${f(minFloor)},"load_normalized_total":${f(normalized)},"queries":$qs,"queries_detail":$detail,"sentinel":{"best":${f(best)},"series":$sentinelJson},"load_suspect_count":$suspects,"retried":${firstAttempt.size},"sf":"$sfDir","failed":$failedCount,"aborted":$aborted}"""

@@ -42,6 +42,12 @@ object MakeTier {
     val out = args.lift(1).getOrElse("/tmp/graft_tier10x")
     val k = args.lift(2).map(_.toInt).getOrElse(10)
     val Stride = 1000000000L
+    // the embedding rotation assigns replica i a distinct i-position
+    // circular shift; past the dimension, shifts alias (replica i and
+    // i-Dim would correlate again) and the slice arithmetic goes negative
+    require(k >= 1 && k <= graft.operators.Similarity.Dim,
+      s"k=$k out of range: 1 <= k <= ${graft.operators.Similarity.Dim}" +
+        " (embedding rotation needs a distinct shift per replica)")
     val spark = Sessions.batch("graft-maketier", 16)
     spark.sparkContext.setLogLevel("WARN")
 

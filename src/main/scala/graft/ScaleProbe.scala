@@ -172,7 +172,12 @@ object ScaleProbe {
     // doc count by k, so this is exactly the hot-span stress case
     timeDf("dedup_spans")(graft.queries.DedupQueries.dupSpans(docs))
     timeDf("dedup_span_runs")(graft.queries.DedupQueries.spanRuns(docs))
-    timeDf("dedup_span_survivors")(graft.queries.DedupQueries.spanSurvivors(docs))
+    // localMaxDocs = 0: the probe measures the DISTRIBUTED operator's
+    // growth curve; letting small replication levels route to the driver
+    // kernel would make the curve's low end measure a different
+    // implementation than its high end (route switch, not scaling)
+    timeDf("dedup_span_survivors")(
+      graft.queries.DedupQueries.spanSurvivors(docs, localMaxDocs = 0))
     // containment inherits the funnel discipline: exact-dedup FIRST. The
     // replicated corpus is pure exact copies, on which enumerating all
     // containment pairs is Ω(k²) BY DEFINITION of the output; production

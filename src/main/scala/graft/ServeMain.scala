@@ -134,16 +134,31 @@ object ServeMain {
     //    chunked drain bounds blocks at ~10/s regardless of POST rate.
     // (The Kafka source in production has neither problem — this is the
     // in-memory bus's serving discipline.)
-    val cdpFeeder = new IngestFeeder[CdpEvent]("cdp-ingest-feeder",
-      chunkMax = 50000, maxPending = 500000, sink = chunk => {
-        segmentsIn.addData(chunk)
-        profilesIn.addData(chunk)
-        reengageIn.addData(chunk)
-        ()
-      }).start()
+    // ONE FEEDER PER STREAM, not one feeder calling three addDatas: a
+    // chunk that fails on the second stream after succeeding on the
+    // first would be retried (duplicating events into the stream that
+    // already took it — none of these pipelines dedup by eventId) and
+    // eventually dropped (permanently diverging the three stateful
+    // views). Per-stream feeders give each stream its own retry budget;
+    // acceptance checks capacity on ALL three before enqueueing anywhere
+    // (the residual race is a benign one-event divergence only under
+    // simultaneous overload, vs guaranteed divergence on any sink error).
+    val segFeeder = new IngestFeeder[CdpEvent]("cdp-feeder-segments",
+      chunkMax = 50000, maxPending = 500000,
+      sink = chunk => { segmentsIn.addData(chunk); () }).start()
+    val profFeeder = new IngestFeeder[CdpEvent]("cdp-feeder-profiles",
+      chunkMax = 50000, maxPending = 500000,
+      sink = chunk => { profilesIn.addData(chunk); () }).start()
+    val reenFeeder = new IngestFeeder[CdpEvent]("cdp-feeder-reengage",
+      chunkMax = 50000, maxPending = 500000,
+      sink = chunk => { reengageIn.addData(chunk); () }).start()
+    val cdpFeeders = Seq(segFeeder, profFeeder, reenFeeder)
     val ingest = new CdpIngest(e => {
-      val accepted = cdpFeeder.offer(e)
-      if (accepted) stats.recordEvents(1L)
+      val accepted = cdpFeeders.forall(_.hasCapacity)
+      if (accepted) {
+        cdpFeeders.foreach(_.offer(e))
+        stats.recordEvents(1L)
+      }
       accepted
     })
 
@@ -178,7 +193,7 @@ object ServeMain {
       corpusIngest = Some(corpusIngest), corpusStats = Some(corpusStats)).start()
     App(server, spark, Seq(segmentQuery, reengageQuery, profileQuery, corpusQuery), sim,
       alertsHub, segmentsHub, profilesHub, cdpMetrics,
-      feeders = Seq(cdpFeeder, corpusFeeder))
+      feeders = cdpFeeders :+ corpusFeeder)
   }
 
   /** Bounded top-20 by (lastSeen desc, profileId) without sorting the

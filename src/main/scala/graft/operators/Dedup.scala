@@ -177,9 +177,18 @@ object Dedup {
     * exactly like the rowwise signature's `size(hs) > 0` filter.
     * VerifiedClustersAdaptiveSpec holds the full chain equal to the
     * DataFrame route on randomized corpora.
+    *
+    * Returns None when the kept buckets would enumerate more than
+    * `pairBudget` raw pairs (sum of n*(n-1)/2 over kept buckets,
+    * counted BEFORE enumeration): without a cap (the standalone dedup
+    * queries pass maxBucket = None) one boilerplate-dominated 5k-doc
+    * bucket alone is 12.5M driver tuples — the caller must fall back to
+    * the distributed route, which the old pair-probe bound used to
+    * guarantee.
     */
   def candidatePairsLocal(docShingles: Seq[(Long, Seq[Long])],
-                          maxBucket: Option[Int]): Seq[(Long, Long)] = {
+                          maxBucket: Option[Int],
+                          pairBudget: Long = Long.MaxValue): Option[Seq[(Long, Long)]] = {
     val buckets = new scala.collection.mutable.HashMap[
       (Int, Seq[Long]), scala.collection.mutable.ArrayBuffer[Long]]()
     for ((id, hs) <- docShingles if hs.nonEmpty) {
@@ -206,8 +215,13 @@ object Dedup {
         band += 1
       }
     }
+    val kept = buckets.valuesIterator
+      .filter(ids => maxBucket.forall(ids.size <= _)).toSeq
+    val rawPairs = kept.iterator
+      .map(ids => ids.size.toLong * (ids.size - 1) / 2).sum
+    if (rawPairs > pairBudget) return None
     val pairs = scala.collection.mutable.LinkedHashSet[(Long, Long)]()
-    for ((_, ids) <- buckets if maxBucket.forall(ids.size <= _)) {
+    for (ids <- kept) {
       val arr = ids.toArray
       var x = 0
       while (x < arr.length) {
@@ -220,7 +234,7 @@ object Dedup {
         x += 1
       }
     }
-    pairs.toSeq
+    Some(pairs.toSeq)
   }
 
   /** SQL twin of `candidatePairsCapped` -> CTE `cand(a, b)` (drop-in for

@@ -88,6 +88,13 @@ object DedupQueries {
     */
   private[queries] val VerifyLocalMaxPairs = 20000
 
+  /** Raw-pair enumeration budget for the full-local LSH kernel: ~1M
+    * (Long, Long) tuples ≈ 80 MB of driver set — the same order as the
+    * doc-shingle collect it sits next to. Counted from bucket sizes
+    * BEFORE enumerating; exceeded => distributed route.
+    */
+  private[queries] val LocalPairBudget = 1000000L
+
   private[queries] def verifiedClusters(s: SparkSession, docs: DataFrame,
                                         bucketCap: Option[Int] = None,
                                         localMaxPairs: Int = VerifyLocalMaxPairs,
@@ -104,25 +111,38 @@ object DedupQueries {
     // guard's order. Same integers end-to-end
     // (VerifiedClustersAdaptiveSpec holds the routes equal); at 100 TB
     // the limit probe short-circuits and the distributed route runs.
-    val docProbe = docs
-      .select(col("id"),
-        org.apache.spark.sql.graft.ArrayExpressions
-          .shingleHashes(col("text"), ShingleN).as("hs"))
-      .limit(localMaxDocs + 1)
-      .as[(Long, Seq[Long])].collect()
-    if (docProbe.length <= localMaxDocs) {
-      val candLocal = Dedup.candidatePairsLocal(docProbe.toSeq, bucketCap)
-      val shMap = docProbe.iterator
-        .map { case (id, hs) => id -> hs.toSet }.toMap
-      val verified = candLocal.filter { case (a, b) =>
-        val sa = shMap.getOrElse(a, Set.empty[Long])
-        val sb = shMap.getOrElse(b, Set.empty[Long])
-        val inter = sa.count(sb.contains)
-        val denom = sa.size.toLong + sb.size - inter
-        denom > 0 && inter * 1.0 / denom >= JaccardThreshold
+    // id-only size probe first: computing shingle arrays for
+    // localMaxDocs+1 docs just to learn "too big" is a wasted ~20 MB
+    // collect on every large-corpus call (the exact shape that must take
+    // the distributed route)
+    val boundedDocs = localMaxDocs > 0 &&
+      docs.select(col("id")).limit(localMaxDocs + 1).count() <= localMaxDocs
+    if (boundedDocs) {
+      val docProbe = docs
+        .select(col("id"),
+          org.apache.spark.sql.graft.ArrayExpressions
+            .shingleHashes(col("text"), ShingleN).as("hs"))
+        .as[(Long, Seq[Long])].collect()
+      // pair budget: the old pair-probe route bounded the collected pair
+      // list; the local kernel must bound its enumeration the same way —
+      // a boilerplate-dominated uncapped bucket can hold millions of
+      // pairs even under the doc bound. None => distributed verify below.
+      Dedup.candidatePairsLocal(docProbe.toSeq, bucketCap,
+          pairBudget = LocalPairBudget) match {
+        case Some(candLocal) =>
+          val shMap = docProbe.iterator
+            .map { case (id, hs) => id -> hs.toSet }.toMap
+          val verified = candLocal.filter { case (a, b) =>
+            val sa = shMap.getOrElse(a, Set.empty[Long])
+            val sb = shMap.getOrElse(b, Set.empty[Long])
+            val inter = sa.count(sb.contains)
+            val denom = sa.size.toLong + sb.size - inter
+            denom > 0 && inter * 1.0 / denom >= JaccardThreshold
+          }
+          val comp = graft.operators.Identity.connectedComponentsLocal(verified)
+          return s.createDataset(comp.toSeq).toDF("node", "component")
+        case None => () // pair explosion: fall through to the distributed route
       }
-      val comp = graft.operators.Identity.connectedComponentsLocal(verified)
-      return s.createDataset(comp.toSeq).toDF("node", "component")
     }
     // Signatures come from the map-only rowwise expression, NOT the
     // shingle-explode + 12-way-min groupBy: same integers (parity asserted
@@ -1143,12 +1163,15 @@ object DedupQueries {
     val nWordsCol =
       if (docs.columns.contains("n_words")) col("n_words")
       else size(TextOps.words(col("text"))).cast("long")
-    val docProbe = docs.select(col("doc_id"), nWordsCol.as("n_words"),
-        org.apache.spark.sql.graft.ArrayExpressions
-          .shingleHashSeq(col("text"), SpanN).as("hs"))
-      .limit(localMaxDocs + 1)
-      .as[(Long, Long, Seq[Long])].collect()
-    if (docProbe.length <= localMaxDocs) {
+    // id-only size probe first — same rationale as verifiedClusters: no
+    // positional-hash computation just to learn the corpus is too big
+    val boundedDocs = localMaxDocs > 0 &&
+      docs.select(col("doc_id")).limit(localMaxDocs + 1).count() <= localMaxDocs
+    if (boundedDocs) {
+      val docProbe = docs.select(col("doc_id"), nWordsCol.as("n_words"),
+          org.apache.spark.sql.graft.ArrayExpressions
+            .shingleHashSeq(col("text"), SpanN).as("hs"))
+        .as[(Long, Long, Seq[Long])].collect()
       val cutMap = spanCutLocal(docProbe.map { case (id, _, hs) => (id, hs) }.toSeq)
       val rows = docProbe.map { case (id, n, _) =>
         val c = cutMap.getOrElse(id, 0L)

@@ -16,11 +16,11 @@ import scala.util.control.NonFatal
   *     NOT kill the drain thread: with a dead feeder the HTTP handler
   *     kept returning 202 into an unbounded queue — a permanent silent
   *     data stall plus unbounded memory growth. Non-fatal sink errors
-  *     are caught in the loop: the chunk is re-enqueued (at the tail —
-  *     the stateful pipelines fold by event time, so bus-level reorder
-  *     is tolerated) and retried on later ticks; after `MaxChunkRetries`
-  *     consecutive failures the chunk is dropped and counted, so a
-  *     permanently-broken sink degrades to bounded loss, not a spin.
+  *     are caught in the loop: the chunk is held in a retry slot and
+  *     re-attempted on later ticks (per-chunk budget, order-preserving);
+  *     after `MaxChunkRetries` failed retries the chunk is dropped and
+  *     counted, so a permanently-broken sink degrades to bounded loss,
+  *     not a spin — even when poison chunks interleave healthy traffic.
   *   - The pending queue is BOUNDED (`maxPending`): `offer` returns
   *     false when full, and the handler maps that to 503 instead of
   *     lying with a 202 it can never honor.
@@ -36,19 +36,58 @@ final class IngestFeeder[A](name: String, chunkMax: Int, maxPending: Int,
   private val queued = new AtomicInteger(0)
   val dropped = new AtomicLong(0L)
   @volatile private var running = true
-  private var consecutiveFailures = 0 // feeder-thread-only
+  // failed chunk held for in-place retry (feeder-thread-only). A retry
+  // SLOT, not a tail re-enqueue: the retry budget is per-chunk (a poison
+  // chunk interleaved with healthy traffic must still hit its drop bound
+  // — a shared consecutive-failure counter resets on every healthy chunk
+  // and would retry the poison one forever), ordering is preserved, and
+  // a failing sink gets no fresh chunk piled on in the same tick.
+  private var retrying: Seq[A] = null
+  private var retryAttempts = 0
+
+  /** True when an `offer` would currently be accepted — lets a caller
+    * fanning one event to SEVERAL feeders check capacity on all of them
+    * before enqueueing anywhere (a mid-fan-out rejection would diverge
+    * the streams).
+    */
+  def hasCapacity: Boolean = running && queued.get() < maxPending
 
   /** Enqueue one element. `false` = backlog full or feeder dead; the
     * caller must reject the request (503), not acknowledge it.
     */
   def offer(a: A): Boolean =
-    if (!running || queued.get() >= maxPending) false
+    if (!hasCapacity) false
     else { pending.add(a); queued.incrementAndGet(); true }
 
   /** One drain tick; package-private so specs can drive it without the
     * thread/clock.
     */
   private[serve] def drainOnce(): Unit = {
+    // a previously-failed chunk is retried FIRST; while it is failing,
+    // no new chunk is offered to the sink (return below), so loss stays
+    // bounded to the one chunk and ordering holds
+    if (retrying != null) {
+      try {
+        sink(retrying)
+        retrying = null
+        retryAttempts = 0
+      } catch {
+        case NonFatal(t) =>
+          retryAttempts += 1
+          if (retryAttempts > IngestFeeder.MaxChunkRetries) {
+            dropped.addAndGet(retrying.size.toLong)
+            System.err.println(s"[$name] sink failed " +
+              s"${retryAttempts}x, dropping ${retrying.size} " +
+              s"events (total dropped ${dropped.get}): ${t.getMessage}")
+            retrying = null
+            retryAttempts = 0
+          } else {
+            System.err.println(s"[$name] sink failed " +
+              s"(attempt $retryAttempts, will retry): ${t.getMessage}")
+          }
+          return
+      }
+    }
     // poll-then-check, checking capacity BEFORE each poll: the inherited
     // poll-first loop silently discarded the already-polled element when
     // the chunk filled — one lost event per full chunk
@@ -60,23 +99,13 @@ final class IngestFeeder[A](name: String, chunkMax: Int, maxPending: Int,
     }
     if (buf.nonEmpty) {
       queued.addAndGet(-buf.size)
-      try {
-        sink(buf.toSeq)
-        consecutiveFailures = 0
-      } catch {
+      try sink(buf.toSeq)
+      catch {
         case NonFatal(t) =>
-          consecutiveFailures += 1
-          if (consecutiveFailures <= IngestFeeder.MaxChunkRetries) {
-            buf.foreach(pending.add)
-            queued.addAndGet(buf.size)
-            System.err.println(s"[$name] sink failed " +
-              s"(attempt $consecutiveFailures, will retry): ${t.getMessage}")
-          } else {
-            dropped.addAndGet(buf.size.toLong)
-            System.err.println(s"[$name] sink failed " +
-              s"${IngestFeeder.MaxChunkRetries + 1}x, dropping ${buf.size} " +
-              s"events (total dropped ${dropped.get}): ${t.getMessage}")
-          }
+          retrying = buf.toSeq
+          retryAttempts = 1
+          System.err.println(s"[$name] sink failed " +
+            s"(attempt 1, will retry): ${t.getMessage}")
       }
     }
   }

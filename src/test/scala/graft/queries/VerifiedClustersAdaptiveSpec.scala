@@ -44,6 +44,21 @@ class VerifiedClustersAdaptiveSpec extends SparkSpec {
     }
   }
 
+  test("candidatePairsLocal refuses enumeration past the pair budget") {
+    // 60 identical docs share every band bucket: the budget counts RAW
+    // per-bucket enumeration (Bands x 60*59/2 = 10620 here) because that
+    // is the work/memory bound; the returned distinct set is 1770
+    val docs = (0 until 60).map(i => (i.toLong, Seq(1L, 2L, 3L, 4L, 5L, 6L)))
+    import graft.operators.Dedup
+    assert(Dedup.candidatePairsLocal(docs, None, pairBudget = 100L).isEmpty)
+    assert(Dedup.candidatePairsLocal(docs, None, pairBudget = 10000L).isEmpty)
+    val full = Dedup.candidatePairsLocal(docs, None, pairBudget = 20000L)
+    assert(full.exists(_.size == 1770))
+    // and the verifiedClusters route survives the refusal end-to-end
+    // (falls to the distributed verify, same answer) — exercised by the
+    // route-parity tests below via localMaxDocs routing
+  }
+
   test("local verify route == distributed verify route on 8 random corpora") {
     import spark.implicits._
     val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h", "i", "j",

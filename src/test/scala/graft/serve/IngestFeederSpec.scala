@@ -56,7 +56,28 @@ class IngestFeederSpec extends AnyFunSuite {
     assert(f.offer(99))
   }
 
-  test("consecutive-failure counter resets on success (no cross-chunk drops)") {
+  test("a poison chunk interleaved with healthy traffic still hits its drop bound") {
+    // the retry budget must be PER-CHUNK: a shared consecutive-failure
+    // counter resets on every healthy chunk, so a deterministic poison
+    // chunk cycling with live traffic would retry forever
+    val delivered = scala.collection.mutable.ArrayBuffer[Int]()
+    val f = new IngestFeeder[Int]("t", chunkMax = 2, maxPending = 100,
+      sink = chunk => {
+        if (chunk.contains(1)) sys.error("poison")
+        delivered ++= chunk
+      })
+    f.offer(1); f.offer(2) // the poison chunk
+    f.drainOnce()          // initial attempt fails -> retry slot
+    f.offer(3)             // healthy traffic arrives while it retries
+    // the slot is retried first each tick; healthy traffic waits behind
+    // it rather than resetting its budget
+    (0 until IngestFeeder.MaxChunkRetries).foreach(_ => f.drainOnce())
+    assert(f.dropped.get == 2L) // poison dropped after its own budget
+    f.drainOnce()
+    assert(delivered.toSeq == Seq(3)) // healthy traffic then flows
+  }
+
+  test("a fresh chunk after a recovered failure gets a full retry budget") {
     var fail = true
     val delivered = scala.collection.mutable.ArrayBuffer[Int]()
     val f = new IngestFeeder[Int]("t", chunkMax = 2, maxPending = 100,
@@ -64,14 +85,27 @@ class IngestFeederSpec extends AnyFunSuite {
     f.offer(1); f.offer(2)
     f.drainOnce() // fails once
     fail = false
-    f.drainOnce() // succeeds → counter reset
+    f.drainOnce() // retry succeeds
     f.offer(3)
     fail = true
-    // a fresh chunk gets the full retry budget again
+    // the new chunk's budget is its own: initial + MaxChunkRetries - 1
+    // failures, then a success before the drop bound
     (0 until IngestFeeder.MaxChunkRetries).foreach(_ => f.drainOnce())
     fail = false
     f.drainOnce()
     assert(delivered.toSeq == Seq(1, 2, 3) && f.dropped.get == 0L)
+  }
+
+  test("hasCapacity reflects backlog and death without enqueueing") {
+    val f = new IngestFeeder[Int]("t", chunkMax = 10, maxPending = 1,
+      sink = _ => ())
+    assert(f.hasCapacity)
+    assert(f.offer(1))
+    assert(!f.hasCapacity)
+    f.drainOnce()
+    assert(f.hasCapacity)
+    f.markDead()
+    assert(!f.hasCapacity)
   }
 
   test("a dead feeder rejects offers (no 202 into a black hole)") {
