@@ -212,8 +212,11 @@ object ScaleProbe {
     // integer PageRank: replication multiplies identity-graph nodes while
     // degree distribution is fixed — cost must track the 5 edge-sized
     // join+groupBy rounds, linear in the edge count
+    // localMaxEdges = 0: the probe measures the DISTRIBUTED route's
+    // curve (the driver kernel would otherwise absorb every replication
+    // level and the curve would measure a different implementation)
     timeDf("identity_pagerank")(graft.queries.CdpBatch.identityPagerank(
-      graft.queries.CdpBatch.identityEdges(events)))
+      graft.queries.CdpBatch.identityEdges(events), localMaxEdges = 0))
     // BPE: the merge loop is dictionary-bound (each round collects ONE
     // winner row to literals); the only corpus-sized work is the word
     // groupBy + the final broadcast-dict token scan, so the curve must

@@ -52,8 +52,80 @@ object CdpBatch {
   /** q_identity_pagerank body over an arbitrary (src, dst) edge relation
     * (probe-sharing contract). Returns (node, rank_u) with rank_u the
     * integer micro-rank after `PrIters` rounds.
+    *
+    * Adaptive (the connectedComponentsAdaptive pattern): a bounded edge
+    * set runs the driver kernel off one collect instead of 5 rounds of
+    * join + groupBy + eager checkpoint (~15 jobs). Unlike the float
+    * kernels, route equality here is EXACT BY CONSTRUCTION — every
+    * operation is integer (floor division, long sums) and integer
+    * addition commutes, so the kernel and the Pregel-by-join loop cannot
+    * differ in a single micro-rank (PagerankSpec pins both against a
+    * closed-form fixpoint and against each other).
     */
-  private[graft] def identityPagerank(edges: DataFrame): DataFrame = {
+  private[graft] def identityPagerank(edges: DataFrame,
+                                      localMaxEdges: Int = 1000000): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    if (localMaxEdges > 0) {
+      val probe = edges.select(col("src"), col("dst"))
+        .limit(localMaxEdges + 1).as[(String, String)].collect()
+      if (probe.length <= localMaxEdges)
+        return spark.createDataset(identityPagerankLocal(probe.toSeq).toSeq)
+          .toDF("node", "rank_u")
+    }
+    identityPagerankDistributed(edges)
+  }
+
+  /** Driver kernel: the same integer recurrence over in-memory edges.
+    * Index-compressed (string keys resolved once), inflow accumulated
+    * per edge — O(iters * edges).
+    */
+  private[graft] def identityPagerankLocal(edges: Seq[(String, String)]): Seq[(String, Long)] = {
+    val sym = edges ++ edges.map { case (s, d) => (d, s) }
+    val ids = new scala.collection.mutable.LinkedHashMap[String, Int]()
+    sym.foreach { case (s, _) => ids.getOrElseUpdate(s, ids.size) }
+    val n = ids.size
+    if (n == 0) return Seq.empty
+    val src = new Array[Int](sym.size)
+    val dst = new Array[Int](sym.size)
+    val deg = new Array[Long](n)
+    var i = 0
+    sym.foreach { case (s, d) =>
+      val si = ids(s)
+      src(i) = si
+      // a dst that never appears as a src has no degree row in the
+      // distributed shape either (nodes = deg keys) — but symmetric
+      // edges guarantee every node appears as src, so ids covers all
+      dst(i) = ids(d)
+      deg(si) += 1L
+      i += 1
+    }
+    val t0 = PrScale / n
+    val tel = 15L * t0 / 100L
+    var r = Array.fill(n)(t0)
+    for (_ <- 1 to PrIters) {
+      val inflow = new Array[Long](n)
+      var e = 0
+      while (e < sym.size) {
+        inflow(dst(e)) += r(src(e)) / deg(src(e))
+        e += 1
+      }
+      val next = new Array[Long](n)
+      var j = 0
+      while (j < n) {
+        next(j) = tel + 85L * inflow(j) / 100L
+        j += 1
+      }
+      r = next
+    }
+    ids.toSeq.map { case (node, idx) => (node, r(idx)) }
+  }
+
+  /** Pregel-by-join twin — the 100 TB route (PagerankSpec holds it equal
+    * to the kernel; the arithmetic is shared integer math, so equality
+    * is structural, not approximate).
+    */
+  private[graft] def identityPagerankDistributed(edges: DataFrame): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
     // deg feeds BOTH cached descendants (symd and nodes): cache it too,

@@ -52,6 +52,20 @@ class PagerankSpec extends SparkSpec {
     assert(leaves.head == l, s"leaf fixpoint: got ${leaves.head} want $l")
   }
 
+  test("driver kernel == Pregel-by-join route, micro-rank for micro-rank") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val edges = ((1 to 60).map(i => (s"u:$i", s"k:${rnd.nextInt(15)}")) ++
+      (1 to 10).map(i => (s"u:$i", s"k:x$i"))).distinct
+    val viaLocal = CdpBatch.identityPagerank(
+        edges.toDF("src", "dst"), localMaxEdges = 1000000)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaDistributed = CdpBatch.identityPagerank(
+        edges.toDF("src", "dst"), localMaxEdges = 0)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaLocal == viaDistributed)
+  }
+
   test("empty edge set yields an empty ranking, not a division blowup") {
     import spark.implicits._
     val out = CdpBatch.identityPagerank(
