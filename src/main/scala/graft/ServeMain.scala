@@ -143,20 +143,33 @@ object ServeMain {
     // acceptance checks capacity on ALL three before enqueueing anywhere
     // (the residual race is a benign one-event divergence only under
     // simultaneous overload, vs guaranteed divergence on any sink error).
-    val segFeeder = new IngestFeeder[CdpEvent]("cdp-feeder-segments",
-      chunkMax = 50000, maxPending = 500000,
-      sink = chunk => { segmentsIn.addData(chunk); () }).start()
-    val profFeeder = new IngestFeeder[CdpEvent]("cdp-feeder-profiles",
-      chunkMax = 50000, maxPending = 500000,
-      sink = chunk => { profilesIn.addData(chunk); () }).start()
-    val reenFeeder = new IngestFeeder[CdpEvent]("cdp-feeder-reengage",
-      chunkMax = 50000, maxPending = 500000,
-      sink = chunk => { reengageIn.addData(chunk); () }).start()
-    val cdpFeeders = Seq(segFeeder, profFeeder, reenFeeder)
-    val ingest = new CdpIngest(e => {
+    val cdpFeeders = Seq(
+        "segments" -> segmentsIn, "profiles" -> profilesIn,
+        "reengage" -> reengageIn)
+      .map { case (n, stream) =>
+        new IngestFeeder[CdpEvent](s"cdp-feeder-$n",
+          chunkMax = 50000, maxPending = 500000,
+          sink = chunk => { stream.addData(chunk); () }).start()
+      }
+    // acceptance is ATOMIC across the three feeders (one lock around
+    // check+offer): without it, two handler threads racing at the
+    // capacity boundary could each pass the capacity check and then
+    // have only SOME of their offers land — a 202'd event present in
+    // two views and missing from the third, exactly the silent
+    // divergence the per-stream split exists to prevent. The lock
+    // covers three queue adds (~ns); HTTP parsing stays outside it.
+    // A feeder dying between check and offer is still possible —
+    // detected and counted instead of ignored.
+    val acceptLock = new Object
+    val ingest = new CdpIngest(e => acceptLock.synchronized {
       val accepted = cdpFeeders.forall(_.hasCapacity)
       if (accepted) {
-        cdpFeeders.foreach(_.offer(e))
+        val landed = cdpFeeders.map(_.offer(e))
+        if (landed.contains(false)) {
+          stats.recordDivergence(1L)
+          System.err.println(
+            "[serve] CDP fan-out divergence: a feeder died mid-accept")
+        }
         stats.recordEvents(1L)
       }
       accepted

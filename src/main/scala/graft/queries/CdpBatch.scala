@@ -66,37 +66,51 @@ object CdpBatch {
                                       localMaxEdges: Int = 1000000): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    if (localMaxEdges > 0) {
+    // cheap count probe first (no row collect just to learn "too big" —
+    // the verifiedClusters/spanSurvivors pattern)
+    if (localMaxEdges > 0 &&
+        edges.limit(localMaxEdges + 1).count() <= localMaxEdges) {
       val probe = edges.select(col("src"), col("dst"))
-        .limit(localMaxEdges + 1).as[(String, String)].collect()
-      if (probe.length <= localMaxEdges)
-        return spark.createDataset(identityPagerankLocal(probe.toSeq).toSeq)
-          .toDF("node", "rank_u")
+        .as[(String, String)].collect()
+      return spark.createDataset(identityPagerankLocal(probe.toSeq).toSeq)
+        .toDF("node", "rank_u")
     }
     identityPagerankDistributed(edges)
   }
 
   /** Driver kernel: the same integer recurrence over in-memory edges.
-    * Index-compressed (string keys resolved once), inflow accumulated
-    * per edge — O(iters * edges).
+    * Index-compressed (keys resolved once), inflow accumulated per edge
+    * — O(iters * edges).
+    *
+    * NULL semantics replicate the distributed plan's exactly (pinned by
+    * PagerankSpec on dirty input): a null endpoint IS a node (it lands
+    * in the symmetric src set, so `groupBy(src)` keys it and it enters
+    * the node count that sets t0), it contributes to its neighbors'
+    * DEGREE (an edge to null still splits its source's outflow), but no
+    * rank ever FLOWS through it — SQL equijoins never match NULL, so a
+    * null-src edge drops from the propagation join and a null-dst
+    * delivery never lands. Net: null and everything reachable only
+    * through it sit at the teleport floor.
     */
   private[graft] def identityPagerankLocal(edges: Seq[(String, String)]): Seq[(String, Long)] = {
     val sym = edges ++ edges.map { case (s, d) => (d, s) }
-    val ids = new scala.collection.mutable.LinkedHashMap[String, Int]()
-    sym.foreach { case (s, _) => ids.getOrElseUpdate(s, ids.size) }
+    val ids = new scala.collection.mutable.LinkedHashMap[Option[String], Int]()
+    sym.foreach { case (s, _) => ids.getOrElseUpdate(Option(s), ids.size) }
     val n = ids.size
     if (n == 0) return Seq.empty
     val src = new Array[Int](sym.size)
     val dst = new Array[Int](sym.size)
+    val flows = new Array[Boolean](sym.size)
     val deg = new Array[Long](n)
     var i = 0
     sym.foreach { case (s, d) =>
-      val si = ids(s)
+      val si = ids(Option(s))
       src(i) = si
       // a dst that never appears as a src has no degree row in the
       // distributed shape either (nodes = deg keys) — but symmetric
-      // edges guarantee every node appears as src, so ids covers all
-      dst(i) = ids(d)
+      // edges guarantee every endpoint appears as src, so ids covers all
+      dst(i) = ids(Option(d))
+      flows(i) = s != null && d != null
       deg(si) += 1L
       i += 1
     }
@@ -107,7 +121,7 @@ object CdpBatch {
       val inflow = new Array[Long](n)
       var e = 0
       while (e < sym.size) {
-        inflow(dst(e)) += r(src(e)) / deg(src(e))
+        if (flows(e)) inflow(dst(e)) += r(src(e)) / deg(src(e))
         e += 1
       }
       val next = new Array[Long](n)
@@ -118,7 +132,7 @@ object CdpBatch {
       }
       r = next
     }
-    ids.toSeq.map { case (node, idx) => (node, r(idx)) }
+    ids.toSeq.map { case (node, idx) => (node.orNull, r(idx)) }
   }
 
   /** Pregel-by-join twin — the 100 TB route (PagerankSpec holds it equal

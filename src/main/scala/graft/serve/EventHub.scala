@@ -71,6 +71,13 @@ final class StatsService(clock: () => Long = System.currentTimeMillis) {
   def recordEvents(n: Long): Unit = bump(evBuckets, evStamp, n)
   def recordAlerts(n: Long): Unit = bump(alBuckets, alStamp, n)
 
+  // fan-out divergence: accepted events that failed to land in EVERY
+  // per-stream feeder (a feeder died mid-accept) — should stay 0; a
+  // nonzero value means the stateful views have drifted and by how much
+  private val divergence = new java.util.concurrent.atomic.AtomicLong(0L)
+  def recordDivergence(n: Long): Unit = { divergence.addAndGet(n); () }
+  def divergenceCount: Long = divergence.get
+
   def eventsPerMin: Long = trailing(evBuckets, evStamp)
   def alertsPerMin: Long = trailing(alBuckets, alStamp)
   def uptimeSec: Long = (clock() - startedMs) / 1000L

@@ -69,6 +69,7 @@ final class IngestFeeder[A](name: String, chunkMax: Int, maxPending: Int,
     if (retrying != null) {
       try {
         sink(retrying)
+        queued.addAndGet(-retrying.size) // delivered: leaves the bound
         retrying = null
         retryAttempts = 0
       } catch {
@@ -76,6 +77,7 @@ final class IngestFeeder[A](name: String, chunkMax: Int, maxPending: Int,
           retryAttempts += 1
           if (retryAttempts > IngestFeeder.MaxChunkRetries) {
             dropped.addAndGet(retrying.size.toLong)
+            queued.addAndGet(-retrying.size) // dropped: leaves the bound
             System.err.println(s"[$name] sink failed " +
               s"${retryAttempts}x, dropping ${retrying.size} " +
               s"events (total dropped ${dropped.get}): ${t.getMessage}")
@@ -98,9 +100,15 @@ final class IngestFeeder[A](name: String, chunkMax: Int, maxPending: Int,
       if (e == null) more = false else buf += e
     }
     if (buf.nonEmpty) {
-      queued.addAndGet(-buf.size)
-      try sink(buf.toSeq)
-      catch {
+      // events stay inside the `queued` bound until DELIVERED or dropped:
+      // decrementing at poll time would let offers refill the whole
+      // maxPending while a failed chunk sits in the retry slot, widening
+      // the documented buffer bound by chunkMax exactly when the sink is
+      // failing — the worst time to buffer extra
+      try {
+        sink(buf.toSeq)
+        queued.addAndGet(-buf.size)
+      } catch {
         case NonFatal(t) =>
           retrying = buf.toSeq
           retryAttempts = 1

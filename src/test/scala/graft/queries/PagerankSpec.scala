@@ -66,6 +66,28 @@ class PagerankSpec extends SparkSpec {
     assert(viaLocal == viaDistributed)
   }
 
+  test("null-endpoint edges rank identically on both routes (dirty input)") {
+    import spark.implicits._
+    // distributed NULL semantics (which the kernel must replicate, not
+    // "fix"): null is a NODE (groupBy keys it, it dilutes t0), an edge
+    // to null still splits its source's outflow, but rank never flows
+    // through a null endpoint (equijoins don't match NULL) — so null
+    // and nodes reachable only via null sit at the teleport floor
+    val edges = Seq(("u:1", "k:a"), ("u:2", "k:a"), ("u:3", null),
+      (null, "k:b")).toDF("src", "dst")
+    val viaLocal = CdpBatch.identityPagerank(edges, localMaxEdges = 1000)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaDistributed = CdpBatch.identityPagerank(edges, localMaxEdges = 0)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaLocal == viaDistributed)
+    assert(viaLocal.keySet ==
+      Set("u:1", "u:2", "u:3", "k:a", "k:b", null))
+    // teleport floor: n = 6 nodes -> tel = 15 * (PrScale/6) / 100
+    val tel = 15L * (1000000000000L / 6L) / 100L
+    assert(viaLocal(null) == tel && viaLocal("k:b") == tel &&
+      viaLocal("u:3") == tel)
+  }
+
   test("empty edge set yields an empty ranking, not a division blowup") {
     import spark.implicits._
     val out = CdpBatch.identityPagerank(

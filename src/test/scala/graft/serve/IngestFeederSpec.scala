@@ -96,6 +96,21 @@ class IngestFeederSpec extends AnyFunSuite {
     assert(delivered.toSeq == Seq(1, 2, 3) && f.dropped.get == 0L)
   }
 
+  test("events in the retry slot still count against the buffer bound") {
+    // decrementing at poll time would let offers refill the whole bound
+    // while a failed chunk sits in the slot — overshooting maxPending by
+    // chunkMax exactly while the sink is failing
+    var fail = true
+    val f = new IngestFeeder[Int]("t", chunkMax = 2, maxPending = 3,
+      sink = _ => if (fail) sys.error("down"))
+    f.offer(1); f.offer(2); f.offer(3)
+    f.drainOnce() // [1,2] parked in the retry slot; 3 still queued
+    assert(!f.offer(4), "slot events must still occupy the bound")
+    fail = false
+    f.drainOnce() // slot delivered -> 2 freed
+    assert(f.offer(4))
+  }
+
   test("hasCapacity reflects backlog and death without enqueueing") {
     val f = new IngestFeeder[Int]("t", chunkMax = 10, maxPending = 1,
       sink = _ => ())
