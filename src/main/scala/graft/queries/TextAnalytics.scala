@@ -596,7 +596,134 @@ object TextAnalytics {
          |       dsir_logratio > 0 AS kept
          |FROM sc""".stripMargin) { (s, dir) =>
       dsirWeights(Tables.documents(s, dir))
+    },
+
+    // Heaps-law vocabulary growth (round-13, 132nd query): cumulative
+    // distinct-word count vs cumulative token count over 10 corpus
+    // prefixes — THE saturation diagnostic a data team reads before
+    // scaling a source (a flattening curve means more of the same
+    // vocabulary; tokenizer/vocab sizing and dedup-aggressiveness
+    // decisions hang off it; Heaps 1978). Shapes: one groupBy(word) for
+    // first-appearance steps (map-side combined), one 10-row step table,
+    // two 10-row window cumsums — at 100 TB the only corpus-sized
+    // exchange is the word groupBy, same as every LM query here. The
+    // doc_id->step bucketing is deterministic arithmetic on the dense id
+    // space, replayed identically by the oracle.
+    QueryDef(
+      "q_vocab_growth",
+      s"""WITH mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+         |b AS (
+         |  SELECT doc_id, CAST((doc_id * 10) // m AS INT) AS step, text
+         |  FROM documents, mx),
+         |per_doc AS (
+         |  SELECT step, len(${TextOps.wordsSql("text")}) AS n_tok FROM b),
+         |toks AS (
+         |  SELECT step, CAST(sum(n_tok) AS BIGINT) AS tk
+         |  FROM per_doc GROUP BY step),
+         |firstw AS (
+         |  SELECT w, min(step) AS fs
+         |  FROM (SELECT step, unnest(${TextOps.wordsSql("text")}) AS w FROM b)
+         |  GROUP BY w),
+         |voc AS (SELECT fs AS step, count(*) AS nv FROM firstw GROUP BY fs)
+         |SELECT t.step,
+         |       CAST(sum(t.tk) OVER (ORDER BY t.step
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |         AS cum_tokens,
+         |       CAST(sum(COALESCE(v.nv, 0)) OVER (ORDER BY t.step
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |         AS cum_vocab
+         |FROM toks t LEFT JOIN voc v ON v.step = t.step""".stripMargin) { (s, dir) =>
+      vocabGrowth(Tables.documents(s, dir))
+    },
+
+    // Novel n-gram rate (round-13, 133rd query): fraction of the test
+    // split's distinct n-grams (n = 1, 2, 3) never seen in the train
+    // split — the corpus-level generalization-gap metric of the
+    // memorization literature (e.g. the novel-n-gram analyses around
+    // Pythia/GPT evals), complementing q_train_eval_contamination's
+    // per-document overlap with a vocabulary-level rate. Splits come
+    // from the ONE shared salted-hash split rule. Shapes per n: two
+    // shingle scans (map-only codegen'd rolling hash), one distinct per
+    // side, one anti equijoin on the gram hash — occurrence-linear,
+    // never doc x doc; at 100 TB the train gram set is a persisted
+    // table and the anti-join prunes to the (much smaller) test side.
+    QueryDef(
+      "q_novel_ngrams", {
+        val arms = Seq(1, 2, 3).map { n =>
+          s"""${graft.operators.Dedup.shinglePosSql(n, "tr", s"t${n}_")},
+             |${graft.operators.Dedup.shinglePosSql(n, "te", s"e${n}_")},
+             |r$n AS (
+             |  SELECT $n AS n,
+             |         (SELECT CAST(count(DISTINCT h) AS BIGINT) FROM e${n}_spans) AS n_test_grams,
+             |         (SELECT CAST(count(*) AS BIGINT) FROM
+             |            (SELECT DISTINCT h FROM e${n}_spans
+             |             EXCEPT SELECT DISTINCT h FROM t${n}_spans)) AS n_novel)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH s AS (
+           |  SELECT doc_id AS id, text,
+           |         ${CurationQueries.splitSql("doc_id")} AS split
+           |  FROM documents),
+           |tr AS (SELECT id, text FROM s WHERE split = 'train'),
+           |te AS (SELECT id, text FROM s WHERE split = 'test'),
+           |$arms
+           |SELECT n, n_test_grams, n_novel,
+           |       round(n_novel * 1.0 / n_test_grams + 0.00000025, 4) AS novel_rate
+           |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+           |      UNION ALL SELECT * FROM r3)""".stripMargin
+      }) { (s, dir) =>
+      novelNgrams(Tables.documents(s, dir))
     })
+
+  /** q_vocab_growth body over an arbitrary documents relation (shared
+    * with the scale probe).
+    */
+  def vocabGrowth(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mx = docs.agg((max(col("doc_id")) + 1).as("m"))
+    // b feeds both the token totals and the word explosion — cache so
+    // the corpus scans once per consumer, not once per branch of each
+    val b = docs.crossJoin(broadcast(mx))
+      .select(col("doc_id"),
+        expr("CAST((doc_id * 10) div m AS INT)").as("step"), col("text"))
+      .cache()
+    val toks = b
+      .select(col("step"), size(TextOps.words(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("step")).agg(sum(col("n_tok")).as("tk"))
+    val voc = b.select(col("step"), explode(TextOps.words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(min(col("step")).as("fs"))
+      .groupBy(col("fs")).agg(count(lit(1)).as("nv"))
+      .select(col("fs").as("step"), col("nv"))
+    // a 10-row global window — the step table is bounded by construction
+    val cum = Window.orderBy(col("step"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.join(voc, Seq("step"), "left")
+      .select(col("step"),
+        sum(col("tk")).over(cum).cast("long").as("cum_tokens"),
+        sum(coalesce(col("nv"), lit(0L))).over(cum).cast("long").as("cum_vocab"))
+  }
+
+  /** q_novel_ngrams body over an arbitrary documents relation (shared
+    * with the scale probe).
+    */
+  def novelNgrams(docs: DataFrame): DataFrame = {
+    val s = docs.select(col("doc_id").as("id"), col("text"),
+      CurationQueries.splitCol(col("doc_id")).as("split")).cache()
+    val tr = s.filter(col("split") === "train").select("id", "text")
+    val te = s.filter(col("split") === "test").select("id", "text")
+    val arms = Seq(1, 2, 3).map { n =>
+      val trH = graft.operators.Dedup.shingleHashes(tr, col("id"), col("text"), n)
+        .select(col("h")).distinct()
+      val teH = graft.operators.Dedup.shingleHashes(te, col("id"), col("text"), n)
+        .select(col("h")).distinct()
+      val novel = teH.join(trH, Seq("h"), "left_anti")
+      teH.agg(count(lit(1)).as("n_test_grams"))
+        .crossJoin(broadcast(novel.agg(count(lit(1)).as("n_novel"))))
+        .select(lit(n).as("n"), col("n_test_grams"), col("n_novel"),
+          Num.r4(col("n_novel") * 1.0 / col("n_test_grams")).as("novel_rate"))
+    }
+    arms.reduce(_ unionAll _)
+  }
 
   /** q_unigram_logprob body over an arbitrary documents relation (shared
     * with the scale probe).
