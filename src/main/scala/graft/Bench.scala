@@ -88,6 +88,83 @@ object Bench {
   final case class QStat(median: Double, min: Double, spread: Double,
                          loadSuspect: Boolean)
 
+  /** Round-13 lesson (driver artifact): SUSTAINED load evades both the
+    * spread heuristic (all `runs` samples uniformly inflated → spread
+    * ~1.1) and the sentinel block flag (the bracketing samples can land
+    * in momentary lulls): q_cms_estimate recorded 5.81 s median /
+    * spread 1.13 / load_suspect false against a 0.44 s committed stamp,
+    * and `load_normalized_total` silently carried ~5 s of inflation.
+    * The repo SHIPS the previous clean stamp — so compare each session
+    * median against the stamp's median for the same query and flag
+    * anything > `StampDriftFactor`x it, independent of spread. A
+    * flagged query enters the end-of-run clean-window retry pass; a
+    * genuine regression re-measures to the same number in a
+    * verified-quiet window and STAYS flagged (honest), while sustained
+    * load re-measures back to the stamp's neighborhood.
+    */
+  val StampDriftFactor = 2.5
+  // absolute guard under the ratio: a 0.04 -> 0.11 s wobble is box
+  // noise on a sub-100ms query, not the seconds-scale sustained
+  // inflation this flag exists for — flagging it would burn the retry
+  // budget the genuinely-inflated queries need
+  val StampDriftMinDeltaSec = 0.25
+
+  private[graft] def stampDrift(median: Double, stamp: Option[Double]): Boolean =
+    stamp.exists(s => s > 0.0 && median > StampDriftFactor * s &&
+      median - s > StampDriftMinDeltaSec)
+
+  /** Extract the per-query medians from a prior Bench artifact line —
+    * the `"queries":{"name":sec,...}` map (values may also be "error",
+    * skipped). Hand-rolled against the format this file itself emits.
+    */
+  private[graft] def parseStampQueries(json: String): Map[String, Double] = {
+    val start = json.indexOf("\"queries\":{")
+    if (start < 0) return Map.empty
+    val open = start + "\"queries\":".length
+    var depth = 0
+    var end = open
+    var i = open
+    while (i < json.length && end == open) {
+      json.charAt(i) match {
+        case '{' => depth += 1
+        case '}' => depth -= 1; if (depth == 0) end = i
+        case _ => ()
+      }
+      i += 1
+    }
+    val body = json.substring(open + 1, end)
+    val entry = """"([^"]+)":([0-9][0-9.eE+-]*)""".r
+    entry.findAllMatchIn(body)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
+  /** Find the committed clean stamp to drift-check against: the highest
+    * round-numbered BENCH_LOCAL_r<N>.json whose `"sf"` matches this
+    * run's sfDir (a sf0.1 session must not be compared to a 10x-tier
+    * stamp), env-overridable via SPARK_GRAFT_STAMP. Absent/unreadable →
+    * no drift flags (the feature degrades to r13 behavior).
+    */
+  private[graft] def loadStamp(sfDir: String): (Option[String], Map[String, Double]) = {
+    def read(p: String): Option[(String, Map[String, Double])] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(p)), java.nio.charset.StandardCharsets.UTF_8)
+        if (txt.contains(s""""sf":"$sfDir"""")) Some(p -> parseStampQueries(txt))
+        else None
+      } catch { case _: Throwable => None }
+    sys.env.get("SPARK_GRAFT_STAMP").flatMap(read).orElse {
+      val re = """BENCH_LOCAL_r(\d+)\.json""".r
+      Option(new java.io.File(".").list()).getOrElse(Array.empty)
+        .collect { case n @ re(r) => (r.toInt, n) }
+        .sortBy(-_._1)
+        .iterator.flatMap { case (_, n) => read(n) }
+        .nextOption()
+    } match {
+      case Some((p, m)) => (Some(p), m)
+      case None => (None, Map.empty)
+    }
+  }
+
   /** Retry-pass ordering: hottest suspect medians first — they distort the
     * headline total the most, so a bounded retry budget buys back the most
     * honesty per second there.
@@ -144,6 +221,11 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_SENTINEL_EVERY", "10").toInt.max(1)
     // optional args: substring filters — bench only matching queries
     val filters = args.toSeq
+    // committed clean stamp for sustained-load drift detection (r13
+    // driver lesson — see StampDriftFactor's scaladoc)
+    val (stampFile, stampMedians) = loadStamp(sfDir)
+    stampFile.foreach(p => System.err.println(
+      s"[bench] drift-checking against committed stamp $p (${stampMedians.size} queries)"))
     val spark = Sessions.batch("graft-bench", cpus)
     spark.sparkContext.setLogLevel("WARN")
     // warm up codegen/parquet/shuffle paths so the first query's timing
@@ -241,8 +323,9 @@ object Bench {
             else inflationFactor(i, sentinelSnap, best)
           (v, v.loadSuspect || suspectIdx.contains(i), factor)
       })
+      val stampJson = stampFile.map(p => s""""$p"""").getOrElse("null")
       val full =
-        s"""{"metric":"total","value":${f(total)},"unit":"sec","total_min_floor":${f(minFloor)},"load_normalized_total":${f(normalized)},"queries":$qs,"queries_detail":$detail,"sentinel":{"best":${f(best)},"series":$sentinelJson},"load_suspect_count":$suspects,"retried":${firstAttempt.size},"sf":"$sfDir","failed":$failedCount,"aborted":$aborted}"""
+        s"""{"metric":"total","value":${f(total)},"unit":"sec","total_min_floor":${f(minFloor)},"load_normalized_total":${f(normalized)},"queries":$qs,"queries_detail":$detail,"sentinel":{"best":${f(best)},"series":$sentinelJson},"load_suspect_count":$suspects,"retried":${firstAttempt.size},"stamp":$stampJson,"sf":"$sfDir","failed":$failedCount,"aborted":$aborted}"""
       println(full)
       // The full line above outgrew the round driver's 2000-char stdout
       // tail capture (BENCH_r08 landed parsed:null), so the artifact is
@@ -306,9 +389,13 @@ object Bench {
         val spread = if (mn > 0) times.max / mn else 1.0
         // suspect when the MEDIAN sits far above the query's own min —
         // max/min would cry wolf on every query (run 1 always pays
-        // that query's codegen compile; the median absorbs it)
+        // that query's codegen compile; the median absorbs it) — OR far
+        // above the committed clean stamp (sustained load inflates all
+        // samples uniformly, so neither the spread rule nor the sentinel
+        // block flag can see it; the stamp can)
         Right(QStat(med, mn, spread,
-          loadSuspect = blockWasLoaded || (mn > 0 && med / mn >= 1.5)))
+          loadSuspect = blockWasLoaded || (mn > 0 && med / mn >= 1.5) ||
+            stampDrift(med, stampMedians.get(name))))
       }
       catch { case e: Throwable =>
         if (countFailure) failedCount += 1

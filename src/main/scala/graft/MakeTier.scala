@@ -27,27 +27,46 @@ import org.apache.spark.sql.functions._
   *     salt, inflates candidate pairs quadratically — load no organic
   *     corpus produces; the first cut of this tool measured q_semdedup
   *     30x and q_dedup_simhash 17x purely from that artifact);
-  *   - embeddings are circularly shifted by the replica index: shifting
-  *     preserves intra-replica dot products bit-for-bit (the planted
-  *     similarity structure survives) while cross-replica cosines
-  *     decorrelate, so cosine/ANN candidate density grows linearly like
-  *     an organic corpus;
+  *   - embeddings go through a per-replica ISOMETRY: a circular shift by
+  *     (i mod Dim) composed, past the first Dim replicas, with a
+  *     deterministic per-replica sign-flip mask (position j flips iff
+  *     md5-prefix64 of "tierflip#i#j" is odd). Both factors preserve
+  *     intra-replica dot products bit-for-bit — the shift only permutes
+  *     the product pairing, and a flip contributes (-x)(-y) = xy exactly
+  *     — so the planted similarity structure survives, while
+  *     cross-replica cosines decorrelate: different shifts decorrelate
+  *     by rotation, and two replicas sharing a shift (i and i+Dim)
+  *     differ in their masks on ~half the positions, so their
+  *     cross-products sign-cancel. Shift x flip yields Dim * 2^Dim
+  *     distinct isometries — enough for a materialized 100x (or far
+  *     larger) tier, where the shift alone aliased past k = Dim = 64.
+  *     Replicas i < Dim keep the identity mask, so every tier written
+  *     before the flip existed is reproduced byte-identically;
   *   - dimension tables (region, nation) are shared, like production.
   *
   * Usage: runMain graft.MakeTier <srcSfDir> <outDir> <k>
   */
 object MakeTier {
+  /** Sign-flip bit for (replica i, position j) — the JVM twin MakeTierSpec
+    * replays. Identity (false everywhere) for i < Dim by the column
+    * builder's branch, so this is only consulted for i >= Dim.
+    */
+  private[graft] def flipBit(i: Int, j: Int): Boolean = {
+    val h = org.apache.spark.sql.graft.Md5Prefix64.hash(
+      s"tierflip#$i#$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((h % 2) + 2) % 2 == 1
+  }
+
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/graft_tier10x")
     val k = args.lift(2).map(_.toInt).getOrElse(10)
     val Stride = 1000000000L
-    // the embedding rotation assigns replica i a distinct i-position
-    // circular shift; past the dimension, shifts alias (replica i and
-    // i-Dim would correlate again) and the slice arithmetic goes negative
-    require(k >= 1 && k <= graft.operators.Similarity.Dim,
-      s"k=$k out of range: 1 <= k <= ${graft.operators.Similarity.Dim}" +
-        " (embedding rotation needs a distinct shift per replica)")
+    // k is bounded only by the key stride now (the sign-flip mask keeps
+    // isometries distinct past Dim replicas); 1000 replicas of sf0.1 is
+    // a materialized 100-million-doc tier — far past what this box can
+    // hold, so the cap is a sanity rail, not a scheme limit
+    require(k >= 1 && k <= 1000, s"k=$k out of range: 1 <= k <= 1000")
     val spark = Sessions.batch("graft-maketier", 16)
     spark.sparkContext.setLogLevel("WARN")
 
@@ -97,12 +116,27 @@ object MakeTier {
     })
     write("embeddings", replicate(Tables.embeddings(spark, src)) { (d, off) =>
       val i = (off / Stride).toInt
+      val dim = graft.operators.Similarity.Dim
+      val shift = i % dim
       val shifted =
-        if (i == 0) d
+        if (shift == 0) d
         else d.withColumn("embedding",
-          concat(slice(col("embedding"), lit(i + 1), size(col("embedding")) - i),
-            slice(col("embedding"), lit(1), lit(i))))
-      shifted.withColumn("vec_id", col("vec_id") + off)
+          concat(slice(col("embedding"), lit(shift + 1), size(col("embedding")) - shift),
+            slice(col("embedding"), lit(1), lit(shift))))
+      // second isometry factor past the first Dim replicas: the
+      // deterministic sign-flip mask (see the scaladoc; flipBit is the
+      // JVM twin). The mask is a per-replica CONSTANT over j, so it
+      // folds to literals here instead of hashing per row.
+      val flipped =
+        if (i < dim) shifted
+        else {
+          val mask = Array.tabulate(dim)(j => if (flipBit(i, j)) -1.0 else 1.0)
+          shifted.withColumn("embedding",
+            zip_with(col("embedding"),
+              lit(mask),
+              (x, m) => x * m))
+        }
+      flipped.withColumn("vec_id", col("vec_id") + off)
     })
     spark.stop()
   }

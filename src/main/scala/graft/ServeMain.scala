@@ -147,9 +147,14 @@ object ServeMain {
         "segments" -> segmentsIn, "profiles" -> profilesIn,
         "reengage" -> reengageIn)
       .map { case (n, stream) =>
-        new IngestFeeder[CdpEvent](s"cdp-feeder-$n",
+        val f = new IngestFeeder[CdpEvent](s"cdp-feeder-$n",
           chunkMax = 50000, maxPending = 500000,
           sink = chunk => { stream.addData(chunk); () }).start()
+        // a chunk dropped after MaxChunkRetries diverges this stream's
+        // stateful view exactly like a die-mid-accept — surface it in
+        // /stats/overview next to the fan-out divergence counter
+        stats.registerDropGauge(s"cdp-feeder-$n", () => f.dropped.get)
+        f
       }
     // acceptance is ATOMIC across the three feeders (one lock around
     // check+offer): without it, two handler threads racing at the
@@ -197,6 +202,7 @@ object ServeMain {
       new IngestFeeder[(Long, java.sql.Timestamp, String)]("corpus-ingest-feeder",
         chunkMax = 10000, maxPending = 100000,
         sink = chunk => { corpusIn.addData(chunk); () }).start()
+    stats.registerDropGauge("corpus-ingest-feeder", () => corpusFeeder.dropped.get)
     val corpusIngest = new CorpusIngest(
       (id, ts, text) => corpusFeeder.offer((id, ts, text)), corpusStats)
 

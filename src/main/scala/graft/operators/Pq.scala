@@ -147,6 +147,19 @@ object Pq {
     var cb: Array[(Int, Long, Array[Double])] = train
       .filter(_._1 < KPq)
       .map { case (id, s, e) => (s, id, e) } // cid-sorted within sub
+    // mirror Ivf.centroidsLocal's named guard: without it, a training
+    // slice with no vec_id < KPq throws a bare NoSuchElementException
+    // from bySub(s) deep in the Lloyd loop (the declarative twin
+    // degrades to an empty codebook — callers must not reach here with
+    // an unseedable slice)
+    locally {
+      val seeded = cb.map(_._1).toSet
+      train.foreach { case (_, s, _) =>
+        require(seeded.contains(s),
+          s"PQ codebookLocal: subspace $s has no seed entry " +
+            s"(no training vector with vec_id < KPq=$KPq)")
+      }
+    }
     for (_ <- 1 to Iters) {
       // entries for one sub, cid-sorted, with precomputed self-dots
       val bySub = cb.groupBy(_._1).map { case (s, es) =>

@@ -63,7 +63,13 @@ object CdpBatch {
     * closed-form fixpoint and against each other).
     */
   private[graft] def identityPagerank(edges: DataFrame,
-                                      localMaxEdges: Int = 1000000): DataFrame = {
+                                      localMaxEdges: Int = 200000): DataFrame = {
+    // default sized like the other adaptive kernels' driver bounds: the
+    // kernel symmetrizes to 2x (String, String) boxed tuples plus id
+    // maps (~50-100 MB at 200k edges) — the old 1M default risked
+    // driver OOM just below the routing boundary for zero benefit (the
+    // verify tiers sit far below 200k edges; bigger inputs belong on
+    // the distributed route anyway)
     val spark = edges.sparkSession
     import spark.implicits._
     // cheap count probe first (no row collect just to learn "too big" —

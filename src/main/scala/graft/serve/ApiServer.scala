@@ -121,7 +121,14 @@ final class ApiServer(
     respond(ex, 200, Json.obj(
       "eventsPerMin" -> stats.eventsPerMin,
       "alertsPerMin" -> stats.alertsPerMin,
-      "uptimeSec" -> stats.uptimeSec)))
+      "uptimeSec" -> stats.uptimeSec,
+      // both stateful-view drift modes, visible to operators instead of
+      // stderr-only: die-mid-accept fan-out divergence + per-feeder
+      // retry-budget drops (should all read 0 in a healthy service)
+      "fanoutDivergence" -> stats.divergenceCount,
+      "feederDroppedTotal" -> stats.droppedTotal,
+      "feederDropped" -> scala.collection.immutable.ListMap(
+        stats.droppedByFeeder: _*))))
 
   server.createContext("/stats/cdp", (ex: HttpExchange) =>
     cdpMetrics match {

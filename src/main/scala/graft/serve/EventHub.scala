@@ -78,6 +78,18 @@ final class StatsService(clock: () => Long = System.currentTimeMillis) {
   def recordDivergence(n: Long): Unit = { divergence.addAndGet(n); () }
   def divergenceCount: Long = divergence.get
 
+  // the SECOND divergence mode: events a feeder accepted but dropped
+  // after exhausting a chunk's retry budget. Registered as live gauges
+  // (the feeders own their counters); exposed so /stats/overview shows
+  // BOTH ways the stateful views can drift, not just die-mid-accept.
+  private val dropGauges = new AtomicReference[List[(String, () => Long)]](Nil)
+  def registerDropGauge(name: String, read: () => Long): Unit = {
+    dropGauges.updateAndGet((name, read) :: _); ()
+  }
+  def droppedByFeeder: Seq[(String, Long)] =
+    dropGauges.get.reverse.map { case (n, r) => (n, r()) }
+  def droppedTotal: Long = dropGauges.get.map(_._2()).sum
+
   def eventsPerMin: Long = trailing(evBuckets, evStamp)
   def alertsPerMin: Long = trailing(alBuckets, alStamp)
   def uptimeSec: Long = (clock() - startedMs) / 1000L

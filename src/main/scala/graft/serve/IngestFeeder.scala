@@ -54,10 +54,18 @@ final class IngestFeeder[A](name: String, chunkMax: Int, maxPending: Int,
 
   /** Enqueue one element. `false` = backlog full or feeder dead; the
     * caller must reject the request (503), not acknowledge it.
+    *
+    * The bound is enforced by atomic RESERVATION (increment first, roll
+    * back on overflow), not check-then-add: paths without an external
+    * accept lock (the corpus ingest) offer from many HTTP threads at
+    * once, and a racy check could overshoot maxPending by the number of
+    * in-flight handlers.
     */
   def offer(a: A): Boolean =
-    if (!hasCapacity) false
-    else { pending.add(a); queued.incrementAndGet(); true }
+    if (!running) false
+    else if (queued.incrementAndGet() > maxPending) {
+      queued.decrementAndGet(); false
+    } else { pending.add(a); true }
 
   /** One drain tick; package-private so specs can drive it without the
     * thread/clock.

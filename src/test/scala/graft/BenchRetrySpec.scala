@@ -65,4 +65,40 @@ class BenchRetrySpec extends AnyFunSuite {
     val entries = Seq((q(2.0, false), false, 1.0), (q(5.0, false), false, 1.0))
     assert(Bench.loadNormalizedTotal(entries) == 7.0)
   }
+
+  // ---- committed-stamp drift flag (round-14: sustained load inflates
+  // every sample uniformly — spread ~1.1, sentinel brackets can land in
+  // lulls — so only the shipped clean stamp can see it) ----
+
+  test("stampDrift flags the r13 sustained-load shape the spread rule missed") {
+    // q_cms_estimate, driver r13: median 5.81 / min 5.71 / spread 1.13
+    // (self-suspect rules all quiet) vs committed stamp 0.44
+    val med = 5.81
+    assert(med / 5.71 < 1.5, "precondition: the med/min rule stays blind")
+    assert(Bench.stampDrift(med, Some(0.44)))
+  }
+
+  test("stampDrift needs BOTH the ratio and the absolute delta") {
+    assert(!Bench.stampDrift(0.11, Some(0.04))) // 2.75x but 70ms — noise
+    assert(!Bench.stampDrift(1.1, Some(0.9)))   // 200ms over but only 1.2x
+    assert(Bench.stampDrift(1.2, Some(0.4)))    // 3x and +0.8 s — real
+    assert(!Bench.stampDrift(1.0, Some(0.4)))   // exactly 2.5x: not above
+  }
+
+  test("stampDrift degrades safely with no stamp") {
+    assert(!Bench.stampDrift(99.0, None))
+    assert(!Bench.stampDrift(99.0, Some(0.0))) // degenerate stamp entry
+  }
+
+  test("parseStampQueries reads the artifact's own queries map") {
+    val line = """{"metric":"total","value":73.2,"unit":"sec","queries":{"q1_pricing_summary":0.5123,"q_cms_estimate":0.44,"q_broken":"error","q_sci":1.2e-1},"queries_detail":{"q1_pricing_summary":{"median":0.5123,"min":0.4,"spread":1.2,"load_suspect":false}},"sf":"/root/testdata/sf0.1"}"""
+    val m = Bench.parseStampQueries(line)
+    assert(m("q1_pricing_summary") == 0.5123)
+    assert(m("q_cms_estimate") == 0.44)
+    assert(m("q_sci") == 0.12)
+    assert(!m.contains("q_broken")) // error entries carry no timing
+    // detail map must NOT leak in (brace matching stops at queries' end)
+    assert(!m.contains("median") && !m.contains("min"))
+    assert(Bench.parseStampQueries("{}").isEmpty)
+  }
 }
