@@ -51,18 +51,24 @@ object StreamBench {
   val CdpFloorPerSec = 15000.0
   val EntityFloorPerSec = 25000.0
 
-  /** `runMain graft.StreamBench stateprobe [nEvents] [cores]` — the
-    * state-SCALE curve: the same CDP pipeline and event volume pumped
-    * against geometrically growing keyed-profile populations, recording
-    * throughput alongside the state store's own metrics (rows, memory,
-    * RocksDB SST bytes, per-batch update/commit ms from `lastProgress`).
-    * The claim under test for 100 TB state: per-batch cost tracks the
-    * BATCH's updates, not the accumulated profile count — throughput may
-    * pay state-store constants but must not degrade multiplicatively as
-    * resident state grows 50×. (State partitions stay fixed at 8, the
-    * measured-healthy config, so the only variable is state volume.)
+  /** `runMain graft.StreamBench stateprobe [nEvents] [cores] [profilesCsv]`
+    * — the state-SCALE curve: the same CDP pipeline and event volume
+    * pumped against geometrically growing keyed-profile populations,
+    * recording throughput alongside the state store's own metrics (rows,
+    * memory, RocksDB SST bytes, per-batch update/commit ms from
+    * `lastProgress`). The claim under test for 100 TB state: per-batch
+    * cost tracks the BATCH's updates, not the accumulated profile count —
+    * throughput may pay state-store constants but must not degrade
+    * multiplicatively as resident state grows 50×. (State partitions stay
+    * fixed at 8, the measured-healthy config, so the only variable is
+    * state volume.)
+    *
+    * profilesCsv overrides the default decade ladder (e.g.
+    * "2000000,10000000" probes just the 2M and 10M points — running the
+    * whole ladder at the 20M events the 10M point needs would pump 160M
+    * events for six points already measured in r11).
     */
-  def stateProbe(n: Int, cores: Int): Unit = {
+  def stateProbe(n: Int, cores: Int, profilesCsv: Option[String] = None): Unit = {
     val spark = Sessions.streaming("stream-state-probe", cores)
     spark.conf.set("spark.sql.shuffle.partitions", 8)
     // recentProgress defaults to the LAST 100 entries: a run with more
@@ -77,27 +83,34 @@ object StreamBench {
     // profile on average — the 400k/1M rows need `stateprobe 2000000`.
     // A small n that filters out every config still probes once at n/2
     // (max 1) instead of silently producing no output.
-    val configs = Seq(2000, 10000, 40000, 100000, 400000, 1000000)
-      .filter(_ <= n / 2) match {
-      case Seq() => Seq(math.max(1, n / 2))
-      case cs    => cs
-    }
-    for (profiles <- configs) {
-      val events = (0 until n).map { i =>
-        CdpEvent(
-          eventId = s"e$i",
-          ts = new Timestamp(1704067200000L + i.toLong * 10),
-          eventType = if (i % 10 == 0) "IDENTIFY" else "TRACK",
-          userId = Some(s"u${i % profiles}"), anonymousId = None, email = None,
-          name = Some("feature_used"),
-          traits = if (i % 10 == 0)
-            Map("plan" -> (if (i % 20 == 0) "pro" else "free")) else Map.empty)
+    val configs = profilesCsv match {
+      case Some(csv) => csv.split(",").toSeq.map(_.trim.toInt)
+        .map(p => math.min(p, math.max(1, n / 2)))
+      case None => Seq(2000, 10000, 40000, 100000, 400000, 1000000)
+        .filter(_ <= n / 2) match {
+        case Seq() => Seq(math.max(1, n / 2))
+        case cs    => cs
       }
+    }
+    def mkEvent(i: Int, profiles: Int): CdpEvent =
+      CdpEvent(
+        eventId = s"e$i",
+        ts = new Timestamp(1704067200000L + i.toLong * 10),
+        eventType = if (i % 10 == 0) "IDENTIFY" else "TRACK",
+        userId = Some(s"u${i % profiles}"), anonymousId = None, email = None,
+        name = Some("feature_used"),
+        traits = if (i % 10 == 0)
+          Map("plan" -> (if (i % 20 == 0) "pro" else "free")) else Map.empty)
+    for (profiles <- configs) {
       val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[CdpEvent]
       val query = CdpPipeline.segmentEvents(spark, input.toDS())
         .writeStream.format("noop").outputMode(OutputMode.Append()).start()
       val t0 = System.nanoTime()
-      events.grouped(20000).foreach { b =>
+      // events materialize PER CHUNK (the 10M-profile point pumps 20M
+      // events — one eager n-sized Seq of boxed CdpEvents would hold
+      // gigabytes on the driver for no benefit)
+      (0 until n by 20000).foreach { start =>
+        val b = (start until math.min(start + 20000, n)).map(mkEvent(_, profiles))
         input.addData(b)
         query.processAllAvailable()
       }
@@ -122,7 +135,8 @@ object StreamBench {
     if (args.headOption.contains("stateprobe")) {
       stateProbe(
         if (args.length > 1) args(1).toInt else 200000,
-        if (args.length > 2) args(2).toInt else 8)
+        if (args.length > 2) args(2).toInt else 8,
+        if (args.length > 3) Some(args(3)) else None)
       return
     }
     val n = if (args.length > 0) args(0).toInt else 200000

@@ -42,4 +42,30 @@ object Num {
   /** Oracle-SQL fragments with the matching bias. */
   def r4Sql(expr: String): String = s"round($expr + 0.00000025, 4)"
   def floorSql(expr: String): String = s"floor($expr + 0.00000025)"
+
+  // ---- integer-grid money arithmetic (round-14, found by the 10x
+  // oracle gate) ----
+  //
+  // r4-rounded FLOAT sums are only stable while the sum's magnitude
+  // keeps the accumulated ordering noise under the 1e-4 grid: at the
+  // 10x tier, sum(l_extendedprice) reaches ~6e10, where one double ulp
+  // is ~8e-6 and tens of ulps of partial-agg reordering straddle the
+  // 4th decimal — q3/q5 hash-diverged by exactly 1-3e-4. No rounding
+  // bias can save a growing float sum; the 100 TB posture is to sum the
+  // 2-decimal money grid as integer CENTS (deterministic in any
+  // accumulation order, exact in both engines) and divide once at the
+  // end — CAST(bigint AS DOUBLE) and the single division are correctly
+  // rounded IEEE ops, so the final double is bit-identical across
+  // engines at ANY scale. Overflow headroom: cents x cent-discount
+  // units reach ~1e9/row; int64 carries ~9e18 — 1000x the 10x tier.
+  // The true-100 TB accumulator swap (DECIMAL(38,0)/HUGEINT) is a
+  // one-line change on each side, documented here so nobody "fixes" it
+  // back to float.
+
+  /** A 2-decimal money column as integer cents (round-half-up off the
+    * stored double, which sits within ulps of the grid point).
+    */
+  def cents(c: Column): Column = round(c * 100).cast("long")
+  def centsSql(expr: String): String =
+    s"CAST(round($expr * 100) AS BIGINT)"
 }

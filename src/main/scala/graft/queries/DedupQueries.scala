@@ -507,6 +507,18 @@ object DedupQueries {
        |  UNION ALL
        |  SELECT doc_id + $IdOffset, text FROM documents WHERE doc_id % 10 = 0)""".stripMargin
 
+  /** The truncated-variant id SET, for oracles that must tell corpus
+    * docs from synthetic probe docs. Round-14 lesson (caught by the 10x
+    * materialized-tier oracle gate): the old predicate was MAGNITUDE
+    * (`id >= IdOffset`), which silently reclassified every replica-
+    * stride doc_id (MakeTier offsets ids by 1e9 per replica) as a probe
+    * doc — 55,000 oracle rows vs 10,000 real probe docs. Membership in
+    * the explicitly-constructed variant id set is id-scale-free.
+    */
+  private[queries] val truncatedVidsSql =
+    s"""vids AS (
+       |  SELECT doc_id + $IdOffset AS id FROM documents WHERE doc_id % 5 = 0)""".stripMargin
+
   private[queries] val truncatedBaseSql =
     s"""base AS (
        |  SELECT doc_id AS id, text FROM documents
@@ -817,6 +829,7 @@ object DedupQueries {
     QueryDef(
       "q_dedup_incremental",
       s"""WITH $truncatedBaseSql,
+         |$truncatedVidsSql,
          |${Dedup.shingleSql(ShingleN)},
          |${Dedup.signatureSql},
          |${Dedup.bandsSql},
@@ -826,7 +839,8 @@ object DedupQueries {
          |       round(jaccard + 0.00000025, 4) AS jaccard
          |FROM jac
          |WHERE jaccard >= $JaccardThreshold
-         |  AND a < $IdOffset AND b >= $IdOffset""".stripMargin) { (s, dir) =>
+         |  AND a NOT IN (SELECT id FROM vids)
+         |  AND b IN (SELECT id FROM vids)""".stripMargin) { (s, dir) =>
       val shC = Dedup.shingleHashes(base(s, dir), col("id"), col("text"), ShingleN)
         .cache()
       val shI = Dedup.shingleHashes(
@@ -852,6 +866,7 @@ object DedupQueries {
     QueryDef(
       "q_neardup_admit",
       s"""WITH $truncatedBaseSql,
+         |$truncatedVidsSql,
          |${Dedup.shingleSql(ShingleN)},
          |${Dedup.signatureSql},
          |${Dedup.bandsSql},
@@ -859,12 +874,13 @@ object DedupQueries {
          |  SELECT DISTINCT l.id AS a, r.id AS b
          |  FROM bands l JOIN bands r
          |    ON l.band = r.band AND l.key = r.key
-         |   AND l.id < $IdOffset AND r.id >= $IdOffset),
+         |   AND l.id NOT IN (SELECT id FROM vids)
+         |   AND r.id IN (SELECT id FROM vids)),
          |nh AS (SELECT b AS id, CAST(count(*) AS BIGINT) AS n_hits
          |       FROM hits GROUP BY b)
          |SELECT p.id, COALESCE(nh.n_hits, 0) AS n_hits,
          |       nh.id IS NULL AS admitted
-         |FROM (SELECT id FROM base WHERE id >= $IdOffset) p
+         |FROM vids p
          |LEFT JOIN nh ON nh.id = p.id""".stripMargin) { (s, dir) =>
       val index = Dedup.bandKeys(Dedup.minhashSignatures(
         Dedup.shingleHashes(base(s, dir), col("id"), col("text"), ShingleN)))

@@ -19,26 +19,37 @@ object Relational {
 
     // TPC-H Q1-style pricing summary: one pass over lineitem, map-side
     // partial aggregation, 4-ish output groups. No join, one shuffle.
+    // Money/quantity aggregates are INTEGER-GRID sums (Num.cents): the
+    // 10x oracle gate proved r4-rounded float sums diverge once the
+    // magnitude makes partial-agg ordering noise exceed the 1e-4 grid
+    // (bit q3/q5 at ~6e10); integer sums are exact at any scale and the
+    // one closing division is correctly rounded identically in both
+    // engines.
     QueryDef(
       "q1_pricing_summary",
       """SELECT l_returnflag, l_linestatus,
-        |       round(sum(l_quantity) + 0.00000025, 4)                          AS sum_qty,
-        |       round(sum(l_extendedprice) + 0.00000025, 4)                     AS sum_base_price,
-        |       round(sum(l_extendedprice * (1 - l_discount)) + 0.00000025, 4)  AS sum_disc_price,
-        |       round(avg(l_quantity) + 0.00000025, 4)                          AS avg_qty,
-        |       round(avg(l_discount) + 0.00000025, 4)                          AS avg_disc,
+        |       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |                (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS sum_disc_price,
+        |       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty,
+        |       CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_disc,
         |       count(*)                                           AS count_order
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          Num.r4(sum("l_quantity")).as("sum_qty"),
-          Num.r4(sum("l_extendedprice")).as("sum_base_price"),
-          Num.r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          sum(round(col("l_quantity")).cast("long")).cast("double").as("sum_qty"),
+          (sum(Num.cents(col("l_extendedprice"))).cast("double") / 100.0)
+            .as("sum_base_price"),
+          (sum(Num.cents(col("l_extendedprice")) *
+            (lit(100L) - Num.cents(col("l_discount")))).cast("double") / 10000.0)
             .as("sum_disc_price"),
-          Num.r4(avg("l_quantity")).as("avg_qty"),
-          Num.r4(avg("l_discount")).as("avg_disc"),
+          (sum(round(col("l_quantity")).cast("long")).cast("double") / count(lit(1)))
+            .as("avg_qty"),
+          (sum(Num.cents(col("l_discount"))).cast("double") / 100.0 / count(lit(1)))
+            .as("avg_disc"),
           count(lit(1)).as("count_order"))
     },
 
@@ -48,7 +59,8 @@ object Relational {
     QueryDef(
       "q3_segment_revenue",
       """SELECT c.c_mktsegment,
-        |       round(sum(l.l_extendedprice * (1 - l.l_discount)) + 0.00000025, 4) AS revenue,
+        |       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+        |                (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue,
         |       count(*) AS n_lines
         |FROM lineitem l
         |JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -61,7 +73,8 @@ object Relational {
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(
-          Num.r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          (sum(Num.cents(col("l_extendedprice")) *
+            (lit(100L) - Num.cents(col("l_discount")))).cast("double") / 10000.0)
             .as("revenue"),
           count(lit(1)).as("n_lines"))
     },
@@ -71,7 +84,7 @@ object Relational {
     QueryDef(
       "q5_region_supplier_volume",
       """SELECT r.r_name AS region, n.n_name AS nation,
-        |       round(sum(l.l_extendedprice) + 0.00000025, 4) AS volume,
+        |       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS volume,
         |       count(*) AS n_lines
         |FROM lineitem l
         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -87,7 +100,7 @@ object Relational {
         .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
         .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
         .agg(
-          Num.r4(sum("l_extendedprice")).as("volume"),
+          (sum(Num.cents(col("l_extendedprice"))).cast("double") / 100.0).as("volume"),
           count(lit(1)).as("n_lines"))
     },
 
@@ -206,15 +219,16 @@ object Relational {
     QueryDef(
       "q_nation_revenue_share",
       """WITH nr AS (
-        |  SELECT n.n_name, sum(o.o_totalprice) AS revenue
+        |  SELECT n.n_name,
+        |         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c
         |  FROM orders o
         |  JOIN customer c ON c.c_custkey = o.o_custkey
         |  JOIN nation n ON n.n_nationkey = c.c_nationkey
         |  GROUP BY n.n_name)
-        |SELECT n_name, round(revenue + 0.00000025, 4) AS revenue,
-        |       round(revenue / (SELECT sum(revenue) FROM nr) + 0.00000025, 4) AS share
+        |SELECT n_name, CAST(revenue_c AS DOUBLE) / 100.0 AS revenue,
+        |       CAST(revenue_c AS DOUBLE) / (SELECT CAST(sum(revenue_c) AS DOUBLE) FROM nr) AS share
         |FROM nr
-        |WHERE round(revenue / (SELECT sum(revenue) FROM nr) + 0.00000025, 4)
+        |WHERE round(CAST(revenue_c AS DOUBLE) / (SELECT CAST(sum(revenue_c) AS DOUBLE) FROM nr) + 0.00000025, 4)
         |      >= 0.03""".stripMargin) { (s, dir) =>
       val nr = Tables.orders(s, dir).select("o_custkey", "o_totalprice")
         .join(Tables.customer(s, dir).select("c_custkey", "c_nationkey"),
@@ -222,16 +236,19 @@ object Relational {
         .join(broadcast(Tables.nation(s, dir).select("n_nationkey", "n_name")),
           col("n_nationkey") === col("c_nationkey"))
         .groupBy(col("n_name"))
-        .agg(sum(col("o_totalprice")).as("revenue"))
+        .agg(sum(Num.cents(col("o_totalprice"))).as("revenue_c"))
         .cache()
-      val total = nr.agg(sum(col("revenue")).as("total"))
-      // the >= 0.03 cut is on the ROUNDED share: float sums accumulate in
-      // different orders across engines, so a share within ulps of the
-      // threshold must be snapped to the comparison grid first
+      val total = nr.agg(sum(col("revenue_c")).cast("double").as("total"))
+      // integer-cent sums make revenue and the share quotient bit-exact
+      // across engines at any scale (the float-sum version diverged at
+      // the 10x tier); the >= 0.03 cut still snaps the quotient to the
+      // r4 grid in BOTH engines so a threshold-straddling share cannot
+      // flip the row set on the engines' differing round() semantics
       nr.crossJoin(broadcast(total))
-        .filter(Num.r4(col("revenue") / col("total")) >= 0.03)
-        .select(col("n_name"), Num.r4(col("revenue")).as("revenue"),
-          Num.r4(col("revenue") / col("total")).as("share"))
+        .filter(Num.r4(col("revenue_c").cast("double") / col("total")) >= 0.03)
+        .select(col("n_name"),
+          (col("revenue_c").cast("double") / 100.0).as("revenue"),
+          (col("revenue_c").cast("double") / col("total")).as("share"))
     },
 
     // TPC-H Q6 shape — pure filter + global aggregate: every predicate
@@ -239,7 +256,8 @@ object Relational {
     // at 100 TB this reads only row groups whose min/max stats overlap.
     QueryDef(
       "q6_forecast_revenue",
-      """SELECT round(sum(l_extendedprice * l_discount) + 0.00000025, 4) AS revenue,
+      """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |                CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
         |       count(*) AS n_lines
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -251,7 +269,8 @@ object Relational {
           && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
           && col("l_discount").between(0.05, 0.07)
           && col("l_quantity") < 24)
-        .agg(Num.r4(sum(col("l_extendedprice") * col("l_discount"))).as("revenue"),
+        .agg((sum(Num.cents(col("l_extendedprice")) * Num.cents(col("l_discount")))
+          .cast("double") / 10000.0).as("revenue"),
           count(lit(1)).as("n_lines"))
     })
 }

@@ -1,12 +1,17 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [jsonArtifactOut]
 
 Reads <verifyOutDir>/oracle_sql.json, registers the sfDir parquet tables as
 DuckDB views, runs each oracle SQL, and compares against the Spark result
 parquet in <verifyOutDir>/<name>/ — columns sorted by name, rows sorted by
 all columns, values compared exactly (timestamps normalized to microseconds).
+
+With a third arg, also writes a CORRECTNESS-format JSON artifact
+({name: {rows_match, schema_match, hash_match, spark_rows, oracle_rows,
+err}}) — used to stamp the materialized-tier correctness pass
+(CORRECTNESS_10X) in the same shape the round driver emits.
 """
 import sys, json, glob, os
 import duckdb
@@ -29,37 +34,70 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, json_out=None, only=None, exclude=None):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        if os.path.isdir(p):  # Spark-written table (MakeTier tiers): a
+            p = f"{p}/*.parquet"  # directory of part files, not one file
+        elif not os.path.exists(p):
+            continue
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        pats = only.split(",")
+        oracle = {k: v for k, v in oracle.items()
+                  if any(p in k for p in pats)}
+    if exclude:
+        pats = exclude.split(",")
+        oracle = {k: v for k, v in oracle.items()
+                  if not any(p in k for p in pats)}
     n_pass = n_fail = 0
+    artifact = {}
+
+    def record(name, rows_match, schema_match, hash_match,
+               spark_rows, oracle_rows, err):
+        artifact[name] = {"rows_match": rows_match, "schema_match": schema_match,
+                          "hash_match": hash_match, "spark_rows": spark_rows,
+                          "oracle_rows": oracle_rows, "err": err}
+
     for name, sql in sorted(oracle.items()):
         spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not spark_files:
-            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+            print(f"FAIL {name}: no spark output"); n_fail += 1
+            record(name, False, False, False, 0, None, "no spark output")
+            continue
         try:
             got = normalize(pd.concat([pd.read_parquet(f) for f in spark_files]))
             want = normalize(con.execute(sql).df())
         except Exception as e:
-            print(f"FAIL {name}: {type(e).__name__}: {e}"); n_fail += 1; continue
+            print(f"FAIL {name}: {type(e).__name__}: {e}"); n_fail += 1
+            record(name, False, False, False, None, None,
+                   f"{type(e).__name__}: {e}")
+            continue
         if list(got.columns) != list(want.columns):
             print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
-            n_fail += 1; continue
+            n_fail += 1
+            record(name, len(got) == len(want), False, False,
+                   len(got), len(want), "schema mismatch")
+            continue
         if len(got) != len(want):
-            print(f"FAIL {name}: rows {len(got)} != {len(want)}"); n_fail += 1; continue
+            print(f"FAIL {name}: rows {len(got)} != {len(want)}"); n_fail += 1
+            record(name, False, True, False, len(got), len(want), "row count")
+            continue
         try:
             pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                           check_exact=True)
             print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
+            record(name, True, True, True, len(got), len(want), None)
         except AssertionError as e:
             msg = str(e).split("\n")
             print(f"FAIL {name}: " + " | ".join(msg[:3])); n_fail += 1
-    # queries without oracle: rows-only check
-    for d in sorted(glob.glob(f"{out_dir}/*/")):
+            record(name, True, True, False, len(got), len(want),
+                   " | ".join(msg[:2]))
+    # queries without oracle: rows-only check (skipped under a name
+    # filter — every filtered-out dump would false-fail as oracle-less)
+    for d in (sorted(glob.glob(f"{out_dir}/*/")) if not (only or exclude) else []):
         name = os.path.basename(d.rstrip("/"))
         if name in oracle:
             continue
@@ -70,8 +108,20 @@ def main(sf_dir, out_dir):
         if nrows > 0: n_pass += 1
         else: n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(artifact, f, indent=1)
+        print(f"artifact -> {json_out}")
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir")
+    ap.add_argument("out_dir")
+    ap.add_argument("json_out", nargs="?", default=None)
+    ap.add_argument("--only", help="comma-separated name substrings to run")
+    ap.add_argument("--exclude", help="comma-separated name substrings to skip")
+    a = ap.parse_args()
+    sys.exit(main(a.sf_dir, a.out_dir, a.json_out, a.only, a.exclude))
