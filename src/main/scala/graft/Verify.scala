@@ -18,8 +18,12 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional extra args: substring filters — dump only matching queries
-    // (local iteration aid; the driver passes exactly two args)
-    val filters = args.drop(2).toSeq
+    // (local iteration aid; the driver passes exactly two args).
+    // "--sql-only" skips every Spark dump and just (re)writes
+    // oracle_sql.json — for refreshing oracle TEXT against existing
+    // dumps after an evaluation-hint-only SQL change.
+    val sqlOnly = args.drop(2).contains("--sql-only")
+    val filters = args.drop(2).toSeq.filterNot(_ == "--sql-only")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val par = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "6").toInt
     val spark = Sessions.batch("graft-verify", cpus)
@@ -27,7 +31,7 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     val pool = Executors.newFixedThreadPool(par)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    val dumps = SparkEntry.queries.toSeq
+    val dumps = (if (sqlOnly) Seq.empty else SparkEntry.queries.toSeq)
       .filter { case (name, _) =>
         filters.isEmpty || filters.exists(name.contains) }
       .map { case (name, fn) =>

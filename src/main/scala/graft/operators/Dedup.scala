@@ -516,9 +516,17 @@ object Dedup {
   /** Distinct (id, h) shingle set as CTE `sh` — the set `shingleHashes`
     * computes, derived from the positional CTEs above.
     */
+  // AS MATERIALIZED on the multiply-referenced chain CTEs (sh/cand/
+  // sizes/inter/jac/vpairs): DuckDB inlines plain CTEs per reference,
+  // and the recursive clustering references vpairs EVERY iteration — at
+  // the materialized 10x tier that re-expanded the whole shingle+verify
+  // chain per CC step until q_dedup_keeper_quality's oracle spilled past
+  // the sandbox disk (78 GB) and died. Purely an evaluation hint:
+  // results are unchanged (the funnel oracle learned the same lesson in
+  // r7 with its corpus/base/surv2 CTEs).
   def shingleSql(n: Int): String =
     s"""${shinglePosSql(n)},
-       |sh AS (SELECT DISTINCT id, h FROM spans)""".stripMargin
+       |sh AS MATERIALIZED (SELECT DISTINCT id, h FROM spans)""".stripMargin
 
   def signatureSql: String = signatureSql("sh")
 
@@ -571,7 +579,7 @@ object Dedup {
     * inverted-index `cand` in the same WITH chain.
     */
   def candidateSqlAs(name: String): String =
-    s"""$name AS (
+    s"""$name AS MATERIALIZED (
        |  SELECT DISTINCT l.id AS a, r.id AS b
        |  FROM bands l JOIN bands r
        |    ON l.band = r.band AND l.key = r.key AND l.id < r.id)""".stripMargin
@@ -579,14 +587,14 @@ object Dedup {
   val candidateSql: String = candidateSqlAs("cand")
 
   val jaccardSql: String =
-    """sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
-      |inter AS (
+    """sizes AS MATERIALIZED (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+      |inter AS MATERIALIZED (
       |  SELECT c.a, c.b, count(*) AS inter
       |  FROM cand c
       |  JOIN sh x ON x.id = c.a
       |  JOIN sh y ON y.id = c.b AND y.h = x.h
       |  GROUP BY c.a, c.b),
-      |jac AS (
+      |jac AS MATERIALIZED (
       |  SELECT c.a, c.b,
       |         coalesce(i.inter, 0) * 1.0 /
       |           (sa.sz + sb.sz - coalesce(i.inter, 0)) AS jaccard
@@ -595,9 +603,12 @@ object Dedup {
       |  JOIN sizes sa ON sa.id = c.a
       |  JOIN sizes sb ON sb.id = c.b)""".stripMargin
 
-  /** Verified pairs CTE `vpairs(a, b)` from `jac` at `threshold`. */
+  /** Verified pairs CTE `vpairs(a, b)` from `jac` at `threshold` —
+    * MATERIALIZED because the recursive clustering reads it per
+    * iteration (see shingleSql's note).
+    */
   def vpairsSql(threshold: Double): String =
-    s"vpairs AS (SELECT a, b FROM jac WHERE jaccard >= $threshold)"
+    s"vpairs AS MATERIALIZED (SELECT a, b FROM jac WHERE jaccard >= $threshold)"
 
   /** Recursive min-label clustering over `vpairs` -> CTE
     * `clusters(id, cluster)` (cluster = numerically-smallest member).

@@ -24,6 +24,10 @@ object SimilarityQueries {
     */
   private val TruncDims = 32
   private val MaxQueryId = 20
+  // probe bound for the leave-one-out kNN accuracy estimate: covers the
+  // whole corpus at every verify SF (sf0.1 ships vec_ids 0..1999), fixes
+  // the probe sample at larger scales (see q_knn_label_accuracy's note)
+  private val KnnLooMax = 2000L
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -88,7 +92,8 @@ object SimilarityQueries {
          |             PARTITION BY a.vec_id
          |             ORDER BY round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm) + 0.00000025, 4) DESC,
          |                      b.vec_id) AS rank
-         |    FROM prep a JOIN prep b ON b.vec_id != a.vec_id)
+         |    FROM prep a JOIN prep b ON b.vec_id != a.vec_id
+         |    WHERE a.vec_id < $KnnLooMax)
          |  WHERE rank <= 5),
          |votes AS (
          |  SELECT nn.q, lb.label, count(*) AS n
@@ -112,8 +117,17 @@ object SimilarityQueries {
       val lab = emb.select(col("vec_id"), col("label"))
       // leave-one-out top-5 via the broadcast selection kernel — same
       // (rounded cos desc, b asc) order as the window-rank formulation,
-      // but without shuffling the |corpus|^2 pair space
-      val pairs = Similarity.knnTopK(s, prep, prep, 5).select(col("q"), col("b"))
+      // but without shuffling the |corpus|^2 pair space. The PROBE side
+      // is bounded (vec_id < KnnLooMax, the TrainMax pattern): LOO
+      // accuracy is an ESTIMATE, and an unbounded probe set makes both
+      // engines pay probes x corpus forever — the 10x-tier oracle run
+      // spilled DuckDB past the sandbox disk materializing the 400M-row
+      // rank window. At the verify SFs (<= 2000 vecs) the bound is the
+      // whole corpus, so results are unchanged; at any larger scale the
+      // probe sample is fixed and cost stays linear in the corpus.
+      val pairs = Similarity.knnTopK(
+        s, prep.filter(col("vec_id") < KnnLooMax), prep, 5)
+        .select(col("q"), col("b"))
       val pred = pairs
         .join(lab.select(col("vec_id").as("b"), col("label")), "b")
         .groupBy(col("q"), col("label")).agg(count(lit(1)).as("n"))

@@ -142,7 +142,7 @@ object TextAnalytics {
        |         len(list_filter(${TextOps.wordsSql("text")},
        |             w -> w IN (${QualityStopWords.map(w => s"'$w'").mkString(", ")}))) AS n_stop
        |  FROM $rel),
-       |qscore AS (
+       |qscore AS MATERIALIZED (
        |  SELECT id, n_chars2, n_words, n_punct, n_stop,
        |         round(0.4 * least(n_words / 50.0, 1.0)
        |             + 0.3 * ((n_stop * 1.0) / n_words)
