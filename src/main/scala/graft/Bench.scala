@@ -75,8 +75,16 @@ object Bench {
     * range — no disk I/O, one small fixed-size shuffle (1024 groups),
     * ~0.4 s idle at 4 cores. Its only variable is box load, so drift in
     * its timing is direct evidence of contention.
+    *
+    * The explicit gc() defends that claim at materialized tiers: 10x-
+    * sized queries leave the old gen full of shuffle/cache garbage, and
+    * a sentinel sampled mid-collection reads 2-4x slow on an IDLE box —
+    * the r14 10x stamp flagged 71/133 queries as load suspects with the
+    * box's load average at 0.04. Collecting first makes the sample
+    * measure the BOX again, not the benchmark's own heap debt.
     */
   private[graft] def sentinelOnce(spark: org.apache.spark.sql.SparkSession): Double = {
+    System.gc()
     val t0 = System.nanoTime()
     spark.range(4000000)
       .selectExpr("id % 1024 AS k", "md5(CAST(id AS STRING)) AS h")
@@ -492,10 +500,15 @@ object Bench {
       if (suspectsNow.nonEmpty) {
         val order = retryOrder(suspectsNow)
         val t0 = System.nanoTime()
+        // NOT a latch: one borderline sentinel sample must skip ONE
+        // retry, not abandon the rest of the queue — at the 10x tier a
+        // single 0.61 s sample (vs the 0.56 s gate) stranded 14
+        // suspects the box was quiet enough to re-measure seconds
+        // later. The budget bounds total retry time either way.
         var quiet = true
         for (idx <- order) {
           val elapsed = (System.nanoTime() - t0) / 1e9
-          if (quiet && elapsed < retryBudgetSec) {
+          if (elapsed < retryBudgetSec) {
             // re-verify the window before EVERY retry: one cheap sentinel
             // sample vs `runs` full materializations. A load window
             // opening mid-stride inflates med and min together, so the
