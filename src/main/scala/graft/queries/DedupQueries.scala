@@ -1088,7 +1088,70 @@ object DedupQueries {
           Num.r4(nCommon * 1.0 / nUnion).as("true_jaccard"),
           col("n_agree"),
           Num.r4(col("n_agree") * 1.0 / Dedup.NumHashes).as("est_jaccard"))
+    },
+
+    // Exact-dedup token savings per source (round-14): the dedup
+    // IMPACT report a curation pipeline publishes next to the dedup
+    // itself — for each source, how many documents and how many tokens
+    // the keeper policy (min id per content hash, q_dedup_exact's rule)
+    // removes, and the savings rate in integer ppm (BIGINT floor
+    // division — deterministic in any accumulation order; int64
+    // headroom to ~9e12 tokens per source, the Num.cents DECIMAL swap
+    // applies beyond). Runs over the same exact-copy-augmented corpus
+    // as q_dedup_exact so the report has real mass at every SF. Shapes:
+    // one groupBy(md5) keeper map (map-side combine), one equijoin on
+    // the hash (AQE-broadcast at bench scale, the exact-dedup shuffle
+    // at 100 TB), one per-source agg.
+    QueryDef(
+      "q_dedup_token_savings",
+      s"""WITH sbase AS (
+         |  SELECT doc_id AS id, source, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + $IdOffset, source, text
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |k AS (
+         |  SELECT md5(text) AS h, min(id) AS keep
+         |  FROM sbase GROUP BY md5(text)),
+         |j AS (
+         |  SELECT b.source,
+         |         CAST(len(${TextOps.wordsSql("b.text")}) AS BIGINT) AS nw,
+         |         CASE WHEN b.id != k.keep THEN 1 ELSE 0 END AS rm
+         |  FROM sbase b JOIN k ON md5(b.text) = k.h)
+         |SELECT source,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(rm) AS BIGINT) AS n_removed,
+         |       CAST(sum(nw) AS BIGINT) AS tokens_total,
+         |       CAST(sum(rm * nw) AS BIGINT) AS tokens_removed,
+         |       CAST(sum(rm * nw) AS BIGINT) * 1000000
+         |         // CAST(sum(nw) AS BIGINT) AS savings_ppm
+         |FROM j GROUP BY source""".stripMargin) { (s, dir) =>
+      dedupTokenSavings(Tables.documents(s, dir))
     })
+
+  /** q_dedup_token_savings body over an arbitrary documents relation
+    * (doc_id, source, text): per-source exact-dedup impact under the
+    * min-id keeper rule, over the same exact-copy augmentation as
+    * q_dedup_exact.
+    */
+  def dedupTokenSavings(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id").as("id"), col("source"), col("text"))
+      .unionAll(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + IdOffset).as("id"), col("source"), col("text")))
+    val keep = base.groupBy(md5(col("text")).as("h")).agg(min(col("id")).as("keep"))
+    base.withColumn("h", md5(col("text")))
+      .join(keep, "h")
+      .select(col("source"),
+        size(TextOps.words(col("text"))).cast("long").as("nw"),
+        when(col("id") =!= col("keep"), 1L).otherwise(0L).as("rm"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("rm")).as("n_removed"),
+        sum(col("nw")).as("tokens_total"),
+        sum(col("rm") * col("nw")).as("tokens_removed"))
+      .select(col("source"), col("n_docs"), col("n_removed"),
+        col("tokens_total"), col("tokens_removed"),
+        expr("tokens_removed * CAST(1000000 AS BIGINT) div tokens_total")
+          .as("savings_ppm"))
+  }
 
   /** The ExactSubstr cut CTE chain `${p}spans` -> `${p}cut(id, n_cut)`:
     * duplicated-start marking, gaps-and-islands, long-island selection,

