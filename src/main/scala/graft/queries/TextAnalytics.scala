@@ -105,6 +105,24 @@ object TextAnalytics {
   private val PmiMinCount = 5
   private val PmiTopK = 50
 
+  /** q_boilerplate_ngrams constants. The corpus is fully distinct text,
+    * so (as with the dedup probes) the query derives a deterministic
+    * boilerplate-stamped variant from the table itself: three fixture
+    * snippets of different lengths appended by doc_id residue — residue
+    * arithmetic, not id magnitude, so MakeTier's 1e9 replica stride only
+    * shifts WHICH docs carry each snippet, never the density (the
+    * q_neardup_admit membership lesson). 8-grams: long enough that the
+    * random-draw corpus has ~zero organic cross-doc repeats, so the
+    * mined table is exactly the planted boilerplate plus its counts.
+    */
+  private val BpN = 8
+  private val BpTopK = 20
+  private val BpMinDocs = 2
+  private val BpSnippets: Seq[(Int, String)] = Seq(
+    3 -> "subscribe to our newsletter for weekly updates and offers",
+    5 -> "all rights reserved unauthorized reproduction of this material is prohibited",
+    7 -> "this site uses cookies to improve your browsing experience and measure traffic")
+
   /** q_bm25_search's fixed query-term set — ONE list feeding the SQL
     * WHERE-IN, the SQL's fixed-order CASE-arm sum, the DataFrame filter,
     * and the fixed-order Column sum (declared before `defs` for the same
@@ -788,6 +806,54 @@ object TextAnalytics {
          |  FROM sc)
          |WHERE rnk <= $PmiTopK""".stripMargin) { (s, dir) =>
       pmiCollocations(Tables.documents(s, dir))
+    },
+
+    // Boilerplate n-gram mining (round-14): the top cross-document
+    // 8-grams with their READABLE text — the C4/RefinedWeb audit table
+    // ("most common lines/paragraphs") that feeds hand-curated removal
+    // lists, complementing the span machinery (which CUTS duplicated
+    // spans but never surfaces what they say). Two passes, both linear:
+    // (1) positional rolling-hash scan -> doc-frequency per gram hash
+    // (one shuffle, map-side combined); (2) the n_docs >= BpMinDocs
+    // survivor set is boilerplate-sized, so the exemplar row_number and
+    // the text-slice join run on a broadcast-pruned sliver — gram TEXT
+    // is materialized only for the survivors, never for the corpus
+    // (8x corpus bytes if done naively).
+    QueryDef(
+      "q_boilerplate_ngrams", {
+        val caseArms = BpSnippets.map { case (r, snip) =>
+          s"WHEN doc_id % 9 = $r THEN text || ' $snip'"
+        }.mkString("\n           |              ")
+        s"""WITH bb AS (
+           |  SELECT doc_id AS id,
+           |         CASE $caseArms
+           |              ELSE text END AS text
+           |  FROM documents),
+           |${graft.operators.Dedup.shinglePosSql(BpN, "bb", "bp_")},
+           |freq AS (
+           |  SELECT h, CAST(count(*) AS BIGINT) AS n_occ,
+           |         CAST(count(DISTINCT id) AS BIGINT) AS n_docs
+           |  FROM bp_spans GROUP BY h),
+           |top AS (SELECT * FROM freq WHERE n_docs >= $BpMinDocs),
+           |ex AS (
+           |  SELECT h, id, pos FROM (
+           |    SELECT s.h, s.id, s.pos,
+           |           row_number() OVER (PARTITION BY s.h ORDER BY s.id, s.pos) AS rn
+           |    FROM bp_spans s JOIN top t ON t.h = s.h)
+           |  WHERE rn = 1),
+           |gr AS (
+           |  SELECT e.h,
+           |         array_to_string(
+           |           ${TextOps.wordsSql("b.text")}[e.pos:e.pos + ${BpN - 1}], ' ') AS gram
+           |  FROM ex e JOIN bb b ON b.id = e.id)
+           |SELECT rnk, gram, n_occ, n_docs FROM (
+           |  SELECT CAST(row_number()
+           |           OVER (ORDER BY n_docs DESC, n_occ DESC, gram) AS BIGINT) AS rnk,
+           |         g.gram, t.n_occ, t.n_docs
+           |  FROM top t JOIN gr g ON g.h = t.h)
+           |WHERE rnk <= $BpTopK""".stripMargin
+      }) { (s, dir) =>
+      boilerplateNgrams(Tables.documents(s, dir))
     })
 
   /** Frequency-ranked vocabulary over an arbitrary documents relation:
@@ -863,6 +929,37 @@ object TextAnalytics {
     scored.orderBy(col("pmi").desc, col("w1"), col("w2")).limit(PmiTopK)
       .withColumn("rnk", row_number().over(byScore).cast("long"))
       .select(col("rnk"), col("w1"), col("w2"), col("c2"), col("pmi"))
+  }
+
+  /** q_boilerplate_ngrams body over an arbitrary documents relation. */
+  def boilerplateNgrams(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stamped = BpSnippets.tail.foldLeft(
+      when(col("doc_id") % 9 === BpSnippets.head._1,
+        concat(col("text"), lit(" " + BpSnippets.head._2)))) {
+      case (acc, (r, snip)) =>
+        acc.when(col("doc_id") % 9 === r, concat(col("text"), lit(" " + snip)))
+    }.otherwise(col("text"))
+    val bb = docs.select(col("doc_id").as("id"), stamped.as("text"))
+    val sh = graft.operators.Dedup.shingleHashSeq(bb, col("id"), col("text"), BpN)
+    val freq = sh.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("id")).as("n_docs"))
+      .filter(col("n_docs") >= BpMinDocs)
+    // the survivor set is boilerplate-sized: everything below runs on a
+    // broadcast-pruned sliver of the positional scan
+    val byFirst = Window.partitionBy(col("h")).orderBy(col("id"), col("pos"))
+    val ex = sh.join(broadcast(freq.select(col("h"))), "h")
+      .withColumn("rn", row_number().over(byFirst)).filter(col("rn") === 1)
+      .select(col("h"), col("id"), col("pos"))
+    val gr = ex.join(bb, "id")
+      .select(col("h"),
+        concat_ws(" ",
+          slice(TextOps.words(col("text")), col("pos"), lit(BpN))).as("gram"))
+    val byRank = Window.orderBy(col("n_docs").desc, col("n_occ").desc, col("gram"))
+    freq.join(gr, "h")
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("gram")).limit(BpTopK)
+      .withColumn("rnk", row_number().over(byRank).cast("long"))
+      .select(col("rnk"), col("gram"), col("n_occ"), col("n_docs"))
   }
 
   /** q_vocab_growth body over an arbitrary documents relation (shared

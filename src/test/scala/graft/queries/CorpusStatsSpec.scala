@@ -75,6 +75,25 @@ class CorpusStatsSpec extends SparkSpec {
     assert(rows(1)._4 == 6L)
   }
 
+  test("boilerplateNgrams: mines exactly the planted snippets, junction grams filtered") {
+    // ids 3/12/21 carry the footer snippet (9 words -> 2 shared 8-grams),
+    // ids 5/14 the rights snippet (10 words -> 3 shared 8-grams); junction
+    // grams straddle doc-specific prefixes so n_docs = 1 -> filtered
+    val d = docs(Seq(
+      (0L, "plain zero doc", "s0"),
+      (3L, "alpha beta", "s0"), (12L, "gamma delta", "s0"), (21L, "x", "s0"),
+      (5L, "p q", "s1"), (14L, "r s t", "s1")))
+    val rows = TextAnalytics.boilerplateNgrams(d)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(rows == Seq(
+      (1L, "subscribe to our newsletter for weekly updates and", 3L, 3L),
+      (2L, "to our newsletter for weekly updates and offers", 3L, 3L),
+      (3L, "all rights reserved unauthorized reproduction of this material", 2L, 2L),
+      (4L, "reserved unauthorized reproduction of this material is prohibited", 2L, 2L),
+      (5L, "rights reserved unauthorized reproduction of this material is", 2L, 2L)))
+  }
+
   test("dedupTokenSavings: keeper accounting per source on the %10 copies") {
     // ids 0..3 over two sources; ids 0 gains a copy (id+100000, same
     // source). Copy of id 0 (3 words) is removed; nothing else collides.
