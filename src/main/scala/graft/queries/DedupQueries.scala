@@ -1134,9 +1134,12 @@ object DedupQueries {
     * q_dedup_exact.
     */
   def dedupTokenSavings(docs: DataFrame): DataFrame = {
+    // base feeds the keeper map AND the join side — cache so the
+    // augmented corpus materializes once (at scale: persist per pass)
     val base = docs.select(col("doc_id").as("id"), col("source"), col("text"))
       .unionAll(docs.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + IdOffset).as("id"), col("source"), col("text")))
+      .cache()
     val keep = base.groupBy(md5(col("text")).as("h")).agg(min(col("id")).as("keep"))
     base.withColumn("h", md5(col("text")))
       .join(keep, "h")

@@ -881,7 +881,9 @@ object TextAnalytics {
   /** q_vocab_coverage body over an arbitrary documents relation. */
   def vocabCoverage(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val vocab = rankedVocab(docs)
+    // vocab feeds the totals AND the ranked slice — cache so the corpus
+    // tokenizes once (at scale: persist the vocab table per pass)
+    val vocab = rankedVocab(docs).cache()
     val tot = vocab.agg(sum(col("cnt")).as("total"),
       count(lit(1)).as("n_vocab"))
     val byRank = Window.orderBy(col("cnt").desc, col("w"))
@@ -910,8 +912,11 @@ object TextAnalytics {
       .select(explode(arrays_zip(
         slice(ws, lit(1), n1m), slice(ws, lit(2), n1m))).as("p"))
       .select(col("p.0").as("w1"), col("p.1").as("w2"))
-    val uni = rankedVocab(docs).withColumnRenamed("cnt", "c1")
-    val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    // uni feeds both join sides and the n1 total, c2 feeds the scoring
+    // and the n2 total — cache both so the corpus tokenizes once per
+    // stream, not once per consumer (at scale: persist the count tables)
+    val uni = rankedVocab(docs).withColumnRenamed("cnt", "c1").cache()
+    val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2")).cache()
     val tots = c2.agg(sum(col("c2")).as("n2"))
       .crossJoin(uni.agg(sum(col("c1")).as("n1")))
     // two vocab equijoins: AQE broadcasts the Heaps-bounded vocab at
@@ -940,11 +945,16 @@ object TextAnalytics {
       case (acc, (r, snip)) =>
         acc.when(col("doc_id") % 9 === r, concat(col("text"), lit(" " + snip)))
     }.otherwise(col("text"))
-    val bb = docs.select(col("doc_id").as("id"), stamped.as("text"))
+    // bb feeds the positional scan (read twice: frequency + exemplar)
+    // and the gram-text join; freq feeds the exemplar prune and the
+    // final join — cache both so the corpus stamps/tokenizes once and
+    // the heavy doc-frequency shuffle runs once
+    val bb = docs.select(col("doc_id").as("id"), stamped.as("text")).cache()
     val sh = graft.operators.Dedup.shingleHashSeq(bb, col("id"), col("text"), BpN)
     val freq = sh.groupBy(col("h"))
       .agg(count(lit(1)).as("n_occ"), countDistinct(col("id")).as("n_docs"))
       .filter(col("n_docs") >= BpMinDocs)
+      .cache()
     // the survivor set is boilerplate-sized: everything below runs on a
     // broadcast-pruned sliver of the positional scan
     val byFirst = Window.partitionBy(col("h")).orderBy(col("id"), col("pos"))
