@@ -356,7 +356,13 @@ object Bench {
             .collect { case re(n) => n.toInt }
           if (stamps.isEmpty) 0 else stamps.max + 1
         }
-        if (round > 0 && filters.isEmpty)
+        // the round-stamped copy IS the drift baseline for the canonical
+        // sf0.1 session (loadStamp matches on "sf"), so a tier run (sf =
+        // a MakeTier directory) must not clobber it — r14 lesson: a
+        // 10x-tier bench silently replaced the committed sf0.1 stamp,
+        // and every later sf0.1 session would have run drift-unchecked
+        // (loadStamp skips sf-mismatched stamps, it cannot restore them)
+        if (round > 0 && filters.isEmpty && sfDir.endsWith("/sf0.1"))
           java.nio.file.Files.writeString(
             java.nio.file.Paths.get(f"BENCH_LOCAL_r$round%02d.json"), full + "\n")
       } catch { case e: Throwable =>
