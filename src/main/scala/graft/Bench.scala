@@ -362,7 +362,8 @@ object Bench {
         // 10x-tier bench silently replaced the committed sf0.1 stamp,
         // and every later sf0.1 session would have run drift-unchecked
         // (loadStamp skips sf-mismatched stamps, it cannot restore them)
-        if (round > 0 && filters.isEmpty && sfDir.endsWith("/sf0.1"))
+        if (round > 0 && filters.isEmpty &&
+            sfDir.stripSuffix("/").endsWith("/sf0.1"))
           java.nio.file.Files.writeString(
             java.nio.file.Paths.get(f"BENCH_LOCAL_r$round%02d.json"), full + "\n")
       } catch { case e: Throwable =>
