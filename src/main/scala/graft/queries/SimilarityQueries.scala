@@ -80,20 +80,29 @@ object SimilarityQueries {
     // kNN label accuracy: leave-one-out 5-NN majority vote on the labeled
     // embeddings (ties -> smallest label), scored against the true label
     // per class — the standard embedding-quality eval. Same broadcast+rank
-    // shape as q_knn_topk, then a count aggregation.
+    // shape as q_knn_topk, then a count aggregation. Oracle evaluation
+    // shape (r14 100x-tier lesson): the cosine is projected to a SCALAR
+    // in `cand` before the rank window, so DuckDB's window sort carries
+    // (q, b, cos) rows instead of dragging both 64-dim arrays through
+    // the probe x corpus sort — at the 100x tier (2000 x 200k pairs)
+    // the array-carrying form spilled past the sandbox disk. Results
+    // are unchanged (same expression, same rank order).
     QueryDef(
       "q_knn_label_accuracy",
       s"""WITH $prepSql,
          |lab AS (SELECT vec_id, label FROM embeddings),
+         |cand AS (
+         |  SELECT a.vec_id AS q, b.vec_id AS b,
+         |         round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm)
+         |           + 0.00000025, 4) AS cos
+         |  FROM prep a JOIN prep b ON b.vec_id != a.vec_id
+         |  WHERE a.vec_id < $KnnLooMax),
          |nn AS (
          |  SELECT q, b FROM (
-         |    SELECT a.vec_id AS q, b.vec_id AS b,
+         |    SELECT q, b,
          |           row_number() OVER (
-         |             PARTITION BY a.vec_id
-         |             ORDER BY round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm) + 0.00000025, 4) DESC,
-         |                      b.vec_id) AS rank
-         |    FROM prep a JOIN prep b ON b.vec_id != a.vec_id
-         |    WHERE a.vec_id < $KnnLooMax)
+         |             PARTITION BY q ORDER BY cos DESC, b) AS rank
+         |    FROM cand)
          |  WHERE rank <= 5),
          |votes AS (
          |  SELECT nn.q, lb.label, count(*) AS n
