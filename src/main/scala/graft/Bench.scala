@@ -361,9 +361,15 @@ object Bench {
         // a MakeTier directory) must not clobber it — r14 lesson: a
         // 10x-tier bench silently replaced the committed sf0.1 stamp,
         // and every later sf0.1 session would have run drift-unchecked
-        // (loadStamp skips sf-mismatched stamps, it cannot restore them)
-        if (round > 0 && filters.isEmpty &&
-            sfDir.stripSuffix("/").endsWith("/sf0.1"))
+        // (loadStamp skips sf-mismatched stamps, it cannot restore them).
+        // Basename compare, not a path-suffix heuristic (a relative
+        // "sf0.1" must still stamp); aborted emits (shutdown hook) must
+        // never stamp either — a Ctrl-C'd run would poison the baseline
+        // with partial, load-distorted medians just like the tier did
+        val canonicalSf =
+          try java.nio.file.Paths.get(sfDir).getFileName.toString == "sf0.1"
+          catch { case _: Throwable => false }
+        if (round > 0 && filters.isEmpty && !aborted && canonicalSf)
           java.nio.file.Files.writeString(
             java.nio.file.Paths.get(f"BENCH_LOCAL_r$round%02d.json"), full + "\n")
       } catch { case e: Throwable =>

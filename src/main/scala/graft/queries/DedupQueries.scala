@@ -1104,7 +1104,7 @@ object DedupQueries {
     // at 100 TB), one per-source agg.
     QueryDef(
       "q_dedup_token_savings",
-      s"""WITH sbase AS (
+      s"""WITH sbase AS MATERIALIZED (
          |  SELECT doc_id AS id, source, text FROM documents
          |  UNION ALL
          |  SELECT doc_id + $IdOffset, source, text

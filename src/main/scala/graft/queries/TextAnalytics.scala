@@ -747,7 +747,7 @@ object TextAnalytics {
         val unionArms = CoverageKs.map(k =>
           s"SELECT CAST($k AS BIGINT) AS k, c$k AS covered FROM c")
           .mkString("\n         |      UNION ALL ")
-        s"""WITH v AS (
+        s"""WITH v AS MATERIALIZED (
            |  SELECT w, CAST(count(*) AS BIGINT) AS cnt
            |  FROM (SELECT unnest(${TextOps.wordsSql("text")}) AS w FROM documents)
            |  GROUP BY w),
@@ -756,7 +756,7 @@ object TextAnalytics {
            |         CAST(count(*) AS BIGINT) AS n_vocab
            |  FROM v),
            |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rnk FROM v),
-           |c AS (
+           |c AS MATERIALIZED (
            |  SELECT $caseArms
            |  FROM r WHERE rnk <= ${CoverageKs.max})
            |SELECT k, n_vocab, covered,
@@ -780,13 +780,14 @@ object TextAnalytics {
     // 100 TB) and a global top-K.
     QueryDef(
       "q_pmi_collocations",
-      s"""WITH t AS (SELECT ${TextOps.wordsSql("text")} AS ws FROM documents),
-         |uni AS (
+      s"""WITH t AS MATERIALIZED (
+         |  SELECT ${TextOps.wordsSql("text")} AS ws FROM documents),
+         |uni AS MATERIALIZED (
          |  SELECT w, CAST(count(*) AS BIGINT) AS c1
          |  FROM (SELECT unnest(ws) AS w FROM t) GROUP BY w),
          |bgx AS (SELECT unnest(range(1, len(ws))) AS i, ws FROM t),
          |bg AS (SELECT ws[i] AS w1, ws[i + 1] AS w2 FROM bgx),
-         |c2 AS (
+         |c2 AS MATERIALIZED (
          |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
          |  FROM bg GROUP BY w1, w2),
          |tot AS (
@@ -824,22 +825,23 @@ object TextAnalytics {
         val caseArms = BpSnippets.map { case (r, snip) =>
           s"WHEN doc_id % 9 = $r THEN text || ' $snip'"
         }.mkString("\n           |              ")
-        s"""WITH bb AS (
+        s"""WITH bb AS MATERIALIZED (
            |  SELECT doc_id AS id,
            |         CASE $caseArms
            |              ELSE text END AS text
            |  FROM documents),
            |${graft.operators.Dedup.shinglePosSql(BpN, "bb", "bp_")},
+           |bps AS MATERIALIZED (SELECT id, pos, h FROM bp_spans),
            |freq AS (
            |  SELECT h, CAST(count(*) AS BIGINT) AS n_occ,
            |         CAST(count(DISTINCT id) AS BIGINT) AS n_docs
-           |  FROM bp_spans GROUP BY h),
-           |top AS (SELECT * FROM freq WHERE n_docs >= $BpMinDocs),
+           |  FROM bps GROUP BY h),
+           |top AS MATERIALIZED (SELECT * FROM freq WHERE n_docs >= $BpMinDocs),
            |ex AS (
            |  SELECT h, id, pos FROM (
            |    SELECT s.h, s.id, s.pos,
            |           row_number() OVER (PARTITION BY s.h ORDER BY s.id, s.pos) AS rn
-           |    FROM bp_spans s JOIN top t ON t.h = s.h)
+           |    FROM bps s JOIN top t ON t.h = s.h)
            |  WHERE rn = 1),
            |gr AS (
            |  SELECT e.h,

@@ -40,14 +40,17 @@ class CorpusStatsSpec extends SparkSpec {
   }
 
   test("vocabCoverage: partial-k ppm is the exact floor division") {
-    // a=10 of 23 under a hypothetical k=... not reachable with the fixed
-    // ladder (min k=5 > vocab), so check the floor grid through zipf_c
-    // arithmetic instead: 10*1000000/23 = 434782.6 -> floor 434782
-    val one = docs(Seq((0L, "a a a b", "s0")))
-    val rows = TextAnalytics.vocabCoverage(one)
-      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sortBy(_._1)
-    // covered=4 of 4 at every k (vocab=2 < min ladder k)
-    assert(rows.forall { case (_, cov, ppm) => cov == 4L && ppm == 1000000L })
+    // 7 words, counts a=10 b=5 c=4 d=3 e=2 f=1 g=1 (total 26): k=5
+    // covers only {a,b,c,d,e} = 24 tokens, so the ppm is a genuine
+    // remainder-bearing floor: 24*1000000 // 26 = 923076 (not ...77)
+    val seven = docs(Seq(
+      (0L, "a a a a a a a a a a b b b b b c c c c d d d e e f g", "s0")))
+    val rows = TextAnalytics.vocabCoverage(seven)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(rows == Seq(
+      (5L, 7L, 24L, 923076L), (10L, 7L, 26L, 1000000L),
+      (25L, 7L, 26L, 1000000L), (50L, 7L, 26L, 1000000L)))
   }
 
   test("pmiCollocations: perfect collocation ranks first, value matches JVM") {
