@@ -586,19 +586,33 @@ object Dedup {
 
   val candidateSql: String = candidateSqlAs("cand")
 
+  // `interx` forces the candidate-bounded join ORDER with a
+  // materialization boundary (r14 100x-tier lesson): written as one
+  // 3-way join, DuckDB's optimizer can pick sh x sh ON h first — and a
+  // boilerplate-hot shingle shared by n docs contributes n^2 rows
+  // BEFORE the candidate filter (the funnel's oracle spilled past the
+  // 77 GB sandbox disk exactly this way at 500k docs, while the keyed
+  // order is candidate-bounded: |cand| x shingles-per-doc). `candm`
+  // materializes the caller's candidate CTE once: jaccardSql cannot
+  // assume its `cand` input is MATERIALIZED (the funnel's capped
+  // variant is plain), and a re-inlined cand lets the optimizer re-mix
+  // the band self-join into jac's 4-way join. Pure evaluation hints;
+  // the join/group semantics are unchanged.
   val jaccardSql: String =
     """sizes AS MATERIALIZED (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+      |candm AS MATERIALIZED (SELECT a, b FROM cand),
+      |interx AS MATERIALIZED (
+      |  SELECT c.a, c.b, x.h
+      |  FROM candm c JOIN sh x ON x.id = c.a),
       |inter AS MATERIALIZED (
-      |  SELECT c.a, c.b, count(*) AS inter
-      |  FROM cand c
-      |  JOIN sh x ON x.id = c.a
-      |  JOIN sh y ON y.id = c.b AND y.h = x.h
-      |  GROUP BY c.a, c.b),
+      |  SELECT ix.a, ix.b, count(*) AS inter
+      |  FROM interx ix JOIN sh y ON y.id = ix.b AND y.h = ix.h
+      |  GROUP BY ix.a, ix.b),
       |jac AS MATERIALIZED (
       |  SELECT c.a, c.b,
       |         coalesce(i.inter, 0) * 1.0 /
       |           (sa.sz + sb.sz - coalesce(i.inter, 0)) AS jaccard
-      |  FROM cand c
+      |  FROM candm c
       |  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
       |  JOIN sizes sa ON sa.id = c.a
       |  JOIN sizes sb ON sb.id = c.b)""".stripMargin
