@@ -65,6 +65,38 @@ package graft
   *     dying run still reports everything it measured.
   */
 object Bench {
+  /** Basename of the canonical drift-baseline data dir: only a session on
+    * THIS sf writes the committed round stamp, and loadStamp only trusts a
+    * stamp whose "sf" matches the session (the full-path compare there is
+    * the same rule one level stricter). One constant so the stamp guard
+    * and the reader can't drift apart (r14 ADVICE).
+    */
+  val CanonicalSf = "sf0.1"
+
+  /** Stamp-acceptance rule (round-15, closes the loaded-sf0.1 clobber):
+    * a session whose best sentinel is >= `StampSentinelFactor`x the
+    * committed stamp's best sentinel ran on a measurably noisier box —
+    * its medians must not replace the committed drift baseline (the r14
+    * driver window, sentinel 0.87 vs the 0.61 clean stamp, overwrote a
+    * 90.3 s baseline with 97.9 s; every later drift check would have
+    * compared against inflated numbers). A missing/degenerate stamp
+    * sentinel accepts (nothing to protect); SPARK_GRAFT_FORCE_STAMP=1
+    * overrides for an intentional re-stamp.
+    */
+  val StampSentinelFactor = 1.25
+  private[graft] def acceptStamp(sessionBest: Double, stampBest: Option[Double],
+                                 force: Boolean): Boolean =
+    force || stampBest.forall(s =>
+      s <= 0.0 || sessionBest <= 0.0 || sessionBest < StampSentinelFactor * s)
+
+  /** Extract `sentinel.best` from a prior Bench artifact line (same
+    * hand-rolled discipline as parseStampQueries — this file's own format).
+    */
+  private[graft] def parseStampSentinel(json: String): Option[Double] = {
+    val re = """"sentinel":\{"best":([0-9][0-9.eE+-]*)""".r
+    re.findFirstMatchIn(json).map(_.group(1).toDouble)
+  }
+
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     val n = s.length
@@ -367,11 +399,31 @@ object Bench {
         // never stamp either — a Ctrl-C'd run would poison the baseline
         // with partial, load-distorted medians just like the tier did
         val canonicalSf =
-          try java.nio.file.Paths.get(sfDir).getFileName.toString == "sf0.1"
+          try java.nio.file.Paths.get(sfDir).getFileName.toString == CanonicalSf
           catch { case _: Throwable => false }
-        if (round > 0 && filters.isEmpty && !aborted && canonicalSf)
-          java.nio.file.Files.writeString(
-            java.nio.file.Paths.get(f"BENCH_LOCAL_r$round%02d.json"), full + "\n")
+        if (round > 0 && filters.isEmpty && !aborted && canonicalSf) {
+          val stampPath = java.nio.file.Paths.get(f"BENCH_LOCAL_r$round%02d.json")
+          // sentinel-gated acceptance: a loaded session must not replace a
+          // quieter committed stamp (see acceptStamp's scaladoc)
+          val prevSentinel =
+            if (java.nio.file.Files.exists(stampPath))
+              parseStampSentinel(new String(
+                java.nio.file.Files.readAllBytes(stampPath),
+                java.nio.charset.StandardCharsets.UTF_8))
+            else None
+          val force = sys.env.get("SPARK_GRAFT_FORCE_STAMP").contains("1")
+          if (acceptStamp(best, prevSentinel, force))
+            java.nio.file.Files.writeString(stampPath, full + "\n")
+          else System.err.println(
+            s"[bench] round stamp NOT written: session sentinel ${f(best)} >= " +
+              s"${StampSentinelFactor}x the committed stamp's ${prevSentinel.map(f).getOrElse("?")} " +
+              s"(box was loaded; SPARK_GRAFT_FORCE_STAMP=1 to override)")
+        } else if (round > 0 && !aborted && !canonicalSf && filters.isEmpty)
+          // a non-stamping canonical-looking run must be VISIBLE (r14
+          // ADVICE: a symlinked/renamed data dir would quietly stop
+          // refreshing the drift baseline)
+          System.err.println(
+            s"[bench] round stamp not written: $sfDir is not a $CanonicalSf session")
       } catch { case e: Throwable =>
         System.err.println(s"[bench] could not write round-stamped copy: ${e.getMessage}")
       }

@@ -1135,7 +1135,12 @@ object DedupQueries {
     */
   def dedupTokenSavings(docs: DataFrame): DataFrame = {
     // base feeds the keeper map AND the join side — cache so the
-    // augmented corpus materializes once (at scale: persist per pass)
+    // augmented corpus materializes once (at scale: persist per pass).
+    // The result is lazy, so there is no safe unpersist point here:
+    // Verify/Bench clear the cache after each query; any other embedder
+    // (a composed query, a long-lived session) must clearCache() or
+    // unpersist after consuming the per-source rows (funnel precedent,
+    // CurationQueries.funnel's NOTE).
     val base = docs.select(col("doc_id").as("id"), col("source"), col("text"))
       .unionAll(docs.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + IdOffset).as("id"), col("source"), col("text")))

@@ -884,7 +884,10 @@ object TextAnalytics {
   def vocabCoverage(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // vocab feeds the totals AND the ranked slice — cache so the corpus
-    // tokenizes once (at scale: persist the vocab table per pass)
+    // tokenizes once (at scale: persist the vocab table per pass). Lazy
+    // result → no safe unpersist point: callers other than Verify/Bench
+    // (which clearCache() per query) must unpersist after consuming
+    // (funnel precedent, CurationQueries.funnel's NOTE).
     val vocab = rankedVocab(docs).cache()
     val tot = vocab.agg(sum(col("cnt")).as("total"),
       count(lit(1)).as("n_vocab"))
@@ -916,7 +919,10 @@ object TextAnalytics {
       .select(col("p.0").as("w1"), col("p.1").as("w2"))
     // uni feeds both join sides and the n1 total, c2 feeds the scoring
     // and the n2 total — cache both so the corpus tokenizes once per
-    // stream, not once per consumer (at scale: persist the count tables)
+    // stream, not once per consumer (at scale: persist the count tables).
+    // Lazy result → no safe unpersist point: callers other than
+    // Verify/Bench (which clearCache() per query) must unpersist after
+    // consuming (funnel precedent, CurationQueries.funnel's NOTE).
     val uni = rankedVocab(docs).withColumnRenamed("cnt", "c1").cache()
     val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2")).cache()
     val tots = c2.agg(sum(col("c2")).as("n2"))
@@ -950,7 +956,10 @@ object TextAnalytics {
     // bb feeds the positional scan (read twice: frequency + exemplar)
     // and the gram-text join; freq feeds the exemplar prune and the
     // final join — cache both so the corpus stamps/tokenizes once and
-    // the heavy doc-frequency shuffle runs once
+    // the heavy doc-frequency shuffle runs once. Lazy result → no safe
+    // unpersist point: callers other than Verify/Bench (which
+    // clearCache() per query) must unpersist after consuming (funnel
+    // precedent, CurationQueries.funnel's NOTE).
     val bb = docs.select(col("doc_id").as("id"), stamped.as("text")).cache()
     val sh = graft.operators.Dedup.shingleHashSeq(bb, col("id"), col("text"), BpN)
     val freq = sh.groupBy(col("h"))

@@ -90,6 +90,39 @@ class BenchRetrySpec extends AnyFunSuite {
     assert(!Bench.stampDrift(99.0, Some(0.0))) // degenerate stamp entry
   }
 
+  // ---- sentinel-gated stamp acceptance (round-15: the r14 driver window,
+  // sentinel 0.87 vs the committed 0.61 clean stamp, replaced a 90.3 s
+  // baseline with 97.9 s — a loaded session must not clobber a quieter
+  // committed stamp) ----
+
+  test("acceptStamp refuses a measurably-loaded session") {
+    // the exact r14 shape: session 0.8738 vs committed 0.6139 (ratio 1.42)
+    assert(!Bench.acceptStamp(0.8738, Some(0.6139), force = false))
+  }
+
+  test("acceptStamp accepts a comparable-or-quieter session") {
+    assert(Bench.acceptStamp(0.61, Some(0.61), force = false))  // same window
+    assert(Bench.acceptStamp(0.45, Some(0.61), force = false))  // quieter
+    assert(Bench.acceptStamp(0.70, Some(0.61), force = false))  // 1.15x: inside band
+  }
+
+  test("acceptStamp boundary: exactly the factor is refused") {
+    assert(!Bench.acceptStamp(0.61 * Bench.StampSentinelFactor, Some(0.61), force = false))
+  }
+
+  test("acceptStamp degrades safely and honors the override") {
+    assert(Bench.acceptStamp(9.9, None, force = false))      // nothing to protect
+    assert(Bench.acceptStamp(9.9, Some(0.0), force = false)) // degenerate stamp
+    assert(Bench.acceptStamp(0.0, Some(0.6), force = false)) // degenerate session
+    assert(Bench.acceptStamp(9.9, Some(0.6), force = true))  // intentional re-stamp
+  }
+
+  test("parseStampSentinel reads the artifact's own sentinel block") {
+    val line = """{"metric":"total","value":90.2875,"queries":{"q1":0.5},"sentinel":{"best":0.6139,"series":[{"at_query":0,"sec":0.6139}]},"sf":"/root/testdata/sf0.1"}"""
+    assert(Bench.parseStampSentinel(line).contains(0.6139))
+    assert(Bench.parseStampSentinel("{}").isEmpty)
+  }
+
   test("parseStampQueries reads the artifact's own queries map") {
     val line = """{"metric":"total","value":73.2,"unit":"sec","queries":{"q1_pricing_summary":0.5123,"q_cms_estimate":0.44,"q_broken":"error","q_sci":1.2e-1},"queries_detail":{"q1_pricing_summary":{"median":0.5123,"min":0.4,"spread":1.2,"load_suspect":false}},"sf":"/root/testdata/sf0.1"}"""
     val m = Bench.parseStampQueries(line)
