@@ -39,6 +39,37 @@ object IvfQueries {
     (prep, cents)
   }
 
+  /** Oversized-cell sub-split shared by q_semdedup and
+    * q_embed_cosine_pairs_ivf: nsub = ceil(n_cell / SemMaxCell),
+    * sub = positive hash of the vec_id mod nsub — deterministic,
+    * engine-replayable, identity (nsub = 1) for every in-bound cell.
+    * Keeps within-cell pair volume linear in the corpus (see
+    * q_semdedup's QueryDef comment); ONE definition per engine so the
+    * two queries can't fork.
+    */
+  private def subSplit(assigned: org.apache.spark.sql.DataFrame) = {
+    val counts = assigned.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_cell"))
+      .withColumn("nsub",
+        expr(s"(n_cell + ${SemMaxCell - 1}) div $SemMaxCell"))
+      .select(col("cid"), col("nsub"))
+    assigned.join(broadcast(counts), "cid")
+      .withColumn("sub", pmod(
+        TextOps.hash64(concat(lit("semsub#"), col("vec_id").cast("string"))),
+        col("nsub")))
+  }
+
+  /** SQL twin of `subSplit` → CTEs ccounts + subbed(vec_id, cell, sub),
+    * on top of cellsSql's assign1.
+    */
+  private val subbedSql =
+    s"""ccounts AS (SELECT cell, count(*) AS n_cell FROM assign1 GROUP BY cell),
+       |subbed AS (
+       |  SELECT a.vec_id, a.cell,
+       |         ((${TextOps.hash64Sql("'semsub#' || CAST(a.vec_id AS VARCHAR)")} % ((c.n_cell + ${SemMaxCell - 1}) // $SemMaxCell))
+       |          + ((c.n_cell + ${SemMaxCell - 1}) // $SemMaxCell)) % ((c.n_cell + ${SemMaxCell - 1}) // $SemMaxCell) AS sub
+       |  FROM assign1 a JOIN ccounts c ON c.cell = a.cell)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_ann_ivf_cells",
@@ -122,12 +153,7 @@ object IvfQueries {
     QueryDef(
       "q_semdedup",
       s"""WITH ${Ivf.cellsSql(K)},
-         |ccounts AS (SELECT cell, count(*) AS n_cell FROM assign1 GROUP BY cell),
-         |subbed AS (
-         |  SELECT a.vec_id, a.cell,
-         |         ((${TextOps.hash64Sql("'semsub#' || CAST(a.vec_id AS VARCHAR)")} % ((c.n_cell + ${SemMaxCell - 1}) // $SemMaxCell))
-         |          + ((c.n_cell + ${SemMaxCell - 1}) // $SemMaxCell)) % ((c.n_cell + ${SemMaxCell - 1}) // $SemMaxCell) AS sub
-         |  FROM assign1 a JOIN ccounts c ON c.cell = a.cell),
+         |$subbedSql,
          |pairs AS (
          |  SELECT x.vec_id AS a, y.vec_id AS b
          |  FROM subbed x
@@ -141,19 +167,7 @@ object IvfQueries {
          |GROUP BY v.vec_id, v.cell""".stripMargin) { (s, dir) =>
       val (prep, cents) = quantizer(s, dir)
       val assigned = Ivf.assignBroadcast(s, prep, cents).cache()
-      // oversized-cell sub-split: nsub = ceil(n_cell / SemMaxCell),
-      // sub = positive hash of the vec_id mod nsub — deterministic,
-      // engine-replayable, identity (nsub = 1) for every in-bound cell
-      val counts = assigned.groupBy(col("cid"))
-        .agg(count(lit(1)).as("n_cell"))
-        .withColumn("nsub",
-          expr(s"(n_cell + ${SemMaxCell - 1}) div $SemMaxCell"))
-        .select(col("cid"), col("nsub"))
-      val subbed = assigned.join(broadcast(counts), "cid")
-        .withColumn("sub", pmod(
-          TextOps.hash64(concat(lit("semsub#"), col("vec_id").cast("string"))),
-          col("nsub")))
-      val withE = subbed.join(prep, "vec_id")
+      val withE = subSplit(assigned).join(prep, "vec_id")
       val a = withE.select(col("cid").as("acid"), col("sub").as("asub"),
         col("vec_id").as("a"), col("e").as("ae"), col("nrm").as("an"))
       val b = withE.select(col("cid").as("bcid"), col("sub").as("bsub"),
@@ -172,6 +186,44 @@ object IvfQueries {
         .join(droppedBy.withColumnRenamed("bid", "vec_id"), Seq("vec_id"), "left")
         .select(col("vec_id"), col("cell"), col("dropped_by"),
           col("dropped_by").isNull.as("kept"))
+    },
+
+    // The 100x-scale twin of q_embed_cosine_pairs (which stays as the
+    // brute-force eval baseline at <=10x): candidate pairs come from IVF
+    // cell-mates — an equijoin on (cell, sub), never the corpus
+    // cross-join — then the exact cosine verifies candidates only, at
+    // the same 0.4 threshold. Recall concession is pairs whose members
+    // land in different coarse cells (and cross-sub pairs inside
+    // oversized cells) — the standard cluster-then-compare posture
+    // (SemDeDup's candidate stage with the pair list as output instead
+    // of the keeper decision). Candidate volume is sum over cells of
+    // min(n_cell, SemMaxCell)^2 x nsub — linear in the corpus, so this
+    // is the shape that survives 100 TB while the baseline stays N^2.
+    QueryDef(
+      "q_embed_cosine_pairs_ivf",
+      s"""WITH ${Ivf.cellsSql(K)},
+         |$subbedSql
+         |SELECT x.vec_id AS a, y.vec_id AS b,
+         |       round(list_dot_product(pa.e, pb.e) / (pa.nrm * pb.nrm) + 0.00000025, 4) AS cos
+         |FROM subbed x
+         |JOIN subbed y ON x.cell = y.cell AND x.sub = y.sub AND x.vec_id < y.vec_id
+         |JOIN prep pa ON pa.vec_id = x.vec_id
+         |JOIN prep pb ON pb.vec_id = y.vec_id
+         |WHERE round(list_dot_product(pa.e, pb.e) / (pa.nrm * pb.nrm) + 0.00000025, 4) >= $SemThreshold""".stripMargin) { (s, dir) =>
+      val (prep, cents) = quantizer(s, dir)
+      val assigned = Ivf.assignBroadcast(s, prep, cents)
+      val withE = subSplit(assigned).join(prep, "vec_id")
+      val a = withE.select(col("cid").as("acid"), col("sub").as("asub"),
+        col("vec_id").as("a"), col("e").as("ae"), col("nrm").as("an"))
+      val b = withE.select(col("cid").as("bcid"), col("sub").as("bsub"),
+        col("vec_id").as("b"), col("e").as("be"), col("nrm").as("bn"))
+      a.join(b,
+          col("acid") === col("bcid") && col("asub") === col("bsub") &&
+            col("a") < col("b"))
+        .withColumn("cos", graft.operators.Num.r4(
+          Similarity.cosine(col("ae"), col("be"), col("an"), col("bn"))))
+        .filter(col("cos") >= SemThreshold)
+        .select(col("a"), col("b"), col("cos"))
     },
 
     // Cluster-balanced diversity sampling (the DataComp/DoReMi-shaped

@@ -183,6 +183,60 @@ object SimilarityQueries {
           Num.r4(col("cosv")).as("cos"), Num.r4(col("jaccard")).as("jaccard"))
     },
 
+    // The 100x-scale twin of q_multisignal_dedup (which stays as the
+    // brute-force eval baseline at <=10x): candidates come from MinHash
+    // LSH over the TEXT (banded, hot-bucket-capped — the production
+    // candidate generator), the exact Jaccard verifies them at the
+    // near-dup threshold, and the embedding cosine is joined on as the
+    // second signal — "lexical candidates, semantic cross-check", the
+    // mirror composition of the baseline. Every stage is an equijoin
+    // bounded by the candidate set (LSH bands → capped buckets →
+    // candidate-restricted shingle verify → two vec_id joins), so the
+    // whole query is linear in the corpus where the baseline is N^2.
+    QueryDef(
+      "q_multisignal_dedup_lsh",
+      s"""WITH $prepSql,
+         |base AS (SELECT doc_id AS id, text FROM documents),
+         |${graft.operators.Dedup.shingleSql(DedupQueries.ShingleN)},
+         |${graft.operators.Dedup.signatureSql},
+         |${graft.operators.Dedup.bandsSql},
+         |${graft.operators.Dedup.candidateCappedSql(DedupQueries.LshBucketCap)},
+         |${graft.operators.Dedup.jaccardSql}
+         |SELECT j.a, j.b,
+         |       round(list_dot_product(pa.e, pb.e) / (pa.nrm * pb.nrm) + 0.00000025, 4) AS cos,
+         |       round(j.jaccard + 0.00000025, 4) AS jaccard
+         |FROM jac j
+         |JOIN prep pa ON pa.vec_id = j.a
+         |JOIN prep pb ON pb.vec_id = j.b
+         |WHERE j.jaccard >= ${DedupQueries.JaccardThreshold}""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), col("text"))
+      // map-only rowwise signatures → bands → capped candidates (the
+      // verifiedClusters chain); bk feeds the bucket count and both
+      // sides of the candidate self-join — cache (ids x Bands rows)
+      val bk = graft.operators.Dedup.bandKeys(
+        graft.operators.Dedup.minhashSignaturesRowwise(
+          docs, col("id"), col("text"), DedupQueries.ShingleN)).cache()
+      val cand = graft.operators.Dedup.candidatePairsCapped(
+        bk, DedupQueries.LshBucketCap)
+      // the exact verify only looks at docs in a candidate pair —
+      // shingle THOSE, not the corpus (candidate-restricted rows leave
+      // per-doc shingle sets untouched, so jaccard values are identical)
+      val candIds = cand.select(col("a").as("id"))
+        .unionAll(cand.select(col("b").as("id"))).distinct()
+      val sh = graft.operators.Dedup.shingleHashes(
+        docs.join(candIds, Seq("id"), "left_semi"),
+        col("id"), col("text"), DedupQueries.ShingleN).localCheckpoint()
+      val prep = Similarity.prepared(Tables.embeddings(s, dir))
+      graft.operators.Dedup.jaccard(cand, sh)
+        .filter(col("jaccard") >= DedupQueries.JaccardThreshold)
+        .join(prep.select(col("vec_id").as("a"), col("e").as("ea"), col("nrm").as("na")), "a")
+        .join(prep.select(col("vec_id").as("b"), col("e").as("eb"), col("nrm").as("nb")), "b")
+        .select(col("a"), col("b"),
+          Num.r4(Similarity.cosine(col("ea"), col("eb"), col("na"), col("nb"))).as("cos"),
+          Num.r4(col("jaccard")).as("jaccard"))
+    },
+
     // Hyperplane-LSH bucketing: 16 md5-derived hyperplanes → 16-bit sign
     // bucket per vector + same-bucket population (the ANN candidate-set
     // size). At 100 TB the ANN join is an equijoin on bucket.
