@@ -65,4 +65,11 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     allDefs.flatMap(d => d.oracle.map(d.name -> _)).toMap
+
+  /** Stage-decomposed oracle overrides for the materialized-tier gate
+    * (tools/check.py --staged) — SQL that may reference `dump_<query>`
+    * views over other queries' verified dumps. See QueryDef.staged.
+    */
+  def oracleSqlStaged: Map[String, String] =
+    allDefs.flatMap(d => d.staged.map(d.name -> _)).toMap
 }

@@ -68,11 +68,17 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
-      .filter { case (k, _) =>
-        filters.isEmpty || filters.exists(k.contains) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    def dumpJson(m: Map[String, String], file: String): Unit = {
+      val json = m
+        .filter { case (k, _) =>
+          filters.isEmpty || filters.exists(k.contains) }
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/$file"), json)
+    }
+    dumpJson(SparkEntry.oracleSql, "oracle_sql.json")
+    // stage-decomposed overrides for the materialized-tier gate
+    // (check.py --staged) — see QueryDef.staged
+    dumpJson(SparkEntry.oracleSqlStaged, "oracle_sql_staged.json")
     spark.stop()
   }
 }

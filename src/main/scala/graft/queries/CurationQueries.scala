@@ -619,77 +619,41 @@ object CurationQueries {
     // map-side-filtered (exact/quality) or derived from a broadcastable
     // near-dup-sized mapping — the funnel costs one LSH pass plus one
     // span pass, never a per-stage corpus rewrite.
-    QueryDef(
-      "q_curation_funnel", {
-        val DQ = DedupQueries
-        val ws = TextOps.wordsSql("text")
-        // corpus/base/surv2 are each consumed by several downstream CTEs;
-        // MATERIALIZED stops DuckDB's default inlining from re-expanding
-        // the whole upstream pipeline (and re-opening the parquet) per
-        // consumer — without it the funnel exhausts the fd limit
-        s"""WITH RECURSIVE src AS MATERIALIZED (
-           |  SELECT doc_id,
-           |         CASE WHEN doc_id % 13 = 3 THEN text || ' $FunnelBp'
-           |              ELSE text END AS text
-           |  FROM documents),
-           |corpus AS MATERIALIZED (
-           |  SELECT doc_id AS id, text FROM src
-           |  UNION ALL
-           |  SELECT doc_id + $FunnelExactOff, text FROM src WHERE doc_id % 10 = 0
-           |  UNION ALL
-           |  SELECT doc_id + $FunnelTruncOff,
-           |         array_to_string(ws[1:CAST(ceil(len(ws) / 2.0) AS INT)], ' ')
-           |  FROM (SELECT doc_id, $ws AS ws FROM src WHERE doc_id % 5 = 0)
-           |  UNION ALL
-           |  SELECT doc_id + $FunnelExcerptOff,
-           |         array_to_string(ws[1:CAST(ceil(len(ws) / 5.0) AS INT)], ' ')
-           |  FROM (SELECT doc_id, $ws AS ws FROM src WHERE doc_id % 7 = 0)
-           |  WHERE len(ws) >= ${DQ.ExcerptMinWords}),
-           |keep1 AS (SELECT min(id) AS id FROM corpus GROUP BY md5(text)),
-           |base AS MATERIALIZED (
-           |  SELECT c.id, c.text FROM corpus c JOIN keep1 USING (id)),
-           |${Dedup.shingleSql(DQ.ShingleN)},
-           |${Dedup.signatureSql},
-           |${Dedup.bandsSql},
-           |${Dedup.candidateCappedSql(DQ.LshBucketCap)},
-           |${Dedup.jaccardSql},
-           |${Dedup.vpairsSql(DQ.JaccardThreshold)},
-           |${Dedup.clustersSql},
-           |keepers AS (SELECT cluster, min(id) AS keeper FROM clusters GROUP BY cluster),
-           |surv2 AS MATERIALIZED (
-           |  SELECT b.id, b.text FROM base b
-           |  LEFT JOIN clusters c ON c.id = b.id
-           |  LEFT JOIN keepers k ON k.cluster = c.cluster
-           |  WHERE c.id IS NULL OR k.keeper = b.id),
-           |ct_sh AS (SELECT s.id, s.h FROM sh s JOIN surv2 USING (id)),
-           |${DQ.containmentDropSql("ct_sh", "surv2", "ct_")},
-           |surv2c AS MATERIALIZED (
-           |  SELECT s.id, s.text FROM surv2 s LEFT JOIN ct_drop d ON d.id = s.id
-           |  WHERE d.id IS NULL),
-           |${Dedup.shinglePosSql(DQ.SpanN, "surv2c", "s2_")},
-           |${DQ.spanCutSql("s2_")},
-           |sp AS (
-           |  SELECT s.id, len($ws) AS n_words, COALESCE(c.n_cut, 0) AS n_cut
-           |  FROM surv2c s LEFT JOIN s2_cut c ON c.id = s.id),
-           |surv3 AS (
-           |  SELECT id, n_words - n_cut AS n_kept FROM sp
-           |  WHERE NOT (n_cut > 0 AND n_words - n_cut < ${DQ.MinKeepTokens})),
-           |qual AS (
-           |  SELECT s3.id, s3.n_kept FROM surv3 s3 JOIN surv2c s ON s.id = s3.id
-           |  WHERE ${qualitySql("s.text")} >= 0.5),
-           |stages AS (
-           |  SELECT 'a_raw' AS stage, count(*) AS n_docs, sum(len($ws)) AS toks
-           |  FROM corpus
-           |  UNION ALL SELECT 'b_exact_dedup', count(*), sum(len($ws)) FROM base
-           |  UNION ALL SELECT 'c_near_dup', count(*), sum(len($ws)) FROM surv2
-           |  UNION ALL SELECT 'd_containment', count(*), sum(len($ws)) FROM surv2c
-           |  UNION ALL SELECT 'e_span_cut', count(*), sum(n_kept) FROM surv3
-           |  UNION ALL SELECT 'f_quality', count(*), sum(n_kept) FROM qual)
-           |SELECT stage, n_docs, CAST(toks AS BIGINT) AS total_tokens
-           |FROM stages""".stripMargin
-      }) { (s, dir) =>
+    QueryDef.withStaged(
+      "q_curation_funnel",
+      // composed oracle (the sf0.01/10x driver-gate form): the full
+      // six-stage chain in one WITH — at the 100x tier this composition
+      // spills DuckDB past the sandbox disk, which is what the staged
+      // variant + the q_funnel_stage_* queries exist for
+      s"""WITH RECURSIVE ${funnelQualCtes(funnelSurv3Ctes(funnelSurv2cCtes(
+              funnelSurv2Ctes(funnelBaseCtes), funnelComposedCtSh)))},
+         |stages AS (
+         |  SELECT 'a_raw' AS stage, count(*) AS n_docs, sum(len($funnelWsSql)) AS toks
+         |  FROM corpus
+         |  UNION ALL SELECT 'b_exact_dedup', count(*), sum(len($funnelWsSql)) FROM base
+         |  UNION ALL SELECT 'c_near_dup', count(*), sum(len($funnelWsSql)) FROM surv2
+         |  UNION ALL SELECT 'd_containment', count(*), sum(len($funnelWsSql)) FROM surv2c
+         |  UNION ALL SELECT 'e_span_cut', count(*), sum(n_kept) FROM surv3
+         |  UNION ALL SELECT 'f_quality', count(*), sum(n_kept) FROM qual)
+         |SELECT stage, n_docs, CAST(toks AS BIGINT) AS total_tokens
+         |FROM stages""".stripMargin,
+      // staged oracle: every stage boundary is already hash-verified from
+      // its predecessor's dump by the q_funnel_stage_* entries in the SAME
+      // artifact, so the funnel report reduces to six bounded aggregations
+      // — corpus recomputed from base tables, b..f summed off the dumps
+      s"""WITH $funnelCorpusCtes,
+         |stages AS (
+         |  SELECT 'a_raw' AS stage, count(*) AS n_docs, sum(len($funnelWsSql)) AS toks
+         |  FROM corpus
+         |  UNION ALL SELECT 'b_exact_dedup', count(*), sum(n_words) FROM dump_q_funnel_stage_dedup
+         |  UNION ALL SELECT 'c_near_dup', count(*), sum(n_words) FROM dump_q_funnel_stage_neardup
+         |  UNION ALL SELECT 'd_containment', count(*), sum(n_words) FROM dump_q_funnel_stage_containment
+         |  UNION ALL SELECT 'e_span_cut', count(*), sum(n_kept_tokens) FROM dump_q_funnel_stage_span
+         |  UNION ALL SELECT 'f_quality', count(*), sum(n_kept_tokens) FROM dump_q_funnel_stage_quality)
+         |SELECT stage, n_docs, CAST(toks AS BIGINT) AS total_tokens
+         |FROM stages""".stripMargin) { (s, dir) =>
       funnel(s, Tables.documents(s, dir))
-    })
+    }) ++ funnelStageDefs
 
   /** q_decontam_train body over an arbitrary documents relation — the
     * contamination check with the sides swapped: eval shingles build, train
@@ -739,14 +703,36 @@ object CurationQueries {
     * with the scale probe).
     */
   def funnel(s: org.apache.spark.sql.SparkSession, documents: DataFrame): DataFrame = {
-      // NOTE: the stage caches (corpus/surv3; deduped/surv2/surv2c are
-      // localCheckpoint leaves, GC-managed) stay pinned
-      // until the returned DataFrame is materialized — the result is lazy,
-      // so unlike verifiedClusters (which materializes eagerly and can
-      // unpersist before returning) there is no safe unpersist point here.
-      // Verify/Bench/ScaleProbe clear the cache after each query; a
-      // long-lived session embedding the funnel should clearCache() or
-      // unpersist after consuming the 6-row result.
+    val st = new FunnelStages(s, documents)
+    def stage(name: String, df: DataFrame,
+              toks: org.apache.spark.sql.Column): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"), sum(toks).cast("long").as("total_tokens"))
+        .select(lit(name).as("stage"), col("n_docs"), col("total_tokens"))
+    stage("a_raw", st.corpus, col("n_words"))
+      .unionAll(stage("b_exact_dedup", st.deduped, col("n_words")))
+      .unionAll(stage("c_near_dup", st.surv2, col("n_words")))
+      .unionAll(stage("d_containment", st.surv2c, col("n_words")))
+      .unionAll(stage("e_span_cut", st.surv3, col("n_kept_tokens")))
+      .unionAll(stage("f_quality", st.qual, col("n_kept_tokens")))
+  }
+
+  /** The funnel's stage relations, one lazy val per boundary so the
+    * q_funnel_stage_* queries (the 100x-tier stage-decomposed gate)
+    * compute exactly the prefix they dump — accessing `deduped` never
+    * pays the clustering, containment, or span machinery. Same bodies,
+    * caches, and localCheckpoint leaves the monolithic funnel always had.
+    *
+    * NOTE: the stage caches (corpus/surv3; deduped/surv2/surv2c are
+    * localCheckpoint leaves, GC-managed) stay pinned until the consuming
+    * DataFrame is materialized — results are lazy, so unlike
+    * verifiedClusters (which materializes eagerly and can unpersist
+    * before returning) there is no safe unpersist point here.
+    * Verify/Bench/ScaleProbe clear the cache after each query; a
+    * long-lived session embedding the funnel should clearCache() or
+    * unpersist after consuming the result.
+    */
+  private[queries] final class FunnelStages(
+      s: org.apache.spark.sql.SparkSession, documents: DataFrame) {
       val DQ = DedupQueries
       // single-scan corpus build (round-13: the funnel's cold cost was
       // dominated by FOUR documents scans — one per variant branch — each
@@ -776,7 +762,7 @@ object CurationQueries {
       val nws = size(col("ws")).cast("long")
       val half = ceil(size(col("ws")) / 2.0).cast("int")
       val fifth = ceil(size(col("ws")) / 5.0).cast("int")
-      val corpus = docs
+      lazy val corpus = docs
         .select(col("id"), col("text"), ws0.as("ws"))
         .select(explode(array(
           variant(col("id"), col("text"), nws),
@@ -802,7 +788,7 @@ object CurationQueries {
       // hint, at 100 TB the keep list is corpus-sized and it degrades to
       // the same shuffle the window paid anyway). Same keep-min-id
       // contract either way.
-      val keep1 = corpus.groupBy(md5(col("text")).as("h"))
+      lazy val keep1 = corpus.groupBy(md5(col("text")).as("h"))
         .agg(min(col("id")).as("id")).select(col("id"))
       // localCheckpoint, not cache: deduped is the root of EVERY clustering
       // reference downstream (bands, candidates, both sides of the exact-
@@ -816,12 +802,12 @@ object CurationQueries {
       // which ~56 s was re-analysis of an already-cached result). Rooting
       // deduped as a leaf keeps every clustering plan O(stage) regardless
       // of input lineage; at cluster scale checkpoint() is the durable twin.
-      val deduped = corpus.join(keep1, Seq("id"), "left_semi")
+      lazy val deduped = corpus.join(keep1, Seq("id"), "left_semi")
         .select(col("id"), col("text"), col("n_words")).localCheckpoint()
-      val clusters = DQ.verifiedClusters(s, deduped, Some(DQ.LshBucketCap))
+      lazy val clusters = DQ.verifiedClusters(s, deduped, Some(DQ.LshBucketCap))
         .select(col("node").as("cid"), col("component").as("cluster"))
-      val keepers = clusters.groupBy(col("cluster")).agg(min(col("cid")).as("keeper"))
-      val surv2 = deduped
+      lazy val keepers = clusters.groupBy(col("cluster")).agg(min(col("cid")).as("keeper"))
+      lazy val surv2 = deduped
         .join(broadcast(clusters), col("id") === col("cid"), "left")
         .join(broadcast(keepers), Seq("cluster"), "left")
         .filter(col("cid").isNull || col("keeper") === col("id"))
@@ -840,27 +826,203 @@ object CurationQueries {
       // Jaccard stage can't see (containment 1.0 at Jaccard ~0.2) — the
       // drop list is near-dup-sized, so it broadcasts like the cluster
       // and keeper mappings above
-      val surv2c = surv2
+      lazy val surv2c = surv2
         .join(broadcast(DQ.containmentDropsAdaptive(surv2)
             .select(col("id").as("ctid"))),
           col("id") === col("ctid"), "left_anti")
         .select(col("id"), col("text"), col("n_words")).localCheckpoint()
-      val surv3 = DQ.spanSurvivors(
+      lazy val surv3 = DQ.spanSurvivors(
           surv2c.select(col("id").as("doc_id"), col("text"), col("n_words")))
         .filter(col("action") =!= "drop")
         .select(col("doc_id").as("id"), col("n_kept_tokens")).cache()
-      val qual = surv2c.join(surv3, "id").filter(qualityCol >= 0.5)
+      lazy val qual = surv2c.join(surv3, "id").filter(qualityCol >= 0.5)
         .select(col("id"), col("n_kept_tokens"))
-      def stage(name: String, df: DataFrame,
-                toks: org.apache.spark.sql.Column): DataFrame =
-        df.agg(count(lit(1)).as("n_docs"), sum(toks).cast("long").as("total_tokens"))
-          .select(lit(name).as("stage"), col("n_docs"), col("total_tokens"))
-      stage("a_raw", corpus, col("n_words"))
-        .unionAll(stage("b_exact_dedup", deduped, col("n_words")))
-        .unionAll(stage("c_near_dup", surv2, col("n_words")))
-        .unionAll(stage("d_containment", surv2c, col("n_words")))
-        .unionAll(stage("e_span_cut", surv3, col("n_kept_tokens")))
-        .unionAll(stage("f_quality", qual, col("n_kept_tokens")))
+  }
+
+  // ---- funnel oracle CTE fragments ----
+  // The composed q_curation_funnel oracle and the per-stage oracles (both
+  // self-contained and staged forms) are assembled from ONE text per
+  // stage, so the three gates cannot fork. All `def`s: `defs` is a val
+  // and a plain val here would still be null while it initializes.
+
+  private def funnelWsSql: String = TextOps.wordsSql("text")
+
+  /** src + corpus: the four-variant corpus build (see q_curation_funnel's
+    * QueryDef comment). corpus is consumed by several downstream CTEs;
+    * MATERIALIZED stops DuckDB's default inlining from re-expanding the
+    * whole build (and re-opening the parquet) per consumer — without it
+    * the funnel exhausts the fd limit.
+    */
+  private def funnelCorpusCtes: String = {
+    val ws = funnelWsSql
+    s"""src AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 13 = 3 THEN text || ' $FunnelBp'
+       |              ELSE text END AS text
+       |  FROM documents),
+       |corpus AS MATERIALIZED (
+       |  SELECT doc_id AS id, text FROM src
+       |  UNION ALL
+       |  SELECT doc_id + $FunnelExactOff, text FROM src WHERE doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT doc_id + $FunnelTruncOff,
+       |         array_to_string(ws[1:CAST(ceil(len(ws) / 2.0) AS INT)], ' ')
+       |  FROM (SELECT doc_id, $ws AS ws FROM src WHERE doc_id % 5 = 0)
+       |  UNION ALL
+       |  SELECT doc_id + $FunnelExcerptOff,
+       |         array_to_string(ws[1:CAST(ceil(len(ws) / 5.0) AS INT)], ' ')
+       |  FROM (SELECT doc_id, $ws AS ws FROM src WHERE doc_id % 7 = 0)
+       |  WHERE len(ws) >= ${DedupQueries.ExcerptMinWords})""".stripMargin
+  }
+
+  /** + exact dedup → base. */
+  private def funnelBaseCtes: String =
+    s"""$funnelCorpusCtes,
+       |keep1 AS (SELECT min(id) AS id FROM corpus GROUP BY md5(text)),
+       |base AS MATERIALIZED (
+       |  SELECT c.id, c.text FROM corpus c JOIN keep1 USING (id))""".stripMargin
+
+  /** LSH → verified clusters → keepers → surv2, over whatever CTE chain
+    * defines `base` (the composed prefix, or corpus ⋈ the dedup dump).
+    */
+  private def funnelSurv2Ctes(baseCtes: String): String = {
+    val DQ = DedupQueries
+    s"""$baseCtes,
+       |${Dedup.shingleSql(DQ.ShingleN)},
+       |${Dedup.signatureSql},
+       |${Dedup.bandsSql},
+       |${Dedup.candidateCappedSql(DQ.LshBucketCap)},
+       |${Dedup.jaccardSql},
+       |${Dedup.vpairsSql(DQ.JaccardThreshold)},
+       |${Dedup.clustersSql},
+       |keepers AS (SELECT cluster, min(id) AS keeper FROM clusters GROUP BY cluster),
+       |surv2 AS MATERIALIZED (
+       |  SELECT b.id, b.text FROM base b
+       |  LEFT JOIN clusters c ON c.id = b.id
+       |  LEFT JOIN keepers k ON k.cluster = c.cluster
+       |  WHERE c.id IS NULL OR k.keeper = b.id)""".stripMargin
+  }
+
+  /** ct_sh for the COMPOSED chain: restrict the already-built base
+    * shingle table to surv2 members.
+    */
+  private def funnelComposedCtSh: String =
+    "ct_sh AS (SELECT s.id, s.h FROM sh s JOIN surv2 USING (id))"
+
+  /** ct_sh for the STAGED chain: no base shingle table exists, so shingle
+    * surv2 directly — per-doc shingle sets are row-local, so the two
+    * forms are identical on surv2 members.
+    */
+  private def funnelStagedCtSh: String =
+    s"""${Dedup.shinglePosSql(DedupQueries.ShingleN, "surv2", "ctp_")},
+       |ct_sh AS MATERIALIZED (SELECT DISTINCT id, h FROM ctp_spans)""".stripMargin
+
+  /** containment cut → surv2c, over whatever defines surv2 + ct_sh. */
+  private def funnelSurv2cCtes(surv2Ctes: String, ctSh: String): String =
+    s"""$surv2Ctes,
+       |$ctSh,
+       |${DedupQueries.containmentDropSql("ct_sh", "surv2", "ct_")},
+       |surv2c AS MATERIALIZED (
+       |  SELECT s.id, s.text FROM surv2 s LEFT JOIN ct_drop d ON d.id = s.id
+       |  WHERE d.id IS NULL)""".stripMargin
+
+  /** span cut → surv3(id, n_kept), over whatever defines surv2c. */
+  private def funnelSurv3Ctes(surv2cCtes: String): String = {
+    val DQ = DedupQueries
+    s"""$surv2cCtes,
+       |${Dedup.shinglePosSql(DQ.SpanN, "surv2c", "s2_")},
+       |${DQ.spanCutSql("s2_")},
+       |sp AS (
+       |  SELECT s.id, len($funnelWsSql) AS n_words, COALESCE(c.n_cut, 0) AS n_cut
+       |  FROM surv2c s LEFT JOIN s2_cut c ON c.id = s.id),
+       |surv3 AS (
+       |  SELECT id, n_words - n_cut AS n_kept FROM sp
+       |  WHERE NOT (n_cut > 0 AND n_words - n_cut < ${DQ.MinKeepTokens}))""".stripMargin
+  }
+
+  /** quality cut → qual(id, n_kept), over surv3 + surv2c. */
+  private def funnelQualCtes(surv3Ctes: String): String =
+    s"""$surv3Ctes,
+       |qual AS (
+       |  SELECT s3.id, s3.n_kept FROM surv3 s3 JOIN surv2c s ON s.id = s3.id
+       |  WHERE ${qualitySql("s.text")} >= 0.5)""".stripMargin
+
+  /** corpus row set semi-joined to a verified stage dump — the staged
+    * oracles' way of resuming the chain from an already-hash-checked
+    * boundary instead of recomputing every upstream stage.
+    */
+  private def funnelDumpJoin(rel: String, dump: String): String =
+    s"""$rel AS MATERIALIZED (
+       |  SELECT c.id, c.text FROM corpus c JOIN $dump d ON d.id = c.id)""".stripMargin
+
+  /** The funnel's stage-boundary queries (id + the token count the stage
+    * report sums), one per attrition boundary. Purpose: the 100x-tier
+    * correctness gate — the COMPOSED funnel oracle spills DuckDB past the
+    * sandbox disk at 500k+ docs, but each stage's transformation verified
+    * against its predecessor's (already-verified) dump is disk-bounded,
+    * so `check.py --staged` hash-gates the whole chain inductively. At
+    * the driver's sf0.01 gate these run their self-contained composed
+    * oracles (cheap at that scale). The Spark side computes exactly the
+    * prefix it dumps (FunnelStages' lazy boundaries).
+    */
+  private def funnelStageDefs: Seq[QueryDef] = {
+    def nw(rel: String) = s"\nSELECT id, len($funnelWsSql) AS n_words FROM $rel"
+    def nk(rel: String) =
+      s"\nSELECT id, CAST(n_kept AS BIGINT) AS n_kept_tokens FROM $rel"
+    def stages(s: org.apache.spark.sql.SparkSession, dir: String) =
+      new FunnelStages(s, Tables.documents(s, dir))
+    Seq(
+      // stage 1 is anchored to the base tables, so its composed oracle IS
+      // the staged one — no staged override needed
+      QueryDef(
+        "q_funnel_stage_dedup",
+        "WITH RECURSIVE " + funnelBaseCtes + nw("base")) { (s, dir) =>
+        stages(s, dir).deduped.select(col("id"), col("n_words"))
+      },
+      QueryDef.withStaged(
+        "q_funnel_stage_neardup",
+        "WITH RECURSIVE " + funnelSurv2Ctes(funnelBaseCtes) + nw("surv2"),
+        "WITH RECURSIVE " + funnelSurv2Ctes(
+          funnelCorpusCtes + ",\n" +
+            funnelDumpJoin("base", "dump_q_funnel_stage_dedup")) + nw("surv2")) {
+        (s, dir) => stages(s, dir).surv2.select(col("id"), col("n_words"))
+      },
+      QueryDef.withStaged(
+        "q_funnel_stage_containment",
+        "WITH RECURSIVE " + funnelSurv2cCtes(
+          funnelSurv2Ctes(funnelBaseCtes), funnelComposedCtSh) + nw("surv2c"),
+        "WITH RECURSIVE " + funnelSurv2cCtes(
+          funnelCorpusCtes + ",\n" +
+            funnelDumpJoin("surv2", "dump_q_funnel_stage_neardup"),
+          funnelStagedCtSh) + nw("surv2c")) { (s, dir) =>
+        stages(s, dir).surv2c.select(col("id"), col("n_words"))
+      },
+      QueryDef.withStaged(
+        "q_funnel_stage_span",
+        "WITH RECURSIVE " + funnelSurv3Ctes(funnelSurv2cCtes(
+          funnelSurv2Ctes(funnelBaseCtes), funnelComposedCtSh)) + nk("surv3"),
+        "WITH RECURSIVE " + funnelSurv3Ctes(
+          funnelCorpusCtes + ",\n" +
+            funnelDumpJoin("surv2c", "dump_q_funnel_stage_containment")) +
+          nk("surv3")) { (s, dir) =>
+        stages(s, dir).surv3.select(col("id"), col("n_kept_tokens"))
+      },
+      QueryDef.withStaged(
+        "q_funnel_stage_quality",
+        "WITH RECURSIVE " + funnelQualCtes(funnelSurv3Ctes(funnelSurv2cCtes(
+          funnelSurv2Ctes(funnelBaseCtes), funnelComposedCtSh))) + nk("qual"),
+        // quality needs surv2c TEXT (the predicate) and surv3's kept
+        // counts — both come straight off verified dumps
+        "WITH RECURSIVE " + funnelCorpusCtes + ",\n" +
+          funnelDumpJoin("surv2c", "dump_q_funnel_stage_containment") + ",\n" +
+          s"""qual AS (
+             |  SELECT s3.id, s3.n_kept_tokens AS n_kept
+             |  FROM dump_q_funnel_stage_span s3
+             |  JOIN surv2c s ON s.id = s3.id
+             |  WHERE ${qualitySql("s.text")} >= 0.5)""".stripMargin +
+          nk("qual")) { (s, dir) =>
+        stages(s, dir).qual.select(col("id"), col("n_kept_tokens"))
+      })
   }
 
   /** q_train_eval_contamination body over an arbitrary documents relation

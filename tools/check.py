@@ -34,7 +34,8 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
-def main(sf_dir, out_dir, json_out=None, only=None, exclude=None):
+def main(sf_dir, out_dir, json_out=None, only=None, exclude=None,
+         staged=False):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -44,6 +45,24 @@ def main(sf_dir, out_dir, json_out=None, only=None, exclude=None):
             continue
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if staged:
+        # Stage-decomposed mode (the materialized-tier gate for composed
+        # pipelines whose monolithic oracle exceeds the sandbox disk):
+        # register every Spark dump as a dump_<name> view, then override
+        # the oracle SQL with the staged variant where one exists. A
+        # staged oracle verifies its query's transformation against the
+        # PREDECESSOR stage's dump, which this same run hash-verifies —
+        # chain of trust is inductive from the base-table-anchored stage 1.
+        for d in sorted(glob.glob(f"{out_dir}/*/")):
+            name = os.path.basename(d.rstrip("/"))
+            if glob.glob(f"{d}/*.parquet"):
+                con.execute(f"CREATE VIEW dump_{name} AS "
+                            f"SELECT * FROM read_parquet('{d}/*.parquet')")
+        staged_sql = json.load(open(f"{out_dir}/oracle_sql_staged.json"))
+        for k, v in staged_sql.items():
+            if k in oracle:
+                oracle[k] = v
+                print(f"[staged] {k}: using stage-decomposed oracle")
     if only:
         pats = only.split(",")
         oracle = {k: v for k, v in oracle.items()
@@ -123,5 +142,8 @@ if __name__ == "__main__":
     ap.add_argument("json_out", nargs="?", default=None)
     ap.add_argument("--only", help="comma-separated name substrings to run")
     ap.add_argument("--exclude", help="comma-separated name substrings to skip")
+    ap.add_argument("--staged", action="store_true",
+                    help="override oracles with oracle_sql_staged.json and "
+                         "register dump_<name> views over the Spark dumps")
     a = ap.parse_args()
-    sys.exit(main(a.sf_dir, a.out_dir, a.json_out, a.only, a.exclude))
+    sys.exit(main(a.sf_dir, a.out_dir, a.json_out, a.only, a.exclude, a.staged))
