@@ -152,8 +152,10 @@ object ServeMain {
           sink = chunk => { stream.addData(chunk); () }).start()
         // a chunk dropped after MaxChunkRetries diverges this stream's
         // stateful view exactly like a die-mid-accept — surface it in
-        // /stats/overview next to the fan-out divergence counter
-        stats.registerDropGauge(s"cdp-feeder-$n", () => f.dropped.get)
+        // /stats/overview next to the fan-out divergence counter, plus
+        // the backlog/retry gauges that show degradation BEFORE drops
+        stats.registerFeeder(s"cdp-feeder-$n", () => f.dropped.get,
+          () => f.backlog, () => f.retryAttemptsNow)
         f
       }
     // acceptance is ATOMIC across the three feeders (one lock around
@@ -202,7 +204,8 @@ object ServeMain {
       new IngestFeeder[(Long, java.sql.Timestamp, String)]("corpus-ingest-feeder",
         chunkMax = 10000, maxPending = 100000,
         sink = chunk => { corpusIn.addData(chunk); () }).start()
-    stats.registerDropGauge("corpus-ingest-feeder", () => corpusFeeder.dropped.get)
+    stats.registerFeeder("corpus-ingest-feeder", () => corpusFeeder.dropped.get,
+      () => corpusFeeder.backlog, () => corpusFeeder.retryAttemptsNow)
     val corpusIngest = new CorpusIngest(
       (id, ts, text) => corpusFeeder.offer((id, ts, text)), corpusStats)
 

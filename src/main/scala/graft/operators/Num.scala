@@ -68,4 +68,21 @@ object Num {
   def cents(c: Column): Column = round(c * 100).cast("long")
   def centsSql(expr: String): String =
     s"CAST(round($expr * 100) AS BIGINT)"
+
+  /** The documented true-100 TB accumulator swap, implemented: the cent
+    * grid widened to DECIMAL(38,0) BEFORE accumulation (Spark) — the
+    * oracle twin is HUGEINT (DuckDB int128). Use when the accumulated
+    * magnitude can exceed int64's ~9e18 (a 100 TB lineitem's
+    * cents x cent-discount units reach ~1e19): integer-exact in any
+    * accumulation order up to 38 digits, and under ANSI mode the int64
+    * path FAILS LOUDLY instead of wrapping, so the swap is a visible
+    * contract, not a silent correctness cliff (NumDecimalSpec trips
+    * both paths; q_money_decimal_sum hash-matches the engines at every
+    * verify SF). Emit with `.cast("string")` / `CAST(... AS VARCHAR)` —
+    * a 38-digit integer survives neither engine's double output path.
+    */
+  def centsDec(c: Column): Column =
+    cents(c).cast(org.apache.spark.sql.types.DecimalType(38, 0))
+  def centsDecSql(expr: String): String =
+    s"CAST(${centsSql(expr)} AS HUGEINT)"
 }

@@ -272,5 +272,29 @@ object Relational {
         .agg((sum(Num.cents(col("l_extendedprice")) * Num.cents(col("l_discount")))
           .cast("double") / 10000.0).as("revenue"),
           count(lit(1)).as("n_lines"))
+    },
+
+    // The DECIMAL(38,0)/HUGEINT money-accumulator swap, PROVEN against
+    // the oracle rather than documented: per-row cents are scaled by 1e10
+    // (a stand-in for true-100 TB row counts — at sf0.01 the scaled sum
+    // is ~6e19, already past int64's ~9.2e18, and at the materialized
+    // tiers it reaches ~1e22 of int128's 38-digit headroom) and summed on
+    // the widened grid. The int64 path on the same data fails loudly
+    // under ANSI (NumDecimalSpec trips it); this query holds the two
+    // engines' wide-integer accumulators bit-identical via the string
+    // form. Same scan/pushdown shape as q1; one map-side-combined agg.
+    QueryDef(
+      "q_money_decimal_sum",
+      s"""SELECT l_returnflag,
+         |       CAST(sum(${Num.centsDecSql("l_extendedprice")} * 10000000000) AS VARCHAR)
+         |         AS revenue_scaled_c,
+         |       count(*) AS n_lines
+         |FROM lineitem
+         |GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(Num.centsDec(col("l_extendedprice")) * lit(10000000000L))
+          .cast("string").as("revenue_scaled_c"),
+          count(lit(1)).as("n_lines"))
     })
 }

@@ -124,11 +124,18 @@ final class ApiServer(
       "uptimeSec" -> stats.uptimeSec,
       // both stateful-view drift modes, visible to operators instead of
       // stderr-only: die-mid-accept fan-out divergence + per-feeder
-      // retry-budget drops (should all read 0 in a healthy service)
+      // retry-budget drops (should all read 0 in a healthy service) —
+      // plus the two EARLY per-feeder gauges (live backlog depth,
+      // retry-in-progress attempts) that show a sink degrading before
+      // anything is lost
       "fanoutDivergence" -> stats.divergenceCount,
       "feederDroppedTotal" -> stats.droppedTotal,
       "feederDropped" -> scala.collection.immutable.ListMap(
-        stats.droppedByFeeder: _*))))
+        stats.droppedByFeeder: _*),
+      "feederBacklog" -> scala.collection.immutable.ListMap(
+        stats.backlogByFeeder: _*),
+      "feederRetrying" -> scala.collection.immutable.ListMap(
+        stats.retryingByFeeder: _*))))
 
   server.createContext("/stats/cdp", (ex: HttpExchange) =>
     cdpMetrics match {

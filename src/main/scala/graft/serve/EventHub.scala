@@ -79,16 +79,27 @@ final class StatsService(clock: () => Long = System.currentTimeMillis) {
   def divergenceCount: Long = divergence.get
 
   // the SECOND divergence mode: events a feeder accepted but dropped
-  // after exhausting a chunk's retry budget. Registered as live gauges
-  // (the feeders own their counters); exposed so /stats/overview shows
-  // BOTH ways the stateful views can drift, not just die-mid-accept.
-  private val dropGauges = new AtomicReference[List[(String, () => Long)]](Nil)
-  def registerDropGauge(name: String, read: () => Long): Unit = {
-    dropGauges.updateAndGet((name, read) :: _); ()
+  // after exhausting a chunk's retry budget — plus the two EARLY gauges
+  // (backlog depth, retry-in-progress) that let a soak see a feeder
+  // degrading BEFORE it drops. Registered as live gauges (the feeders
+  // own their counters); exposed so /stats/overview shows both ways the
+  // stateful views can drift, not just die-mid-accept.
+  final case class FeederGauges(dropped: () => Long, backlog: () => Int,
+                                retryAttempts: () => Int)
+  private val feederGauges =
+    new AtomicReference[List[(String, FeederGauges)]](Nil)
+  def registerFeeder(name: String, dropped: () => Long,
+                     backlog: () => Int, retryAttempts: () => Int): Unit = {
+    feederGauges.updateAndGet(
+      (name, FeederGauges(dropped, backlog, retryAttempts)) :: _); ()
   }
   def droppedByFeeder: Seq[(String, Long)] =
-    dropGauges.get.reverse.map { case (n, r) => (n, r()) }
-  def droppedTotal: Long = dropGauges.get.map(_._2()).sum
+    feederGauges.get.reverse.map { case (n, g) => (n, g.dropped()) }
+  def droppedTotal: Long = feederGauges.get.map(_._2.dropped()).sum
+  def backlogByFeeder: Seq[(String, Long)] =
+    feederGauges.get.reverse.map { case (n, g) => (n, g.backlog().toLong) }
+  def retryingByFeeder: Seq[(String, Long)] =
+    feederGauges.get.reverse.map { case (n, g) => (n, g.retryAttempts().toLong) }
 
   def eventsPerMin: Long = trailing(evBuckets, evStamp)
   def alertsPerMin: Long = trailing(alBuckets, alStamp)

@@ -42,8 +42,25 @@ final class IngestFeeder[A](name: String, chunkMax: Int, maxPending: Int,
   // — a shared consecutive-failure counter resets on every healthy chunk
   // and would retry the poison one forever), ordering is preserved, and
   // a failing sink gets no fresh chunk piled on in the same tick.
-  private var retrying: Seq[A] = null
-  private var retryAttempts = 0
+  // @volatile: written only by the feeder thread, but read by the stats
+  // endpoint (retryAttemptsNow) so an operator can see a degrading sink
+  // BEFORE the retry budget exhausts into drops
+  @volatile private var retrying: Seq[A] = null
+  @volatile private var retryAttempts = 0
+
+  /** Events currently buffered (pending queue + any chunk in the retry
+    * slot) — the live backlog-depth gauge. 0 in a healthy drained
+    * feeder; climbing toward maxPending means the sink is slower than
+    * the offer rate (or failing and retrying).
+    */
+  def backlog: Int = queued.get()
+
+  /** Retry attempts consumed by the chunk currently stuck in the retry
+    * slot; 0 when no retry is in progress. A nonzero value is the
+    * earliest external signal of a degrading sink — drops only appear
+    * after MaxChunkRetries of these.
+    */
+  def retryAttemptsNow: Int = if (retrying == null) 0 else retryAttempts
 
   /** True when an `offer` would currently be accepted — lets a caller
     * fanning one event to SEVERAL feeders check capacity on all of them

@@ -145,6 +145,59 @@ class ApiServerSpec extends SparkSpec {
     }
   }
 
+  test("/stats/overview surfaces per-feeder backlog, retry-in-progress, and drops") {
+    val stats = new StatsService
+    // a real feeder with a controllably-failing sink, spec-driven via
+    // drainOnce (no thread/clock): the three gauges must move in the
+    // degradation order an operator would see during a soak —
+    // backlog climbs, then retry-in-progress, and only after the retry
+    // budget exhausts do drops appear
+    @volatile var sinkDown = true
+    val feeder = new IngestFeeder[Int]("spec-feeder", chunkMax = 10,
+      maxPending = 100,
+      sink = _ => if (sinkDown) throw new RuntimeException("sink down"))
+    stats.registerFeeder("spec-feeder", () => feeder.dropped.get,
+      () => feeder.backlog, () => feeder.retryAttemptsNow)
+    val sim = new ServePipelines.SparkSim(spark, new EventHub, stats)
+    val server = new ApiServer(new EventHub, new EventHub, new EventHub,
+      stats, sim, port = 0, heartbeatMs = 0L).start()
+    val base = s"http://localhost:${server.boundPort}"
+    def gauge(body: String, field: String): Long =
+      ("\"" + field + "\":\\{\"spec-feeder\":(\\d+)").r
+        .findFirstMatchIn(body).map(_.group(1).toLong)
+        .getOrElse(fail(s"$field missing from overview: $body"))
+    try {
+      (1 to 25).foreach(i => assert(feeder.offer(i)))
+      val (c0, ov0) = http("GET", s"$base/stats/overview")
+      assert(c0 == 200)
+      assert(gauge(ov0, "feederBacklog") == 25L) // queued, nothing lost yet
+      assert(gauge(ov0, "feederRetrying") == 0L)
+      assert(gauge(ov0, "feederDropped") == 0L)
+
+      feeder.drainOnce() // first chunk of 10 fails -> retry slot
+      val ov1 = http("GET", s"$base/stats/overview")._2
+      assert(gauge(ov1, "feederRetrying") == 1L,
+        "retry-in-progress must be visible before anything is dropped")
+      assert(gauge(ov1, "feederBacklog") == 25L) // retry slot still counts
+      assert(gauge(ov1, "feederDropped") == 0L)
+
+      // exhaust the per-chunk budget (MaxChunkRetries more attempts)
+      (1 to IngestFeeder.MaxChunkRetries).foreach(_ => feeder.drainOnce())
+      val ov2 = http("GET", s"$base/stats/overview")._2
+      assert(gauge(ov2, "feederDropped") == 10L)
+      assert(gauge(ov2, "feederBacklog") == 15L)
+      assert(gauge(ov2, "feederRetrying") == 0L)
+      assert(ov2.contains("\"feederDroppedTotal\":10"))
+
+      // sink recovers: backlog drains to zero and nothing else is lost
+      sinkDown = false
+      feeder.drainOnce(); feeder.drainOnce()
+      val ov3 = http("GET", s"$base/stats/overview")._2
+      assert(gauge(ov3, "feederBacklog") == 0L)
+      assert(gauge(ov3, "feederDropped") == 10L)
+    } finally server.stop()
+  }
+
   test("SSE: alert, segment, and profile frames from real pipelines; GET is non-destructive") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
