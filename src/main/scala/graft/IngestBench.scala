@@ -25,6 +25,17 @@ import graft.serve.CurationPipeline
   * — prints one JSON line. Workload per batch: 80% fresh docs, 10% exact
   * duplicates of corpus docs, 10% near-duplicates (corpus text + one
   * word), so every guard is exercised at its production mix.
+  *
+  * SPARK_GRAFT_INGEST_CORPUS=<dir with documents.parquet> seeds the index
+  * from a REAL corpus (a MakeTier tier) instead of the synthetic
+  * generator, and draws the duplicate batch slices from that corpus —
+  * the corpus ≫ batch regime where the key-slot-pruned layout's
+  * read-volume bound must show up in wall-clock (at the default 100k
+  * synthetic docs a 1000-doc batch hits all 256 key slots, so the tail
+  * and compacted layouts read similar volumes; at 500k+ real docs the
+  * per-slot pruning is the difference between scanning the corpus and
+  * scanning the batch's slice of it). `indexDocs` is ignored in this
+  * mode (the corpus row count is reported instead).
   */
 object IngestBench {
 
@@ -43,10 +54,11 @@ object IngestBench {
     val batchSize = if (args.length > 1) args(1).toInt else 1000
     val nBatches = if (args.length > 2) args(2).toInt else 12
     val cores = if (args.length > 3) args(3).toInt else 16
+    val corpusDir = sys.env.get("SPARK_GRAFT_INGEST_CORPUS")
     // the dup/near-dup batch slices draw from seeded ids < 3100, and the
     // steady-state stats drop the first (warm-up) batch: smaller args
     // would silently bench a 90/10/0 mix, or crash pct() on an empty set
-    require(indexDocs >= 3100,
+    require(corpusDir.nonEmpty || indexDocs >= 3100,
       s"indexDocs=$indexDocs < 3100: the exact/near-dup slices would miss the corpus")
     require(nBatches >= 2, s"nBatches=$nBatches: need >= 2 (first batch is warm-up)")
     val spark = Sessions.batch("graft-ingest-bench", cores)
@@ -55,7 +67,20 @@ object IngestBench {
     // ---- seed the corpus index ONCE via the offline bulk path (the
     // compaction target's input shape), then copy per layout
     val root = java.nio.file.Files.createTempDirectory("graft_ingestbench").toString
-    val corpus = docs(spark, spark.range(indexDocs).toDF("id")).cache()
+    val corpus = corpusDir match {
+      case Some(dir) => spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")).cache()
+      case None => docs(spark, spark.range(indexDocs).toDF("id")).cache()
+    }
+    val corpusN = corpus.count()
+    // duplicate-slice pool for the real-corpus mode: a bounded, cheap,
+    // deterministic sample collected once — tier doc_ids are strided
+    // (1e9 per replica), so the synthetic mode's dense id ranges can't
+    // address them
+    val dupPool: Array[(Long, String)] = corpusDir.map { _ =>
+      corpus.orderBy(col("doc_id")).limit(4000)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+    }.getOrElse(Array.empty)
     corpus.select(md5(col("text")).as("text_hash"))
       .write.mode("overwrite").parquet(s"$root/tail/hash_tail")
     Dedup.bandKeys(Dedup.minhashSignatures(Dedup.shingleHashes(
@@ -70,20 +95,35 @@ object IngestBench {
       ()
     }
     val gen = CurationPipeline.compact(spark, s"$root/compacted")
-    println(s"seeded index_docs=$indexDocs gen=${gen.version} keyParts=${gen.keyParts}")
+    println(s"seeded index_docs=$corpusN gen=${gen.version} keyParts=${gen.keyParts}")
 
     // ---- the per-batch workload: 80% fresh / 10% exact dup / 10% near dup
     def batchDf(b: Int): DataFrame = {
+      import spark.implicits._
       val base = 10000000L + b.toLong * batchSize
       val fresh = docs(spark,
         spark.range(base, base + (batchSize * 8L) / 10).toDF("id"))
-      val exactDup = docs(spark,
-        spark.range((b * 31L) % 1000, (b * 31L) % 1000 + batchSize / 10).toDF("id"))
-        .withColumn("doc_id", col("doc_id") + 20000000L + b.toLong * batchSize)
-      val nearDup = docs(spark,
-        spark.range((b * 17L) % 1000 + 2000, (b * 17L) % 1000 + 2000 + batchSize / 10).toDF("id"))
-        .withColumn("text", concat(col("text"), lit(" padword")))
-        .withColumn("doc_id", col("doc_id") + 30000000L + b.toLong * batchSize)
+      // duplicate slices: dense generator ids in synthetic mode, rotating
+      // windows of the collected pool in real-corpus mode (same 10/10 mix)
+      def dupSlice(off: Int, tag: Long, mutate: String => String): DataFrame =
+        if (dupPool.nonEmpty) {
+          val n = batchSize / 10
+          val rows = (0 until n).map { i =>
+            val (id, t) = dupPool((off + b * 131 + i) % dupPool.length)
+            (tag + b.toLong * batchSize + id % 1000000L + i, mutate(t))
+          }
+          rows.toDF("doc_id", "text")
+        } else if (off == 0)
+          docs(spark,
+            spark.range((b * 31L) % 1000, (b * 31L) % 1000 + batchSize / 10).toDF("id"))
+            .withColumn("doc_id", col("doc_id") + tag + b.toLong * batchSize)
+        else
+          docs(spark,
+            spark.range((b * 17L) % 1000 + 2000, (b * 17L) % 1000 + 2000 + batchSize / 10).toDF("id"))
+            .withColumn("text", concat(col("text"), lit(" padword")))
+            .withColumn("doc_id", col("doc_id") + tag + b.toLong * batchSize)
+      val exactDup = dupSlice(0, 20000000L, identity)
+      val nearDup = dupSlice(2000, 30000000L, _ + " padword")
       fresh.unionAll(exactDup).unionAll(nearDup)
         .withColumn("ts", current_timestamp())
         .localCheckpoint() // materialized: the clock must time ADMISSION
@@ -114,7 +154,8 @@ object IngestBench {
 
     val tailJson = run("tail")
     val compactedJson = run("compacted")
-    println(s"""{"metric":"ingest_latency","index_docs":$indexDocs,"batch_size":$batchSize,"batches":$nBatches,"tail":$tailJson,"compacted":$compactedJson}""")
+    val srcJson = corpusDir.map(d => s""""$d"""").getOrElse("null")
+    println(s"""{"metric":"ingest_latency","index_docs":$corpusN,"corpus":$srcJson,"batch_size":$batchSize,"batches":$nBatches,"tail":$tailJson,"compacted":$compactedJson}""")
     spark.stop()
   }
 }
