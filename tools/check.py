@@ -45,6 +45,13 @@ def main(sf_dir, out_dir, json_out=None, only=None, exclude=None,
             continue
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+    # a trailing '$' makes a filter pattern exact-match instead of
+    # substring (q_multisignal_dedup$ excludes the N^2 baseline without
+    # also excluding its q_multisignal_dedup_lsh scale twin)
+    def matches(pat, name):
+        return name == pat[:-1] if pat.endswith("$") else pat in name
+
     if staged:
         # Stage-decomposed mode (the materialized-tier gate for composed
         # pipelines whose monolithic oracle exceeds the sandbox disk):
@@ -66,11 +73,11 @@ def main(sf_dir, out_dir, json_out=None, only=None, exclude=None,
     if only:
         pats = only.split(",")
         oracle = {k: v for k, v in oracle.items()
-                  if any(p in k for p in pats)}
+                  if any(matches(p, k) for p in pats)}
     if exclude:
         pats = exclude.split(",")
         oracle = {k: v for k, v in oracle.items()
-                  if not any(p in k for p in pats)}
+                  if not any(matches(p, k) for p in pats)}
     n_pass = n_fail = 0
     artifact = {}
 
