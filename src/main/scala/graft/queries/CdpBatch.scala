@@ -37,8 +37,15 @@ object CdpBatch {
   private def edges(s: SparkSession, dir: String): DataFrame =
     identityEdges(Tables.events(s, dir))
 
+  // MATERIALIZED: both graph oracles reference the edge relation from
+  // several downstream CTEs (components recursively, pagerank once per
+  // unrolled iteration) and DuckDB's default per-reference inlining
+  // re-expands the 10M-row events aggregation each time — at the 100x
+  // tier the pagerank oracle's single fused plan held ~10 concurrent
+  // copies of the events hash aggregate and spilled past the sandbox
+  // disk (~75 GB for a ~1M-edge graph). Evaluation hint only.
   private val edgesSql =
-    s"""edges AS (
+    s"""edges AS MATERIALIZED (
        |  SELECT 'u:' || user_id AS src, 'k:' || $kTagSql AS dst
        |  FROM events
        |  GROUP BY 1, 2 HAVING count(*) >= 5)""".stripMargin
@@ -229,12 +236,20 @@ object CdpBatch {
     // by-join shape; N is a bounded driver scalar (count-then-use).
     QueryDef(
       "q_identity_pagerank", {
+        // every CTE here is MATERIALIZED: the unrolled iteration chain
+        // (in_i references pr_{i-1}, which references in_{i-1}, ...)
+        // otherwise inlines into ONE fused plan where symd — itself a
+        // re-expansion of the events aggregation — appears once per
+        // iteration, and the concurrent hash joins spilled the 100x
+        // oracle past the sandbox disk. Materialized, each iteration
+        // evaluates bottom-up over node/edge-sized tables (the funnel's
+        // candm/interx lesson). Results unchanged.
         val iters = (1 to PrIters).map { i =>
           val p = i - 1
-          s"""in$i AS (
+          s"""in$i AS MATERIALIZED (
              |  SELECT e.dst AS node, CAST(sum(p.r // e.d) AS BIGINT) AS inflow
              |  FROM symd e JOIN pr$p p ON p.node = e.src GROUP BY e.dst),
-             |pr$i AS (
+             |pr$i AS MATERIALIZED (
              |  SELECT nd.node,
              |         CAST((SELECT tel FROM tp)
              |              + (85 * COALESCE(i.inflow, 0)) // 100 AS BIGINT) AS r
@@ -244,13 +259,16 @@ object CdpBatch {
         s"""WITH $edgesSql,
            |sym AS (SELECT src, dst FROM edges
            |        UNION ALL SELECT dst, src FROM edges),
-           |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY src),
-           |symd AS (SELECT s.src, s.dst, g.d FROM sym s JOIN deg g ON g.src = s.src),
-           |nodes AS (SELECT src AS node FROM deg),
-           |tp AS (
+           |deg AS MATERIALIZED (
+           |  SELECT src, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY src),
+           |symd AS MATERIALIZED (
+           |  SELECT s.src, s.dst, g.d FROM sym s JOIN deg g ON g.src = s.src),
+           |nodes AS MATERIALIZED (SELECT src AS node FROM deg),
+           |tp AS MATERIALIZED (
            |  SELECT (15 * ($PrScale // n)) // 100 AS tel, $PrScale // n AS t0
            |  FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes)),
-           |pr0 AS (SELECT node, CAST((SELECT t0 FROM tp) AS BIGINT) AS r FROM nodes),
+           |pr0 AS MATERIALIZED (
+           |  SELECT node, CAST((SELECT t0 FROM tp) AS BIGINT) AS r FROM nodes),
            |$iters
            |SELECT node, r AS rank_u FROM pr$PrIters""".stripMargin
       }) { (s, dir) =>

@@ -86,6 +86,13 @@ def main(sf_dir, out_dir, json_out=None, only=None, exclude=None,
         artifact[name] = {"rows_match": rows_match, "schema_match": schema_match,
                           "hash_match": hash_match, "spark_rows": spark_rows,
                           "oracle_rows": oracle_rows, "err": err}
+        # write-through after EVERY query (the Bench r6 lesson, relearned
+        # here when a 75 GB oracle spill got the checker killed 73 passes
+        # into a tier run and the artifact held nothing): a killed run
+        # keeps everything it verified
+        if json_out:
+            with open(json_out, "w") as f:
+                json.dump(artifact, f, indent=1)
 
     for name, sql in sorted(oracle.items()):
         spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
