@@ -606,6 +606,10 @@ object Bench {
       // report what was measured before exiting
       emit(aborted = true)
     }
+    // managed release of the shared funnel-stage leaves (the process is
+    // exiting anyway; this keeps the contract demonstrated end-to-end)
+    try graft.queries.CurationQueries.releaseStages()
+    catch { case _: Throwable => () }
     try spark.stop() catch { case _: Throwable => () }
     if (failedCount > 0) sys.exit(1)
   }

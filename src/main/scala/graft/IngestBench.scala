@@ -108,9 +108,13 @@ object IngestBench {
       def dupSlice(off: Int, tag: Long, mutate: String => String): DataFrame =
         if (dupPool.nonEmpty) {
           val n = batchSize / 10
+          // doc_id derives from the unique (b, i) pair alone — folding the
+          // pool entry's id in could collide two rows of one slice when
+          // the rotating window wraps; the pool entry contributes only
+          // its TEXT (the duplicate payload being measured)
           val rows = (0 until n).map { i =>
-            val (id, t) = dupPool((off + b * 131 + i) % dupPool.length)
-            (tag + b.toLong * batchSize + id % 1000000L + i, mutate(t))
+            val (_, t) = dupPool((off + b * 131 + i) % dupPool.length)
+            (tag + b.toLong * batchSize + i, mutate(t))
           }
           rows.toDF("doc_id", "text")
         } else if (off == 0)

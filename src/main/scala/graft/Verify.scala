@@ -55,6 +55,9 @@ object Verify {
     }
     Await.result(Future.sequence(dumps), Duration.Inf)
     pool.shutdown()
+    // drop the shared funnel-stage leaves (managed lifetime), then the
+    // session caches
+    graft.queries.CurationQueries.releaseStages()
     spark.catalog.clearCache()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

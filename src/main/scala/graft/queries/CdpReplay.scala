@@ -24,6 +24,36 @@ object CdpReplay {
   private val SoftLagSec = 5
   private val GraceSec = 120
 
+  /** The events table mapped onto a CDP event log (every event a TRACK;
+    * `signup` events carry a `plan` trait from the k-tag's parity) —
+    * shared by q_cdp_profile_replay and the streaming parity harness
+    * (graft.StreamParity), so stream and batch replay the IDENTICAL log.
+    */
+  def cdpEventLog(s: org.apache.spark.sql.SparkSession,
+                  events: org.apache.spark.sql.DataFrame)
+  : org.apache.spark.sql.Dataset[CdpEvent] = {
+    import s.implicits._
+    val kTag = regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
+    events
+      .select(
+        lpad(col("event_id").cast("string"), 12, "0").as("eventId"), col("ts"),
+        col("event_type"),
+        col("user_id").cast("string").as("userId"),
+        when(col("event_type") === "signup",
+          when(kTag.cast("long") % 2 === 0, "pro").otherwise("free")).as("plan"))
+      .map { r =>
+        CdpEvent(
+          eventId = r.getAs[String]("eventId"),
+          ts = r.getAs[java.sql.Timestamp]("ts"),
+          eventType = "TRACK",
+          userId = Some(r.getAs[String]("userId")),
+          anonymousId = None, email = None,
+          name = Some(r.getAs[String]("event_type")),
+          traits =
+            Option(r.getAs[String]("plan")).map(p => Map("plan" -> p)).getOrElse(Map.empty))
+      }
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_cdp_profile_replay",
@@ -57,27 +87,7 @@ object CdpReplay {
          |FROM last_seen l
          |LEFT JOIN lww w ON w.user_id = l.user_id
          |JOIN cnt c ON c.user_id = l.user_id""".stripMargin) { (s, dir) =>
-      import s.implicits._
-      val kTag = regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
-      val cdpEvents = Tables.events(s, dir)
-        .select(
-          lpad(col("event_id").cast("string"), 12, "0").as("eventId"), col("ts"),
-          col("event_type"),
-          col("user_id").cast("string").as("userId"),
-          when(col("event_type") === "signup",
-            when(kTag.cast("long") % 2 === 0, "pro").otherwise("free")).as("plan"))
-        .map { r =>
-          CdpEvent(
-            eventId = r.getAs[String]("eventId"),
-            ts = r.getAs[java.sql.Timestamp]("ts"),
-            eventType = "TRACK",
-            userId = Some(r.getAs[String]("userId")),
-            anonymousId = None, email = None,
-            name = Some(r.getAs[String]("event_type")),
-            traits =
-              Option(r.getAs[String]("plan")).map(p => Map("plan" -> p)).getOrElse(Map.empty))
-        }
-      CdpPipeline.profileSnapshots(s, cdpEvents)
+      CdpPipeline.profileSnapshots(s, cdpEventLog(s, Tables.events(s, dir)))
         .select(
           col("profileId").as("profile_id"),
           element_at(col("traits"), "plan").as("plan"),

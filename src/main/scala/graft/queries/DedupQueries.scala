@@ -1136,17 +1136,15 @@ object DedupQueries {
   def dedupTokenSavings(docs: DataFrame): DataFrame = {
     // base feeds the keeper map AND the join side — cache so the
     // augmented corpus materializes once (at scale: persist per pass).
-    // The result is lazy, so there is no safe unpersist point here:
-    // Verify/Bench clear the cache after each query; any other embedder
-    // (a composed query, a long-lived session) must clearCache() or
-    // unpersist after consuming the per-source rows (funnel precedent,
-    // CurationQueries.funnel's NOTE).
+    // The per-source result is aggregate-small, so it materializes
+    // eagerly and base unpersists before return (SmallResult) — no
+    // pinned-storage obligation leaks to the caller.
     val base = docs.select(col("doc_id").as("id"), col("source"), col("text"))
       .unionAll(docs.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + IdOffset).as("id"), col("source"), col("text")))
       .cache()
     val keep = base.groupBy(md5(col("text")).as("h")).agg(min(col("id")).as("keep"))
-    base.withColumn("h", md5(col("text")))
+    val out = base.withColumn("h", md5(col("text")))
       .join(keep, "h")
       .select(col("source"),
         size(TextOps.words(col("text"))).cast("long").as("nw"),
@@ -1159,6 +1157,7 @@ object DedupQueries {
         col("tokens_total"), col("tokens_removed"),
         expr("tokens_removed * CAST(1000000 AS BIGINT) div tokens_total")
           .as("savings_ppm"))
+    SmallResult(out, base)
   }
 
   /** The ExactSubstr cut CTE chain `${p}spans` -> `${p}cut(id, n_cut)`:

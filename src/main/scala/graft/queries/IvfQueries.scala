@@ -211,7 +211,11 @@ object IvfQueries {
          |JOIN prep pb ON pb.vec_id = y.vec_id
          |WHERE round(list_dot_product(pa.e, pb.e) / (pa.nrm * pb.nrm) + 0.00000025, 4) >= $SemThreshold""".stripMargin) { (s, dir) =>
       val (prep, cents) = quantizer(s, dir)
-      val assigned = Ivf.assignBroadcast(s, prep, cents)
+      // cache like q_semdedup above: subSplit reads assigned twice (cell
+      // counts + the join) and withE fans it into both self-join sides —
+      // uncached, the centroid training and broadcast assignment rerun
+      // per consumer, real money at the 100x tier this query exists for
+      val assigned = Ivf.assignBroadcast(s, prep, cents).cache()
       val withE = subSplit(assigned).join(prep, "vec_id")
       val a = withE.select(col("cid").as("acid"), col("sub").as("asub"),
         col("vec_id").as("a"), col("e").as("ae"), col("nrm").as("an"))

@@ -884,10 +884,9 @@ object TextAnalytics {
   def vocabCoverage(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // vocab feeds the totals AND the ranked slice — cache so the corpus
-    // tokenizes once (at scale: persist the vocab table per pass). Lazy
-    // result → no safe unpersist point: callers other than Verify/Bench
-    // (which clearCache() per query) must unpersist after consuming
-    // (funnel precedent, CurationQueries.funnel's NOTE).
+    // tokenizes once (at scale: persist the vocab table per pass). The
+    // coverage grid is aggregate-small → eager SmallResult, vocab
+    // unpersists before return.
     val vocab = rankedVocab(docs).cache()
     val tot = vocab.agg(sum(col("cnt")).as("total"),
       count(lit(1)).as("n_vocab"))
@@ -896,7 +895,7 @@ object TextAnalytics {
       sum(when(col("rnk") <= k, col("cnt")).otherwise(lit(0L))).as(s"c$k"))
     val stackExpr = CoverageKs
       .map(k => s"CAST($k AS BIGINT), c$k").mkString(", ")
-    vocab.orderBy(col("cnt").desc, col("w")).limit(CoverageKs.max)
+    val out = vocab.orderBy(col("cnt").desc, col("w")).limit(CoverageKs.max)
       .withColumn("rnk", row_number().over(byRank))
       .agg(covArms.head, covArms.tail: _*)
       .select(expr(
@@ -904,6 +903,7 @@ object TextAnalytics {
       .crossJoin(broadcast(tot))
       .select(col("k"), col("n_vocab"), col("covered"),
         expr("covered * CAST(1000000 AS BIGINT) div total").as("coverage_ppm"))
+    SmallResult(out, vocab)
   }
 
   /** q_pmi_collocations body over an arbitrary documents relation. */
@@ -920,9 +920,7 @@ object TextAnalytics {
     // uni feeds both join sides and the n1 total, c2 feeds the scoring
     // and the n2 total — cache both so the corpus tokenizes once per
     // stream, not once per consumer (at scale: persist the count tables).
-    // Lazy result → no safe unpersist point: callers other than
-    // Verify/Bench (which clearCache() per query) must unpersist after
-    // consuming (funnel precedent, CurationQueries.funnel's NOTE).
+    // Top-K result → eager SmallResult, both unpersist before return.
     val uni = rankedVocab(docs).withColumnRenamed("cnt", "c1").cache()
     val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2")).cache()
     val tots = c2.agg(sum(col("c2")).as("n2"))
@@ -939,9 +937,10 @@ object TextAnalytics {
           .as("pmi"))
     // rank over the ROUNDED score so the K-boundary is engine-exact
     val byScore = Window.orderBy(col("pmi").desc, col("w1"), col("w2"))
-    scored.orderBy(col("pmi").desc, col("w1"), col("w2")).limit(PmiTopK)
+    val out = scored.orderBy(col("pmi").desc, col("w1"), col("w2")).limit(PmiTopK)
       .withColumn("rnk", row_number().over(byScore).cast("long"))
       .select(col("rnk"), col("w1"), col("w2"), col("c2"), col("pmi"))
+    SmallResult(out, uni, c2)
   }
 
   /** q_boilerplate_ngrams body over an arbitrary documents relation. */
@@ -956,10 +955,8 @@ object TextAnalytics {
     // bb feeds the positional scan (read twice: frequency + exemplar)
     // and the gram-text join; freq feeds the exemplar prune and the
     // final join — cache both so the corpus stamps/tokenizes once and
-    // the heavy doc-frequency shuffle runs once. Lazy result → no safe
-    // unpersist point: callers other than Verify/Bench (which
-    // clearCache() per query) must unpersist after consuming (funnel
-    // precedent, CurationQueries.funnel's NOTE).
+    // the heavy doc-frequency shuffle runs once. Top-K result → eager
+    // SmallResult, both unpersist before return.
     val bb = docs.select(col("doc_id").as("id"), stamped.as("text")).cache()
     val sh = graft.operators.Dedup.shingleHashSeq(bb, col("id"), col("text"), BpN)
     val freq = sh.groupBy(col("h"))
@@ -977,10 +974,11 @@ object TextAnalytics {
         concat_ws(" ",
           slice(TextOps.words(col("text")), col("pos"), lit(BpN))).as("gram"))
     val byRank = Window.orderBy(col("n_docs").desc, col("n_occ").desc, col("gram"))
-    freq.join(gr, "h")
+    val out = freq.join(gr, "h")
       .orderBy(col("n_docs").desc, col("n_occ").desc, col("gram")).limit(BpTopK)
       .withColumn("rnk", row_number().over(byRank).cast("long"))
       .select(col("rnk"), col("gram"), col("n_occ"), col("n_docs"))
+    SmallResult(out, bb, freq)
   }
 
   /** q_vocab_growth body over an arbitrary documents relation (shared
@@ -1005,10 +1003,11 @@ object TextAnalytics {
     // a 10-row global window — the step table is bounded by construction
     val cum = Window.orderBy(col("step"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    toks.join(voc, Seq("step"), "left")
+    val out = toks.join(voc, Seq("step"), "left")
       .select(col("step"),
         sum(col("tk")).over(cum).cast("long").as("cum_tokens"),
         sum(coalesce(col("nv"), lit(0L))).over(cum).cast("long").as("cum_vocab"))
+    SmallResult(out, b)
   }
 
   /** q_novel_ngrams body over an arbitrary documents relation (shared
@@ -1030,7 +1029,7 @@ object TextAnalytics {
         .select(lit(n).as("n"), col("n_test_grams"), col("n_novel"),
           Num.r4(col("n_novel") * 1.0 / col("n_test_grams")).as("novel_rate"))
     }
-    arms.reduce(_ unionAll _)
+    SmallResult(arms.reduce(_ unionAll _), s)
   }
 
   /** q_unigram_logprob body over an arbitrary documents relation (shared
@@ -1096,10 +1095,11 @@ object TextAnalytics {
           * log((col("c") * 1.0 / col("ts")) / (col("cg") * 1.0 / col("tg"))))
           .as("term"))
     val nd = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
-    terms.groupBy(col("source"))
+    val out = terms.groupBy(col("source"))
       .agg(Num.r4(sum(col("term"))).as("kl"))
       .join(nd, "source").join(st, "source")
       .select(col("source"), col("n_docs"), col("ts").as("n_tokens"), col("kl"))
+    SmallResult(out, sw)
   }
   /** q_bm25_search body over an arbitrary documents relation (probe/spec
     * sharing contract).

@@ -13,7 +13,7 @@ With a third arg, also writes a CORRECTNESS-format JSON artifact
 err}}) — used to stamp the materialized-tier correctness pass
 (CORRECTNESS_10X) in the same shape the round driver emits.
 """
-import sys, json, glob, os
+import sys, json, glob, os, re
 import duckdb
 import pandas as pd
 
@@ -36,6 +36,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 def main(sf_dir, out_dir, json_out=None, only=None, exclude=None,
          staged=False):
+    staged_deps = {}
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -69,7 +70,16 @@ def main(sf_dir, out_dir, json_out=None, only=None, exclude=None,
         for k, v in staged_sql.items():
             if k in oracle:
                 oracle[k] = v
-                print(f"[staged] {k}: using stage-decomposed oracle")
+                # chain of trust: record which dumps this staged oracle
+                # trusts — each must hash-verify IN THIS RUN before the
+                # dependent runs, or the inductive chain is broken (a
+                # --only filter or a stale out_dir would otherwise let a
+                # stage PASS against an unverified predecessor dump)
+                staged_deps[k] = sorted(
+                    set(re.findall(r"\bdump_([A-Za-z0-9_]+)", v)))
+                print(f"[staged] {k}: using stage-decomposed oracle"
+                      + (f" (trusts: {', '.join(staged_deps[k])})"
+                         if staged_deps[k] else ""))
     if only:
         pats = only.split(",")
         oracle = {k: v for k, v in oracle.items()
@@ -94,7 +104,39 @@ def main(sf_dir, out_dir, json_out=None, only=None, exclude=None,
             with open(json_out, "w") as f:
                 json.dump(artifact, f, indent=1)
 
-    for name, sql in sorted(oracle.items()):
+    # run order: predecessors before dependents, so a staged oracle only
+    # ever consults dumps this run has ALREADY hash-verified (plain
+    # sorted order would verify q_funnel_stage_containment against the
+    # neardup dump before neardup itself was checked)
+    ordered, seen = [], set()
+
+    def visit(n, stack=()):
+        if n in seen or n in stack:
+            return
+        for d in staged_deps.get(n, []):
+            if d in oracle:
+                visit(d, stack + (n,))
+        seen.add(n)
+        ordered.append(n)
+
+    for n in sorted(oracle):
+        visit(n)
+
+    for name in ordered:
+        sql = oracle[name]
+        # staged-dep gate (inductive chain of trust): every dump the
+        # staged oracle reads must have hash-verified in THIS run — a
+        # dep filtered out by --only/--exclude, or one that failed, or a
+        # dump left by some earlier Verify with no matching verification
+        # here, invalidates the dependent's pass
+        bad_deps = [d for d in staged_deps.get(name, [])
+                    if not artifact.get(d, {}).get("hash_match")]
+        if bad_deps:
+            print(f"FAIL {name}: staged deps unverified this run: "
+                  + ", ".join(bad_deps)); n_fail += 1
+            record(name, False, False, False, None, None,
+                   "staged dep unverified: " + ",".join(bad_deps))
+            continue
         spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not spark_files:
             print(f"FAIL {name}: no spark output"); n_fail += 1
