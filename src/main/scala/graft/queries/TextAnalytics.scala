@@ -1081,6 +1081,16 @@ object TextAnalytics {
     * with the scale probe).
     */
   def sourceMixKl(docs: DataFrame): DataFrame = {
+    val (out, sw) = sourceMixKlLazy(docs)
+    SmallResult(out, sw)
+  }
+
+  /** The kl body's LAZY plan plus its pinned intermediate — PlanSpec
+    * asserts the dictionary-join shapes on this relation (the public
+    * body materializes through SmallResult, whose checkpoint leaf hides
+    * the interior plan from executedPlan).
+    */
+  private[graft] def sourceMixKlLazy(docs: DataFrame): (DataFrame, DataFrame) = {
     val wpos = docs.select(col("source"), explode(TextOps.words(col("text"))).as("w"))
     // sw is dictionary-sized (n_sources x vocab) and feeds three roll-ups
     // — cache, or the corpus tokenizes once per consumer
@@ -1099,7 +1109,7 @@ object TextAnalytics {
       .agg(Num.r4(sum(col("term"))).as("kl"))
       .join(nd, "source").join(st, "source")
       .select(col("source"), col("n_docs"), col("ts").as("n_tokens"), col("kl"))
-    SmallResult(out, sw)
+    (out, sw)
   }
   /** q_bm25_search body over an arbitrary documents relation (probe/spec
     * sharing contract).

@@ -456,8 +456,18 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q_unigram_logprob / q_source_mix_kl: dictionary joins never nested-loop") {
+    // kl materializes eagerly through SmallResult (its registered query
+    // returns a checkpoint leaf), so its plan asserts run on the LAZY
+    // body the materialization executes
+    def klPlan: String = {
+      val (out, sw) = graft.queries.TextAnalytics.sourceMixKlLazy(
+        Tables.documents(spark, dir))
+      val p = out.queryExecution.executedPlan.toString
+      sw.unpersist()
+      p
+    }
     Seq("q_unigram_logprob", "q_source_mix_kl").foreach { q =>
-      val p = plan(q)
+      val p = if (q == "q_source_mix_kl") klPlan else plan(q)
       assert(!p.contains("CartesianProduct"), s"$q:\n$p")
       // the only BroadcastNestedLoopJoin allowed is the bounded 1-row
       // total (crossJoin(broadcast(tot))); a second one would mean the
