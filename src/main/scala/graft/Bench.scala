@@ -435,10 +435,25 @@ object Bench {
     }
     Runtime.getRuntime.addShutdownHook(new Thread(() => emit(aborted = true)))
 
+    // The funnel family stamps as ONE pipeline metric (r16 ADVICE):
+    // q_curation_funnel's report materializes every stage boundary, so it
+    // IS the full-pipeline measurement once the shared stages are released
+    // between runs (below); the five per-stage dump queries are prefixes
+    // of that same computation, kept for the staged correctness gate, and
+    // benching them separately would re-pay the shared prefix five times
+    // (the exact shape the r15→r16 sharing removed). They stay measurable
+    // under an explicit name filter.
+    val stageDumpNames =
+      graft.queries.CurationQueries.SharedStageQueryNames - "q_curation_funnel"
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) =>
-        filters.isEmpty || filters.exists(name.contains)
+        if (filters.nonEmpty) filters.exists(name.contains)
+        else !stageDumpNames.contains(name)
       }
+    if (filters.isEmpty) System.err.println(
+      s"[bench] funnel family stamps as q_curation_funnel (full pipeline per " +
+        s"run); skipping ${stageDumpNames.size} stage-dump prefixes: " +
+        stageDumpNames.toSeq.sorted.mkString(", "))
 
     /** One full measurement of a query: `runs` timed materializations →
       * QStat. Shared by the main loop and the end-of-run retry pass.
@@ -449,12 +464,22 @@ object Bench {
                 blockWasLoaded: Boolean,
                 countFailure: Boolean = true): Either[String, QStat] =
       try {
+        // shared-funnel-stage queries: release the memoized stage leaves
+        // BEFORE the first run and BETWEEN runs, so every timed
+        // materialization pays the stage compute — without this, runs
+        // after the first read back checkpoint leaves that deliberately
+        // survive clearCache, and the stamped median excludes the very
+        // cost the drift gate exists to watch (r16 ADVICE)
+        val sharedStage =
+          graft.queries.CurationQueries.SharedStageQueryNames.contains(name)
+        if (sharedStage) graft.queries.CurationQueries.releaseStages()
         val times = (1 to runs).map { _ =>
           val t0 = System.nanoTime()
           // full materialization: every output column is computed
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           val dt = (System.nanoTime() - t0) / 1e9
           spark.catalog.clearCache() // no cross-run/query cache pinning
+          if (sharedStage) graft.queries.CurationQueries.releaseStages()
           dt
         }
         val mn = times.min
@@ -474,6 +499,8 @@ object Bench {
         if (countFailure) failedCount += 1
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         try spark.catalog.clearCache() catch { case _: Throwable => () }
+        try graft.queries.CurationQueries.releaseStages()
+        catch { case _: Throwable => () }
         Left("error")
       }
 

@@ -46,7 +46,10 @@ object MakeFunnel {
         val rows = spark.read.parquet(s"$outDir/$name").count()
         val schema = df.schema.toDDL
         (name, rows, schema)
-      } finally graft.queries.CurationQueries.releaseStages()
+      // scoped release (r16 ADVICE): close ONLY this (session, dir)'s
+      // shared stages — an embedding JVM with other live stage sets keeps
+      // its pinned caches
+      } finally graft.queries.CurationQueries.releaseStages(spark, sfDir)
     val manifest = written.zipWithIndex.map { case ((name, rows, schema), i) =>
       val dep = if (i == 0) "\"documents\""
         else if (name == "q_curation_funnel")

@@ -24,13 +24,26 @@ import org.apache.spark.sql.streaming.Trigger
   * lastSeen, additive buckets pruned on the lastSeen horizon), which is
   * exactly the property this verifies at scale.
   *
+  * KILL/RESTART mode (`SPARK_GRAFT_PARITY_KILL_AFTER=N`): stop the query
+  * after N completed micro-batches, then restart it from the SAME
+  * checkpoint and let AvailableNow drain the rest. This is the streaming
+  * fault-tolerance surface — offset-log replay, state-version recovery,
+  * and the re-executed batch's idempotence — at tier scale; the end state
+  * must still equal the batch fold. The snapshot sink stays an append
+  * parquet: a batch re-executed after the kill recomputes from the same
+  * committed state version and offsets, so any duplicate (profileId,
+  * batch_id) rows are bit-identical and the last-change recovery below is
+  * insensitive to them (CheckpointRecoverySpec proves the toy-scale twin).
+  *
   * Usage: runMain graft.StreamParity <dataDir> [workDir]
   *   SPARK_GRAFT_CPUS (16) / SPARK_GRAFT_PARITY_FILES (10) events-table
-  *   part files per micro-batch.
+  *   part files per micro-batch / SPARK_GRAFT_PARITY_KILL_AFTER (0 = run
+  *   to completion uninterrupted).
   * Prints ONE closing JSON line:
   *   {"metric":"stream_parity","events":N,"profiles_stream":N,
   *    "profiles_batch":N,"mismatched":N,"hash_stream":H,"hash_batch":H,
-  *    "batches":N,"match":bool,"stream_sec":S,"batch_sec":S,"dir":...}
+  *    "batches":N,"kill_after":N,"restarts":N,"match":bool,
+  *    "stream_sec":S,"batch_sec":S,"dir":...}
   */
 object StreamParity {
 
@@ -49,11 +62,19 @@ object StreamParity {
         unix_micros(col("lastSeen")).as("last_seen_us"),
         col("segments"))).as("canon"))
 
+  /** Locale-pinned decimal rendering: the f-interpolator is
+    * locale-sensitive and a de_DE-style JVM would put a comma in the
+    * closing JSON line (the IngestBench lesson).
+    */
+  private def jf(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val dataDir = args(0)
     val work = args.lift(1).getOrElse("/tmp/graft_stream_parity")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
     val filesPerTrigger = sys.env.getOrElse("SPARK_GRAFT_PARITY_FILES", "10").toInt
+    val killAfter = sys.env.getOrElse("SPARK_GRAFT_PARITY_KILL_AFTER", "0").toInt
     val spark = Sessions.streaming("graft-stream-parity", cpus)
     spark.sparkContext.setLogLevel("WARN")
 
@@ -64,6 +85,13 @@ object StreamParity {
     rm(new java.io.File(work))
     new java.io.File(work).mkdirs()
 
+    // Probe the dir's ts encoding batch-side FIRST (caches the unit and,
+    // for NANOS-annotated footers, leaves the session conf the stream
+    // read needs); the raw file schema is then read under that conf, and
+    // the stream frame gets the SAME adaptive conversion the batch side
+    // applies — a raw INT64 ts would otherwise crash (or silently skew)
+    // cdpEventLog on non-native-timestamp dirs.
+    val batchEvents = Tables.events(spark, dataDir)
     val eventsPath = s"$dataDir/events.parquet"
     val schema = spark.read.parquet(eventsPath).schema
     val nEvents = spark.read.parquet(eventsPath).count()
@@ -72,27 +100,52 @@ object StreamParity {
     // snapshots, appended with their batch id so the LAST change per
     // profile is recoverable afterwards
     val t0 = System.nanoTime()
-    val src = spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", filesPerTrigger)
-      .parquet(eventsPath)
-    val snapshots = CdpPipeline.profileUpdates(
-      spark, graft.queries.CdpReplay.cdpEventLog(spark, src.toDF()))
-    val q = snapshots.toDF().writeStream
-      .foreachBatch { (df: DataFrame, batchId: Long) =>
-        df.withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(s"$work/snapshots")
-        ()
+    def startQuery() = {
+      val src = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", filesPerTrigger)
+        .parquet(eventsPath)
+      val snapshots = CdpPipeline.profileUpdates(
+        spark, graft.queries.CdpReplay.cdpEventLog(
+          spark, Tables.normalizeEventsTs(dataDir, src.toDF())))
+      snapshots.toDF().writeStream
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          df.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(s"$work/snapshots")
+          ()
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    var restarts = 0
+    val q = startQuery()
+    if (killAfter > 0) {
+      // poll until N micro-batches have completed, then stop the query
+      // mid-flight and restart it from the checkpoint
+      while (q.isActive &&
+             (q.lastProgress == null || q.lastProgress.batchId + 1 < killAfter))
+        Thread.sleep(200)
+      if (q.isActive) {
+        q.stop()
+        q.awaitTermination()
+        System.err.println(
+          s"[parity] killed query after ~$killAfter micro-batches; restarting from checkpoint")
+        restarts += 1
+        startQuery().awaitTermination()
+      } else {
+        q.awaitTermination()
+        System.err.println(
+          s"[parity] stream drained before kill_after=$killAfter batches — ran clean")
       }
-      .option("checkpointLocation", s"$work/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    } else q.awaitTermination()
     val streamSec = (System.nanoTime() - t0) / 1e9
     val emitted = spark.read.parquet(s"$work/snapshots")
     val nBatches = emitted.select(col("batch_id")).distinct().count()
     // final state per profile = the snapshot from the last batch that
-    // changed it (changed-only emission → at most one row per (pid, batch))
+    // changed it (changed-only emission → at most one distinct row per
+    // (pid, batch); a kill/restart may append bit-identical duplicates,
+    // which row_number collapses regardless of which copy it picks)
     val byPid = org.apache.spark.sql.expressions.Window
       .partitionBy(col("profileId")).orderBy(col("batch_id").desc)
     val finalStream = canon(emitted
@@ -103,7 +156,7 @@ object StreamParity {
     val t1 = System.nanoTime()
     val finalBatch = canon(CdpPipeline.profileSnapshots(
       spark, graft.queries.CdpReplay.cdpEventLog(
-        spark, Tables.events(spark, dataDir))).toDF()).cache()
+        spark, batchEvents)).toDF()).cache()
     val nBatch = finalBatch.count()
     val batchSec = (System.nanoTime() - t1) / 1e9
 
@@ -120,7 +173,8 @@ object StreamParity {
       s"""{"metric":"stream_parity","events":$nEvents,"profiles_stream":$nStream,""" +
       s""""profiles_batch":$nBatch,"mismatched":$mismatched,""" +
       s""""hash_stream":$hs,"hash_batch":$hb,"batches":$nBatches,""" +
-      s""""match":$ok,"stream_sec":${f"$streamSec%.1f"},"batch_sec":${f"$batchSec%.1f"},""" +
+      s""""kill_after":$killAfter,"restarts":$restarts,""" +
+      s""""match":$ok,"stream_sec":${jf(streamSec)},"batch_sec":${jf(batchSec)},""" +
       s""""files_per_trigger":$filesPerTrigger,"dir":"$dataDir"}""")
     spark.stop()
     if (!ok) sys.exit(1)

@@ -739,6 +739,23 @@ object CurationQueries {
     sharedStages.getOrElseUpdate((s, dir),
       new FunnelStages(s, Tables.documents(s, dir)))
 
+  /** Registered queries whose stage relations resolve through the shared
+    * `stagesFor` memo. Bench must treat these specially (r16 ADVICE): the
+    * memo's checkpoint leaves deliberately survive clearCache, so a naive
+    * repeat-measurement reads back leaves instead of computing — the
+    * stamped median would exclude the compute cost and a funnel-prefix
+    * regression would be invisible to the drift gate. Bench releases the
+    * shared stages between measurement runs for these names, and stamps
+    * the family as ONE pipeline metric (q_curation_funnel, whose report
+    * materializes every boundary) — the per-stage dump queries are
+    * correctness artifacts of the staged tier gate, prefixes of that same
+    * pipeline, not independent workloads.
+    */
+  val SharedStageQueryNames: Set[String] = Set(
+    "q_funnel_stage_dedup", "q_funnel_stage_neardup",
+    "q_funnel_stage_containment", "q_funnel_stage_span",
+    "q_funnel_stage_quality", "q_curation_funnel")
+
   /** Unpersist every shared instance's pinned caches and drop the memo —
     * the checkpoint leaves become unreferenced and the ContextCleaner
     * reclaims their blocks.
@@ -747,6 +764,15 @@ object CurationQueries {
     sharedStages.values.foreach(_.close())
     sharedStages.clear()
   }
+
+  /** Release ONLY the instance for (session, dir) — the form an embedding
+    * JVM with several live stage sets must use (r16 ADVICE: MakeFunnel's
+    * global release yanked every other dir's pinned caches mid-use). Also
+    * the invalidation hook when a dir's data is rewritten in-session: drop
+    * the memo entry and the next stagesFor builds fresh boundaries.
+    */
+  def releaseStages(s: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    sharedStages.remove((s, dir)).foreach(_.close())
 
   /** The funnel's stage relations, one lazy val per boundary so the
     * q_funnel_stage_* queries (the 100x-tier stage-decomposed gate)

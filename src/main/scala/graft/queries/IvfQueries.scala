@@ -33,8 +33,16 @@ object IvfQueries {
   // CurationQueries' sampling family)
   private val DivSalt = "div"
 
+  // eager localCheckpoint, NOT cache, for every multiply-consumed relation
+  // in this registry (r16 ADVICE, the SmallResult/FunnelStages lesson one
+  // registry over): these bodies return LAZY results, so a cache() pinned
+  // here is storage the caller would have to clearCache() away — the
+  // checkpoint leaf gives the same reuse (centroid training, fan-out into
+  // self-join sides) with no storage obligation; its blocks are GC-managed
+  // once the result is unreferenced. CacheLifetimeSpec composes the IVF
+  // queries and asserts the cache manager stays empty.
   private def quantizer(s: SparkSession, dir: String) = {
-    val prep = Similarity.prepared(Tables.embeddings(s, dir)).cache()
+    val prep = Similarity.prepared(Tables.embeddings(s, dir)).localCheckpoint()
     val cents = Ivf.centroids(prep, K)
     (prep, cents)
   }
@@ -88,7 +96,7 @@ object IvfQueries {
          |${Ivf.searchSql(MaxQueryId, NProbe, TopK)}
          |SELECT q, rank, b, cos FROM scored""".stripMargin) { (s, dir) =>
       val (prep, cents0) = quantizer(s, dir)
-      val cents = cents0.cache()
+      val cents = cents0.localCheckpoint()
       val queries = prep.filter(col("vec_id") < MaxQueryId)
         .select(col("vec_id").as("q"), col("e").as("qe"), col("nrm").as("qn"))
       Ivf.searchFused(s, queries, prep, cents, NProbe, TopK)
@@ -118,7 +126,7 @@ object IvfQueries {
       import org.apache.spark.sql.expressions.Window
       val (prep0, cents0) = quantizer(s, dir)
       val prep = prep0
-      val cents = cents0.cache()
+      val cents = cents0.localCheckpoint()
       val queries = prep.filter(col("vec_id") < MaxQueryId)
         .select(col("vec_id").as("q"), col("e").as("qe"), col("nrm").as("qn"))
       val ivf = Ivf.searchFused(s, queries, prep, cents, NProbe, TopK)
@@ -166,7 +174,7 @@ object IvfQueries {
          |FROM assign1 v LEFT JOIN pairs p ON p.b = v.vec_id
          |GROUP BY v.vec_id, v.cell""".stripMargin) { (s, dir) =>
       val (prep, cents) = quantizer(s, dir)
-      val assigned = Ivf.assignBroadcast(s, prep, cents).cache()
+      val assigned = Ivf.assignBroadcast(s, prep, cents).localCheckpoint()
       val withE = subSplit(assigned).join(prep, "vec_id")
       val a = withE.select(col("cid").as("acid"), col("sub").as("asub"),
         col("vec_id").as("a"), col("e").as("ae"), col("nrm").as("an"))
@@ -211,11 +219,16 @@ object IvfQueries {
          |JOIN prep pb ON pb.vec_id = y.vec_id
          |WHERE round(list_dot_product(pa.e, pb.e) / (pa.nrm * pb.nrm) + 0.00000025, 4) >= $SemThreshold""".stripMargin) { (s, dir) =>
       val (prep, cents) = quantizer(s, dir)
-      // cache like q_semdedup above: subSplit reads assigned twice (cell
-      // counts + the join) and withE fans it into both self-join sides —
-      // uncached, the centroid training and broadcast assignment rerun
-      // per consumer, real money at the 100x tier this query exists for
-      val assigned = Ivf.assignBroadcast(s, prep, cents).cache()
+      // eager localCheckpoint, NOT cache (r16 ADVICE): subSplit reads
+      // assigned twice (cell counts + the join) and withE fans it into
+      // both self-join sides — un-materialized, the centroid training and
+      // broadcast assignment rerun per consumer, real money at the 100x
+      // tier this query exists for. A cache() here would pin storage the
+      // lazily-returned result obligates the CALLER to release (the exact
+      // leak SmallResult/FunnelStages.close() removed elsewhere); the
+      // checkpoint leaf is GC-managed once unreferenced, so composing
+      // this query leaves no pins (CacheLifetimeSpec covers it).
+      val assigned = Ivf.assignBroadcast(s, prep, cents).localCheckpoint()
       val withE = subSplit(assigned).join(prep, "vec_id")
       val a = withE.select(col("cid").as("acid"), col("sub").as("asub"),
         col("vec_id").as("a"), col("e").as("ae"), col("nrm").as("an"))
@@ -265,7 +278,7 @@ object IvfQueries {
          |  FROM assign1 a JOIN quota q ON q.cell = a.cell)""".stripMargin) { (s, dir) =>
       val (prep, cents) = quantizer(s, dir)
       val assigned = Ivf.assignBroadcast(s, prep, cents)
-        .select(col("vec_id"), col("cid").as("cell")).cache()
+        .select(col("vec_id"), col("cid").as("cell")).localCheckpoint()
       val counts = assigned.groupBy(col("cell"))
         .agg(count(lit(1)).as("n_cell"))
         .withColumn("wq", floor(sqrt(col("n_cell"))).cast("long"))

@@ -35,6 +35,36 @@ class CacheLifetimeSpec extends SparkSpec {
       "composed small-result queries left pinned Dataset caches behind")
   }
 
+  test("scoped releaseStages drops only its (session, dir) instance") {
+    val dirA = "/root/testdata/sf0.001"
+    val dirB = "/root/testdata/sf0.01"
+    val a = CurationQueries.stagesFor(spark, dirA)
+    val b = CurationQueries.stagesFor(spark, dirB)
+    CurationQueries.releaseStages(spark, dirA)
+    // dirB's instance survives a scoped release of dirA (the r16 ADVICE
+    // failure mode: MakeFunnel's global release yanked every dir's
+    // caches); dirA itself rebuilds fresh on next access
+    assert(CurationQueries.stagesFor(spark, dirB) eq b)
+    assert(!(CurationQueries.stagesFor(spark, dirA) eq a))
+    CurationQueries.releaseStages()
+  }
+
+  test("IVF-family queries compose with storage back at baseline") {
+    spark.catalog.clearCache()
+    val dir = "/root/testdata/sf0.001"
+    // three bodies that each fan a shared relation into several consumers
+    // (assignment into both self-join sides, prep into train + join): the
+    // reuse comes from eager localCheckpoint leaves, never a pinned cache
+    val pairs = graft.SparkEntry.queries("q_embed_cosine_pairs_ivf")(spark, dir)
+    assert(pairs.count() >= 0)
+    val sem = graft.SparkEntry.queries("q_semdedup")(spark, dir)
+    assert(sem.count() > 0)
+    val cs = graft.SparkEntry.queries("q_cluster_sample")(spark, dir)
+    assert(cs.count() > 0)
+    assert(cacheEmpty,
+      "composed IVF queries left pinned Dataset caches behind")
+  }
+
   test("shared funnel stages release via releaseStages, results stay live") {
     spark.catalog.clearCache()
     val dir = "/root/testdata/sf0.001"
