@@ -190,6 +190,10 @@ object ServeMain {
     // restore the serving sample if this index root has prior admissions
     // (a fresh temp dir here, but the attach contract is root-agnostic)
     CurationPipeline.loadSample(spark, s"$corpusDir/index", corpusStats)
+    // serve-path default: start from the key-slot-pruned compacted layout
+    // — any bulk-seeded tail folds into a generation before batch 1 (see
+    // compactOnStart; SPARK_GRAFT_COMPACT_ON_START=0 keeps the lazy tail)
+    CurationPipeline.compactOnStart(spark, s"$corpusDir/index")
     val corpusIn =
       org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp, String)]
     val corpusQuery = corpusIn.toDF().toDF("doc_id", "ts", "text")

@@ -77,6 +77,9 @@ object StreamParity {
     val killAfter = sys.env.getOrElse("SPARK_GRAFT_PARITY_KILL_AFTER", "0").toInt
     val spark = Sessions.streaming("graft-stream-parity", cpus)
     spark.sparkContext.setLogLevel("WARN")
+    System.err.println(s"[parity] max heap = " +
+      s"${Runtime.getRuntime.maxMemory() >> 30} GiB, cpus = $cpus, " +
+      s"files/trigger = $filesPerTrigger, kill_after = $killAfter")
 
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)

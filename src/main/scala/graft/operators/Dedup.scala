@@ -513,6 +513,33 @@ object Dedup {
        |  WHERE g IS NOT NULL)""".stripMargin
   }
 
+  /** Window-free twin of `shinglePosSql` for oracle chains that must
+    * scale past the window sort: the rolling hash is recomposed per
+    * position directly from the word array (`ws[pos + j]`, 1-based list
+    * indexing), so the oracle engine streams unnest → next consumer with
+    * NO partitioned sort over a corpus-sized word-position table — at the
+    * 5M-doc tier the windowed form's `PARTITION BY id ORDER BY pos` sort
+    * over ~1e9 positions is what spilled the staged NEARDUP oracle past
+    * the sandbox disk. Same tokenization (`wordsSql`), same per-word hash
+    * (`hash64Sql % P`), same fold (`(acc * ShingleB + wh) % P` over n
+    * words), same validity rule (pos ∈ [1, len-n+1]): emits
+    * `<prefix>spans(id, pos, h)` row-for-row equal to the windowed form
+    * (each word hashed n times instead of once — the right trade when the
+    * alternative is an external sort).
+    */
+  def shingleFlatSql(n: Int, from: String, prefix: String): String = {
+    val ws = TextOps.wordsSql("text")
+    val h = (0 until n)
+      .map(j => s"(${TextOps.hash64Sql(s"ws[pos + $j]")} % $P)")
+      .reduce((acc, whj) => s"(($acc) * $ShingleB + $whj) % $P")
+    s"""${prefix}wsx AS (
+       |  SELECT id, $ws AS ws FROM $from),
+       |${prefix}spans AS (
+       |  SELECT id, pos, $h AS h
+       |  FROM (SELECT id, ws, unnest(range(1, len(ws) - ${n - 1} + 1)) AS pos
+       |        FROM ${prefix}wsx))""".stripMargin
+  }
+
   /** Distinct (id, h) shingle set as CTE `sh` — the set `shingleHashes`
     * computes, derived from the positional CTEs above.
     */

@@ -707,8 +707,11 @@ object CurationQueries {
   def funnel(s: org.apache.spark.sql.SparkSession, documents: DataFrame): DataFrame =
     funnelReport(new FunnelStages(s, documents))
 
-  /** The six-stage attrition report over an existing FunnelStages. */
-  private def funnelReport(st: FunnelStages): DataFrame = {
+  /** The six-stage attrition report over an existing FunnelStages
+    * (private[graft]: MakeFunnel's resume mode recomputes the report over
+    * a partially-resumed instance).
+    */
+  private[graft] def funnelReport(st: FunnelStages): DataFrame = {
     def stage(name: String, df: DataFrame,
               toks: org.apache.spark.sql.Column): DataFrame =
       df.agg(count(lit(1)).as("n_docs"), sum(toks).cast("long").as("total_tokens"))
@@ -752,7 +755,7 @@ object CurationQueries {
     * pipeline, not independent workloads.
     */
   val SharedStageQueryNames: Set[String] = Set(
-    "q_funnel_stage_dedup", "q_funnel_stage_neardup",
+    "q_funnel_stage_dedup", "q_funnel_minhash_sigs", "q_funnel_stage_neardup",
     "q_funnel_stage_containment", "q_funnel_stage_span",
     "q_funnel_stage_quality", "q_curation_funnel")
 
@@ -789,9 +792,33 @@ object CurationQueries {
     * long-lived session embedding the funnel should clearCache() or
     * unpersist after consuming the result.
     */
-  private[queries] final class FunnelStages(
-      s: org.apache.spark.sql.SparkSession, documents: DataFrame) {
+  private[graft] final class FunnelStages(
+      s: org.apache.spark.sql.SparkSession, documents: DataFrame,
+      // the quality stage's cutoff: registered queries keep the
+      // oracle-twinned 0.5 default; MakeFunnel's resume mode re-runs the
+      // tail of the funnel under an edited threshold
+      val qualityCutoff: Double = 0.5,
+      // RESUME boundaries (MakeFunnel --resume): boundary key ("dedup" |
+      // "neardup" | "containment" | "span" | "quality") → that stage's
+      // previously-dumped relation. A resumed text-carrying boundary is
+      // reconstructed as corpus ⋈ dump ids (the staged-oracle pattern:
+      // membership comes off the verified dump, text off the corpus
+      // build, which costs one documents scan — never the clustering /
+      // containment / span machinery being skipped); count-carrying
+      // boundaries (span, quality) ARE their dumps.
+      resume: Map[String, DataFrame] = Map.empty) {
       val DQ = DedupQueries
+
+      /** Which boundaries this instance resolved from dumps instead of
+        * computing — the structural assertion surface for resume specs.
+        */
+      def resumedBoundaries: Set[String] = resume.keySet
+      // corpus ⋈ dump ids → the same (id, text, n_words) rows the stage
+      // computed when it was dumped; leaf-rooted like a computed boundary
+      // (downstream stages fan these into many consumers)
+      private def fromDump(d: DataFrame): DataFrame =
+        corpus.join(d.select(col("id")), Seq("id"), "left_semi")
+          .select(col("id"), col("text"), col("n_words")).localCheckpoint()
       // caches created by lazy-val bodies, recorded for close(): only
       // boundaries that actually initialized get unpersisted. pin runs
       // inside lazy-val init (under this's monitor) but close() can race
@@ -872,12 +899,22 @@ object CurationQueries {
       // which ~56 s was re-analysis of an already-cached result). Rooting
       // deduped as a leaf keeps every clustering plan O(stage) regardless
       // of input lineage; at cluster scale checkpoint() is the durable twin.
-      lazy val deduped = corpus.join(keep1, Seq("id"), "left_semi")
-        .select(col("id"), col("text"), col("n_words")).localCheckpoint()
+      lazy val deduped = resume.get("dedup").map(fromDump).getOrElse(
+        corpus.join(keep1, Seq("id"), "left_semi")
+          .select(col("id"), col("text"), col("n_words")).localCheckpoint())
+      // the minhash signature table over the dedup boundary — the staged
+      // tier gate's intermediate artifact (q_funnel_minhash_sigs): dumping
+      // and hash-verifying the registers lets the NEARDUP staged oracle
+      // start from verified signatures instead of re-deriving the whole
+      // corpus shingle stack (which spills the oracle engine's disk at the
+      // 5M-doc tier). Map-only rowwise form — zero shuffle, same integers
+      // as the groupBy path (StreamNearDupSpec parity).
+      lazy val sigs = graft.operators.Dedup.minhashSignaturesRowwise(
+        deduped, col("id"), col("text"), DQ.ShingleN)
       lazy val clusters = DQ.verifiedClusters(s, deduped, Some(DQ.LshBucketCap))
         .select(col("node").as("cid"), col("component").as("cluster"))
       lazy val keepers = clusters.groupBy(col("cluster")).agg(min(col("cid")).as("keeper"))
-      lazy val surv2 = deduped
+      lazy val surv2 = resume.get("neardup").map(fromDump).getOrElse(deduped
         .join(broadcast(clusters), col("id") === col("cid"), "left")
         .join(broadcast(keepers), Seq("cluster"), "left")
         .filter(col("cid").isNull || col("keeper") === col("id"))
@@ -891,27 +928,32 @@ object CurationQueries {
         // keeps each downstream plan leaf-rooted — the verifiedClusters
         // precedent; at cluster scale checkpoint() to reliable storage is
         // the durable twin.
-        .localCheckpoint()
+        .localCheckpoint())
       // containment stage: cut excerpt-inclusion survivors the symmetric
       // Jaccard stage can't see (containment 1.0 at Jaccard ~0.2) — the
       // drop list is near-dup-sized, so it broadcasts like the cluster
       // and keeper mappings above
-      lazy val surv2c = surv2
+      lazy val surv2c = resume.get("containment").map(fromDump).getOrElse(surv2
         .join(broadcast(DQ.containmentDropsAdaptive(surv2)
             .select(col("id").as("ctid"))),
           col("id") === col("ctid"), "left_anti")
-        .select(col("id"), col("text"), col("n_words")).localCheckpoint()
+        .select(col("id"), col("text"), col("n_words")).localCheckpoint())
       // localCheckpoint like the other boundaries (was cache): the span
       // cut is among the most expensive stages, and a shared instance
       // must keep its result across Bench's per-query clearCache — a
       // cache is yanked between the span and quality queries, a
       // checkpoint leaf is not
-      lazy val surv3 = DQ.spanSurvivors(
-          surv2c.select(col("id").as("doc_id"), col("text"), col("n_words")))
-        .filter(col("action") =!= "drop")
-        .select(col("doc_id").as("id"), col("n_kept_tokens")).localCheckpoint()
-      lazy val qual = surv2c.join(surv3, "id").filter(qualityCol >= 0.5)
-        .select(col("id"), col("n_kept_tokens"))
+      lazy val surv3 = resume.get("span")
+        .map(_.select(col("id"), col("n_kept_tokens")))
+        .getOrElse(DQ.spanSurvivors(
+            surv2c.select(col("id").as("doc_id"), col("text"), col("n_words")))
+          .filter(col("action") =!= "drop")
+          .select(col("doc_id").as("id"), col("n_kept_tokens")).localCheckpoint())
+      lazy val qual = resume.get("quality")
+        .map(_.select(col("id"), col("n_kept_tokens")))
+        .getOrElse(surv2c.join(surv3, "id")
+          .filter(qualityCol >= qualityCutoff)
+          .select(col("id"), col("n_kept_tokens")))
   }
 
   // ---- funnel oracle CTE fragments ----
@@ -1030,6 +1072,45 @@ object CurationQueries {
     s"""$rel AS MATERIALIZED (
        |  SELECT c.id, c.text FROM corpus c JOIN $dump d ON d.id = c.id)""".stripMargin
 
+  /** The NEARDUP stage verified from the SIGNATURE dump (the r16 verdict's
+    * designed 1000x fix, one more decomposition level): banding and the
+    * hot-bucket-capped candidate join come off the already-hash-verified
+    * minhash register table (`dump_q_funnel_minhash_sigs`), and the exact-
+    * Jaccard verify re-shingles ONLY candidate members via the window-free
+    * form — the full-corpus shingle/window/DISTINCT stack, which spilled
+    * the oracle engine past the sandbox disk at the 5M-doc tier, never
+    * runs. Semantics are unchanged from the composed chain: `sizes`/`sh`
+    * restricted to candidate members feed exactly the rows the Jaccard
+    * join reads anyway (it only ever touches sh at c.a/c.b), and surv2
+    * membership + n_words come off the verified dedup dump rather than a
+    * re-tokenization. Chain of trust: dedup dump anchors membership and
+    * word counts, the sig dump anchors the registers, this oracle
+    * recomputes only banding → candidates → verify → clustering → keeper.
+    */
+  private def funnelSurv2StagedFromSigs: String = {
+    val DQ = DedupQueries
+    s"""$funnelCorpusCtes,
+       |sig AS (SELECT * FROM dump_q_funnel_minhash_sigs),
+       |${Dedup.bandsSql},
+       |${Dedup.candidateCappedSql(DQ.LshBucketCap)},
+       |cand_ids AS (SELECT a AS id FROM cand UNION SELECT b FROM cand),
+       |cdocs AS MATERIALIZED (
+       |  SELECT c.id, c.text FROM corpus c JOIN cand_ids USING (id)),
+       |${Dedup.shingleFlatSql(DQ.ShingleN, "cdocs", "cf_")},
+       |sh AS MATERIALIZED (SELECT DISTINCT id, h FROM cf_spans),
+       |${Dedup.jaccardSql},
+       |${Dedup.vpairsSql(DQ.JaccardThreshold)},
+       |${Dedup.clustersSql},
+       |keepers AS (SELECT cluster, min(id) AS keeper FROM clusters GROUP BY cluster),
+       |surv2 AS (
+       |  SELECT d.id, CAST(d.n_words AS BIGINT) AS n_words
+       |  FROM dump_q_funnel_stage_dedup d
+       |  LEFT JOIN clusters c ON c.id = d.id
+       |  LEFT JOIN keepers k ON k.cluster = c.cluster
+       |  WHERE c.id IS NULL OR k.keeper = d.id)
+       |SELECT id, n_words FROM surv2""".stripMargin
+  }
+
   /** The funnel's stage-boundary queries (id + the token count the stage
     * report sums), one per attrition boundary. Purpose: the 100x-tier
     * correctness gate — the COMPOSED funnel oracle spills DuckDB past the
@@ -1041,6 +1122,8 @@ object CurationQueries {
     * prefix it dumps (FunnelStages' lazy boundaries).
     */
   private def funnelStageDefs: Seq[QueryDef] = {
+    val sigColsSql =
+      (0 until Dedup.NumHashes).map(i => s"m$i").mkString(", ")
     def nw(rel: String) = s"\nSELECT id, len($funnelWsSql) AS n_words FROM $rel"
     def nk(rel: String) =
       s"\nSELECT id, CAST(n_kept AS BIGINT) AS n_kept_tokens FROM $rel"
@@ -1056,12 +1139,30 @@ object CurationQueries {
         "WITH RECURSIVE " + funnelBaseCtes + nw("base")) { (s, dir) =>
         stages(s, dir).deduped.select(col("id"), col("n_words"))
       },
+      // the minhash signature table over the dedup boundary: not an
+      // attrition boundary itself, but the staged artifact that lets the
+      // NEARDUP oracle below resume from verified registers at tiers
+      // where re-deriving the corpus shingle stack exceeds the oracle
+      // engine's disk. Composed form recomputes from base tables
+      // (windowed shingles, the engine-shared fragment); staged form
+      // re-shingles the verified dedup dump with the window-free twin
+      // and skips the DISTINCT (min over a multiset equals min over its
+      // set, so the registers are identical).
+      QueryDef.withStaged(
+        "q_funnel_minhash_sigs",
+        "WITH " + funnelBaseCtes + ",\n" +
+          Dedup.shingleSql(DedupQueries.ShingleN) + ",\n" +
+          Dedup.signatureSql + s"\nSELECT id, $sigColsSql FROM sig",
+        "WITH " + funnelCorpusCtes + ",\n" +
+          funnelDumpJoin("base", "dump_q_funnel_stage_dedup") + ",\n" +
+          Dedup.shingleFlatSql(DedupQueries.ShingleN, "base", "sg_") + ",\n" +
+          Dedup.signatureSql("sg_spans") + s"\nSELECT id, $sigColsSql FROM sig") {
+        (s, dir) => stages(s, dir).sigs
+      },
       QueryDef.withStaged(
         "q_funnel_stage_neardup",
         "WITH RECURSIVE " + funnelSurv2Ctes(funnelBaseCtes) + nw("surv2"),
-        "WITH RECURSIVE " + funnelSurv2Ctes(
-          funnelCorpusCtes + ",\n" +
-            funnelDumpJoin("base", "dump_q_funnel_stage_dedup")) + nw("surv2")) {
+        "WITH RECURSIVE " + funnelSurv2StagedFromSigs) {
         (s, dir) => stages(s, dir).surv2.select(col("id"), col("n_words"))
       },
       QueryDef.withStaged(

@@ -557,6 +557,32 @@ object CurationPipeline {
       }
     }.getOrElse(())
 
+  /** Startup compaction — the serve path's DEFAULT: fold any pre-existing
+    * tail bulk into a key-slot-pruned generation BEFORE the first served
+    * batch. A corpus bulk-seeded into the append tail (an offline
+    * loader's natural output shape) would otherwise pay the O(corpus)
+    * flat-tail probe on EVERY batch until the 64-batch auto-compaction
+    * cadence first fires; measured at the 5M-doc corpus the pruned
+    * generation wins p50 outright (INGEST_1000X: -17% p50, -21% p95,
+    * -42% first batch), and corpus ≫ batch is the production regime. The
+    * old lazy-tail start stays behind `SPARK_GRAFT_COMPACT_ON_START=0`
+    * (it remains CORRECT either way — membership probes are
+    * layout-independent, and IngestBench reports identical
+    * admitted/rejected tallies for both layouts). No-op when the live
+    * tail is empty: compacting then would only rewrite the current
+    * generation.
+    */
+  def compactOnStart(spark: SparkSession, root: String): Option[Generation] = {
+    if (sys.env.get("SPARK_GRAFT_COMPACT_ON_START").contains("0")) return None
+    val gen = currentGeneration(spark, root)
+    val live =
+      liveTail(spark, s"$root/hash_tail",
+        gen.map(_.absorbedHash).getOrElse(Set.empty)) ++
+      liveTail(spark, s"$root/band_tail",
+        gen.map(_.absorbedBand).getOrElse(Set.empty))
+    if (live.isEmpty) gen else Some(compact(spark, root))
+  }
+
   /** Compact the append logs into a new committed generation:
     * gen_{v+1} = current generation ∪ a snapshot of the live tail files,
     * hashes distinct'd, bands rewritten into the key-slot-partitioned

@@ -31,4 +31,46 @@ class MakeFunnelSpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty,
       "writeStages left pinned Dataset caches behind")
   }
+
+  test("resume from the span dump recomputes only the edited tail") {
+    spark.catalog.clearCache()
+    val dir = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files.createTempDirectory("graft-funnel-res").toString
+    MakeFunnel.writeStages(spark, dir, out)
+    val before = MakeFunnel.StageNames.init.map { n =>
+      n -> spark.read.parquet(s"$out/$n").count() }.toMap
+
+    // edit the quality cutoff and resume from the span boundary: the
+    // dedup/LSH/containment/span machinery must not re-run — upstream
+    // stages come back flagged resumed, downstream recomputed
+    val res = MakeFunnel.resumeStages(spark, dir, out,
+      "q_funnel_stage_span", qualityCutoff = 0.65)
+    val (resumed, recomputed) = res.partition(_._3)
+    assert(resumed.map(_._1) === MakeFunnel.StageNames.take(4))
+    assert(recomputed.map(_._1) ===
+      Seq("q_funnel_stage_quality", "q_curation_funnel"))
+    // upstream dumps untouched
+    MakeFunnel.StageNames.take(4).foreach { n =>
+      assert(spark.read.parquet(s"$out/$n").count() === before(n)) }
+    // a stricter cutoff keeps fewer docs than the 0.5 run
+    val qualRows = spark.read.parquet(s"$out/q_funnel_stage_quality")
+    assert(qualRows.count() < before("q_funnel_stage_quality"))
+
+    // the resumed tail hash-matches a from-scratch run at the same cutoff
+    val scratch = new graft.queries.CurationQueries.FunnelStages(
+      spark, Tables.documents(spark, dir), qualityCutoff = 0.65)
+    try {
+      val wantQual = scratch.qual.collect().map(_.toString).sorted
+      assert(qualRows.collect().map(_.toString).sorted === wantQual)
+      val wantReport = graft.queries.CurationQueries.funnelReport(scratch)
+        .collect().map(_.toString).sorted
+      val gotReport = spark.read.parquet(s"$out/q_curation_funnel")
+        .collect().map(_.toString).sorted
+      assert(gotReport === wantReport)
+    } finally scratch.close()
+    // the rewritten manifest tracks the recomputed tail's row count
+    val manifest = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/manifest.json"))
+    assert(manifest.contains(s""""rows": ${qualRows.count()}"""))
+  }
 }

@@ -161,4 +161,35 @@ class CompactionSpec extends SparkSpec {
     assert(dPost(202L) == ("rejected", "exact_dup_corpus"), dPost)
     assert(dPost(203L) == ("admitted", ""), dPost)
   }
+
+  test("compactOnStart folds a bulk-seeded tail, no-ops when tail is empty") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cos").toString
+    def corpusText(i: Long) =
+      (0 until 14).map(w => s"c${i}y$w").mkString(s"seeded entry $i ", " ", "")
+    val seed = (1L to 8L).map(i => (i, corpusText(i)))
+    val stats = new CurationPipeline.Stats
+    CurationPipeline.admitBatch(spark, batchDf(seed), root, stats)
+    assert(CurationPipeline.currentGeneration(spark, root).isEmpty,
+      "seed admissions should land in the tail, not a generation")
+
+    // the serve-path default: startup folds the tail into a generation
+    val gen = CurationPipeline.compactOnStart(spark, root)
+    assert(gen.nonEmpty, "compactOnStart left a bulk-seeded tail unfolded")
+    assert(CurationPipeline.currentGeneration(spark, root)
+      .exists(_.version == gen.get.version))
+
+    // idempotent when nothing new arrived: same generation, no rewrite
+    val again = CurationPipeline.compactOnStart(spark, root)
+    assert(again.map(_.version) === gen.map(_.version),
+      "compactOnStart with an empty live tail must not rewrite the generation")
+
+    // decisions against the startup-compacted index match the tail
+    // semantics: a corpus dup rejects, fresh admits
+    val s2 = new CurationPipeline.Stats
+    CurationPipeline.admitBatch(spark,
+      batchDf(Seq((301L, corpusText(3)), (302L, corpusText(300)))), root, s2)
+    val d = decisionsOf(s2, Set(301L, 302L))
+    assert(d(301L)._1 == "rejected", d)
+    assert(d(302L) == ("admitted", ""), d)
+  }
 }
