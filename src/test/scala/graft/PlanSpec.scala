@@ -19,6 +19,19 @@ class PlanSpec extends SparkSpec {
     */
   private val globalSort = """Sort \[[^\]]*\], true,""".r
 
+  test("q_funnel_minhash_sigs: map-only over the dedup leaf — no exchange at all") {
+    // the signature table is the rowwise minhash expression over the
+    // deduped checkpoint leaf: registers compute per row, so the plan
+    // must contain NO shuffle of any kind (the groupBy formulation this
+    // replaced would put a hash exchange here) and no join — the
+    // zero-shuffle claim the staged 1000x gate's cost model rests on
+    val p = plan("q_funnel_minhash_sigs")
+    try {
+      assert(!p.contains("Exchange"), p)
+      assert(!p.contains("Join"), p)
+    } finally graft.queries.CurationQueries.releaseStages()
+  }
+
   test("q5: dimension joins broadcast; lineitem scan pruned to 2 columns") {
     val p = plan("q5_region_supplier_volume")
     assert(p.contains("BroadcastHashJoin"))
