@@ -328,22 +328,24 @@ object DedupQueries {
     // count-then-use precedent from Similarity's size guard); cheaper than
     // a crossJoin(broadcast(agg)) pair of exchanges
     val nDocs = docs.count()
-    val sh = Dedup.shingleHashes(docs, col("id"), col("text"), ShingleN)
-    // Per-doc cool shingles as ONE rarity-sorted array row. The previous
-    // shape kept cool as exploded (id, h, dfh, n, rk) rows and re-shuffled
-    // that corpus-sized relation four more times (two window passes, the
-    // candidate probe, and a two-join exact recount); collapsing to arrays
-    // up front means every downstream step joins the DOC-sized arr
-    // relation instead, and the exact recount becomes a per-pair
-    // array_intersect — same integers, three fewer corpus-sized
-    // exchanges. sort_array on (dfh, h) structs is deterministic (h is
-    // distinct per doc), so the array prefix IS the rarity-rank prefix the
-    // old row_number computed.
-    val arr = sh
-      .join(sh.groupBy(col("h")).agg(count(lit(1)).as("dfh"))
-          .filter(col("dfh") <= ContainHotMin ||
-            col("dfh") * 100 <= nDocs * hotPct),
-        "h")
+    // The cool-shingle INVERTED INDEX (h, dfh, ids) from ONE corpus-sized
+    // exchange, materialized eagerly with its h-partitioning pinned
+    // (localCheckpoint preserves outputPartitioning) so the candidate
+    // probe below joins it with no further shuffle of corpus-sized data.
+    // The r17 plan paid three corpus×shingle exchanges to reach candidates
+    // (df groupBy, df-join probe side, per-doc re-explode for the probe);
+    // fusing df and the posting list into one aggregation pass and
+    // probing the postings directly leaves one.
+    val hIds = containmentCoolIndex(docs, hotPct, nDocs).localCheckpoint()
+    // Per-doc cool shingles as ONE rarity-sorted array row, rebuilt from
+    // the index postings (exactly the (id, h, dfh) rows the old df-join
+    // produced — each cool shingle contributes one row per posting).
+    // sort_array on (dfh, h) structs is deterministic (h is distinct per
+    // doc), so the array prefix IS the rarity-rank prefix the old
+    // row_number computed. The exact recount downstream is a per-pair
+    // array_intersect — no pair×shingle fan-out.
+    val arr = hIds
+      .select(explode(col("ids")).as("id"), col("h"), col("dfh"))
       .groupBy(col("id"))
       .agg(transform(sort_array(collect_list(struct(col("dfh"), col("h")))),
         x => x("h")).as("hs"))
@@ -358,14 +360,15 @@ object DedupQueries {
     // rarest shingles are df=1 and generate nothing. A pure optimization:
     // the candidate set is a SUPERSET of qualifying pairs and the exact
     // recount below applies the identical final rule, so the DuckDB twin
-    // (exhaustive at oracle scale) needs no mirror of it.
+    // (exhaustive at oracle scale) needs no mirror of it. The probe side
+    // is the prefix explode (~n/5 of the corpus×shingle rows); the build
+    // side is the checkpointed index, already partitioned on h.
     val cand = arr
       .select(col("id").as("a"),
         explode(slice(col("hs"), lit(1), (col("n") / 5).cast("int") + 1)).as("h"))
-      .as("x")
-      .join(arr.select(col("id").as("b"), explode(col("hs")).as("h")).as("y"),
-        col("x.h") === col("y.h") && col("x.a") =!= col("y.b"))
-      .select(col("x.a").as("a"), col("y.b").as("b")).distinct()
+      .join(hIds.select(col("h"), col("ids")), "h")
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
     // exact intersection count, restricted to candidates: two doc-sized
     // array joins (AQE broadcasts the near-dup-sized cand side) and a
     // codegen'd set intersection per pair — no pair×shingle fan-out
@@ -386,6 +389,38 @@ object DedupQueries {
       .localCheckpoint()
     arr.unpersist()
     drops
+  }
+
+  /** The containment stage's cool-shingle inverted index: one row per
+    * shingle hash surviving the hot cut, carrying its exact doc-frequency
+    * and full posting list — `(h, dfh, ids)`. df and the posting list come
+    * out of the SAME aggregation pass, so the corpus×shingle relation is
+    * shuffled exactly once here (the plan-guarded claim in PlanSpec; the
+    * r17 shape shuffled it separately for the df groupBy and the df-join
+    * probe side). The posting list uses `capped_collect_long` bounded at
+    * the hot cut itself: any shingle hotter than the cap is dropped by the
+    * exact-`dfh` filter before the list is ever read, so the cap is
+    * lossless (disjoint partial buffers — see CappedCollectLong's scaladoc
+    * for the argument) while bounding every aggregation buffer by
+    * ~8*(cap+1) bytes regardless of boilerplate skew — at 100 TB a
+    * corpus-wide shingle no longer materializes a billion-id list just to
+    * be discarded.
+    *
+    * Lazy (the caller checkpoints); package-private so PlanSpec can pin
+    * the single-exchange shape.
+    */
+  private[graft] def containmentCoolIndex(
+      docs: DataFrame, hotPct: Int, nDocs: Long): DataFrame = {
+    val cap = math.min(
+      math.max(ContainHotMin.toLong, nDocs * hotPct / 100),
+      (Int.MaxValue - 1).toLong).toInt
+    Dedup.shingleHashes(docs, col("id"), col("text"), ShingleN)
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("dfh"),
+        org.apache.spark.sql.graft.ArrayExpressions
+          .cappedCollectLong(col("id"), cap).as("ids"))
+      .filter(col("dfh") <= ContainHotMin ||
+        col("dfh") * 100 <= nDocs * hotPct)
   }
 
   /** Adaptive front for `containmentDrops` — the connectedComponentsAdaptive

@@ -82,4 +82,12 @@ object ArrayExpressions {
 
   def repetitionStats(c: Column): Column =
     ExpressionUtils.column(RepetitionStats(ExpressionUtils.expression(c)))
+
+  /** Skew-bounded `collect_list` over a LONG column: stops accumulating past
+    * `cap + 1` elements. Lossless when the caller filters groups by an exact
+    * count <= cap before reading the list (see CappedCollectLong).
+    */
+  def cappedCollectLong(c: Column, cap: Int): Column =
+    ExpressionUtils.column(
+      CappedCollectLong(ExpressionUtils.expression(c), cap).toAggregateExpression())
 }

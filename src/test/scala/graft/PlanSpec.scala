@@ -148,6 +148,24 @@ class PlanSpec extends SparkSpec {
       s"containment pairs must come from the shingle-hash equijoin:\n$p")
   }
 
+  test("containmentCoolIndex: df + postings from ONE corpus-sized exchange") {
+    // the fused inverted index is the containment stage's only
+    // corpus×shingle shuffle — df groupBy and posting collection must
+    // share a single aggregation pass (the r17 shape paid two exchanges
+    // plus a join here), with the skew-capped collect in place of an
+    // unbounded collect_list
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id").as("id"),
+        org.apache.spark.sql.functions.col("text"))
+    val p = graft.queries.DedupQueries.containmentCoolIndex(docs, 5, 100L)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected exactly one exchange, got $exchanges:\n$p")
+    assert(!p.contains("Join"), s"the df join must be fused away:\n$p")
+    assert(p.contains("capped_collect_long"),
+      s"posting lists must use the skew-capped collect:\n$p")
+  }
+
   test("q_split_leakage_safe: cluster mapping broadcasts, decision map-side") {
     val p = plan("q_split_leakage_safe")
     assert(p.contains("BroadcastHashJoin"),
