@@ -323,11 +323,18 @@ object DedupQueries {
     * bounded by the cap, and a drop list that is near-dup-sized
     * (broadcastable).
     */
-  def containmentDrops(docs: DataFrame, hotPct: Int = ContainHotPct): DataFrame = {
+  def containmentDrops(docs: DataFrame, hotPct: Int = ContainHotPct): DataFrame =
     // one bounded driver scalar — the hot cut's denominator (the
     // count-then-use precedent from Similarity's size guard); cheaper than
     // a crossJoin(broadcast(agg)) pair of exchanges
-    val nDocs = docs.count()
+    containmentDropsCounted(docs, hotPct, docs.count())
+
+  /** `containmentDrops` with the corpus count already known — the adaptive
+    * front counts to pick its route, so the distributed path must not pay
+    * a second scan for the same scalar.
+    */
+  private def containmentDropsCounted(
+      docs: DataFrame, hotPct: Int, nDocs: Long): DataFrame = {
     // The cool-shingle INVERTED INDEX (h, dfh, ids) from ONE corpus-sized
     // exchange, materialized eagerly with its h-partitioning pinned
     // (localCheckpoint preserves outputPartitioning) so the candidate
@@ -435,20 +442,25 @@ object DedupQueries {
     * (SamplingContainmentSpec drives both through randomized corpora). The
     * bound is doc-count-based: 20k docs × ~130 shingles × 8 B ≈ 20 MB on
     * the driver, the same order as the ingest guard's bounded collect.
+    * The route decision is a count (not the former limit-collect probe,
+    * which shipped 20k shingle arrays to the driver just to learn the
+    * corpus was too big — ~1 s wasted per distributed-path call at the
+    * 10x tier), and the count is passed into the distributed path so the
+    * stage never scans the corpus twice for its own denominator.
     */
   def containmentDropsAdaptive(docs: DataFrame, hotPct: Int = ContainHotPct,
       localMaxDocs: Int = 20000): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val probe = docs.select(col("id"),
-        org.apache.spark.sql.graft.ArrayExpressions
-          .shingleHashes(col("text"), ShingleN).as("hs"))
-      .limit(localMaxDocs + 1)
-      .as[(Long, Seq[Long])].collect()
-    if (probe.length <= localMaxDocs) {
+    val nDocs = docs.count()
+    if (nDocs <= localMaxDocs) {
+      val probe = docs.select(col("id"),
+          org.apache.spark.sql.graft.ArrayExpressions
+            .shingleHashes(col("text"), ShingleN).as("hs"))
+        .as[(Long, Seq[Long])].collect()
       val drops = containmentDropIdsLocal(probe.toSeq, hotPct)
       spark.createDataset(drops.toSeq).toDF("id")
-    } else containmentDrops(docs, hotPct)
+    } else containmentDropsCounted(docs, hotPct, nDocs)
   }
 
   /** Driver-local kernel computing EXACTLY `containmentDrops`' result over
