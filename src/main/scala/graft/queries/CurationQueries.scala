@@ -1028,26 +1028,46 @@ object CurationQueries {
 
   /** ct_sh for the STAGED chain: no base shingle table exists, so shingle
     * surv2 directly — per-doc shingle sets are row-local, so the two
-    * forms are identical on surv2 members.
+    * forms are identical on surv2 members. Uses the window-free flat
+    * shingle twin (same rows, no partitioned sort over corpus positions
+    * — the shape that spilled the oracle engine at the 5M-doc tier).
     */
   private def funnelStagedCtSh: String =
-    s"""${Dedup.shinglePosSql(DedupQueries.ShingleN, "surv2", "ctp_")},
+    s"""${Dedup.shingleFlatSql(DedupQueries.ShingleN, "surv2", "ctp_")},
        |ct_sh AS MATERIALIZED (SELECT DISTINCT id, h FROM ctp_spans)""".stripMargin
 
-  /** containment cut → surv2c, over whatever defines surv2 + ct_sh. */
-  private def funnelSurv2cCtes(surv2Ctes: String, ctSh: String): String =
+  /** containment cut → surv2c, over whatever defines surv2 + ct_sh.
+    * `dropSql` picks the pair-enumeration strategy: the composed chain
+    * keeps the exhaustive cool self-join (algorithm-independent at the
+    * sf0.01 gate); the staged chain passes the provably-lossless
+    * AllPairs prefix-filtered twin so the 5M-doc tier never enumerates
+    * the Σ df² pair space (see containmentDropPrefixSql's scaladoc for
+    * the pigeonhole argument).
+    */
+  private def funnelSurv2cCtes(surv2Ctes: String, ctSh: String,
+      dropSql: (String, String, String) => String =
+        DedupQueries.containmentDropSql(_, _, _)): String =
     s"""$surv2Ctes,
        |$ctSh,
-       |${DedupQueries.containmentDropSql("ct_sh", "surv2", "ct_")},
+       |${dropSql("ct_sh", "surv2", "ct_")},
        |surv2c AS MATERIALIZED (
        |  SELECT s.id, s.text FROM surv2 s LEFT JOIN ct_drop d ON d.id = s.id
        |  WHERE d.id IS NULL)""".stripMargin
 
-  /** span cut → surv3(id, n_kept), over whatever defines surv2c. */
-  private def funnelSurv3Ctes(surv2cCtes: String): String = {
+  /** span cut → surv3(id, n_kept), over whatever defines surv2c.
+    * `flatShingles` swaps the windowed positional-shingle CTE for its
+    * window-free twin (identical rows; the staged 1000x chain cannot
+    * afford a partitioned sort over ~1e9 corpus positions — spanCutSql's
+    * own windows run only over DUPLICATED positions, a far smaller set).
+    */
+  private def funnelSurv3Ctes(surv2cCtes: String,
+      flatShingles: Boolean = false): String = {
     val DQ = DedupQueries
+    val spanShingles =
+      if (flatShingles) Dedup.shingleFlatSql(DQ.SpanN, "surv2c", "s2_")
+      else Dedup.shinglePosSql(DQ.SpanN, "surv2c", "s2_")
     s"""$surv2cCtes,
-       |${Dedup.shinglePosSql(DQ.SpanN, "surv2c", "s2_")},
+       |$spanShingles,
        |${DQ.spanCutSql("s2_")},
        |sp AS (
        |  SELECT s.id, len($funnelWsSql) AS n_words, COALESCE(c.n_cut, 0) AS n_cut
@@ -1172,7 +1192,9 @@ object CurationQueries {
         "WITH RECURSIVE " + funnelSurv2cCtes(
           funnelCorpusCtes + ",\n" +
             funnelDumpJoin("surv2", "dump_q_funnel_stage_neardup"),
-          funnelStagedCtSh) + nw("surv2c")) { (s, dir) =>
+          funnelStagedCtSh,
+          DedupQueries.containmentDropPrefixSql(_, _, _)) + nw("surv2c")) {
+        (s, dir) =>
         stages(s, dir).surv2c.select(col("id"), col("n_words"))
       },
       QueryDef.withStaged(
@@ -1181,7 +1203,8 @@ object CurationQueries {
           funnelSurv2Ctes(funnelBaseCtes), funnelComposedCtSh)) + nk("surv3"),
         "WITH RECURSIVE " + funnelSurv3Ctes(
           funnelCorpusCtes + ",\n" +
-            funnelDumpJoin("surv2c", "dump_q_funnel_stage_containment")) +
+            funnelDumpJoin("surv2c", "dump_q_funnel_stage_containment"),
+          flatShingles = true) +
           nk("surv3")) { (s, dir) =>
         stages(s, dir).surv3.select(col("id"), col("n_kept_tokens"))
       },

@@ -535,6 +535,59 @@ object DedupQueries {
        |  WHERE i.ninter * 5 >= na.n * 4
        |    AND (na.n < nb.n OR (na.n = nb.n AND i.a > i.b)))""".stripMargin
 
+  /** Prefix-filtered twin of `containmentDropSql` — same `${prefix}drop`
+    * result, but candidates come from the AllPairs rarity-prefix filter
+    * instead of the exhaustive cool-shingle self-join, whose pair
+    * enumeration reaches Σ df² ≈ 1e9 aggregate rows at the 5M-doc tier
+    * (the r17 1000x bound). Used by the STAGED funnel oracle at scale
+    * tiers; the composed sf0.01 oracle keeps the exhaustive form, so the
+    * small-scale gate stays algorithm-independent.
+    *
+    * Why this does NOT weaken the oracle — the filter is provably
+    * lossless, not approximate. A drop requires ninter * 5 >= n_a * 4,
+    * i.e. `a` shares all but at most floor(n_a / 5) of its n_a cool
+    * shingles with `b`. The prefix is a's floor(n_a / 5) + 1 RAREST cool
+    * shingles under the total order (df, h) — one more than the most `a`
+    * can be missing — so by pigeonhole at least one prefix shingle of `a`
+    * is also a (necessarily cool — coolness is a global per-shingle
+    * predicate) shingle of `b`, and the pair surfaces in the candidate
+    * equijoin. The exact `list_intersect` recount then applies the
+    * identical final rule, so the qualifying-drop set is EXACTLY the
+    * exhaustive form's. Shapes are all bounded: the per-doc sorted-list
+    * aggregation replaces the window sort (group-local sorts of ~50
+    * elements), the candidate join cost is Σ over prefix shingles of
+    * df(h) — rare shingles by construction — and the recount touches
+    * candidate pairs only (list intersections of doc-bounded arrays, no
+    * pair×shingle fan-out, no 3-way join for the optimizer to re-order
+    * into the Σ df² shape).
+    */
+  def containmentDropPrefixSql(shFrom: String, docsFrom: String, prefix: String,
+      hotPct: Int = ContainHotPct): String =
+    s"""${prefix}cool AS MATERIALIZED (
+       |  SELECT s.id, s.h, d.df FROM $shFrom s
+       |  JOIN (SELECT h, count(*) AS df FROM $shFrom GROUP BY h) d ON d.h = s.h
+       |  WHERE d.df <= $ContainHotMin
+       |     OR d.df * 100 <= (SELECT count(*) FROM $docsFrom) * $hotPct),
+       |${prefix}arr AS MATERIALIZED (
+       |  SELECT id, list(h ORDER BY df, h) AS hs, count(*) AS n
+       |  FROM ${prefix}cool GROUP BY id),
+       |${prefix}pref AS (
+       |  SELECT id AS a, unnest(list_slice(hs, 1, n // 5 + 1)) AS h
+       |  FROM ${prefix}arr),
+       |${prefix}cand AS MATERIALIZED (
+       |  SELECT DISTINCT p.a, c.id AS b
+       |  FROM ${prefix}pref p JOIN ${prefix}cool c ON c.h = p.h AND c.id <> p.a),
+       |${prefix}inter AS MATERIALIZED (
+       |  SELECT cd.a, cd.b, len(list_intersect(aa.hs, ab.hs)) AS ninter,
+       |         aa.n AS n_a, ab.n AS n_b
+       |  FROM ${prefix}cand cd
+       |  JOIN ${prefix}arr aa ON aa.id = cd.a
+       |  JOIN ${prefix}arr ab ON ab.id = cd.b),
+       |${prefix}drop AS (
+       |  SELECT DISTINCT a AS id FROM ${prefix}inter
+       |  WHERE ninter >= 2 AND ninter * 5 >= n_a * 4
+       |    AND (n_a < n_b OR (n_a = n_b AND a > b)))""".stripMargin
+
   private def withFirstWordReplaced(s: SparkSession, dir: String): DataFrame = {
     val ws = TextOps.words(col("text"))
     base(s, dir).unionAll(
