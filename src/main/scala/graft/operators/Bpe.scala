@@ -95,21 +95,51 @@ object Bpe {
       case None      => dict
     }
 
+  /** Dictionary-size bound for the driver-local training kernel: 200k
+    * words × ~60 chars of spaced encoding ≈ 25 MB on the driver — the
+    * containment/verifiedClusters bounded-collect order. Classic BPE
+    * already trains on the weighted dictionary, so past the bound only
+    * the per-round argmax loop goes distributed; the corpus scan is the
+    * same either way.
+    */
+  val LocalMaxWords = 200000
+
   /** Run `Rounds` merge rounds. Returns (merges, finalDict):
     * merges = (merge_round, left_sym, right_sym, merged, cnt), one row
     * per round; finalDict = (word, s, cnt) after all merges.
     *
-    * Each round's winner is ONE row — it is collected and fed forward as
-    * literals, so the final dictionary's plan is the cached word-count
-    * scan plus `Rounds` flat selects (no join chain, no re-derived
-    * winners), and the merge table is a driver-built local relation. The
-    * only corpus-scan stage remains `dictionary`; every collect here is
-    * vocab-pair-argmax-sized (≤1 row per round).
+    * Adaptive (the containmentDropsAdaptive pattern): the weighted
+    * dictionary is materialized once (eager localCheckpoint — the one
+    * corpus-scan stage), and when it is within `LocalMaxWords` the
+    * `Rounds` merge rounds run in a driver-local kernel over the
+    * collected rows — replacing `Rounds` scheduled jobs (each a
+    * vocab-sized groupBy + argmax round-trip, pure per-job overhead at
+    * any corpus size, since the dictionary does not grow with the
+    * corpus) with ONE bounded collect. Same merges, same final
+    * segmentation: the kernel replays the identical pair-count /
+    * argmax / double-replace arithmetic (see trainLocal). Past the
+    * bound, the distributed per-round loop runs unchanged
+    * (BpeAdaptiveParitySpec holds the two routes equal on randomized
+    * corpora).
     */
   def train(documents: DataFrame): (DataFrame, DataFrame) = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val d0 = dictionary(documents).cache()
+    val d0 = dictionary(documents).localCheckpoint()
+    if (d0.limit(LocalMaxWords + 1).count() <= LocalMaxWords) {
+      val rows = d0.as[(String, String, Long)].collect()
+      val (winners, dict) = trainLocal(rows)
+      (winners.toDF("merge_round", "left_sym", "right_sym", "merged", "cnt"),
+        spark.createDataset(dict.toSeq).toDF("word", "s", "cnt"))
+    } else trainDistributed(d0)
+  }
+
+  /** The distributed per-round loop over a materialized dictionary —
+    * the fallback past `LocalMaxWords` (and the parity spec's anchor).
+    */
+  private[graft] def trainDistributed(d0: DataFrame): (DataFrame, DataFrame) = {
+    val spark = d0.sparkSession
+    import spark.implicits._
     var d = d0
     val winners = Seq.newBuilder[(Int, String, String, String, Long)]
     for (r <- 1 to Rounds) {
@@ -122,6 +152,67 @@ object Bpe {
     val merges = winners.result()
       .toDF("merge_round", "left_sym", "right_sym", "merged", "cnt")
     (merges, d)
+  }
+
+  /** UTF-8 byte order — Spark/DuckDB's binary string collation. The
+    * driver kernel must not tie-break the argmax with String.compareTo
+    * (UTF-16 code-unit order), which disagrees with byte order for
+    * supplementary characters vs [U+E000, U+FFFF].
+    */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Driver-local kernel replaying EXACTLY the distributed rounds over a
+    * collected (word, s, cnt) dictionary. Same arithmetic end-to-end:
+    * pairs from adjacent symbols of trim(s) split on ' ' (weighted by
+    * cnt, summed in Long), winner under (cnt desc, l asc, r asc) with
+    * the tie-break in UTF-8 BYTE order (Spark's binary collation — see
+    * utf8Lt), and the merge applied as the same left-to-right
+    * non-overlapping literal replace TWICE (Java String.replace and
+    * Spark's `replace` share those semantics; see applyMergeLit for why
+    * two passes reach the fixpoint).
+    */
+  private[graft] def trainLocal(rows: Array[(String, String, Long)])
+      : (Seq[(Int, String, String, String, Long)], Array[(String, String, Long)]) = {
+    var dict = rows
+    val winners = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (r <- 1 to Rounds) {
+      val counts = new scala.collection.mutable.HashMap[(String, String), Long]()
+      for ((_, s, cnt) <- dict) {
+        val syms = s.trim.split(" ")
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + cnt)
+          i += 1
+        }
+      }
+      if (counts.nonEmpty) {
+        val ((l, rr), cnt) = counts.minBy(identity)(Ordering.fromLessThan[
+          ((String, String), Long)] { case (((al, ar), ac), ((bl, br), bc)) =>
+          if (ac != bc) ac > bc
+          else if (al != bl) utf8Lt(al, bl)
+          else utf8Lt(ar, br)
+        })
+        winners += ((r, l, rr, l + rr, cnt))
+        val pat = s" $l $rr "
+        val rep = s" $l$rr "
+        dict = dict.map { case (w, s, c) =>
+          (w, s.replace(pat, rep).replace(pat, rep), c)
+        }
+      }
+    }
+    (winners.result(), dict)
   }
 
   // ------------------------------------------------------------ oracle SQL

@@ -154,10 +154,20 @@ object LmQueries {
     val t = docs.select(col("doc_id"), TextOps.words(col("text")).as("ws"))
       .cache()
     val wpos = t.select(col("doc_id"), explode(col("ws")).as("w"))
+    // c1 feeds FOUR plan branches (tv's sum, both backoff broadcasts, the
+    // first-token join) and tv two (sbg, s1) — as lazy subtrees each
+    // consumer re-exploded the cached corpus and re-ran the groupBy (the
+    // physical plan carried four copies of the c1 exchange, and tv's
+    // corpus-wide countDistinct ran twice). Both results are
+    // dictionary-sized: cache them (lazy, like `t` above — an eager
+    // checkpoint here would serialize the plan into extra job barriers
+    // and strip the stats AQE uses) so each computes once per run.
     val c1 = wpos.filter(col("doc_id") % TrainMod === 0)
       .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+      .cache()
     val tv = c1.agg(coalesce(sum(col("c1")), lit(0L)).cast("long").as("t"))
       .crossJoin(wpos.agg(countDistinct(col("w")).as("v")))
+      .cache()
     // bigram stream built map-side (zip of the token array with its own
     // tail) — no shuffle, no positional self-join
     val pairs = zip_with(
@@ -203,17 +213,25 @@ object LmQueries {
     val wpos = base.select(col("doc_id"), col("lang"),
       explode(col("ws")).as("w"))
     val train = wpos.filter(col("doc_id") % LabelMod === 0)
+    // cp/cn each feed two branches (tv's totals + wt) and the corpus vocab
+    // feeds two (tv's |V| + wt's row set) — lazy, every consumer re-ran the
+    // class-count groupBy over the cached corpus (the bigramLogprob c1
+    // shape). All three are dictionary-sized: cache them (lazy, like
+    // `base` above) so each computes once per run.
     val cp = train.filter(col("lang") === TargetLang)
       .groupBy(col("w")).agg(count(lit(1)).as("cp"))
+      .cache()
     val cn = train.filter(col("lang") =!= TargetLang)
       .groupBy(col("w")).agg(count(lit(1)).as("cn"))
+      .cache()
+    val vv = wpos.select(col("w")).distinct().cache()
     val tv = cp.agg(coalesce(sum(col("cp")), lit(0L)).cast("long").as("tp"))
       .crossJoin(cn.agg(coalesce(sum(col("cn")), lit(0L)).cast("long").as("tn")))
-      .crossJoin(wpos.agg(countDistinct(col("w")).as("v")))
+      .crossJoin(vv.agg(count(lit(1)).as("v")))
     val nd = base.filter(col("doc_id") % LabelMod === 0)
       .agg(sum(when(col("lang") === TargetLang, 1L).otherwise(0L)).as("np"),
         sum(when(col("lang") === TargetLang, 0L).otherwise(1L)).as("nn"))
-    val wt = wpos.select(col("w")).distinct()
+    val wt = vv
       .join(broadcast(cp), Seq("w"), "left")
       .join(broadcast(cn), Seq("w"), "left")
       .crossJoin(broadcast(tv))
