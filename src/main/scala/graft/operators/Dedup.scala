@@ -189,6 +189,86 @@ object Dedup {
   def candidatePairsLocal(docShingles: Seq[(Long, Seq[Long])],
                           maxBucket: Option[Int],
                           pairBudget: Long = Long.MaxValue): Option[Seq[(Long, Long)]] = {
+    val buckets = bandBucketsLocal(docShingles)
+    val kept = buckets.valuesIterator
+      .filter(ids => maxBucket.forall(ids.size <= _)).toSeq
+    val rawPairs = kept.iterator
+      .map(ids => ids.size.toLong * (ids.size - 1) / 2).sum
+    if (rawPairs > pairBudget) return None
+    // primitive-encoded enumeration (rank pairs packed into one Long,
+    // sort + adjacent-dedup) instead of a boxed (Long, Long) hash set —
+    // at the 1M-raw-pair budget the boxed set allocated ~3 objects per
+    // raw pair and dominated the kernel's cost
+    val ranks = idRanks(docShingles)
+    val enc = new scala.collection.mutable.ArrayBuilder.ofLong
+    for (ids <- kept) {
+      val arr = ids.toArray
+      var x = 0
+      while (x < arr.length) {
+        var y = x + 1
+        while (y < arr.length) {
+          if (arr(x) != arr(y)) enc += encodePair(ranks, arr(x), arr(y))
+          y += 1
+        }
+        x += 1
+      }
+    }
+    Some(decodeDistinctPairs(ranks, enc.result()))
+  }
+
+  /** Dense ranks over the batch's ids, assigned in ID ORDER so rank
+    * comparisons reproduce id comparisons — the (a < b) orientation
+    * survives the encoding. Shared by the pair kernels.
+    */
+  private def idRanks(docShingles: Seq[(Long, Seq[Long])])
+      : (Array[Long], java.util.HashMap[Long, Int]) = {
+    val sorted = docShingles.map(_._1).distinct.sorted.toArray
+    val rank = new java.util.HashMap[Long, Int](sorted.length * 2)
+    var i = 0
+    while (i < sorted.length) { rank.put(sorted(i), i); i += 1 }
+    (sorted, rank)
+  }
+
+  /** One Long per (min, max)-oriented rank pair. n <= a few hundred
+    * thousand ids per bounded batch, so rank * n + rank fits easily.
+    */
+  private def encodePair(ranks: (Array[Long], java.util.HashMap[Long, Int]),
+                         a: Long, b: Long): Long = {
+    val n = ranks._1.length.toLong
+    val ra = ranks._2.get(a).toLong
+    val rb = ranks._2.get(b).toLong
+    if (ra < rb) ra * n + rb else rb * n + ra
+  }
+
+  /** Sort + adjacent-dedup of encoded pairs back to (a, b) with a < b. */
+  private def decodeDistinctPairs(
+      ranks: (Array[Long], java.util.HashMap[Long, Int]),
+      enc: Array[Long]): Seq[(Long, Long)] = {
+    java.util.Arrays.sort(enc)
+    val n = ranks._1.length.toLong
+    val out = Seq.newBuilder[(Long, Long)]
+    var i = 0
+    while (i < enc.length) {
+      if (i == 0 || enc(i) != enc(i - 1))
+        out += ((ranks._1((enc(i) / n).toInt), ranks._1((enc(i) % n).toInt)))
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Band buckets of a collected (id, shingle hashes) batch — the shared
+    * front of the driver-local LSH kernels: register i = min over the
+    * doc's shingle hashes of (h * hashA(i) + hashB(i)) % P in 64-bit
+    * arithmetic (identical two's-complement overflow and sign-preserving
+    * % on the JVM and in Spark SQL), bucket key = (band, RowsPerBand
+    * register slice) — the SQL side's concat_ws("_") key is injective
+    * for a fixed slice width, so tuple equality IS key equality. Docs
+    * with zero shingles are skipped exactly like the rowwise signature's
+    * `size(hs) > 0` filter.
+    */
+  private def bandBucketsLocal(docShingles: Seq[(Long, Seq[Long])])
+      : scala.collection.mutable.HashMap[
+        (Int, Seq[Long]), scala.collection.mutable.ArrayBuffer[Long]] = {
     val buckets = new scala.collection.mutable.HashMap[
       (Int, Seq[Long]), scala.collection.mutable.ArrayBuffer[Long]]()
     for ((id, hs) <- docShingles if hs.nonEmpty) {
@@ -215,27 +295,121 @@ object Dedup {
         band += 1
       }
     }
-    val kept = buckets.valuesIterator
-      .filter(ids => maxBucket.forall(ids.size <= _)).toSeq
-    val rawPairs = kept.iterator
-      .map(ids => ids.size.toLong * (ids.size - 1) / 2).sum
-    if (rawPairs > pairBudget) return None
-    val pairs = scala.collection.mutable.LinkedHashSet[(Long, Long)]()
-    for (ids <- kept) {
+    buckets
+  }
+
+  /** Driver-local twin of `candidatePairsAcross` over collected index /
+    * probe (id, shingle hashes) batches: distinct (index id, probe id)
+    * pairs sharing a band bucket — the INCREMENTAL kernel. Bucket keys
+    * for both sides come from the same register arithmetic as
+    * `bandBucketsLocal`; the raw cross-bucket product is counted BEFORE
+    * enumeration and None past `pairBudget` (the candidatePairsLocal
+    * bound), sending the caller to the distributed route.
+    */
+  def candidatePairsAcrossLocal(index: Seq[(Long, Seq[Long])],
+                                probe: Seq[(Long, Seq[Long])],
+                                pairBudget: Long = Long.MaxValue)
+      : Option[Seq[(Long, Long)]] = {
+    val idxBuckets = bandBucketsLocal(index)
+    val probeBuckets = bandBucketsLocal(probe)
+    var raw = 0L
+    for ((k, pids) <- probeBuckets; iids <- idxBuckets.get(k))
+      raw += pids.length.toLong * iids.length
+    if (raw > pairBudget) return None
+    // DIRECTED primitive encoding (a = index id, b = probe id — no
+    // min/max orientation), sort + adjacent-dedup; same no-boxing
+    // rationale as candidatePairsLocal
+    val ranks = idRanks(index ++ probe)
+    val n = ranks._1.length.toLong
+    val enc = new scala.collection.mutable.ArrayBuilder.ofLong
+    for ((k, pids) <- probeBuckets; iids <- idxBuckets.get(k);
+         b <- pids; a <- iids)
+      enc += ranks._2.get(a).toLong * n + ranks._2.get(b).toLong
+    val e = enc.result()
+    java.util.Arrays.sort(e)
+    val out = Seq.newBuilder[(Long, Long)]
+    var i = 0
+    while (i < e.length) {
+      if (i == 0 || e(i) != e(i - 1))
+        out += ((ranks._1((e(i) / n).toInt), ranks._1((e(i) % n).toInt)))
+      i += 1
+    }
+    Some(out.result())
+  }
+
+  /** Driver-local twin of `invertedCandidatePairs` over a collected
+    * (id, DISTINCT shingle hashes) batch: undirected pairs (a < b)
+    * sharing >= `minShared` shingles, with the shared count. Same
+    * posting-list enumeration the inverted-index equijoin performs; the
+    * aggregate pair space (sum over shingles of df*(df-1)/2) is counted
+    * BEFORE enumeration and None past `pairBudget` — the Σ df² shape is
+    * exactly why the distributed route exists.
+    */
+  def invertedPairsLocal(docShingles: Seq[(Long, Seq[Long])], minShared: Int,
+                         pairBudget: Long = Long.MaxValue)
+      : Option[Seq[(Long, Long, Long)]] = {
+    val postings = new scala.collection.mutable.HashMap[
+      Long, scala.collection.mutable.ArrayBuffer[Long]]()
+    for ((id, hs) <- docShingles; h <- hs)
+      postings.getOrElseUpdate(h,
+        new scala.collection.mutable.ArrayBuffer[Long]) += id
+    var raw = 0L
+    for (ids <- postings.valuesIterator)
+      raw += ids.length.toLong * (ids.length - 1) / 2
+    if (raw > pairBudget) return None
+    // primitive-encoded enumeration + sort + run-length count (see
+    // candidatePairsLocal): the shared-shingle count of a pair is its
+    // encoded multiplicity — no boxed tuple-keyed hash map
+    val ranks = idRanks(docShingles)
+    val enc = new scala.collection.mutable.ArrayBuilder.ofLong
+    for (ids <- postings.valuesIterator if ids.length >= 2) {
       val arr = ids.toArray
       var x = 0
       while (x < arr.length) {
         var y = x + 1
         while (y < arr.length) {
-          val (a, b) = if (arr(x) < arr(y)) (arr(x), arr(y)) else (arr(y), arr(x))
-          if (a != b) pairs += ((a, b))
+          enc += encodePair(ranks, arr(x), arr(y))
           y += 1
         }
         x += 1
       }
     }
-    Some(pairs.toSeq)
+    val e = enc.result()
+    java.util.Arrays.sort(e)
+    val n = ranks._1.length.toLong
+    val out = Seq.newBuilder[(Long, Long, Long)]
+    var i = 0
+    while (i < e.length) {
+      var j = i + 1
+      while (j < e.length && e(j) == e(i)) j += 1
+      if (j - i >= minShared)
+        out += ((ranks._1((e(i) / n).toInt), ranks._1((e(i) % n).toInt),
+          (j - i).toLong))
+      i = j
+    }
+    Some(out.result())
   }
+
+  /** Exact-intersection EVIDENCE for given pairs over collected distinct
+    * shingle sets: (a, b, inter, sza, szb) — integers only, so the
+    * jaccard/containment RATIOS (and their r4 rounding) are computed by
+    * the SAME Column expressions the distributed route uses; the kernel
+    * cannot introduce float drift. Pairs whose side has no shingle set
+    * are dropped, mirroring `jaccard`'s inner join against the per-id
+    * size table (candidates never reference such docs — both generators
+    * require shingles).
+    */
+  def intersectionEvidenceLocal(shMap: Map[Long, Set[Long]],
+                                pairs: Seq[(Long, Long)])
+      : Seq[(Long, Long, Long, Long, Long)] =
+    pairs.flatMap { case (a, b) =>
+      (shMap.get(a), shMap.get(b)) match {
+        case (Some(sa), Some(sb)) =>
+          val inter = sa.count(sb.contains).toLong
+          Some((a, b, inter, sa.size.toLong, sb.size.toLong))
+        case _ => None
+      }
+    }
 
   /** SQL twin of `candidatePairsCapped` -> CTE `cand(a, b)` (drop-in for
     * `candidateSql`).

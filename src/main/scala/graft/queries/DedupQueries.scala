@@ -95,6 +95,43 @@ object DedupQueries {
     */
   private[queries] val LocalPairBudget = 1000000L
 
+  /** Bounded-corpus shingle collect shared by the pairwise driver
+    * kernels: Some((id, distinct shingle-hash array) rows) when the
+    * corpus holds at most `localMaxDocs` docs, None otherwise (the
+    * verifiedClusters probe-then-collect discipline — an id-only limit
+    * probe first, so an oversized corpus never ships shingle arrays just
+    * to learn it must take the distributed route). `localMaxDocs = 0`
+    * forces the distributed route (the route-parity specs' switch).
+    */
+  private[queries] def collectShinglesBounded(
+      docs: DataFrame, n: Int, localMaxDocs: Int): Option[Array[(Long, Seq[Long])]] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val bounded = localMaxDocs > 0 &&
+      docs.select(col("id")).limit(localMaxDocs + 1).count() <= localMaxDocs
+    if (!bounded) None
+    else Some(docs.select(col("id"),
+        org.apache.spark.sql.graft.ArrayExpressions
+          .shingleHashes(col("text"), n).as("hs"))
+      .as[(Long, Seq[Long])].collect())
+  }
+
+  /** (a, b, inter, sza, szb) rows from a driver kernel, back in
+    * DataFrame land — integers only, so every downstream ratio and
+    * rounding is the same Column expression the distributed route runs.
+    */
+  private def evidenceDF(s: SparkSession,
+                         ev: Seq[(Long, Long, Long, Long, Long)]): DataFrame = {
+    import s.implicits._
+    s.createDataset(ev).toDF("a", "b", "inter", "sza", "szb")
+  }
+
+  /** The jaccard column over evidence rows — EXACTLY `Dedup.jaccard`'s
+    * expression (long * 1.0 / long in double arithmetic).
+    */
+  private def jaccardCol: org.apache.spark.sql.Column =
+    col("inter") * 1.0 / (col("sza") + col("szb") - col("inter"))
+
   private[queries] def verifiedClusters(s: SparkSession, docs: DataFrame,
                                         bucketCap: Option[Int] = None,
                                         localMaxPairs: Int = VerifyLocalMaxPairs,
@@ -288,21 +325,240 @@ object DedupQueries {
     * drive synthetic corpora through the exact production plan (see the
     * QueryDef comment for semantics and thresholds).
     */
-  def containmentPairs(docs: DataFrame): DataFrame = {
-    val sh = Dedup.shingleHashes(docs, col("id"), col("text"), ShingleN).cache()
-    val nsh = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("x")
-      .join(sh.as("y"), col("x.h") === col("y.h") && col("x.id") =!= col("y.id"))
-      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
-      .agg(count(lit(1)).as("ninter")).filter(col("ninter") >= 2)
-    inter
-      .join(nsh.select(col("id").as("a"), col("n").as("n_a")), "a")
-      .join(nsh.select(col("id").as("b"), col("n").as("n_b")), "b")
-      .filter(col("ninter") * 5 >= col("n_a") * 4)
+  def containmentPairs(docs: DataFrame,
+                       localMaxDocs: Int = 20000): DataFrame = {
+    // Driver kernel for bounded corpora (the verifiedClusters pattern):
+    // the inverted-index pair enumeration runs over one collected shingle
+    // batch and only INTEGER evidence returns to DataFrame land — the
+    // directed expansion, thresholds, ratios and r4 rounding below are
+    // the same Column expressions on both routes, so the kernel cannot
+    // fork a float boundary (DedupRouteParitySpec holds the routes
+    // equal). Budget-guarded: past LocalPairBudget raw pairs (the Σ df²
+    // shape) or localMaxDocs, the distributed plan runs unchanged.
+    val localEv = collectShinglesBounded(docs, ShingleN, localMaxDocs)
+      .flatMap { probe =>
+        Dedup.invertedPairsLocal(probe.toSeq, 2, LocalPairBudget).map { cand =>
+          val shMap = probe.iterator
+            .map { case (id, hs) => id -> hs.toSet }.toMap
+          Dedup.intersectionEvidenceLocal(
+            shMap, cand.map { case (a, b, _) => (a, b) })
+        }
+      }
+    val directed = localEv match {
+      case Some(ev) =>
+        val s = docs.sparkSession
+        import s.implicits._
+        val und = s.createDataset(ev).toDF("a", "b", "inter", "sza", "szb")
+        und.select(col("a"), col("b"), col("inter").as("ninter"),
+            col("sza").as("n_a"), col("szb").as("n_b"))
+          .unionAll(und.select(col("b").as("a"), col("a").as("b"),
+            col("inter").as("ninter"),
+            col("szb").as("n_a"), col("sza").as("n_b")))
+      case None =>
+        val sh = Dedup.shingleHashes(docs, col("id"), col("text"), ShingleN).cache()
+        val nsh = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+        sh.as("x")
+          .join(sh.as("y"), col("x.h") === col("y.h") && col("x.id") =!= col("y.id"))
+          .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+          .agg(count(lit(1)).as("ninter")).filter(col("ninter") >= 2)
+          .join(nsh.select(col("id").as("a"), col("n").as("n_a")), "a")
+          .join(nsh.select(col("id").as("b"), col("n").as("n_b")), "b")
+    }
+    directed
+      .filter(col("ninter") >= 2 && col("ninter") * 5 >= col("n_a") * 4)
       .select(col("a"), col("b"),
         Num.r4(col("ninter") * 1.0 / col("n_a")).as("containment"),
         Num.r4(col("ninter") * 1.0 / (col("n_a") + col("n_b") - col("ninter")))
           .as("jaccard"))
+  }
+
+  /** q_dedup_minhash_lsh body: LSH banding candidates + exact-Jaccard
+    * verify at 0.35, adaptive (the verifiedClusters pattern): bounded
+    * corpora run the band/bucket/verify chain in a driver kernel that
+    * returns integer evidence only — the jaccard ratio, threshold, and
+    * rounding stay the same Column expressions either way.
+    */
+  private[queries] def minhashLsh(s: SparkSession, docs: DataFrame,
+                                  localMaxDocs: Int = 20000): DataFrame = {
+    val localEv = collectShinglesBounded(docs, ShingleN, localMaxDocs)
+      .flatMap { probe =>
+        Dedup.candidatePairsLocal(probe.toSeq, None, LocalPairBudget).map { cand =>
+          val shMap = probe.iterator
+            .map { case (id, hs) => id -> hs.toSet }.toMap
+          Dedup.intersectionEvidenceLocal(shMap, cand)
+        }
+      }
+    val jac = localEv match {
+      case Some(ev) => evidenceDF(s, ev).withColumn("jaccard", jaccardCol)
+      case None =>
+        // sh feeds signatures AND both sides of the Jaccard verify —
+        // cache it (at cluster scale: persist the shingle table once per
+        // dedup run)
+        val sh = Dedup.shingleHashes(docs, col("id"), col("text"), ShingleN)
+          .cache()
+        val cand = Dedup.candidatePairs(Dedup.bandKeys(Dedup.minhashSignatures(sh)))
+          .cache()
+        Dedup.jaccard(cand, sh)
+    }
+    jac.filter(col("jaccard") >= 0.35)
+      .select(col("a"), col("b"), Num.r4(col("jaccard")).as("jaccard"))
+  }
+
+  /** q_dedup_ngram_jaccard body: inverted-index candidates (>= 2 shared
+    * shingles) + exact Jaccard at 0.3, adaptive like `minhashLsh`.
+    */
+  private[queries] def ngramJaccard(s: SparkSession, docs: DataFrame,
+                                    localMaxDocs: Int = 20000): DataFrame = {
+    val localEv = collectShinglesBounded(docs, ShingleN, localMaxDocs)
+      .flatMap { probe =>
+        Dedup.invertedPairsLocal(probe.toSeq, 2, LocalPairBudget).map { cand =>
+          val shMap = probe.iterator
+            .map { case (id, hs) => id -> hs.toSet }.toMap
+          Dedup.intersectionEvidenceLocal(
+            shMap, cand.map { case (a, b, _) => (a, b) })
+        }
+      }
+    val jac = localEv match {
+      case Some(ev) => evidenceDF(s, ev).withColumn("jaccard", jaccardCol)
+      case None =>
+        val sh = Dedup.shingleHashes(docs, col("id"), col("text"), ShingleN)
+          .cache()
+        Dedup.jaccard(Dedup.invertedCandidatePairs(sh, 2), sh)
+    }
+    jac.filter(col("jaccard") >= 0.3)
+      .select(col("a"), col("b"), Num.r4(col("jaccard")).as("jaccard"))
+  }
+
+  /** q_multisignal_dedup_lsh's lexical arm: hot-bucket-capped LSH
+    * candidates verified by exact Jaccard at the near-dup threshold —
+    * (a, b, raw jaccard) rows (the caller joins the embedding cosine on
+    * and applies r4). Adaptive like `minhashLsh`, with the capped
+    * candidate generator.
+    */
+  private[queries] def multisignalPairs(s: SparkSession, docs: DataFrame,
+                                        localMaxDocs: Int = 20000): DataFrame = {
+    val localEv = collectShinglesBounded(docs, ShingleN, localMaxDocs)
+      .flatMap { probe =>
+        Dedup.candidatePairsLocal(probe.toSeq, Some(LshBucketCap),
+          LocalPairBudget).map { cand =>
+          val shMap = probe.iterator
+            .map { case (id, hs) => id -> hs.toSet }.toMap
+          Dedup.intersectionEvidenceLocal(shMap, cand)
+        }
+      }
+    val jac = localEv match {
+      case Some(ev) => evidenceDF(s, ev).withColumn("jaccard", jaccardCol)
+      case None =>
+        // map-only rowwise signatures → bands → capped candidates (the
+        // verifiedClusters chain); bk feeds the bucket count and both
+        // sides of the candidate self-join — cache (ids x Bands rows)
+        val bk = Dedup.bandKeys(Dedup.minhashSignaturesRowwise(
+          docs, col("id"), col("text"), ShingleN)).cache()
+        val cand = Dedup.candidatePairsCapped(bk, LshBucketCap)
+        // the exact verify only looks at docs in a candidate pair —
+        // shingle THOSE, not the corpus (candidate-restricted rows leave
+        // per-doc shingle sets untouched, so jaccard values are identical)
+        val candIds = cand.select(col("a").as("id"))
+          .unionAll(cand.select(col("b").as("id"))).distinct()
+        val sh = Dedup.shingleHashes(
+          docs.join(candIds, Seq("id"), "left_semi"),
+          col("id"), col("text"), ShingleN).localCheckpoint()
+        Dedup.jaccard(cand, sh)
+    }
+    jac.filter(col("jaccard") >= JaccardThreshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** q_dedup_lsh_recall body: recall of the LSH band candidates against
+    * the inverted-index truth set, per Jaccard bucket. Adaptive: the two
+    * pair generators and the intersection counts come from ONE collected
+    * shingle batch on bounded corpora; the jr rounding, bucket boundaries
+    * and recall aggregation stay engine-side on both routes.
+    */
+  private[queries] def lshRecall(s: SparkSession, docs: DataFrame,
+                                 localMaxDocs: Int = 20000): DataFrame = {
+    val local = collectShinglesBounded(docs, ShingleN, localMaxDocs)
+      .flatMap { probe =>
+        for {
+          truthCand <- Dedup.invertedPairsLocal(probe.toSeq, 2, LocalPairBudget)
+          lshCand <- Dedup.candidatePairsLocal(probe.toSeq, None, LocalPairBudget)
+        } yield {
+          val shMap = probe.iterator
+            .map { case (id, hs) => id -> hs.toSet }.toMap
+          val ev = Dedup.intersectionEvidenceLocal(
+            shMap, truthCand.map { case (a, b, _) => (a, b) })
+          (ev, lshCand)
+        }
+      }
+    local match {
+      case Some((ev, lshCand)) =>
+        import s.implicits._
+        val truth = evidenceDF(s, ev).withColumn("jaccard", jaccardCol)
+          .filter(col("jaccard") >= 0.3)
+          .select(col("a"), col("b"), Num.r4(col("jaccard")).as("jr"))
+        val lsh = s.createDataset(lshCand).toDF("la", "lb")
+        recallBuckets(truth, lsh)
+      case None =>
+        val sh = Dedup.shingleHashes(docs, col("id"), col("text"), ShingleN)
+          .cache()
+        val truth = Dedup.jaccard(Dedup.invertedCandidatePairs(sh, 2), sh)
+          .filter(col("jaccard") >= 0.3)
+          .select(col("a"), col("b"), Num.r4(col("jaccard")).as("jr"))
+        val lsh = Dedup.candidatePairs(Dedup.bandKeys(Dedup.minhashSignatures(sh)))
+          .select(col("a").as("la"), col("b").as("lb"))
+        recallBuckets(truth, lsh)
+    }
+  }
+
+  /** The recall bucketing/aggregation shared by both lshRecall routes —
+    * one definition so the routes cannot fork on the boundary exprs.
+    */
+  private def recallBuckets(truth: DataFrame, lsh: DataFrame): DataFrame =
+    truth
+      .join(lsh, col("la") === col("a") && col("lb") === col("b"), "left")
+      .select(
+        when(col("jr") < 0.5, "j_030_050")
+          .when(col("jr") < 0.7, "j_050_070")
+          .otherwise("j_070_100").as("bucket"),
+        col("la"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_truth"), count(col("la")).as("n_hit"))
+      .withColumn("recall", Num.r4(col("n_hit") * 1.0 / col("n_truth")))
+
+  /** q_dedup_incremental body: the new batch's bands probed against the
+    * corpus band index, exact Jaccard at the near-dup threshold.
+    * Adaptive: bounded corpora run the cross-set band probe + verify in
+    * a driver kernel (integer evidence only, like the others).
+    */
+  private[queries] def incrementalDedup(s: SparkSession, corpus: DataFrame,
+                                        batch: DataFrame,
+                                        localMaxDocs: Int = 20000): DataFrame = {
+    val localEv =
+      for {
+        corpusSh <- collectShinglesBounded(corpus, ShingleN, localMaxDocs)
+        batchSh <- collectShinglesBounded(batch, ShingleN, localMaxDocs)
+        cand <- Dedup.candidatePairsAcrossLocal(
+          corpusSh.toSeq, batchSh.toSeq, LocalPairBudget)
+      } yield {
+        val shMap = (corpusSh.iterator ++ batchSh.iterator)
+          .map { case (id, hs) => id -> hs.toSet }.toMap
+        Dedup.intersectionEvidenceLocal(shMap, cand)
+      }
+    val jac = localEv match {
+      case Some(ev) => evidenceDF(s, ev).withColumn("jaccard", jaccardCol)
+      case None =>
+        val shC = Dedup.shingleHashes(corpus, col("id"), col("text"), ShingleN)
+          .cache()
+        val shI = Dedup.shingleHashes(batch, col("id"), col("text"), ShingleN)
+          .cache()
+        val index = Dedup.bandKeys(Dedup.minhashSignatures(shC))
+        val probe = Dedup.bandKeys(Dedup.minhashSignatures(shI))
+        val cand = Dedup.candidatePairsAcross(index, probe).cache()
+        Dedup.jaccard(cand, shC.unionAll(shI))
+    }
+    jac.filter(col("jaccard") >= JaccardThreshold)
+      .select(col("a").as("corpus_id"), col("b").as("new_id"),
+        Num.r4(col("jaccard")).as("jaccard"))
   }
 
   /** Ids a containment-dedup stage DROPS from `docs` — the composed
@@ -688,15 +944,7 @@ object DedupQueries {
          |${Dedup.jaccardSql}
          |SELECT a, b, round(jaccard + 0.00000025, 4) AS jaccard
          |FROM jac WHERE jaccard >= 0.35""".stripMargin) { (s, dir) =>
-      // sh feeds signatures AND both sides of the Jaccard verify — cache it
-      // (at cluster scale: persist the shingle table once per dedup run)
-      val sh = Dedup.shingleHashes(withTruncatedCopies(s, dir), col("id"), col("text"), ShingleN)
-        .cache()
-      val cand = Dedup.candidatePairs(Dedup.bandKeys(Dedup.minhashSignatures(sh)))
-        .cache()
-      Dedup.jaccard(cand, sh)
-        .filter(col("jaccard") >= 0.35)
-        .select(col("a"), col("b"), Num.r4(col("jaccard")).as("jaccard"))
+      minhashLsh(s, withTruncatedCopies(s, dir))
     },
 
     // n-gram Jaccard via inverted-index join: candidate pairs = docs
@@ -709,11 +957,7 @@ object DedupQueries {
          |${Dedup.jaccardSql}
          |SELECT a, b, round(jaccard + 0.00000025, 4) AS jaccard
          |FROM jac WHERE jaccard >= 0.3""".stripMargin) { (s, dir) =>
-      val sh = Dedup.shingleHashes(withTruncatedCopies(s, dir), col("id"), col("text"), ShingleN)
-        .cache()
-      Dedup.jaccard(Dedup.invertedCandidatePairs(sh, 2), sh)
-        .filter(col("jaccard") >= 0.3)
-        .select(col("a"), col("b"), Num.r4(col("jaccard")).as("jaccard"))
+      ngramJaccard(s, withTruncatedCopies(s, dir))
     },
 
     // LSH candidate recall per similarity bucket — the b/r tuning table:
@@ -751,23 +995,7 @@ object DedupQueries {
          |         CAST(count(l.a) AS BIGINT) AS n_hit
          |  FROM truth t LEFT JOIN lshcand l ON l.a = t.a AND l.b = t.b
          |  GROUP BY 1)""".stripMargin) { (s, dir) =>
-      val sh = Dedup.shingleHashes(withTruncatedCopies(s, dir), col("id"), col("text"), ShingleN)
-        .cache()
-      val truth = Dedup.jaccard(Dedup.invertedCandidatePairs(sh, 2), sh)
-        .filter(col("jaccard") >= 0.3)
-        .select(col("a"), col("b"), Num.r4(col("jaccard")).as("jr"))
-      val lsh = Dedup.candidatePairs(Dedup.bandKeys(Dedup.minhashSignatures(sh)))
-        .select(col("a").as("la"), col("b").as("lb"))
-      truth
-        .join(lsh, col("la") === col("a") && col("lb") === col("b"), "left")
-        .select(
-          when(col("jr") < 0.5, "j_030_050")
-            .when(col("jr") < 0.7, "j_050_070")
-            .otherwise("j_070_100").as("bucket"),
-          col("la"))
-        .groupBy(col("bucket"))
-        .agg(count(lit(1)).as("n_truth"), count(col("la")).as("n_hit"))
-        .withColumn("recall", Num.r4(col("n_hit") * 1.0 / col("n_truth")))
+      lshRecall(s, withTruncatedCopies(s, dir))
     },
 
     // n-gram CONTAINMENT — the asymmetric twin of q_dedup_ngram_jaccard:
@@ -941,17 +1169,7 @@ object DedupQueries {
          |WHERE jaccard >= $JaccardThreshold
          |  AND a NOT IN (SELECT id FROM vids)
          |  AND b IN (SELECT id FROM vids)""".stripMargin) { (s, dir) =>
-      val shC = Dedup.shingleHashes(base(s, dir), col("id"), col("text"), ShingleN)
-        .cache()
-      val shI = Dedup.shingleHashes(
-        truncatedCopiesOnly(s, dir), col("id"), col("text"), ShingleN).cache()
-      val index = Dedup.bandKeys(Dedup.minhashSignatures(shC))
-      val probe = Dedup.bandKeys(Dedup.minhashSignatures(shI))
-      val cand = Dedup.candidatePairsAcross(index, probe).cache()
-      Dedup.jaccard(cand, shC.unionAll(shI))
-        .filter(col("jaccard") >= JaccardThreshold)
-        .select(col("a").as("corpus_id"), col("b").as("new_id"),
-          Num.r4(col("jaccard")).as("jaccard"))
+      incrementalDedup(s, base(s, dir), truncatedCopiesOnly(s, dir))
     },
 
     // Doc-level near-dup ADMIT over the persisted index — the batch twin

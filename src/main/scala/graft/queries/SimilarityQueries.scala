@@ -211,25 +211,13 @@ object SimilarityQueries {
          |WHERE j.jaccard >= ${DedupQueries.JaccardThreshold}""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir)
         .select(col("doc_id").as("id"), col("text"))
-      // map-only rowwise signatures → bands → capped candidates (the
-      // verifiedClusters chain); bk feeds the bucket count and both
-      // sides of the candidate self-join — cache (ids x Bands rows)
-      val bk = graft.operators.Dedup.bandKeys(
-        graft.operators.Dedup.minhashSignaturesRowwise(
-          docs, col("id"), col("text"), DedupQueries.ShingleN)).cache()
-      val cand = graft.operators.Dedup.candidatePairsCapped(
-        bk, DedupQueries.LshBucketCap)
-      // the exact verify only looks at docs in a candidate pair —
-      // shingle THOSE, not the corpus (candidate-restricted rows leave
-      // per-doc shingle sets untouched, so jaccard values are identical)
-      val candIds = cand.select(col("a").as("id"))
-        .unionAll(cand.select(col("b").as("id"))).distinct()
-      val sh = graft.operators.Dedup.shingleHashes(
-        docs.join(candIds, Seq("id"), "left_semi"),
-        col("id"), col("text"), DedupQueries.ShingleN).localCheckpoint()
+      // the verified near-dup pairs come from the adaptive
+      // band/bucket/verify chain (driver kernel on bounded corpora,
+      // integer evidence only — the minhashLsh body with the hot-bucket
+      // cap); the embedding cosine joins on as the second signal
+      val pairs = DedupQueries.multisignalPairs(s, docs)
       val prep = Similarity.prepared(Tables.embeddings(s, dir))
-      graft.operators.Dedup.jaccard(cand, sh)
-        .filter(col("jaccard") >= DedupQueries.JaccardThreshold)
+      pairs
         .join(prep.select(col("vec_id").as("a"), col("e").as("ea"), col("nrm").as("na")), "a")
         .join(prep.select(col("vec_id").as("b"), col("e").as("eb"), col("nrm").as("nb")), "b")
         .select(col("a"), col("b"),
