@@ -659,7 +659,29 @@ object CurationQueries {
     * contamination check with the sides swapped: eval shingles build, train
     * docs probe, and the rounded overlap drives the drop decision.
     */
-  def decontamTrain(docs: DataFrame): DataFrame = {
+  def decontamTrain(docs: DataFrame, localMaxDocs: Int = 20000): DataFrame = {
+    // Driver kernel for bounded corpora (the pairwise-dedup pattern): one
+    // bounded collect of (id, split, distinct 3-gram set) — the split
+    // label is computed by the ENGINE in the collect projection, so the
+    // hash arithmetic is never replicated — then the eval-frequency /
+    // hot-cut / per-train-doc hit counts are set operations on the
+    // driver, returning integer evidence only; the overlap ratio, its
+    // rounding and the drop decision stay the Column expressions below on
+    // both routes (ContaminationRouteParitySpec holds them equal).
+    val s = docs.sparkSession
+    contaminationProbe(docs, localMaxDocs) match {
+      case Some(probe) =>
+        val nEval = probe.count(_._2 == "test")
+        val evalH = contaminationCoolSet(
+          probe.iterator.filter(_._2 == "test").map(_._3), nEval)
+        val ev = probe.iterator.filter(_._2 == "train").map { case (id, _, hs) =>
+          (id, hs.size.toLong, hs.count(evalH.contains).toLong)
+        }.toSeq
+        import s.implicits._
+        return decontamDecision(
+          s.createDataset(ev).toDF("id", "n_shingles", "n_hit"))
+      case None => ()
+    }
     val split = docs.select(col("doc_id").as("id"),
       splitCol(col("doc_id")).as("split"))
     // sh feeds both sides — cache (at scale: persist the shingle table)
@@ -690,13 +712,52 @@ object CurationQueries {
     val hits = tr.join(broadcast(hotH), Seq("h"), "left_anti")
       .join(evalH, "h")
       .groupBy(col("id")).agg(count(lit(1)).as("n_hit"))
+    decontamDecision(totals.join(hits, Seq("id"), "left")
+      .select(col("id"), col("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit")))
+  }
+
+  /** The decontamination decision over (id, n_shingles, n_hit) evidence —
+    * ONE definition for both routes, so the ratio/rounding/threshold
+    * cannot fork between the kernel and the distributed plan.
+    */
+  private def decontamDecision(ev: DataFrame): DataFrame = {
     val overlap = when(col("n_shingles") === 0, lit(0.0))
-      .otherwise(Num.r4(coalesce(col("n_hit"), lit(0L)) * 1.0 / col("n_shingles")))
-    totals.join(hits, Seq("id"), "left")
-      .select(col("id").as("doc_id"), col("n_shingles"),
-        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-        overlap.as("overlap"),
-        (overlap >= 0.2).as("dropped"))
+      .otherwise(Num.r4(col("n_hit") * 1.0 / col("n_shingles")))
+    ev.select(col("id").as("doc_id"), col("n_shingles"), col("n_hit"),
+      overlap.as("overlap"), (overlap >= 0.2).as("dropped"))
+  }
+
+  /** Bounded collect for the contamination kernels: (doc_id, split,
+    * distinct 3-gram hashes) rows, the split label computed engine-side
+    * in the projection. None past `localMaxDocs` (id-only limit probe
+    * first — the verifiedClusters discipline).
+    */
+  private def contaminationProbe(docs: DataFrame, localMaxDocs: Int)
+      : Option[Array[(Long, String, Seq[Long])]] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val bounded = localMaxDocs > 0 &&
+      docs.select(col("doc_id")).limit(localMaxDocs + 1).count() <= localMaxDocs
+    if (!bounded) None
+    else Some(docs.select(col("doc_id"), splitCol(col("doc_id")).as("split"),
+        org.apache.spark.sql.graft.ArrayExpressions
+          .shingleHashes(col("text"), 3).as("hs"))
+      .as[(Long, String, Seq[Long])].collect())
+  }
+
+  /** The cool-shingle set of one split side: shingles whose doc frequency
+    * nd satisfies nd * 10 <= nDocs (the integer hot cut both queries
+    * apply). Per-doc sets are distinct by construction, so counting one
+    * occurrence per doc IS count(DISTINCT id).
+    */
+  private def contaminationCoolSet(sets: Iterator[Seq[Long]],
+                                   nDocs: Long): java.util.HashSet[Long] = {
+    val nd = new java.util.HashMap[Long, Long]()
+    for (hs <- sets; h <- hs) nd.merge(h, 1L, (a, b) => a + b)
+    val cool = new java.util.HashSet[Long]()
+    nd.forEach((h, c) => if (c * 10 <= nDocs) { cool.add(h); () })
+    cool
   }
 
   /** q_curation_funnel body over an arbitrary documents relation (shared
@@ -1230,7 +1291,31 @@ object CurationQueries {
     * (the scale probe feeds replicated inputs through the same code the
     * query runs).
     */
-  def contamination(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  def contamination(docs: org.apache.spark.sql.DataFrame,
+                    localMaxDocs: Int = 20000): org.apache.spark.sql.DataFrame = {
+    // Driver kernel for bounded corpora — decontamTrain's twin with the
+    // sides swapped: the train-side cool set is built once on the driver
+    // and each test doc's hit count is a set intersection; integer
+    // evidence only, ratios/rounding engine-side (see decontamTrain).
+    val s = docs.sparkSession
+    contaminationProbe(docs, localMaxDocs) match {
+      case Some(probe) =>
+        val nTrain = probe.count(_._2 == "train")
+        val trainH = contaminationCoolSet(
+          probe.iterator.filter(_._2 == "train").map(_._3), nTrain)
+        // only test docs with at least one shingle get a row — the
+        // distributed totals aggregate over the test shingle stream
+        val ev = probe.iterator
+          .filter(p => p._2 == "test" && p._3.nonEmpty)
+          .map { case (id, _, hs) =>
+            (id, hs.size.toLong, hs.count(trainH.contains).toLong)
+          }.toSeq
+        import s.implicits._
+        return s.createDataset(ev).toDF("id", "n_shingles", "n_hit")
+          .select(col("id").as("doc_id"), col("n_shingles"), col("n_hit"),
+            Num.r4(col("n_hit") * 1.0 / col("n_shingles")).as("overlap"))
+      case None => ()
+    }
     val split = docs.select(col("doc_id").as("id"),
       splitCol(col("doc_id")).as("split"))
     // sh feeds both sides — cache (at scale: persist the shingle table)

@@ -469,6 +469,118 @@ object DedupQueries {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** q_source_similarity body: per-source shingle-set Jaccard (exact)
+    * vs its 12-register MinHash estimate, for every source pair.
+    * Adaptive: the distinct (source, h) relation is bounded by the
+    * source count × per-source vocabulary, so bounded corpora collect it
+    * once (limit-probe + collect in ONE job — length > bound means
+    * incomplete, fall back) and compute sizes, pairwise intersections,
+    * registers and register agreement on the driver; integer evidence
+    * only, ratios/rounding engine-side. Past `localMaxRows` (or past
+    * `maxPairs` source pairs) the distributed plan runs unchanged.
+    */
+  private[queries] def sourceSimilarity(s: SparkSession, docs: DataFrame,
+                                        localMaxRows: Int = 2000000,
+                                        maxPairs: Long = 500000L): DataFrame = {
+    import s.implicits._
+    // distinct (source, h): the per-SOURCE shingle set (shingleHashes
+    // already dedups within a doc; sources need one more distinct)
+    val sh = Dedup.shingleHashes(
+      docs, col("source"), col("text"), ShingleN)
+      .distinct()
+    val probe: Option[Array[(String, Long)]] =
+      if (localMaxRows <= 0) None
+      else {
+        val rows = sh.limit(localMaxRows + 1).as[(String, Long)].collect()
+        if (rows.length <= localMaxRows) Some(rows) else None
+      }
+    val local = probe.flatMap { rows =>
+      val bySource = rows.groupBy(_._1).view
+        .mapValues(_.map(_._2).sorted).toMap
+      val sources = bySource.keys.toSeq.sorted
+      val nPairs = sources.size.toLong * (sources.size - 1) / 2
+      if (nPairs > maxPairs) None
+      else {
+        // registers per source — the same 64-bit (h * a_i + b_i) % P
+        // arithmetic as minhashSignatures (the candidatePairsLocal
+        // precedent)
+        val regs = bySource.map { case (src, hs) =>
+          val r = new Array[Long](Dedup.NumHashes)
+          var i = 0
+          while (i < Dedup.NumHashes) {
+            val a = Dedup.hashA(i); val b = Dedup.hashB(i)
+            var m = Long.MaxValue
+            var j = 0
+            while (j < hs.length) {
+              val v = (hs(j) * a + b) % Dedup.P
+              if (v < m) m = v
+              j += 1
+            }
+            r(i) = m
+            i += 1
+          }
+          src -> r
+        }
+        def interCount(x: Array[Long], y: Array[Long]): Long = {
+          var i = 0; var j = 0; var n = 0L
+          while (i < x.length && j < y.length) {
+            if (x(i) == y(j)) { n += 1; i += 1; j += 1 }
+            else if (x(i) < y(j)) i += 1
+            else j += 1
+          }
+          n
+        }
+        val ev = for {
+          ai <- sources.indices
+          bi <- (ai + 1) until sources.size
+        } yield {
+          val (a, b) = (sources(ai), sources(bi))
+          val (xa, xb) = (bySource(a), bySource(b))
+          val (ra, rb) = (regs(a), regs(b))
+          var agree = 0L
+          var k = 0
+          while (k < Dedup.NumHashes) {
+            if (ra(k) == rb(k)) agree += 1
+            k += 1
+          }
+          (a, b, interCount(xa, xb), xa.length.toLong, xb.length.toLong, agree)
+        }
+        Some(s.createDataset(ev)
+          .toDF("a", "b", "n_common", "sz_a", "sz_b", "n_agree"))
+      }
+    }
+    val evidence = local.getOrElse {
+      val shc = sh.cache()
+      val sig = Dedup.minhashSignatures(shc)
+      val sz = shc.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+      val inter = shc.as("x")
+        .join(shc.as("y"), col("x.h") === col("y.h") && col("x.id") < col("y.id"))
+        .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+        .agg(count(lit(1)).as("n_common"))
+      val agree = (0 until Dedup.NumHashes)
+        .map(i => when(col(s"l.m$i") === col(s"r.m$i"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      val sigPairs = sig.as("l")
+        .join(broadcast(sig.as("r")), col("l.id") < col("r.id"))
+        .select(col("l.id").as("a"), col("r.id").as("b"), agree.as("n_agree"))
+      sz.as("sa")
+        .join(broadcast(sz.as("sb")), col("sa.id") < col("sb.id"))
+        .select(col("sa.id").as("a"), col("sb.id").as("b"),
+          col("sa.sz").as("sz_a"), col("sb.sz").as("sz_b"))
+        .join(broadcast(inter), Seq("a", "b"), "left")
+        .join(broadcast(sigPairs), Seq("a", "b"))
+        .select(col("a"), col("b"),
+          coalesce(col("n_common"), lit(0L)).as("n_common"),
+          col("sz_a"), col("sz_b"), col("n_agree"))
+    }
+    val nUnion = col("sz_a") + col("sz_b") - col("n_common")
+    evidence.select(col("a").as("source_a"), col("b").as("source_b"),
+      col("n_common"), nUnion.as("n_union"),
+      Num.r4(col("n_common") * 1.0 / nUnion).as("true_jaccard"),
+      col("n_agree"),
+      Num.r4(col("n_agree") * 1.0 / Dedup.NumHashes).as("est_jaccard"))
+  }
+
   /** q_dedup_lsh_recall body: recall of the LSH band candidates against
     * the inverted-index truth set, per Jaccard bucket. Adaptive: the two
     * pair generators and the intersection counts come from ONE collected
@@ -1123,13 +1235,15 @@ object DedupQueries {
       val corpus = withTruncatedCopies(s, dir)
       val clusters = verifiedClusters(s, corpus)
         .select(col("node").as("cid"), col("component").as("cluster"))
-      // keeper ranking only needs quality for CLUSTER MEMBERS (near-dup-
-      // sized): semi-join the corpus down before scoring that side, so
-      // the full-corpus quality scan runs exactly once — in the output
-      // join below — not twice
-      val memberQuality = TextAnalytics.qualityScored(
-          corpus.join(broadcast(clusters.select(col("cid").as("id"))),
-            Seq("id"), "left_semi"))
+      // ONE quality scan (the score carries a regexp_extract_all over the
+      // full text — the expensive expression here): cache the scored
+      // projection and slice the cluster members out of it, instead of
+      // re-scoring the corpus separately for the keeper ranking
+      val qual = TextAnalytics.qualityScored(corpus)
+        .select(col("id"), col("quality")).cache()
+      val memberQuality = qual
+        .join(broadcast(clusters.select(col("cid").as("id"))),
+          Seq("id"), "left_semi")
         .select(col("id").as("cid"), col("quality"))
       val keepers = clusters
         .join(memberQuality, "cid")
@@ -1138,8 +1252,7 @@ object DedupQueries {
             .orderBy(col("quality").desc, col("cid"))))
         .filter(col("rn") === 1)
         .select(col("cluster"), col("cid").as("keeper"))
-      TextAnalytics.qualityScored(corpus)
-        .select(col("id"), col("quality"))
+      qual
         .join(broadcast(clusters), col("id") === col("cid"), "left")
         .join(broadcast(keepers), Seq("cluster"), "left")
         .select(col("id"), col("quality"),
@@ -1375,37 +1488,7 @@ object DedupQueries {
            |LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
            |JOIN agree g ON g.a = p.a AND g.b = p.b""".stripMargin
       }) { (s, dir) =>
-      // distinct (source, h): the per-SOURCE shingle set (shingleHashes
-      // already dedups within a doc; sources need one more distinct)
-      val sh = Dedup.shingleHashes(
-        Tables.documents(s, dir), col("source"), col("text"), ShingleN)
-        .distinct().cache()
-      val sig = Dedup.minhashSignatures(sh)
-      val sz = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-      val inter = sh.as("x")
-        .join(sh.as("y"), col("x.h") === col("y.h") && col("x.id") < col("y.id"))
-        .groupBy(col("x.id").as("a"), col("y.id").as("b"))
-        .agg(count(lit(1)).as("n_common"))
-      val agree = (0 until Dedup.NumHashes)
-        .map(i => when(col(s"l.m$i") === col(s"r.m$i"), 1L).otherwise(0L))
-        .reduce(_ + _)
-      val sigPairs = sig.as("l")
-        .join(broadcast(sig.as("r")), col("l.id") < col("r.id"))
-        .select(col("l.id").as("a"), col("r.id").as("b"), agree.as("n_agree"))
-      val pairs = sz.as("sa")
-        .join(broadcast(sz.as("sb")), col("sa.id") < col("sb.id"))
-        .select(col("sa.id").as("a"), col("sb.id").as("b"),
-          col("sa.sz").as("sz_a"), col("sb.sz").as("sz_b"))
-      val nCommon = coalesce(col("n_common"), lit(0L))
-      val nUnion = col("sz_a") + col("sz_b") - nCommon
-      pairs
-        .join(broadcast(inter), Seq("a", "b"), "left")
-        .join(broadcast(sigPairs), Seq("a", "b"))
-        .select(col("a").as("source_a"), col("b").as("source_b"),
-          nCommon.as("n_common"), nUnion.as("n_union"),
-          Num.r4(nCommon * 1.0 / nUnion).as("true_jaccard"),
-          col("n_agree"),
-          Num.r4(col("n_agree") * 1.0 / Dedup.NumHashes).as("est_jaccard"))
+      sourceSimilarity(s, Tables.documents(s, dir))
     },
 
     // Exact-dedup token savings per source (round-14): the dedup

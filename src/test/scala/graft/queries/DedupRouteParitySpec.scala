@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 import scala.util.Random
 
 /** The pairwise-dedup driver kernels (minhashLsh / ngramJaccard /
@@ -93,6 +94,30 @@ class DedupRouteParitySpec extends SparkSpec {
       val d = corpus(seed)
       assert(canon(DedupQueries.containmentPairs(d)) ==
         canon(DedupQueries.containmentPairs(d, localMaxDocs = 0)), s"seed=$seed")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("contamination / decontamTrain: local kernel == distributed route") {
+    for (seed <- 30 until 34) {
+      val d = corpus(seed)
+        .select($"id".as("doc_id"), $"text")
+      assert(canon(CurationQueries.contamination(d)) ==
+        canon(CurationQueries.contamination(d, localMaxDocs = 0)), s"seed=$seed")
+      assert(canon(CurationQueries.decontamTrain(d)) ==
+        canon(CurationQueries.decontamTrain(d, localMaxDocs = 0)), s"seed=$seed")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("sourceSimilarity: local kernel == distributed route") {
+    for (seed <- 34 until 38) {
+      val d = corpus(seed)
+        .select($"id".as("doc_id"), $"text",
+          concat(lit("src"), pmod($"id", lit(5L)).cast("string")).as("source"))
+      assert(canon(DedupQueries.sourceSimilarity(spark, d)) ==
+        canon(DedupQueries.sourceSimilarity(spark, d, localMaxRows = 0)),
+        s"seed=$seed")
       spark.catalog.clearCache()
     }
   }
