@@ -271,7 +271,14 @@ object Dedup {
         (Int, Seq[Long]), scala.collection.mutable.ArrayBuffer[Long]] = {
     val buckets = new scala.collection.mutable.HashMap[
       (Int, Seq[Long]), scala.collection.mutable.ArrayBuffer[Long]]()
-    for ((id, hs) <- docShingles if hs.nonEmpty) {
+    for ((id, hs0) <- docShingles if hs0.nonEmpty) {
+      // primitive array once per doc: the register loop reads every
+      // element NumHashes times, and Seq#apply pays boxing + dispatch on
+      // each read (measured ~3x on the whole kernel)
+      val hs = hs0 match {
+        case w: scala.collection.immutable.ArraySeq.ofLong => w.unsafeArray
+        case other => other.toArray
+      }
       val regs = new Array[Long](NumHashes)
       var i = 0
       while (i < NumHashes) {
@@ -390,23 +397,41 @@ object Dedup {
     Some(out.result())
   }
 
-  /** Exact-intersection EVIDENCE for given pairs over collected distinct
-    * shingle sets: (a, b, inter, sza, szb) — integers only, so the
-    * jaccard/containment RATIOS (and their r4 rounding) are computed by
-    * the SAME Column expressions the distributed route uses; the kernel
-    * cannot introduce float drift. Pairs whose side has no shingle set
-    * are dropped, mirroring `jaccard`'s inner join against the per-id
-    * size table (candidates never reference such docs — both generators
-    * require shingles).
+  /** Sorted primitive shingle arrays keyed by id — the evidence kernel's
+    * input shape (two-pointer intersections instead of boxed-set
+    * membership tests).
     */
-  def intersectionEvidenceLocal(shMap: Map[Long, Set[Long]],
+  def sortedShingleMap(docShingles: Seq[(Long, Seq[Long])])
+      : Map[Long, Array[Long]] =
+    docShingles.iterator.map { case (id, hs) =>
+      val a = hs.toArray
+      java.util.Arrays.sort(a)
+      id -> a
+    }.toMap
+
+  /** Exact-intersection EVIDENCE for given pairs over collected distinct
+    * shingle sets (as SORTED primitive arrays — see sortedShingleMap):
+    * (a, b, inter, sza, szb) — integers only, so the jaccard/containment
+    * RATIOS (and their r4 rounding) are computed by the SAME Column
+    * expressions the distributed route uses; the kernel cannot introduce
+    * float drift. Pairs whose side has no shingle set are dropped,
+    * mirroring `jaccard`'s inner join against the per-id size table
+    * (candidates never reference such docs — both generators require
+    * shingles).
+    */
+  def intersectionEvidenceLocal(shMap: Map[Long, Array[Long]],
                                 pairs: Seq[(Long, Long)])
       : Seq[(Long, Long, Long, Long, Long)] =
     pairs.flatMap { case (a, b) =>
       (shMap.get(a), shMap.get(b)) match {
         case (Some(sa), Some(sb)) =>
-          val inter = sa.count(sb.contains).toLong
-          Some((a, b, inter, sa.size.toLong, sb.size.toLong))
+          var i = 0; var j = 0; var inter = 0L
+          while (i < sa.length && j < sb.length) {
+            if (sa(i) == sb(j)) { inter += 1; i += 1; j += 1 }
+            else if (sa(i) < sb(j)) i += 1
+            else j += 1
+          }
+          Some((a, b, inter, sa.length.toLong, sb.length.toLong))
         case _ => None
       }
     }

@@ -167,13 +167,25 @@ object DedupQueries {
       Dedup.candidatePairsLocal(docProbe.toSeq, bucketCap,
           pairBudget = LocalPairBudget) match {
         case Some(candLocal) =>
-          val shMap = docProbe.iterator
-            .map { case (id, hs) => id -> hs.toSet }.toMap
+          // sorted primitive arrays + two-pointer intersections (the
+          // intersectionEvidenceLocal shape) — boxed-set membership tests
+          // measured ~3x slower on the same pairs
+          val shMap = Dedup.sortedShingleMap(docProbe.toSeq)
+          val empty = Array.emptyLongArray
+          def interOf(sa: Array[Long], sb: Array[Long]): Long = {
+            var i = 0; var j = 0; var n = 0L
+            while (i < sa.length && j < sb.length) {
+              if (sa(i) == sb(j)) { n += 1; i += 1; j += 1 }
+              else if (sa(i) < sb(j)) i += 1
+              else j += 1
+            }
+            n
+          }
           val verified = candLocal.filter { case (a, b) =>
-            val sa = shMap.getOrElse(a, Set.empty[Long])
-            val sb = shMap.getOrElse(b, Set.empty[Long])
-            val inter = sa.count(sb.contains)
-            val denom = sa.size.toLong + sb.size - inter
+            val sa = shMap.getOrElse(a, empty)
+            val sb = shMap.getOrElse(b, empty)
+            val inter = interOf(sa, sb)
+            val denom = sa.length.toLong + sb.length - inter
             denom > 0 && inter * 1.0 / denom >= JaccardThreshold
           }
           val comp = graft.operators.Identity.connectedComponentsLocal(verified)
@@ -338,8 +350,7 @@ object DedupQueries {
     val localEv = collectShinglesBounded(docs, ShingleN, localMaxDocs)
       .flatMap { probe =>
         Dedup.invertedPairsLocal(probe.toSeq, 2, LocalPairBudget).map { cand =>
-          val shMap = probe.iterator
-            .map { case (id, hs) => id -> hs.toSet }.toMap
+          val shMap = Dedup.sortedShingleMap(probe.toSeq)
           Dedup.intersectionEvidenceLocal(
             shMap, cand.map { case (a, b, _) => (a, b) })
         }
@@ -383,8 +394,7 @@ object DedupQueries {
     val localEv = collectShinglesBounded(docs, ShingleN, localMaxDocs)
       .flatMap { probe =>
         Dedup.candidatePairsLocal(probe.toSeq, None, LocalPairBudget).map { cand =>
-          val shMap = probe.iterator
-            .map { case (id, hs) => id -> hs.toSet }.toMap
+          val shMap = Dedup.sortedShingleMap(probe.toSeq)
           Dedup.intersectionEvidenceLocal(shMap, cand)
         }
       }
@@ -412,8 +422,7 @@ object DedupQueries {
     val localEv = collectShinglesBounded(docs, ShingleN, localMaxDocs)
       .flatMap { probe =>
         Dedup.invertedPairsLocal(probe.toSeq, 2, LocalPairBudget).map { cand =>
-          val shMap = probe.iterator
-            .map { case (id, hs) => id -> hs.toSet }.toMap
+          val shMap = Dedup.sortedShingleMap(probe.toSeq)
           Dedup.intersectionEvidenceLocal(
             shMap, cand.map { case (a, b, _) => (a, b) })
         }
@@ -441,8 +450,7 @@ object DedupQueries {
       .flatMap { probe =>
         Dedup.candidatePairsLocal(probe.toSeq, Some(LshBucketCap),
           LocalPairBudget).map { cand =>
-          val shMap = probe.iterator
-            .map { case (id, hs) => id -> hs.toSet }.toMap
+          val shMap = Dedup.sortedShingleMap(probe.toSeq)
           Dedup.intersectionEvidenceLocal(shMap, cand)
         }
       }
@@ -595,8 +603,7 @@ object DedupQueries {
           truthCand <- Dedup.invertedPairsLocal(probe.toSeq, 2, LocalPairBudget)
           lshCand <- Dedup.candidatePairsLocal(probe.toSeq, None, LocalPairBudget)
         } yield {
-          val shMap = probe.iterator
-            .map { case (id, hs) => id -> hs.toSet }.toMap
+          val shMap = Dedup.sortedShingleMap(probe.toSeq)
           val ev = Dedup.intersectionEvidenceLocal(
             shMap, truthCand.map { case (a, b, _) => (a, b) })
           (ev, lshCand)
@@ -652,8 +659,7 @@ object DedupQueries {
         cand <- Dedup.candidatePairsAcrossLocal(
           corpusSh.toSeq, batchSh.toSeq, LocalPairBudget)
       } yield {
-        val shMap = (corpusSh.iterator ++ batchSh.iterator)
-          .map { case (id, hs) => id -> hs.toSet }.toMap
+        val shMap = Dedup.sortedShingleMap(corpusSh.toSeq ++ batchSh.toSeq)
         Dedup.intersectionEvidenceLocal(shMap, cand)
       }
     val jac = localEv match {
