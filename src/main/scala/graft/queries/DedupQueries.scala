@@ -487,21 +487,36 @@ object DedupQueries {
     * only, ratios/rounding engine-side. Past `localMaxRows` (or past
     * `maxPairs` source pairs) the distributed plan runs unchanged.
     */
-  private[queries] def sourceSimilarity(s: SparkSession, docs: DataFrame,
-                                        localMaxRows: Int = 2000000,
+  private[graft] def sourceSimilarity(s: SparkSession, docs: DataFrame,
+                                        // ~400k (source, h) rows is where
+                                        // the single-threaded kernel stops
+                                        // beating the parallel plan: the
+                                        // 10x tier (~1.6M rows) measured 2x
+                                        // SLOWER through the kernel (collect
+                                        // + GC churn of ~1.6M boxed tuples),
+                                        // so it falls back distributed there
+                                        localMaxRows: Int = 400000,
                                         maxPairs: Long = 500000L): DataFrame = {
     import s.implicits._
     // distinct (source, h): the per-SOURCE shingle set (shingleHashes
     // already dedups within a doc; sources need one more distinct)
-    val sh = Dedup.shingleHashes(
+    val sh0 = Dedup.shingleHashes(
       docs, col("source"), col("text"), ShingleN)
       .distinct()
+    // count-then-collect, NOT limit(bound+1).collect(): a GlobalLimit
+    // past ~1e6 rows funnels the whole relation through ONE gather task
+    // (measured: the 10x tier paid ~3 s in that single task); the cache
+    // makes the distinct compute once across probe + collect (released
+    // before returning on the kernel path; handed to the distributed
+    // fallback otherwise, where it feeds four consumers)
+    val sh = sh0.cache()
     val probe: Option[Array[(String, Long)]] =
       if (localMaxRows <= 0) None
-      else {
-        val rows = sh.limit(localMaxRows + 1).as[(String, Long)].collect()
-        if (rows.length <= localMaxRows) Some(rows) else None
-      }
+      else if (sh.count() <= localMaxRows) {
+        val rows = sh.as[(String, Long)].collect()
+        sh.unpersist(blocking = false)
+        Some(rows)
+      } else None
     val local = probe.flatMap { rows =>
       val bySource = rows.groupBy(_._1).view
         .mapValues(_.map(_._2).sorted).toMap
@@ -558,7 +573,7 @@ object DedupQueries {
       }
     }
     val evidence = local.getOrElse {
-      val shc = sh.cache()
+      val shc = sh
       val sig = Dedup.minhashSignatures(shc)
       val sz = shc.groupBy(col("id")).agg(count(lit(1)).as("sz"))
       val inter = shc.as("x")

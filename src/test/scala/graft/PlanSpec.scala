@@ -274,7 +274,13 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q_train_eval_contamination: shingle join is an equijoin, never a cartesian") {
-    val p = plan("q_train_eval_contamination")
+    // pin the DISTRIBUTED fallback (the 100 TB path): the registered
+    // query takes the bounded driver kernel at spec scale, whose plan is
+    // just the evidence local relation (DedupRouteParitySpec holds the
+    // routes equal)
+    val p = graft.queries.CurationQueries.contamination(
+      graft.Tables.documents(spark, dir), localMaxDocs = 0)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"),
       s"contamination candidates must come from the shingle-hash equijoin:\n$p")
     // hot-shingle cap: the probe side must shed boilerplate shingles via a
@@ -331,7 +337,10 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q_source_similarity: exact side is an h-equijoin; pairwise joins broadcast") {
-    val p = plan("q_source_similarity")
+    // distributed fallback, same rationale as the contamination pin above
+    val p = graft.queries.DedupQueries.sourceSimilarity(
+      spark, graft.Tables.documents(spark, dir), localMaxRows = 0)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"),
       s"no unbounded cross product (source-bounded sides must broadcast):\n$p")
     // the inverted-index intersection must be an EQUIjoin keyed on the
@@ -384,7 +393,10 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q_decontam_train: eval set builds, train probes, hot shingles anti-joined") {
-    val p = plan("q_decontam_train")
+    // distributed fallback, same rationale as the contamination pin above
+    val p = graft.queries.CurationQueries.decontamTrain(
+      graft.Tables.documents(spark, dir), localMaxDocs = 0)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"),
       s"decontamination candidates must come from the shingle-hash equijoin:\n$p")
     assert(p.contains("LeftAnti"),
