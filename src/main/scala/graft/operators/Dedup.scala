@@ -626,13 +626,19 @@ object Dedup {
     */
   def minhashSignaturesRowwise(docs: DataFrame, id: Column, text: Column,
                                n: Int): DataFrame = {
-    val regs = (0 until NumHashes).map { i =>
-      array_min(transform(col("hs"),
-        h => (h * hashA(i) + hashB(i)) % P)).as(s"m$i")
-    }
+    // all NumHashes registers come out of ONE native pass over the shingle
+    // array (MinhashRegisters) instead of 12 interpreted
+    // array_min(transform(...)) HOF columns — HOFs are CodegenFallback, so
+    // the old shape paid 12 interpreted sweeps + 12 array allocations per
+    // row (measured: it made the rowwise path LOSE to the groupBy+shuffle
+    // path at bench scale, the r18 negative result). Empty shingle set ->
+    // empty register array, so the zero-shingle filter is unchanged.
+    val regs = (0 until NumHashes).map(i => col("rs").getItem(i).as(s"m$i"))
     docs.select(id.as("id"),
-        org.apache.spark.sql.graft.ArrayExpressions.shingleHashes(text, n).as("hs"))
-      .filter(size(col("hs")) > 0)
+        org.apache.spark.sql.graft.ArrayExpressions.minhashRegisters(
+          org.apache.spark.sql.graft.ArrayExpressions.shingleHashes(text, n))
+          .as("rs"))
+      .filter(size(col("rs")) > 0)
       .select(col("id") +: regs: _*)
   }
 
@@ -869,10 +875,23 @@ object Dedup {
 
   // -------------------------------------------------------------- simhash
 
-  /** Per-id 60-bit SimHash from word multiset; one explode + one groupBy
-    * (60 sum aggregates, map-side combined).
+  /** Per-id 60-bit SimHash from the word multiset, computed entirely
+    * map-side by the native `SimhashBits` expression — no explode, no
+    * `SimBits`-sum groupBy, no shuffle (the expression's scaladoc carries
+    * the exact-equivalence argument; SimhashParitySpec holds it equal to
+    * the old explode + groupBy formulation, kept below for the spec).
     */
-  def simhash(docs: DataFrame, id: Column, text: Column): DataFrame = {
+  def simhash(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("id"),
+      org.apache.spark.sql.graft.ArrayExpressions
+        .simhashBits(text, SimBits).as("simhash"))
+
+  /** The r18-era explode + groupBy SimHash — retained ONLY as the parity
+    * reference for SimhashParitySpec (same integers as `simhash`; the
+    * query path uses the map-side expression above).
+    */
+  private[graft] def simhashViaGroupBy(docs: DataFrame, id: Column,
+                                       text: Column): DataFrame = {
     val wordRows = docs.select(id.as("id"),
         explode(TextOps.words(text)).as("w"))
       .select(col("id"), TextOps.hash64(col("w")).as("h"))

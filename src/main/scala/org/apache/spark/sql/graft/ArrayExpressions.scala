@@ -83,6 +83,12 @@ object ArrayExpressions {
   def repetitionStats(c: Column): Column =
     ExpressionUtils.column(RepetitionStats(ExpressionUtils.expression(c)))
 
+  def simhashBits(c: Column, bits: Int): Column =
+    ExpressionUtils.column(SimhashBits(ExpressionUtils.expression(c), bits))
+
+  def minhashRegisters(c: Column): Column =
+    ExpressionUtils.column(MinhashRegisters(ExpressionUtils.expression(c)))
+
   /** Skew-bounded `collect_list` over a LONG column: stops accumulating past
     * `cap + 1` elements. Lossless when the caller filters groups by an exact
     * count <= cap before reading the list (see CappedCollectLong).
