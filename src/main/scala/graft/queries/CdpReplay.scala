@@ -54,6 +54,61 @@ object CdpReplay {
       }
   }
 
+  /** The batch replay with a NARROW shuffle (guide §2.3: shuffle only the
+    * replay columns): `profileSnapshots` shuffles fully-built CdpEvent
+    * objects — eventId string, constant eventType, Option fields, a traits
+    * Map — through groupByKey and then re-sorts every group's boxed
+    * objects inside mapGroups. This path shuffles five primitive columns,
+    * lets the ENGINE sort each partition by (user_id, ts, event_id) — the
+    * exact (micros(ts), eventId) order `orderedFold` establishes, since
+    * event ids are non-negative and zero-padded to 12 chars, lexicographic
+    * = numeric — and builds the CdpEvent objects AFTER the exchange, where
+    * the rows already sit. Same per-event transition (`applyEvent` via
+    * `foldPreSorted`), same snapshot projection; CdpReplayNarrowSpec holds
+    * it equal to `profileSnapshots` over the identical log.
+    */
+  private[queries] def replaySnapshots(
+      s: org.apache.spark.sql.SparkSession,
+      events: org.apache.spark.sql.DataFrame)
+  : org.apache.spark.sql.Dataset[graft.streaming.ProfileSnapshot] = {
+    import s.implicits._
+    val kTag = regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
+    events
+      .select(
+        col("user_id").cast("string").as("uid"),
+        lpad(col("event_id").cast("string"), 12, "0").as("eid"),
+        col("ts"),
+        col("event_type").as("name"),
+        when(col("event_type") === "signup",
+          when(kTag.cast("long") % 2 === 0, "pro").otherwise("free")).as("plan"))
+      .repartition(col("uid"))
+      .sortWithinPartitions(col("uid"), col("ts"), col("eid"))
+      .as[(String, String, java.sql.Timestamp, String, Option[String])]
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[graft.streaming.ProfileSnapshot] {
+          override def hasNext: Boolean = buf.hasNext
+          override def next(): graft.streaming.ProfileSnapshot = {
+            val uid = buf.head._1
+            val run = new Iterator[CdpEvent] {
+              override def hasNext: Boolean = buf.hasNext && buf.head._1 == uid
+              override def next(): CdpEvent = {
+                val (u, eid, ts, name, plan) = buf.next()
+                CdpEvent(eventId = eid, ts = ts, eventType = "TRACK",
+                  userId = Some(u), anonymousId = None, email = None,
+                  name = Some(name),
+                  traits = plan.map(p => Map("plan" -> p)).getOrElse(Map.empty))
+              }
+            }
+            val snap = CdpPipeline.foldPreSorted("user:" + uid, run)
+            // drain any tail of the run a short-circuiting fold left behind
+            while (run.hasNext) run.next()
+            snap
+          }
+        }
+      }
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_cdp_profile_replay",
@@ -87,7 +142,7 @@ object CdpReplay {
          |FROM last_seen l
          |LEFT JOIN lww w ON w.user_id = l.user_id
          |JOIN cnt c ON c.user_id = l.user_id""".stripMargin) { (s, dir) =>
-      CdpPipeline.profileSnapshots(s, cdpEventLog(s, Tables.events(s, dir)))
+      replaySnapshots(s, Tables.events(s, dir))
         .select(
           col("profileId").as("profile_id"),
           element_at(col("traits"), "plan").as("plan"),

@@ -167,19 +167,27 @@ object CurationQueries {
          |         AS n_pii_docs,
          |       CAST(sum(chars_redacted) AS BIGINT) AS chars_redacted
          |FROM a GROUP BY lang, split""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       import graft.queries.PiiQueries
       val ws = TextOps.words(col("text"))
+      // cache: the PII inject+redact regex chain is the expensive scan
+      // here, and it feeds BOTH the keeper map and the survivor side of
+      // the semi-join below — one regex pass, not two
       val scrubbed = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), PiiQueries.piiText.as("text"))
         .withColumn("n0", length(col("text")))
         .withColumn("text", PiiQueries.redactExpr(col("text")))
         .withColumn("chars_redacted", col("n0") - length(col("text")))
         .drop("n0")
-      val deduped = scrubbed
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
-        .filter(col("rn") === 1) // == min(doc_id) per content hash
+        .cache()
+      // exact dedup as groupBy(md5).min(id) + keep-list semi-join (the
+      // funnel's keep1 shape, guide §2.3) instead of a row_number window
+      // partitioned by md5(text): the window shuffled and sorted every
+      // REDACTED TEXT byte just to rank within its hash group, while the
+      // groupBy partial-aggregates map-side and shuffles only (hash, id)
+      // pairs. Same keep-min-id contract (min(doc_id) == rn 1 by doc_id).
+      val keep = scrubbed.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+      val deduped = scrubbed.join(keep, Seq("doc_id"), "left_semi")
       deduped
         .filter(qualityCol >= 0.5)
         .select(col("lang"),
@@ -691,9 +699,14 @@ object CurationQueries {
     val nEval = split.filter(col("split") === "test")
       .agg(count(lit(1)).as("n_eval"))
     // evalFreq feeds both the build set and the hot set — cache, or the
-    // eval-side join + countDistinct executes twice
+    // eval-side join + df aggregation executes twice. count(1), not
+    // countDistinct(id): sh is distinct (id, h) by construction
+    // (ShingleHashArray emits the per-doc distinct set) and the split join
+    // adds one row per id, so the plain count IS the distinct doc count —
+    // without the distinct-aggregate machinery the planner would otherwise
+    // pay on the corpus-sized shingle relation (guide §2.3).
     val evalFreq = sh.join(split.filter(col("split") === "test"), "id")
-      .groupBy(col("h")).agg(countDistinct(col("id")).as("nd"))
+      .groupBy(col("h")).agg(count(lit(1)).as("nd"))
       .crossJoin(broadcast(nEval))
       .cache()
     val evalH = evalFreq.filter(col("nd") * 10 <= col("n_eval")).select("h")
@@ -1325,10 +1338,13 @@ object CurationQueries {
     val nTrain = split.filter(col("split") === "train")
       .agg(count(lit(1)).as("n_train"))
     // trainFreq feeds BOTH trainH and hotH — cache, or the train-side
-    // join + countDistinct (the most expensive aggregation here) executes
-    // twice (decontamTrain caches its eval-side twin for the same reason)
+    // join + df aggregation (the most expensive one here) executes twice
+    // (decontamTrain caches its eval-side twin for the same reason).
+    // count(1) == countDistinct(id) here: sh is distinct (id, h) by
+    // construction and the split join adds one row per id (see
+    // decontamTrain's evalFreq note).
     val trainFreq = sh.join(split.filter(col("split") === "train"), "id")
-      .groupBy(col("h")).agg(countDistinct(col("id")).as("nd"))
+      .groupBy(col("h")).agg(count(lit(1)).as("nd"))
       .crossJoin(broadcast(nTrain))
       .cache()
     val trainH = trainFreq.filter(col("nd") * 10 <= col("n_train")).select("h")

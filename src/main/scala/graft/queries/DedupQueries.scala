@@ -408,7 +408,19 @@ object DedupQueries {
           .cache()
         val cand = Dedup.candidatePairs(Dedup.bandKeys(Dedup.minhashSignatures(sh)))
           .cache()
-        Dedup.jaccard(cand, sh)
+        // the exact verify only looks at docs in a candidate pair —
+        // restrict the shingle table to THOSE before jaccard reads it
+        // three times (both join sides + the size agg): candidate members
+        // are a near-dup-sized sliver of the corpus, so the size agg and
+        // both inter-join probes shrink from corpus x shingles to
+        // pair-member x shingles (the verifiedClusters / multisignalPairs
+        // discipline; per-doc shingle sets are untouched by the row
+        // filter, so every jaccard value is identical). Checkpointed so
+        // the restriction computes once, not once per reference.
+        val candIds = cand.select(col("a").as("id"))
+          .unionAll(cand.select(col("b").as("id"))).distinct()
+        val shv = sh.join(candIds, Seq("id"), "left_semi").localCheckpoint()
+        Dedup.jaccard(cand, shv)
     }
     jac.filter(col("jaccard") >= 0.35)
       .select(col("a"), col("b"), Num.r4(col("jaccard")).as("jaccard"))
@@ -432,6 +444,11 @@ object DedupQueries {
       case None =>
         val sh = Dedup.shingleHashes(docs, col("id"), col("text"), ShingleN)
           .cache()
+        // NOT cached, although jaccard reads the pair set twice: both
+        // executions run inside the one job over the cached sh and
+        // overlap (guide §2.6), while a cache() here strips the AQE
+        // runtime stats off the pair side and the verify joins degrade
+        // (measured at the 10x tier: 4.35 -> 4.74 s with the cache)
         Dedup.jaccard(Dedup.invertedCandidatePairs(sh, 2), sh)
     }
     jac.filter(col("jaccard") >= 0.3)
@@ -459,10 +476,13 @@ object DedupQueries {
       case None =>
         // map-only rowwise signatures → bands → capped candidates (the
         // verifiedClusters chain); bk feeds the bucket count and both
-        // sides of the candidate self-join — cache (ids x Bands rows)
+        // sides of the candidate self-join — cache (ids x Bands rows).
+        // cand is read FOUR times (both candIds branches + both jaccard
+        // references) — uncached, the band self-join + cap semi-join +
+        // distinct executed four times per run
         val bk = Dedup.bandKeys(Dedup.minhashSignaturesRowwise(
           docs, col("id"), col("text"), ShingleN)).cache()
-        val cand = Dedup.candidatePairsCapped(bk, LshBucketCap)
+        val cand = Dedup.candidatePairsCapped(bk, LshBucketCap).cache()
         // the exact verify only looks at docs in a candidate pair —
         // shingle THOSE, not the corpus (candidate-restricted rows leave
         // per-doc shingle sets untouched, so jaccard values are identical)
@@ -496,13 +516,26 @@ object DedupQueries {
                                         // + GC churn of ~1.6M boxed tuples),
                                         // so it falls back distributed there
                                         localMaxRows: Int = 400000,
-                                        maxPairs: Long = 500000L): DataFrame = {
+                                        maxPairs: Long = 500000L,
+                                        localMaxDocs: Int = 20000): DataFrame = {
     import s.implicits._
     // distinct (source, h): the per-SOURCE shingle set (shingleHashes
     // already dedups within a doc; sources need one more distinct)
     val sh0 = Dedup.shingleHashes(
       docs, col("source"), col("text"), ShingleN)
       .distinct()
+    // doc-count pre-guard BEFORE the row-count probe (r19): the probe
+    // itself costs a full serial materialization of the distinct (cache +
+    // count) that the r17 plan never paid — on the too-big path that was
+    // a measured ~2 s pure overhead at the 10x tier (5.9 s quiet vs the
+    // 3.5 s r17 stamp). A corpus past the kernels' shared 20k-doc bound
+    // cannot be worth the probe (50k docs put the distinct far past
+    // 400k rows), so it goes straight to the distributed plan, whose
+    // consumers populate the cache INSIDE the one job where the work
+    // overlaps (guide §2.6). The cheap id-limit count is column-pruned —
+    // the verifiedClusters probe discipline.
+    val docBounded = localMaxRows > 0 && localMaxDocs > 0 &&
+      docs.select(col("doc_id")).limit(localMaxDocs + 1).count() <= localMaxDocs
     // count-then-collect, NOT limit(bound+1).collect(): a GlobalLimit
     // past ~1e6 rows funnels the whole relation through ONE gather task
     // (measured: the 10x tier paid ~3 s in that single task); the cache
@@ -511,7 +544,7 @@ object DedupQueries {
     // fallback otherwise, where it feeds four consumers)
     val sh = sh0.cache()
     val probe: Option[Array[(String, Long)]] =
-      if (localMaxRows <= 0) None
+      if (!docBounded) None
       else if (sh.count() <= localMaxRows) {
         val rows = sh.as[(String, Long)].collect()
         sh.unpersist(blocking = false)
@@ -635,6 +668,8 @@ object DedupQueries {
       case None =>
         val sh = Dedup.shingleHashes(docs, col("id"), col("text"), ShingleN)
           .cache()
+        // not cached — see ngramJaccard's note (cache() here measured
+        // 3.77 -> 5.83 s at the 10x tier: lost AQE stats on the pair side)
         val truth = Dedup.jaccard(Dedup.invertedCandidatePairs(sh, 2), sh)
           .filter(col("jaccard") >= 0.3)
           .select(col("a"), col("b"), Num.r4(col("jaccard")).as("jr"))
@@ -1622,9 +1657,17 @@ object DedupQueries {
     val spans = Dedup.shingleHashSeq(
       docs.select(col("doc_id").as("id"), col("text")),
       col("id"), col("text"), SpanN).cache()
+    // "occurs in >= 2 distinct docs" as min(id) != max(id) instead of
+    // countDistinct(id) >= 2 — identical predicate, but min/max partial-
+    // aggregate map-side to ONE (h, mn, mx) row per map partition, where
+    // the count-distinct plan shuffles every distinct (h, id) pair of the
+    // corpus-sized span table through its first aggregate (guide §2.3:
+    // aggregate before you shuffle). The surviving dup-hash set is
+    // near-dup-sized, so AQE broadcasts the semi-join and the span table
+    // itself is never re-shuffled.
     val duph = spans.groupBy(col("h"))
-      .agg(countDistinct(col("id")).as("nd"))
-      .filter(col("nd") >= 2)
+      .agg(min(col("id")).as("mn"), max(col("id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
       .select(col("h"))
     spans.join(duph, Seq("h"), "left_semi").select(col("id"), col("pos"))
   }

@@ -174,11 +174,22 @@ object SimilarityQueries {
          |JOIN prep pa ON pa.vec_id = j.a
          |JOIN prep pb ON pb.vec_id = j.b""".stripMargin) { (s, dir) =>
       val prep = Similarity.prepared(Tables.embeddings(s, dir))
-      val pairs = Similarity.bruteForcePairs(s, prep, threshold = 0.4)
+      // jaccard references `pairs` twice (inter join + final pair join) —
+      // uncached, the brute-force N^2 cosine pass (the dominant stage
+      // here) executed TWICE per run. cache() the pair-sized result.
+      val pairs = Similarity.bruteForcePairs(s, prep, threshold = 0.4).cache()
       val sh = graft.operators.Dedup.shingleHashes(
         Tables.documents(s, dir).select(col("doc_id").as("id"), col("text")),
         col("id"), col("text"), 5)
-      graft.operators.Dedup.jaccard(pairs, sh)
+      // the verify only reads shingles of docs in a candidate pair —
+      // restrict the shingle table before jaccard reads it three times
+      // (both join sides + the size agg), so the corpus never tokenizes
+      // three times (minhashLsh's discipline; per-doc shingle sets are
+      // untouched by the row filter, jaccard values identical)
+      val candIds = pairs.select(col("a").as("id"))
+        .unionAll(pairs.select(col("b").as("id"))).distinct()
+      val shv = sh.join(candIds, Seq("id"), "left_semi").localCheckpoint()
+      graft.operators.Dedup.jaccard(pairs, shv)
         .select(col("a"), col("b"),
           Num.r4(col("cosv")).as("cos"), Num.r4(col("jaccard")).as("jaccard"))
     },

@@ -952,29 +952,39 @@ object TextAnalytics {
       case (acc, (r, snip)) =>
         acc.when(col("doc_id") % 9 === r, concat(col("text"), lit(" " + snip)))
     }.otherwise(col("text"))
-    // bb feeds the positional scan (read twice: frequency + exemplar)
-    // and the gram-text join; freq feeds the exemplar prune and the
-    // final join — cache both so the corpus stamps/tokenizes once and
-    // the heavy doc-frequency shuffle runs once. Top-K result → eager
-    // SmallResult, both unpersist before return.
+    // bb feeds the positional scan and the gram-text join; freq feeds the
+    // exemplar text join and the final ranking — cache both so the corpus
+    // stamps/tokenizes once. Top-K result → eager SmallResult, both
+    // unpersist before return.
     val bb = docs.select(col("doc_id").as("id"), stamped.as("text")).cache()
     val sh = graft.operators.Dedup.shingleHashSeq(bb, col("id"), col("text"), BpN)
-    val freq = sh.groupBy(col("h"))
-      .agg(count(lit(1)).as("n_occ"), countDistinct(col("id")).as("n_docs"))
+    // ONE pass over the positional scan instead of two (r18 left this as
+    // "frequency + exemplar re-read the corpus"): a manual two-level
+    // aggregate computes n_occ, the distinct doc count AND the exemplar
+    // occurrence together. Level 1 groups by (h, id) — count(1) there is
+    // per-doc occurrences, min(pos) the doc's first position; level 2 sums
+    // occurrences, counts rows (== countDistinct(id), each (h, id) is one
+    // row, without the distinct-aggregate expand), and min(struct(id, pos))
+    // is exactly the (id, pos)-lexicographic first occurrence the old
+    // row_number window picked. Both levels partial-aggregate map-side
+    // (guide §2.3); the second window pass over the corpus-sized scan and
+    // its broadcast prune are gone entirely (§2.4).
+    val perDoc = sh.groupBy(col("h"), col("id"))
+      .agg(count(lit(1)).as("c"), min(col("pos")).as("mp"))
+    val freq = perDoc.groupBy(col("h"))
+      .agg(sum(col("c")).as("n_occ"), count(lit(1)).as("n_docs"),
+        min(struct(col("id"), col("mp"))).as("ex"))
       .filter(col("n_docs") >= BpMinDocs)
+      .select(col("h"), col("n_occ"), col("n_docs"),
+        col("ex.id").as("id"), col("ex.mp").as("pos"))
       .cache()
-    // the survivor set is boilerplate-sized: everything below runs on a
-    // broadcast-pruned sliver of the positional scan
-    val byFirst = Window.partitionBy(col("h")).orderBy(col("id"), col("pos"))
-    val ex = sh.join(broadcast(freq.select(col("h"))), "h")
-      .withColumn("rn", row_number().over(byFirst)).filter(col("rn") === 1)
-      .select(col("h"), col("id"), col("pos"))
-    val gr = ex.join(bb, "id")
+    // the survivor set is boilerplate-sized: the gram-text join broadcasts
+    val gr = freq.select(col("h"), col("id"), col("pos")).join(bb, "id")
       .select(col("h"),
         concat_ws(" ",
           slice(TextOps.words(col("text")), col("pos"), lit(BpN))).as("gram"))
     val byRank = Window.orderBy(col("n_docs").desc, col("n_occ").desc, col("gram"))
-    val out = freq.join(gr, "h")
+    val out = freq.select(col("h"), col("n_occ"), col("n_docs")).join(gr, "h")
       .orderBy(col("n_docs").desc, col("n_occ").desc, col("gram")).limit(BpTopK)
       .withColumn("rnk", row_number().over(byRank).cast("long"))
       .select(col("rnk"), col("gram"), col("n_occ"), col("n_docs"))

@@ -230,4 +230,18 @@ object CdpPipeline {
         toSnapshot(pid, st)
       }
   }
+
+  /** `orderedFold` + `toSnapshot` over a profile's events ALREADY in
+    * (micros(ts), eventId) order — the fold a caller uses when the engine
+    * sorted the shuffle partitions (q_cdp_profile_replay's narrow replay:
+    * the rows arrive sorted by (ts, eventId), so re-sorting boxed objects
+    * per group would only repeat work). Same applyEvent transition, same
+    * snapshot projection; CdpReplayNarrowSpec holds it equal to
+    * `profileSnapshots`.
+    */
+  def foldPreSorted(pid: String, rows: Iterator[CdpEvent]): ProfileSnapshot = {
+    var st = ProfileState.empty
+    rows.foreach { e => st = applyEvent(pid, st, e)._1 }
+    toSnapshot(pid, st)
+  }
 }

@@ -377,14 +377,20 @@ class PlanSpec extends SparkSpec {
       s"truth (shingle equijoin) and LSH (band equijoin) sides must both equijoin:\n$p")
   }
 
-  test("q_corpus_curation: scrub+dedup+filter+split composes without joins") {
-    // PII scrub and quality/split are map-only projections; the only
-    // shuffles are the dedup window (hash by content md5) and the final
-    // (lang, split) agg — no join of any kind belongs in this plan
+  test("q_corpus_curation: dedup is groupBy(md5) + keep-list semi-join, no text shuffle") {
+    // r19: the exact dedup is the funnel's keep1 shape — groupBy(md5(text))
+    // partial-aggregates map-side and shuffles only (hash, id) pairs, the
+    // keep list re-attaches as a LeftSemi join (broadcast at bench scale;
+    // at 100 TB AQE degrades it to the same hash shuffle the old window
+    // paid, but never with a sort). The r18 row_number window shuffled and
+    // sorted every REDACTED TEXT byte just to rank within its hash group.
     val p = plan("q_corpus_curation")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")
-      && !p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
-      s"curation manifest must be projection+window+agg, no joins:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"dedup must be an equijoin on the keep list:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"keep-list re-attach must be a semi-join (no row multiplication):\n$p")
+    assert(!p.contains("Window") && !p.contains("row_number"),
+      s"no dedup window may shuffle/sort the redacted text:\n$p")
     assert(!p.contains("Exchange SinglePartition"),
       s"no global funnel in the manifest:\n$p")
     val scan = p.split("\n").find(_.contains("FileScan parquet")).get
