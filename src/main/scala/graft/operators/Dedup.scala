@@ -631,14 +631,22 @@ object Dedup {
     // array_min(transform(...)) HOF columns — HOFs are CodegenFallback, so
     // the old shape paid 12 interpreted sweeps + 12 array allocations per
     // row (measured: it made the rowwise path LOSE to the groupBy+shuffle
-    // path at bench scale, the r18 negative result). Empty shingle set ->
-    // empty register array, so the zero-shingle filter is unchanged.
+    // path at bench scale, the r18 negative result).
+    //
+    // The zero-shingle filter tests the WORD COUNT, not size(rs): a filter
+    // on the projected register array gets pushed below its projection and
+    // the optimizer duplicates the whole md5-per-word hash chain into the
+    // Filter — every row paid shingle_hashes + registers TWICE (observed
+    // in the 10x executed plan; the guide §4.4 duplication, JVM flavor).
+    // size(words(text)) >= n is exactly "the shingle set is non-empty"
+    // (ShingleHashArray returns empty iff word count < n) and costs one
+    // split instead of a second hash pass.
     val regs = (0 until NumHashes).map(i => col("rs").getItem(i).as(s"m$i"))
-    docs.select(id.as("id"),
+    docs.filter(size(TextOps.words(text)) >= n)
+      .select(id.as("id"),
         org.apache.spark.sql.graft.ArrayExpressions.minhashRegisters(
           org.apache.spark.sql.graft.ArrayExpressions.shingleHashes(text, n))
           .as("rs"))
-      .filter(size(col("rs")) > 0)
       .select(col("id") +: regs: _*)
   }
 

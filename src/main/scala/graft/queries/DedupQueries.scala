@@ -794,12 +794,25 @@ object DedupQueries {
     // (exhaustive at oracle scale) needs no mirror of it. The probe side
     // is the prefix explode (~n/5 of the corpus×shingle rows); the build
     // side is the checkpointed index, already partitioned on h.
+    // SHUFFLE_HASH on the prefix side: under AQE the checkpointed index
+    // loses its h-partitioning metadata (AdaptiveSparkPlan reports
+    // UnknownPartitioning), so the planner picked a SortMergeJoin that
+    // re-shuffled AND SORTED the 2.4M-row posting-list relation — sorting
+    // wide array rows for a join whose output needs no order (observed in
+    // the 10x executed plan). A shuffled hash join builds on the prefix
+    // side — (a, h) pairs, ~n/5 of the cool rows, 16 B each, bounded per
+    // partition by the partition-count scaling — and never sorts either
+    // side (guide §3.1). No intermediate distinct: duplicate (a, b)
+    // candidates only re-prove the same drop and the final
+    // `.distinct()` on the drop ids dedups — the extra exchange + AQE
+    // stage barrier cost more than the duplicate recounts.
     val cand = arr
       .select(col("id").as("a"),
         explode(slice(col("hs"), lit(1), (col("n") / 5).cast("int") + 1)).as("h"))
+      .hint("shuffle_hash")
       .join(hIds.select(col("h"), col("ids")), "h")
       .select(col("a"), explode(col("ids")).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
+      .filter(col("a") =!= col("b"))
     // exact intersection count, restricted to candidates: two doc-sized
     // array joins (AQE broadcasts the near-dup-sized cand side) and a
     // codegen'd set intersection per pair — no pair×shingle fan-out
