@@ -34,7 +34,9 @@ object Packing {
     */
   def tokenCounts(documents: DataFrame): DataFrame =
     documents.select(col("doc_id"), col("source"),
-      size(regexp_extract_all(col("text"), lit(TextOps.TokenPattern), lit(0)))
+      // native twin of size(regexp_extract_all(text, TokenPattern)) —
+      // AsciiCountsParitySpec pins equality; the oracle keeps its regexp
+      org.apache.spark.sql.graft.ArrayExpressions.asciiTokenCount(col("text"))
         .cast("long").as("n_tokens"))
 
   /** Two-pass distributed per-source prefix sum:

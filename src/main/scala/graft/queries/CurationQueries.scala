@@ -94,8 +94,13 @@ object CurationQueries {
       lit(0.4) * least(size(ws) / 50.0, lit(1.0))
         + lit(0.3) * (size(filter(ws,
             w => stop.foldLeft(lit(false))((acc, v) => acc || (w === v)))) * 1.0 / size(ws))
+        // native twin of size(regexp_extract_all(text, "[^A-Za-z0-9\s]"))
+        // — the regex form materialized a match array per row on the
+        // corpus-scan quality paths (AsciiCountsParitySpec pins equality;
+        // the oracle keeps its regexp form)
         + lit(0.3) * (lit(1.0) -
-            size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))) * 1.0
+            org.apache.spark.sql.graft.ArrayExpressions
+              .nonAlnumSpaceCount(col("text")) * 1.0
               / length(col("text"))))
   }
 

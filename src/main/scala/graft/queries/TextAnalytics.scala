@@ -186,7 +186,10 @@ object TextAnalytics {
       .select(col("id"),
         length(col("text")).as("n_chars2"),
         size(TextOps.words(col("text"))).as("n_words"),
-        size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).as("n_punct"),
+        // native twin of size(regexp_extract_all(text, "[^A-Za-z0-9\s]"))
+        // (AsciiCountsParitySpec; the oracle keeps its regexp form)
+        org.apache.spark.sql.graft.ArrayExpressions
+          .nonAlnumSpaceCount(col("text")).as("n_punct"),
         size(filter(TextOps.words(col("text")),
           w => QualityStopWords.foldLeft(lit(false))((acc, v) => acc || (w === v)))).as("n_stop"))
       .withColumn("quality",
@@ -298,7 +301,10 @@ object TextAnalytics {
       Tables.documents(s, dir)
         .select(col("doc_id"),
           size(TextOps.words(col("text"))).as("ws_tokens"),
-          size(regexp_extract_all(col("text"), lit(TextOps.TokenPattern), lit(0))).as("bpe_tokens"),
+          // native twin of size(regexp_extract_all(text, TokenPattern))
+          // (AsciiCountsParitySpec; the oracle keeps its regexp form)
+          org.apache.spark.sql.graft.ArrayExpressions
+            .asciiTokenCount(col("text")).as("bpe_tokens"),
           length(col("text")).as("n"))
         .select(col("doc_id"), col("ws_tokens"), col("bpe_tokens"),
           Num.r4(col("n") * 1.0 / col("bpe_tokens")).as("chars_per_token"))

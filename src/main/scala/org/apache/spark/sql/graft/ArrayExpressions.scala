@@ -83,6 +83,12 @@ object ArrayExpressions {
   def repetitionStats(c: Column): Column =
     ExpressionUtils.column(RepetitionStats(ExpressionUtils.expression(c)))
 
+  def nonAlnumSpaceCount(c: Column): Column =
+    ExpressionUtils.column(NonAlnumSpaceCount(ExpressionUtils.expression(c)))
+
+  def asciiTokenCount(c: Column): Column =
+    ExpressionUtils.column(AsciiTokenCount(ExpressionUtils.expression(c)))
+
   def simhashBits(c: Column, bits: Int): Column =
     ExpressionUtils.column(SimhashBits(ExpressionUtils.expression(c), bits))
 
