@@ -152,12 +152,30 @@ object Dedup {
     * standard production mitigation for LSH candidate explosion at scale.
     */
   def candidatePairsCapped(bands: DataFrame, maxBucket: Int): DataFrame = {
-    val cool = bands.join(
-      bands.groupBy(col("band"), col("key"))
-        .agg(count(lit(1)).as("bn")).filter(col("bn") <= maxBucket)
-        .select(col("band"), col("key")),
-      Seq("band", "key"), "left_semi")
-    candidatePairs(cool)
+    // ONE aggregation enumerates every kept bucket's pairs (r19): the old
+    // shape paid a bucket-count groupBy, a broadcast of the cool bucket
+    // list, a semi-join pass over the band table, a second broadcast of
+    // the whole band relation for the self-join, and the pair distinct —
+    // five stages and two driver-built hashed relations. Here the SAME
+    // exchange that counted the bucket also carries its (capped) member
+    // list: `capped_collect_long` bounds every aggregation buffer at
+    // ~8*(maxBucket+2) bytes regardless of bucket skew, and the exact
+    // `bn <= maxBucket` filter reads the list only when it is complete —
+    // the CappedCollectLong lossless-cap argument (disjoint partial
+    // buffers), the same construction the containment index uses. Pair
+    // enumeration is then a per-bucket double explode over <= maxBucket
+    // ids; the cross-bucket `.distinct()` is unchanged. Same pairs as the
+    // self-join formulation (VerifiedClustersAdaptiveSpec /
+    // DedupRouteParitySpec hold the chain equal to the kernel).
+    bands.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("bn"),
+        org.apache.spark.sql.graft.ArrayExpressions
+          .cappedCollectLong(col("id"), maxBucket).as("ids"))
+      .filter(col("bn") <= maxBucket)
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(filter(col("ids"), b => b > col("a"))).as("b"))
+      .select(col("a"), col("b"))
+      .distinct()
   }
 
   /** Driver-local kernel computing EXACTLY the
