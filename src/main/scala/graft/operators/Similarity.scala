@@ -243,15 +243,32 @@ object Similarity {
         val all = bc.value
         it.flatMap { case (aid, ae0, an) =>
           val ae = ae0.toArray
-          all.iterator
-            .filter(_._1 > aid)
-            .flatMap { case (bid, be, bn) =>
-              var s = 0.0
-              var i = 0
-              while (i < ae.length) { s += ae(i) * be(i); i += 1 }
-              val cos = s / (an * bn)
-              if (cos >= threshold) Some((aid, bid, cos)) else None
-            }
+          // the broadcast side is id-sorted, so the b > a half is a
+          // SUFFIX: binary-search its start instead of running an
+          // iterator filter over every entry, and enumerate it with a
+          // plain loop — the filter/flatMap closure chain cost more per
+          // candidate than the 64-FMA dot it guarded (r19; same cosine,
+          // same left-to-right double fold)
+          var lo = 0
+          var hi = all.length
+          while (lo < hi) {
+            val m = (lo + hi) >>> 1
+            if (all(m)._1 <= aid) lo = m + 1 else hi = m
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          val dim = ae.length
+          var j = lo
+          while (j < all.length) {
+            val b = all(j)
+            val be = b._2
+            var s = 0.0
+            var i = 0
+            while (i < dim) { s += ae(i) * be(i); i += 1 }
+            val cos = s / (an * b._3)
+            if (cos >= threshold) out += ((aid, b._1, cos))
+            j += 1
+          }
+          out.iterator
         }
       }
       .toDF("a", "b", "cosv")

@@ -58,11 +58,21 @@ object SlidingWindows {
     */
   def withSlidingAggs(df: DataFrame, keys: Seq[Column], ts: Column, value: Column): DataFrame = {
     val us = unix_micros(ts)
+    // the 5m count and raw 5m sum are each computed ONCE and reused by the
+    // three outputs that read them: WindowExec gives every aggregate in
+    // the merged window-expression list its own frame buffer, so spelling
+    // avg_5m as avgOverLast(...) re-evaluated the 300 s count and sum
+    // frames a second (and third) time per row (r19; identical values —
+    // avg divides the same raw sum by the same count, rounding unchanged)
     df.withColumn("rate_60s", ratePerMin(keys, us))
       .withColumn("cnt_60s", countIn(keys, us, 60))
       .withColumn("sum_30s", Num.r4(sumIn(keys, us, value, 30)))
-      .withColumn("sum_5m", Num.r4(sumIn(keys, us, value, 300)))
+      .withColumn("sum_5m_raw", sumIn(keys, us, value, 300))
       .withColumn("cnt_5m", countIn(keys, us, 300))
-      .withColumn("avg_5m", Num.r4(avgOverLast(keys, us, value, 300)))
+      .withColumn("sum_5m", Num.r4(col("sum_5m_raw")))
+      .withColumn("avg_5m", Num.r4(
+        when(col("cnt_5m") === 0, lit(0.0))
+          .otherwise(col("sum_5m_raw") / col("cnt_5m").cast("double"))))
+      .drop("sum_5m_raw")
   }
 }
