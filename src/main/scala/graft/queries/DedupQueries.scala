@@ -401,22 +401,24 @@ object DedupQueries {
     val jac = localEv match {
       case Some(ev) => evidenceDF(s, ev).withColumn("jaccard", jaccardCol)
       case None =>
-        // sh feeds signatures AND both sides of the Jaccard verify —
-        // cache it (at cluster scale: persist the shingle table once per
-        // dedup run)
+        // sh feeds signatures AND the candidate-restricted verify — cache
+        // it. NEGATIVE RESULT (r19, kept for the record): rewiring this
+        // route onto rowwise MinhashRegisters signatures (verifiedClusters'
+        // chain) measured 6.7-7.1 s vs 5.6-6.3 s for this shape in a
+        // same-session A/B at the 10x tier — the variant-union input
+        // (documents scan + truncation slicing) is expensive enough that
+        // scanning it twice (bands + verify restriction) loses to one
+        // scan into this cache, even though the register pass itself is
+        // faster warm (0.45 s vs 0.64 s for the groupBy sigs).
         val sh = Dedup.shingleHashes(docs, col("id"), col("text"), ShingleN)
           .cache()
         val cand = Dedup.candidatePairs(Dedup.bandKeys(Dedup.minhashSignatures(sh)))
           .cache()
         // the exact verify only looks at docs in a candidate pair —
         // restrict the shingle table to THOSE before jaccard reads it
-        // three times (both join sides + the size agg): candidate members
-        // are a near-dup-sized sliver of the corpus, so the size agg and
-        // both inter-join probes shrink from corpus x shingles to
-        // pair-member x shingles (the verifiedClusters / multisignalPairs
-        // discipline; per-doc shingle sets are untouched by the row
-        // filter, so every jaccard value is identical). Checkpointed so
-        // the restriction computes once, not once per reference.
+        // three times (both join sides + the size agg); per-doc shingle
+        // sets are untouched by the row filter, so every jaccard value is
+        // identical. Checkpointed so the restriction computes once.
         val candIds = cand.select(col("a").as("id"))
           .unionAll(cand.select(col("b").as("id"))).distinct()
         val shv = sh.join(candIds, Seq("id"), "left_semi").localCheckpoint()
@@ -715,6 +717,9 @@ object DedupQueries {
     val jac = localEv match {
       case Some(ev) => evidenceDF(s, ev).withColumn("jaccard", jaccardCol)
       case None =>
+        // cached shingle tables on both sides — the rowwise rewire was
+        // tried and reverted here too (see minhashLsh's negative-result
+        // note: the variant input is too expensive to scan twice)
         val shC = Dedup.shingleHashes(corpus, col("id"), col("text"), ShingleN)
           .cache()
         val shI = Dedup.shingleHashes(batch, col("id"), col("text"), ShingleN)
